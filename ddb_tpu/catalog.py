@@ -1,0 +1,63 @@
+"""Catalog: schemas, tables, views.
+
+Slimmed-down analog of the reference's Catalog/CatalogSet
+(reference: src/catalog/catalog.cpp, catalog_set.cpp).  MVCC-versioned
+entries arrive with the transaction layer in a later round; for now entries
+are plain dicts guarded by the connection.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from .storage.table import TableData
+
+
+class CatalogException(Exception):
+    pass
+
+
+class Catalog:
+    def __init__(self):
+        self.tables: Dict[str, TableData] = {}
+        self.views: Dict[str, str] = {}       # name -> SQL text
+
+    def add_table(self, table: TableData, or_replace: bool = False):
+        key = table.name.lower()
+        if key in self.tables and not or_replace:
+            raise CatalogException(f"table {table.name} already exists")
+        self.tables[key] = table
+
+    def get_table(self, name: str) -> TableData:
+        t = self.tables.get(name.lower())
+        if t is None:
+            raise CatalogException(f"table {name} does not exist")
+        return t
+
+    def has_table(self, name: str) -> bool:
+        return name.lower() in self.tables
+
+    def drop_table(self, name: str, if_exists: bool = False):
+        key = name.lower()
+        if key not in self.tables:
+            if if_exists:
+                return
+            raise CatalogException(f"table {name} does not exist")
+        del self.tables[key]
+
+    def add_view(self, name: str, sql: str, or_replace: bool = False):
+        key = name.lower()
+        if key in self.views and not or_replace:
+            raise CatalogException(f"view {name} already exists")
+        self.views[key] = sql
+
+    def get_view(self, name: str) -> Optional[str]:
+        return self.views.get(name.lower())
+
+    def drop_view(self, name: str, if_exists: bool = False):
+        key = name.lower()
+        if key not in self.views:
+            if if_exists:
+                return
+            raise CatalogException(f"view {name} does not exist")
+        del self.views[key]

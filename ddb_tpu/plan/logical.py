@@ -1,0 +1,239 @@
+"""Bound logical plan nodes.
+
+Analog of the reference's LogicalOperator tree
+(reference: src/include/duckdb/planner/logical_operator.hpp, node types in
+common/enums/logical_operator_type.hpp:18-100).  Expressions inside nodes
+are bound (ddb_tpu.expr.ir) and reference child output columns by position.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from ..batch import Schema, Field
+from ..expr import ir
+from ..storage.table import TableData
+from ..types import DataType
+from .. import types as T
+
+
+class LogicalNode:
+    schema: Schema
+
+    def children(self):
+        return []
+
+
+@dataclass
+class Get(LogicalNode):
+    """Table scan with projection + pushed-down filters
+    (reference: function/table/table_scan.cpp filter/projection pushdown)."""
+    table: TableData
+    column_indices: List[int]
+    filters: List[ir.Expr] = field(default_factory=list)  # over OUTPUT cols
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            fs = self.table.schema.fields
+            self.schema = Schema(tuple(fs[i] for i in self.column_indices))
+
+
+@dataclass
+class Filter(LogicalNode):
+    child: LogicalNode
+    predicate: ir.Expr
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class Project(LogicalNode):
+    child: LogicalNode
+    exprs: List[ir.Expr]
+    names: List[str]
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = Schema(tuple(
+                Field(n, e.dtype, getattr(e, "strdict", None))
+                for n, e in zip(self.names, self.exprs)))
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class AggSpec:
+    kind: str                      # sum|min|max|count|count_star|avg|any_value
+    arg: Optional[ir.Expr]
+    dtype: DataType
+    name: str
+    distinct: bool = False
+
+
+@dataclass
+class Aggregate(LogicalNode):
+    child: LogicalNode
+    groups: List[ir.Expr]
+    aggs: List[AggSpec]
+    group_names: List[str] = None
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.group_names is None:
+            self.group_names = [f"g{i}" for i in range(len(self.groups))]
+        if self.schema is None:
+            fs = [Field(n, g.dtype, getattr(g, "strdict", None))
+                  for n, g in zip(self.group_names, self.groups)]
+            fs += [Field(a.name, a.dtype,
+                         getattr(a.arg, "strdict", None)
+                         if a.kind in ("min", "max", "any_value")
+                         and a.arg is not None else None)
+                   for a in self.aggs]
+            self.schema = Schema(tuple(fs))
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class JoinCond:
+    left: ir.Expr      # over left child columns
+    right: ir.Expr     # over right child columns
+
+
+@dataclass
+class Join(LogicalNode):
+    """Equi-join; build side = right, probe side = left (matches the
+    reference's PhysicalHashJoin orientation, physical_hash_join.cpp)."""
+    left: LogicalNode
+    right: LogicalNode
+    join_type: str                 # inner|left|right|full|semi|anti|mark
+    conds: List[JoinCond]
+    extra: Optional[ir.Expr] = None   # residual predicate over concat schema
+    mark_name: str = "mark"
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            lf = list(self.left.schema.fields)
+            rf = list(self.right.schema.fields)
+            if self.join_type in ("semi", "anti"):
+                fs = lf
+            elif self.join_type == "mark":
+                fs = lf + [Field(self.mark_name, T.BOOLEAN, None)]
+            else:
+                fs = lf + rf
+            self.schema = Schema(tuple(fs))
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass
+class CrossProduct(LogicalNode):
+    left: LogicalNode
+    right: LogicalNode
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = Schema(tuple(list(self.left.schema.fields)
+                                       + list(self.right.schema.fields)))
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass
+class OrderKey:
+    expr: ir.Expr
+    desc: bool = False
+    nulls_last: bool = True
+
+
+@dataclass
+class Order(LogicalNode):
+    child: LogicalNode
+    keys: List[OrderKey]
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class Limit(LogicalNode):
+    child: LogicalNode
+    limit: Optional[int]
+    offset: int = 0
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class Distinct(LogicalNode):
+    child: LogicalNode
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
+class Union(LogicalNode):
+    """UNION ALL (set-op UNION = Distinct(Union))."""
+    left: LogicalNode
+    right: LogicalNode
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.left.schema
+
+    def children(self):
+        return [self.left, self.right]
+
+
+def explain(node: LogicalNode, indent: int = 0) -> str:
+    pad = "  " * indent
+    name = type(node).__name__
+    extra = ""
+    if isinstance(node, Get):
+        extra = f" {node.table.name}{node.column_indices}" + \
+            (f" filters={node.filters}" if node.filters else "")
+    elif isinstance(node, Filter):
+        extra = f" {node.predicate}"
+    elif isinstance(node, Project):
+        extra = f" {node.names}"
+    elif isinstance(node, Aggregate):
+        extra = f" groups={len(node.groups)} aggs={[a.kind for a in node.aggs]}"
+    elif isinstance(node, Join):
+        extra = f" {node.join_type}"
+    out = f"{pad}{name}{extra}\n"
+    for c in node.children():
+        out += explain(c, indent + 1)
+    return out

@@ -1,0 +1,180 @@
+"""In-memory columnar table storage.
+
+Round-1 storage engine: host-resident numpy columns + lazily cached device
+arrays, with per-column min/max/null statistics (zone-map analog,
+reference: src/storage/statistics/) collected at ingest.  The reference's
+RowGroup/ColumnSegment/compression stack (src/storage/table/) maps later to
+tiled host->HBM streaming; on-TPU batches are whole-column for now.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..batch import Batch, Field, Schema, make_batch
+from ..storage.strings import StringDictionary
+from .. import types as T
+from ..types import DataType, TypeId
+
+
+@dataclass
+class ColumnStats:
+    min: Any = None
+    max: Any = None
+    has_nulls: bool = False
+    distinct_hint: Optional[int] = None   # e.g. dictionary size
+
+
+@dataclass
+class TableColumn:
+    name: str
+    dtype: DataType
+    data: np.ndarray                      # physical values
+    nulls: Optional[np.ndarray] = None    # bool mask, True => NULL
+    strdict: Optional[StringDictionary] = None
+    stats: ColumnStats = field(default_factory=ColumnStats)
+
+    def compute_stats(self):
+        live = self.data if self.nulls is None else self.data[~self.nulls]
+        s = ColumnStats(has_nulls=bool(self.nulls is not None
+                                       and self.nulls.any()))
+        if len(live):
+            if self.dtype.id != TypeId.VARCHAR or self.strdict is not None:
+                s.min = live.min()
+                s.max = live.max()
+        if self.strdict is not None:
+            s.distinct_hint = len(self.strdict)
+        self.stats = s
+
+
+class TableData:
+    """A named table: columns + cached device batch."""
+
+    def __init__(self, name: str, columns: List[TableColumn]):
+        self.name = name
+        self.columns = columns
+        self._device_batch: Optional[Batch] = None
+        for c in columns:
+            if c.stats.min is None and not c.stats.has_nulls:
+                c.compute_stats()
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.columns[0].data) if self.columns else 0
+
+    @property
+    def schema(self) -> Schema:
+        return Schema(tuple(Field(c.name, c.dtype, c.strdict)
+                            for c in self.columns))
+
+    def device_batch(self, column_indices=None) -> Batch:
+        """Full-table batch on device (cached).  column_indices selects a
+        projection; the cache holds the full batch and projections slice it."""
+        if self._device_batch is None:
+            arrays = [c.data for c in self.columns]
+            nulls = [c.nulls for c in self.columns]
+            self._device_batch = make_batch(arrays, nulls, self.num_rows)
+        b = self._device_batch
+        if column_indices is None:
+            return b
+        return Batch(tuple(b.columns[i] for i in column_indices),
+                     b.sel, b.count)
+
+    def invalidate_cache(self):
+        self._device_batch = None
+
+
+# ---------------------------------------------------------------------------
+# ingest helpers
+# ---------------------------------------------------------------------------
+
+def from_arrow(name: str, atable) -> TableData:
+    """Build a TableData from a pyarrow Table."""
+    import pyarrow as pa
+
+    cols = []
+    for i, f in enumerate(atable.schema):
+        arr = atable.column(i).combine_chunks()
+        cols.append(_from_arrow_column(f.name, arr))
+    return TableData(name, cols)
+
+
+def _from_arrow_column(name: str, arr) -> TableColumn:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    nulls = None
+    if arr.null_count:
+        nulls = np.asarray(pc.is_null(arr)).astype(bool)
+
+    def np_of(a, dtype):
+        v = a.to_numpy(zero_copy_only=False)
+        v = np.ascontiguousarray(v)
+        if nulls is not None:
+            v = np.where(nulls, np.zeros((), dtype=dtype), v)
+        return v.astype(dtype)
+
+    if pa.types.is_null(t):
+        # empty / all-NULL column: default to INTEGER (duckdb uses SQLNULL
+        # then casts on use; INTEGER keeps the device path dense)
+        n = len(arr)
+        return TableColumn(name, T.INTEGER, np.zeros(n, dtype=np.int32),
+                           np.ones(n, dtype=bool) if n else None)
+    if pa.types.is_boolean(t):
+        return TableColumn(name, T.BOOLEAN, np_of(arr, np.bool_), nulls)
+    if pa.types.is_integer(t):
+        wide = pa.types.is_int64(t) or pa.types.is_uint32(t) \
+            or pa.types.is_uint64(t)
+        dt = T.BIGINT if wide else T.INTEGER
+        return TableColumn(name, dt, np_of(arr, dt.np_dtype), nulls)
+    if pa.types.is_floating(t):
+        dt = T.DOUBLE if pa.types.is_float64(t) else T.FLOAT
+        return TableColumn(name, dt, np_of(arr, dt.np_dtype), nulls)
+    if pa.types.is_decimal(t):
+        dt = T.DECIMAL(min(t.precision, 18), t.scale)
+        # decimal -> scaled int64 via python Decimal (exact)
+        py = arr.to_pylist()
+        f = 10 ** t.scale
+        v = np.array([0 if x is None else int(x.scaleb(t.scale))
+                      for x in py], dtype=np.int64)
+        return TableColumn(name, dt, v, nulls)
+    if pa.types.is_date(t):
+        days = arr.cast(pa.date32())
+        v = np.asarray(days.to_numpy(zero_copy_only=False))
+        v = v.astype("datetime64[D]").astype(np.int64).astype(np.int32) \
+            if v.dtype.kind == "M" else v.astype(np.int32)
+        if nulls is not None:
+            v = np.where(nulls, 0, v)
+        return TableColumn(name, T.DATE, v, nulls)
+    if pa.types.is_timestamp(t):
+        us = arr.cast(pa.timestamp("us"))
+        v = us.to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        if nulls is not None:
+            v = np.where(nulls, 0, v)
+        return TableColumn(name, T.TIMESTAMP, v, nulls)
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        py = arr.to_pylist()
+        sd, codes, n2 = StringDictionary.encode(py)
+        nulls = n2 if n2.any() else None
+        return TableColumn(name, T.VARCHAR, codes, nulls, strdict=sd)
+    if pa.types.is_dictionary(t):
+        return _from_arrow_column(name, arr.cast(pa.string()))
+    raise TypeError(f"unsupported arrow type {t} for column {name}")
+
+
+def from_pandas(name: str, df) -> TableData:
+    import pyarrow as pa
+    return from_arrow(name, pa.Table.from_pandas(df, preserve_index=False))
+
+
+def from_pydict(name: str, data: Dict[str, list],
+                types_: Optional[Dict[str, DataType]] = None) -> TableData:
+    import pyarrow as pa
+    at = pa.table(data)
+    td = from_arrow(name, at)
+    return td

@@ -1,0 +1,229 @@
+"""Logical/physical type system.
+
+TPU-native analog of the reference's LogicalType/PhysicalType split
+(reference: src/include/duckdb/common/types.hpp:63-234).  SQL-level types
+(DECIMAL, DATE, VARCHAR, ...) map onto a small set of dense jnp dtypes that
+tile well on TPU:
+
+  BOOLEAN            -> bool_
+  TINYINT/SMALLINT/
+  INTEGER            -> int32   (narrow ints widened; int8/int16 tile poorly)
+  BIGINT             -> int64
+  FLOAT              -> float32
+  DOUBLE             -> float64 (kept OFF the hot path; final divisions happen
+                                 host-side for bit-exactness)
+  DECIMAL(w<=18, s)  -> int64 fixed-point, value * 10^s
+  DATE               -> int32 days since 1970-01-01
+  TIMESTAMP          -> int64 micros since epoch
+  VARCHAR            -> int32 dictionary code (sorted dict => code order ==
+                        string order; see storage/strings.py)
+
+There are no pointers/var-len payloads on device: strings live as codes, the
+dictionaries stay on host (reference uses FSST/dict compression similarly,
+src/storage/compression/).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import enum
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class TypeId(enum.Enum):
+    INVALID = 0
+    BOOLEAN = 1
+    TINYINT = 2
+    SMALLINT = 3
+    INTEGER = 4
+    BIGINT = 5
+    HUGEINT = 6
+    FLOAT = 7
+    DOUBLE = 8
+    DECIMAL = 9
+    DATE = 10
+    TIME = 11
+    TIMESTAMP = 12
+    INTERVAL = 13
+    VARCHAR = 14
+    NULL = 15
+
+
+_INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
+            TypeId.HUGEINT)
+
+
+@dataclass(frozen=True)
+class DataType:
+    id: TypeId
+    width: int = 0   # decimal precision
+    scale: int = 0   # decimal scale
+
+    # ---- constructors ----------------------------------------------------
+    def __repr__(self) -> str:
+        if self.id == TypeId.DECIMAL:
+            return f"DECIMAL({self.width},{self.scale})"
+        return self.id.name
+
+    # ---- classification --------------------------------------------------
+    @property
+    def is_integer(self) -> bool:
+        return self.id in _INT_IDS
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.is_integer or self.id in (
+            TypeId.FLOAT, TypeId.DOUBLE, TypeId.DECIMAL)
+
+    @property
+    def is_string(self) -> bool:
+        return self.id == TypeId.VARCHAR
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP)
+
+    # ---- physical mapping ------------------------------------------------
+    @property
+    def np_dtype(self) -> np.dtype:
+        return np.dtype(_PHYSICAL[self.id])
+
+    def __hash__(self):
+        return hash((self.id, self.width, self.scale))
+
+
+_PHYSICAL = {
+    TypeId.BOOLEAN: np.bool_,
+    TypeId.TINYINT: np.int32,
+    TypeId.SMALLINT: np.int32,
+    TypeId.INTEGER: np.int32,
+    TypeId.BIGINT: np.int64,
+    TypeId.HUGEINT: np.int64,    # TODO(i128): two-limb representation
+    TypeId.FLOAT: np.float32,
+    TypeId.DOUBLE: np.float64,
+    TypeId.DECIMAL: np.int64,
+    TypeId.DATE: np.int32,
+    TypeId.TIME: np.int64,
+    TypeId.TIMESTAMP: np.int64,
+    TypeId.INTERVAL: np.int64,   # micros; months handled at bind time
+    TypeId.VARCHAR: np.int32,    # dictionary code
+    TypeId.NULL: np.int32,
+}
+
+BOOLEAN = DataType(TypeId.BOOLEAN)
+TINYINT = DataType(TypeId.TINYINT)
+SMALLINT = DataType(TypeId.SMALLINT)
+INTEGER = DataType(TypeId.INTEGER)
+BIGINT = DataType(TypeId.BIGINT)
+HUGEINT = DataType(TypeId.HUGEINT)
+FLOAT = DataType(TypeId.FLOAT)
+DOUBLE = DataType(TypeId.DOUBLE)
+DATE = DataType(TypeId.DATE)
+TIME = DataType(TypeId.TIME)
+TIMESTAMP = DataType(TypeId.TIMESTAMP)
+INTERVAL = DataType(TypeId.INTERVAL)
+VARCHAR = DataType(TypeId.VARCHAR)
+SQLNULL = DataType(TypeId.NULL)
+
+
+def DECIMAL(width: int, scale: int) -> DataType:
+    if width > 18:
+        # TODO(i128): widths 19..38 need two-limb accumulation; clamp for now
+        # (tracked for SF100 sums).
+        width = 18
+    return DataType(TypeId.DECIMAL, width, scale)
+
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+# Order used for implicit-cast promotion between numeric types
+# (reference: src/function/cast_rules.cpp implicit cast cost matrix).
+_NUMERIC_ORDER = [TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER,
+                  TypeId.BIGINT, TypeId.HUGEINT, TypeId.DECIMAL,
+                  TypeId.FLOAT, TypeId.DOUBLE]
+
+
+def max_numeric(a: DataType, b: DataType) -> DataType:
+    """Common promoted type for a binary numeric op (duckdb-style)."""
+    if a == b:
+        return a
+    ia, ib = _NUMERIC_ORDER.index(a.id), _NUMERIC_ORDER.index(b.id)
+    hi, lo = (a, b) if ia >= ib else (b, a)
+    if hi.id == TypeId.DECIMAL:
+        if lo.id == TypeId.DECIMAL:
+            scale = max(a.scale, b.scale)
+            width = max(a.width - a.scale, b.width - b.scale) + scale
+            return DECIMAL(min(width, 18), scale)
+        # integer + decimal -> decimal with enough integral digits
+        return DECIMAL(18, hi.scale)
+    return hi
+
+
+def decimal_scale_factor(n: int) -> int:
+    return 10 ** n
+
+
+def literal_type(v) -> DataType:
+    if v is None:
+        return SQLNULL
+    if isinstance(v, bool):
+        return BOOLEAN
+    if isinstance(v, int):
+        return INTEGER if -2**31 <= v < 2**31 else BIGINT
+    if isinstance(v, float):
+        return DOUBLE
+    if isinstance(v, decimal.Decimal):
+        sign, digits, exp = v.as_tuple()
+        scale = max(0, -exp)
+        return DECIMAL(max(len(digits), scale + 1), scale)
+    if isinstance(v, str):
+        return VARCHAR
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return DATE
+    if isinstance(v, datetime.datetime):
+        return TIMESTAMP
+    raise TypeError(f"unsupported literal {v!r}")
+
+
+def encode_literal(v, t: DataType):
+    """Python value -> raw physical value for device use."""
+    if v is None:
+        return 0
+    if t.id == TypeId.DECIMAL:
+        d = decimal.Decimal(str(v))
+        return int((d * decimal_scale_factor(t.scale)).to_integral_value())
+    if t.id == TypeId.DATE:
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        return (v - _EPOCH).days
+    if t.id == TypeId.TIMESTAMP:
+        if isinstance(v, str):
+            v = datetime.datetime.fromisoformat(v)
+        return int(v.timestamp() * 1_000_000)
+    if t.id == TypeId.BOOLEAN:
+        return bool(v)
+    if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
+        return float(v)
+    return int(v)
+
+
+def decode_value(raw, t: DataType, strdict=None):
+    """Physical value -> Python value (for result materialization)."""
+    if t.id == TypeId.DECIMAL:
+        return decimal.Decimal(int(raw)).scaleb(-t.scale)
+    if t.id == TypeId.DATE:
+        return _EPOCH + datetime.timedelta(days=int(raw))
+    if t.id == TypeId.TIMESTAMP:
+        return datetime.datetime.utcfromtimestamp(int(raw) / 1_000_000)
+    if t.id == TypeId.BOOLEAN:
+        return bool(raw)
+    if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
+        return float(raw)
+    if t.id == TypeId.VARCHAR:
+        if strdict is None:
+            raise ValueError("VARCHAR column requires a dictionary")
+        return strdict.decode_one(int(raw))
+    return int(raw)
