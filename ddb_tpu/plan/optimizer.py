@@ -1,0 +1,386 @@
+"""Logical plan optimizer.
+
+Covers the load-bearing subset of the reference's ~27 passes
+(reference: src/optimizer/optimizer.cpp, pass list in
+common/enums/optimizer_type.hpp:16-45):
+
+* filter pushdown (reference: src/optimizer/pushdown/) — down through
+  projections/joins into scans
+* cross-product elimination + greedy join ordering (reference:
+  src/optimizer/join_order/plan_enumerator.cpp — ours is greedy
+  smallest-first rather than DP, upgraded later)
+* scan column pruning (reference: remove_unused_columns.cpp)
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional, Tuple
+
+from ..expr import ir
+from ..types import TypeId
+from . import logical as L
+
+
+def optimize(plan: L.LogicalNode) -> L.LogicalNode:
+    plan = push_filters(plan, [])
+    plan = prune_get_columns(plan)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# filter pushdown + join building
+# ---------------------------------------------------------------------------
+
+def _cols_of(e: ir.Expr) -> List[int]:
+    return ir.referenced_columns(e)
+
+
+def _wrap(plan: L.LogicalNode, preds: List[ir.Expr]) -> L.LogicalNode:
+    p = ir.make_and(preds)
+    return L.Filter(plan, p) if p is not None else plan
+
+
+def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
+                 ) -> L.LogicalNode:
+    if isinstance(node, L.Filter):
+        return push_filters(node.child,
+                            preds + ir.conjuncts(node.predicate))
+
+    if isinstance(node, L.Project):
+        # rewrite predicates through the projection and keep pushing
+        pushable = [_substitute(p, {i: node.exprs[i]
+                                    for i in _cols_of(p)})
+                    for p in preds]
+        child = push_filters(node.child, pushable)
+        return L.Project(child, node.exprs, node.names, node.schema)
+
+    if isinstance(node, L.CrossProduct):
+        return _build_joins(node, preds)
+
+    if isinstance(node, L.Join):
+        nl = len(node.left.schema)
+        jt = node.join_type
+        # which sides can absorb predicates without changing outer-join
+        # semantics (NULL-extended rows must not be pre-filtered)
+        push_left = jt in ("inner", "left", "semi", "anti", "mark")
+        push_right = jt in ("inner", "right")
+        lpreds, rpreds, stay = [], [], []
+        for p in preds:
+            cols = _cols_of(p)
+            if push_left and all(c < nl for c in cols):
+                lpreds.append(p)
+            elif push_right and cols and all(c >= nl for c in cols):
+                rpreds.append(ir.remap_columns(
+                    p, {c: c - nl for c in cols}))
+            else:
+                stay.append(p)
+        left = push_filters(node.left, lpreds)
+        right = push_filters(node.right, rpreds)
+        nj = L.Join(left, right, node.join_type, node.conds, node.extra,
+                    node.mark_name)
+        return _wrap(nj, stay)
+
+    if isinstance(node, L.Order):
+        return L.Order(push_filters(node.child, preds), node.keys)
+
+    if isinstance(node, L.Get):
+        scan_filters = list(node.filters) + preds
+        return L.Get(node.table, node.column_indices, scan_filters)
+
+    if isinstance(node, (L.Limit, L.Distinct, L.Aggregate, L.Union)):
+        # recurse into children without crossing the boundary
+        new = copy.copy(node)
+        if isinstance(node, L.Union):
+            new.left = push_filters(node.left, [])
+            new.right = push_filters(node.right, [])
+        else:
+            new.child = push_filters(node.child, [])
+        return _wrap(new, preds)
+
+    # default: optimize children, keep preds here
+    new = copy.copy(node)
+    for attr in ("child", "left", "right"):
+        if hasattr(new, attr):
+            setattr(new, attr, push_filters(getattr(node, attr), []))
+    return _wrap(new, preds)
+
+
+def _substitute(e: ir.Expr, mapping: Dict[int, ir.Expr]) -> ir.Expr:
+    if isinstance(e, ir.ColRef):
+        return mapping.get(e.index, e)
+    c = copy.copy(e)
+    if isinstance(e, ir.Case):
+        c.whens = [(_substitute(w, mapping), _substitute(v, mapping))
+                   for w, v in e.whens]
+        c.else_ = _substitute(e.else_, mapping)
+        return c
+    for attr in ("child", "left", "right"):
+        if hasattr(e, attr):
+            setattr(c, attr, _substitute(getattr(e, attr), mapping))
+    if hasattr(e, "args") and not isinstance(e, ir.Case):
+        c.args = tuple(_substitute(a, mapping) for a in e.args)
+    return c
+
+
+def _flatten_cross(node: L.LogicalNode) -> List[L.LogicalNode]:
+    if isinstance(node, L.CrossProduct):
+        return _flatten_cross(node.left) + _flatten_cross(node.right)
+    return [node]
+
+
+def _estimate_rows(node: L.LogicalNode) -> float:
+    if isinstance(node, L.Get):
+        n = max(node.table.num_rows, 1)
+        return n * (0.25 ** len(node.filters))
+    if isinstance(node, L.Filter):
+        return _estimate_rows(node.child) * 0.25
+    if isinstance(node, L.Aggregate):
+        return max(_estimate_rows(node.child) * 0.1, 1)
+    if isinstance(node, L.Join):
+        if node.join_type in ("semi", "anti"):
+            return _estimate_rows(node.left) * 0.5
+        return max(_estimate_rows(node.left), _estimate_rows(node.right))
+    if isinstance(node, L.Project):
+        return _estimate_rows(node.child)
+    kids = node.children()
+    if kids:
+        return max(_estimate_rows(k) for k in kids)
+    return 1.0
+
+
+def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
+                 ) -> L.LogicalNode:
+    """Flatten a cross-product tree, split predicates, greedily build a
+    left-deep join tree, restore original column order with a Project."""
+    children = _flatten_cross(node)
+    offsets = []
+    off = 0
+    for c in children:
+        offsets.append(off)
+        off += len(c.schema)
+    total_width = off
+
+    # classify predicates
+    child_of_col = {}
+    for i, (c, o) in enumerate(zip(children, offsets)):
+        for j in range(len(c.schema)):
+            child_of_col[o + j] = i
+
+    local_preds: List[List[ir.Expr]] = [[] for _ in children]
+    join_conds = []      # (ci, cj, expr_i_local, expr_j_local)
+    residual = []
+    for p in preds:
+        cols = _cols_of(p)
+        cs = {child_of_col[c] for c in cols}
+        if len(cs) == 1:
+            ci = cs.pop()
+            local_preds[ci].append(ir.remap_columns(
+                p, {c: c - offsets[ci] for c in cols}))
+        elif len(cs) == 2 and isinstance(p, ir.Cmp) and p.op == "==":
+            lcols = set(_cols_of(p.left))
+            rcols = set(_cols_of(p.right))
+            lcs = {child_of_col[c] for c in lcols}
+            rcs = {child_of_col[c] for c in rcols}
+            if len(lcs) == 1 and len(rcs) == 1 and lcs != rcs:
+                ci, cj = lcs.pop(), rcs.pop()
+                le = ir.remap_columns(p.left, {c: c - offsets[ci]
+                                               for c in lcols})
+                re_ = ir.remap_columns(p.right, {c: c - offsets[cj]
+                                                 for c in rcols})
+                join_conds.append((ci, cj, le, re_))
+            else:
+                residual.append(p)
+        else:
+            residual.append(p)
+
+    # push local predicates
+    parts = [push_filters(c, lp) for c, lp in zip(children, local_preds)]
+    sizes = [_estimate_rows(p) for p in parts]
+
+    # greedy left-deep join order: start from the largest probe side's
+    # perspective — actually: start from smallest, join connected next
+    remaining = set(range(len(parts)))
+    conds_left = list(join_conds)
+
+    # start with the child involved in a join cond with the smallest size
+    def cond_children(jc):
+        return {jc[0], jc[1]}
+
+    if conds_left:
+        start = min((c for jc in conds_left for c in cond_children(jc)),
+                    key=lambda c: sizes[c])
+    else:
+        start = min(remaining, key=lambda c: sizes[c])
+
+    current = parts[start]
+    placed = [start]                 # child order in current plan
+    placed_offsets = {start: 0}
+    cur_width = len(parts[start].schema)
+    remaining.discard(start)
+
+    def local_to_current(ci, e):
+        return ir.remap_columns(
+            e, {c: c + placed_offsets[ci] for c in _cols_of(e)})
+
+    while remaining:
+        # find conds connecting placed <-> unplaced
+        candidates = []
+        for jc in conds_left:
+            ci, cj, le, re_ = jc
+            if ci in placed_offsets and cj in remaining:
+                candidates.append((cj, jc, False))
+            elif cj in placed_offsets and ci in remaining:
+                candidates.append((ci, jc, True))
+        if not candidates:
+            nxt = min(remaining, key=lambda c: sizes[c])
+            right = parts[nxt]
+            current = L.CrossProduct(current, right)
+            placed_offsets[nxt] = cur_width
+            cur_width += len(right.schema)
+            placed.append(nxt)
+            remaining.discard(nxt)
+            continue
+        # pick the smallest new child
+        nxt = min((c for c, _, _ in candidates), key=lambda c: sizes[c])
+        # gather ALL conds connecting placed set with nxt
+        use, keep = [], []
+        for jc in conds_left:
+            ci, cj, le, re_ = jc
+            if ci in placed_offsets and cj == nxt:
+                use.append((local_to_current(ci, le), re_))
+            elif cj in placed_offsets and ci == nxt:
+                use.append((local_to_current(cj, re_), le))
+            else:
+                keep.append(jc)
+        conds_left = keep
+        right = parts[nxt]
+        conds = [L.JoinCond(le, re_) for le, re_ in use]
+        current = L.Join(current, right, "inner", conds)
+        placed_offsets[nxt] = cur_width
+        cur_width += len(right.schema)
+        placed.append(nxt)
+        remaining.discard(nxt)
+
+    # leftover conds (cycles in join graph) become filters
+    leftover = []
+    for ci, cj, le, re_ in conds_left:
+        leftover.append(ir.Cmp("==", local_to_current(ci, le),
+                               local_to_current(cj, re_)))
+
+    # residual predicates: remap from original order to current order
+    remapped_residual = []
+    col_map = {}
+    for ci in placed_offsets:
+        for j in range(len(parts[ci].schema)):
+            col_map[offsets[ci] + j] = placed_offsets[ci] + j
+    for p in residual:
+        remapped_residual.append(ir.remap_columns(
+            p, {c: col_map[c] for c in _cols_of(p)}))
+
+    current = _wrap(current, leftover + remapped_residual)
+
+    # restore original column order
+    exprs, names = [], []
+    for ci, (c, o) in enumerate(zip(children, offsets)):
+        for j, f in enumerate(c.schema.fields):
+            exprs.append(ir.ColRef(placed_offsets[ci] + j, f.dtype,
+                                   f.name, f.strdict))
+            names.append(f.name)
+    return L.Project(current, exprs, names,
+                     L.Schema(tuple(f for c in children
+                                    for f in c.schema.fields)))
+
+
+# ---------------------------------------------------------------------------
+# scan column pruning
+# ---------------------------------------------------------------------------
+
+def prune_get_columns(node: L.LogicalNode,
+                      needed: Optional[set] = None) -> L.LogicalNode:
+    """Narrow Get nodes to the columns actually used upstream.
+
+    `needed` = set of output column indices required from this node
+    (None => all).  Round-1 scope: prunes Gets below
+    Project/Filter/Join/Aggregate chains."""
+    if isinstance(node, L.Get):
+        used = set(needed) if needed is not None else set(
+            range(len(node.schema)))
+        for f in node.filters:
+            used.update(_cols_of(f))
+        keep = sorted(used)
+        if len(keep) == len(node.column_indices):
+            return node
+        remap = {old: i for i, old in enumerate(keep)}
+        new_indices = [node.column_indices[i] for i in keep]
+        new_filters = [ir.remap_columns(f, {c: remap[c]
+                                            for c in _cols_of(f)})
+                       for f in node.filters]
+        g = L.Get(node.table, new_indices, new_filters)
+        if needed is not None and len(keep) != len(node.schema):
+            # upstream references must be remapped; emit Project shim with
+            # the ORIGINAL schema width by reinserting pruned cols is
+            # wasteful — instead callers pass through _PruneCtx below.
+            return g, remap
+        return g
+
+    return _prune_rec(node)
+
+
+def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
+    """Recursive pruning: computes needed sets per operator."""
+    if isinstance(node, L.Project):
+        used = set()
+        for e in node.exprs:
+            used.update(_cols_of(e))
+        child, remap = _prune_child(node.child, used)
+        exprs = [ir.remap_columns(e, {c: remap[c] for c in _cols_of(e)})
+                 for e in node.exprs]
+        return L.Project(child, exprs, node.names, node.schema)
+
+    if isinstance(node, L.Aggregate):
+        used = set()
+        for g in node.groups:
+            used.update(_cols_of(g))
+        for a in node.aggs:
+            if a.arg is not None:
+                used.update(_cols_of(a.arg))
+        child, remap = _prune_child(node.child, used)
+        groups = [ir.remap_columns(g, {c: remap[c] for c in _cols_of(g)})
+                  for g in node.groups]
+        aggs = [L.AggSpec(a.kind,
+                          ir.remap_columns(a.arg,
+                                           {c: remap[c]
+                                            for c in _cols_of(a.arg)})
+                          if a.arg is not None else None,
+                          a.dtype, a.name, a.distinct)
+                for a in node.aggs]
+        return L.Aggregate(child, groups, aggs, node.group_names,
+                           node.schema)
+
+    new = copy.copy(node)
+    for attr in ("child", "left", "right"):
+        if hasattr(new, attr):
+            setattr(new, attr, _prune_rec(getattr(node, attr)))
+    return new
+
+
+def _prune_child(child: L.LogicalNode, used: set):
+    """Prune a child to `used` columns; returns (new_child, remap)."""
+    if isinstance(child, L.Get):
+        res = prune_get_columns(child, used)
+        if isinstance(res, tuple):
+            return res
+        return res, {i: i for i in range(len(res.schema))}
+    if isinstance(child, L.Filter) and isinstance(child.child, L.Get):
+        used2 = set(used) | set(_cols_of(child.predicate))
+        res = prune_get_columns(child.child, used2)
+        if isinstance(res, tuple):
+            g, remap = res
+        else:
+            g, remap = res, {i: i for i in range(len(res.schema))}
+        pred = ir.remap_columns(child.predicate,
+                                {c: remap[c]
+                                 for c in _cols_of(child.predicate)})
+        return L.Filter(g, pred), remap
+    return _prune_rec(child), {i: i for i in range(len(child.schema))}

@@ -155,7 +155,8 @@ def _exec_project(node: L.Project, ctx):
 
 def _perfect_hash_domain(node: L.Aggregate):
     """If every group key has a small dense domain, return per-key domain
-    sizes (else None).  VARCHAR dict codes and BOOLEAN qualify."""
+    sizes (else None).  VARCHAR dict codes and BOOLEAN qualify.  The
+    masked-loop dense path only pays off for tiny domains (Q1-style)."""
     sizes = []
     for g in node.groups:
         sd = getattr(g, "strdict", None)
@@ -168,7 +169,7 @@ def _perfect_hash_domain(node: L.Aggregate):
     total = 1
     for s in sizes:
         total *= s
-    if total > (1 << 16):
+    if total > agg_ops.MAX_MASKED_DOMAIN:
         return None
     return sizes
 
@@ -241,23 +242,18 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     code = jnp.where(n, size - 1, code)
                 key_cols.append((d, n))
                 gid = gid + code * stride
-            gid = jnp.where(b.sel, gid, domain)
             ps = _payloads(node, b)
-            rid = lax.broadcasted_iota(jnp.int32, (b.sel.shape[0],), 0)
-            # sort not needed: segment ops accept unsorted ids
-            seg_kw = dict(num_segments=domain + 1, indices_are_sorted=False)
-            results = agg_ops._run_aggs(ps, gid, rid, domain, seg_kw)
-            counts = jax.ops.segment_sum(
-                b.sel.astype(jnp.int32), gid, **seg_kw)[:domain]
+            results, counts = agg_ops.dense_group_aggregate(
+                gid, domain, ps, b.sel)
             gsel = counts > 0
-            # reconstruct key values from dense code
+            # reconstruct key values from dense slot code
             slot = lax.broadcasted_iota(jnp.int32, (domain,), 0)
             group_cols = []
-            for (dcol, ncol), size, stride in zip(key_cols, sizes, strides):
+            for (dcol, ncol), size, stride in zip(key_cols, sizes,
+                                                  strides):
                 code = (slot // stride) % size
                 isnull = code == (size - 1)
-                group_cols.append((code.astype(dcol.dtype),
-                                   isnull if True else None))
+                group_cols.append((code.astype(dcol.dtype), isnull))
             return _agg_output(node, group_cols, results, gsel,
                                gsel.astype(jnp.int32).sum(), domain)
 

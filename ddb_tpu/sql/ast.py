@@ -1,0 +1,193 @@
+"""Unbound SQL AST.
+
+Analog of the reference's ParsedExpression/SQLStatement/TableRef hierarchies
+(reference: src/include/duckdb/parser/parsed_expression.hpp,
+sql_statement.hpp, tableref/*).  Produced by sql/parser.py, consumed by
+sql/binder.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+# ---- expressions ----------------------------------------------------------
+
+class EExpr:
+    pass
+
+
+@dataclass
+class EIdent(EExpr):
+    parts: List[str]          # ["t", "col"] or ["col"]
+
+
+@dataclass
+class ELit(EExpr):
+    value: Any                # int | float | Decimal | str | bool | None
+
+
+@dataclass
+class ETyped(EExpr):
+    """Typed literal: DATE '1994-01-01', INTERVAL '3' MONTH, TIMESTAMP ..."""
+    typename: str
+    text: str
+    qualifier: Optional[str] = None   # interval unit
+
+
+@dataclass
+class EBinary(EExpr):
+    op: str
+    left: EExpr
+    right: EExpr
+
+
+@dataclass
+class EUnary(EExpr):
+    op: str                   # '-' | 'not'
+    child: EExpr
+
+
+@dataclass
+class EFunc(EExpr):
+    name: str
+    args: List[EExpr]
+    distinct: bool = False
+    star: bool = False        # count(*)
+
+
+@dataclass
+class ECase(EExpr):
+    operand: Optional[EExpr]
+    whens: List[Tuple[EExpr, EExpr]]
+    else_: Optional[EExpr]
+
+
+@dataclass
+class ECast(EExpr):
+    child: EExpr
+    typename: str
+    width: int = 0
+    scale: int = 0
+
+
+@dataclass
+class EBetween(EExpr):
+    child: EExpr
+    lo: EExpr
+    hi: EExpr
+    negated: bool = False
+
+
+@dataclass
+class EIn(EExpr):
+    child: EExpr
+    items: Optional[List[EExpr]] = None      # literal list
+    subquery: Optional["SelectStmt"] = None
+    negated: bool = False
+
+
+@dataclass
+class EExists(EExpr):
+    subquery: "SelectStmt"
+    negated: bool = False
+
+
+@dataclass
+class ESub(EExpr):
+    """Scalar subquery."""
+    subquery: "SelectStmt"
+
+
+@dataclass
+class EIsNull(EExpr):
+    child: EExpr
+    negated: bool = False
+
+
+@dataclass
+class ELike(EExpr):
+    child: EExpr
+    pattern: EExpr
+    negated: bool = False
+
+
+@dataclass
+class EStar(EExpr):
+    prefix: Optional[str] = None   # t.* vs *
+
+
+# ---- table refs -----------------------------------------------------------
+
+class TableRef:
+    pass
+
+
+@dataclass
+class RBase(TableRef):
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass
+class RSubquery(TableRef):
+    select: "SelectStmt"
+    alias: str
+
+
+@dataclass
+class RJoin(TableRef):
+    left: TableRef
+    right: TableRef
+    join_type: str            # inner|left|right|full|cross
+    on: Optional[EExpr] = None
+    using: Optional[List[str]] = None
+
+
+# ---- statements -----------------------------------------------------------
+
+@dataclass
+class OrderItem:
+    expr: EExpr
+    desc: bool = False
+    nulls_last: Optional[bool] = None   # None => dialect default
+
+
+@dataclass
+class SelectStmt:
+    items: List[Tuple[EExpr, Optional[str]]] = field(default_factory=list)
+    distinct: bool = False
+    from_refs: List[TableRef] = field(default_factory=list)
+    where: Optional[EExpr] = None
+    group_by: List[EExpr] = field(default_factory=list)
+    having: Optional[EExpr] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: int = 0
+    ctes: List[Tuple[str, "SelectStmt"]] = field(default_factory=list)
+    # set operation: this node represents `set_left <op> <rhs>`;
+    # items/from_refs are unused when set_op is present
+    set_op: Optional[Tuple[str, "SelectStmt", bool]] = None  # (op, rhs, all)
+    set_left: Optional["SelectStmt"] = None
+
+
+@dataclass
+class CreateView:
+    name: str
+    sql_text: str
+    or_replace: bool = False
+
+
+@dataclass
+class CreateTableAs:
+    name: str
+    select: SelectStmt
+    or_replace: bool = False
+
+
+@dataclass
+class DropStmt:
+    kind: str                 # table | view
+    name: str
+    if_exists: bool = False

@@ -1,0 +1,1168 @@
+"""Binder: unbound AST -> bound logical plan.
+
+Analog of the reference's Binder (reference: src/planner/binder.hpp:102,
+expression binders in src/planner/expression_binder/, subquery flattening in
+src/planner/subquery/).  TPU-specific responsibilities on top of name/type
+resolution:
+
+* VARCHAR rewriting: every string operation is turned into integer-code
+  operations against host-side sorted dictionaries (comparisons become code
+  thresholds, LIKE becomes a per-code boolean table, string functions
+  become code->code translation tables) — no string ever reaches the device.
+* Subquery flattening: EXISTS/IN -> semi/anti joins; correlated scalar
+  aggregate subqueries -> grouped aggregate + LEFT join on the correlation
+  keys (the reference's flatten-dependent-join pass).
+"""
+
+from __future__ import annotations
+
+import decimal
+from dataclasses import dataclass, field as dfield
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import types as T
+from ..batch import Field, Schema
+from ..catalog import Catalog, CatalogException
+from ..expr import ir
+from ..expr.functions import add_months_host, days_from_civil
+from ..plan import logical as L
+from ..storage.strings import StringDictionary
+from ..types import DataType, TypeId
+from . import ast as A
+
+
+class BindError(Exception):
+    pass
+
+
+AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
+             "stddev", "stddev_samp", "var_samp", "variance", "median"}
+
+
+@dataclass
+class ScopeEntry:
+    alias: str
+    schema: Schema
+    start: int
+
+
+@dataclass
+class Scope:
+    entries: List[ScopeEntry] = dfield(default_factory=list)
+    parent: Optional["Scope"] = None
+
+    @property
+    def width(self):
+        return sum(len(e.schema) for e in self.entries)
+
+    def add(self, alias: str, schema: Schema):
+        self.entries.append(ScopeEntry(alias, schema, self.width))
+
+    def resolve(self, parts: List[str]) -> ir.ColRef:
+        if len(parts) == 2:
+            tbl, col = parts
+            for e in self.entries:
+                if e.alias == tbl:
+                    try:
+                        i = e.schema.index_of(col)
+                    except KeyError:
+                        raise BindError(f"column {col} not in {tbl}")
+                    f = e.schema.field(i)
+                    return ir.ColRef(e.start + i, f.dtype, col, f.strdict)
+            raise BindError(f"unknown table alias {tbl}")
+        col = parts[-1]
+        hits = []
+        for e in self.entries:
+            for i, f in enumerate(e.schema.fields):
+                if f.name == col:
+                    hits.append(ir.ColRef(e.start + i, f.dtype, col,
+                                          f.strdict))
+        if len(hits) == 1:
+            return hits[0]
+        if len(hits) > 1:
+            raise BindError(f"ambiguous column {col}")
+        raise BindError(f"unknown column {col}")
+
+
+@dataclass
+class AggCtx:
+    specs: List[L.AggSpec] = dfield(default_factory=list)
+    keys: List[str] = dfield(default_factory=list)
+
+    def add(self, spec: L.AggSpec, key: str) -> int:
+        if key in self.keys:
+            return self.keys.index(key)
+        self.keys.append(key)
+        self.specs.append(spec)
+        return len(self.specs) - 1
+
+
+@dataclass
+class AggRef(ir.Expr):
+    """Placeholder for an aggregate result during select binding."""
+    index: int
+    dtype: DataType
+    strdict: object = None
+
+
+def _ekey(e) -> str:
+    """Structural key for matching expressions (group exprs, dedup)."""
+    return repr(e)
+
+
+class Binder:
+    def __init__(self, catalog: Catalog,
+                 cte_frames: Optional[Dict[str, A.SelectStmt]] = None):
+        self.catalog = catalog
+        self.ctes: Dict[str, A.SelectStmt] = dict(cte_frames or {})
+
+    # ------------------------------------------------------------------
+    # statements
+    # ------------------------------------------------------------------
+    def bind_select(self, stmt: A.SelectStmt,
+                    outer_scope: Optional[Scope] = None) -> L.LogicalNode:
+        for name, sub in stmt.ctes:
+            self.ctes[name.lower()] = sub
+
+        if stmt.set_op is not None:
+            return self._bind_setop(stmt)
+
+        plan, scope = self.bind_from(stmt.from_refs)
+
+        # WHERE (with subquery flattening)
+        if stmt.where is not None:
+            plan, pred = self._bind_where(stmt.where, plan, scope,
+                                          outer_scope)
+            if pred is not None:
+                plan = L.Filter(plan, pred)
+
+        # expand stars
+        items: List[Tuple[A.EExpr, Optional[str]]] = []
+        for e, alias in stmt.items:
+            if isinstance(e, A.EStar):
+                for se in scope.entries:
+                    if e.prefix is not None and se.alias != e.prefix:
+                        continue
+                    for f in se.schema.fields:
+                        items.append((A.EIdent([se.alias, f.name]), f.name))
+            else:
+                items.append((e, alias))
+
+        has_aggs = any(self._contains_agg(e) for e, _ in items) \
+            or (stmt.having is not None
+                and self._contains_agg(stmt.having)) \
+            or bool(stmt.group_by)
+
+        having_bound = None
+        if has_aggs:
+            plan, bound_items, having_bound = self._bind_aggregate(
+                stmt, items, plan, scope)
+        else:
+            bound_items = [self.bind_expr(e, scope) for e, _ in items]
+
+        names = []
+        for i, (e, alias) in enumerate(items):
+            if alias:
+                names.append(alias)
+            elif isinstance(e, A.EIdent):
+                names.append(e.parts[-1])
+            elif isinstance(e, A.EFunc):
+                names.append(e.name)
+            else:
+                names.append(f"col{i}")
+
+        if having_bound is not None:
+            plan = L.Filter(plan, having_bound)
+
+        plan = L.Project(plan, bound_items, names)
+
+        if stmt.distinct:
+            plan = L.Distinct(plan)
+
+        if stmt.order_by:
+            plan = self._bind_order(stmt, items, names, plan)
+
+        if stmt.limit is not None or stmt.offset:
+            plan = L.Limit(plan, stmt.limit, stmt.offset)
+        return plan
+
+    def _bind_setop(self, stmt: A.SelectStmt) -> L.LogicalNode:
+        op, rhs, all_ = stmt.set_op
+        left = self.bind_select(stmt.set_left)
+        right = self.bind_select(rhs)
+        if len(left.schema) != len(right.schema):
+            raise BindError("set operation column count mismatch")
+        if op == "union":
+            plan = L.Union(left, right)
+            if not all_:
+                plan = L.Distinct(plan)
+        elif op in ("except", "intersect"):
+            jt = "anti" if op == "except" else "semi"
+            conds = [L.JoinCond(
+                ir.ColRef(i, f.dtype, f.name, f.strdict),
+                ir.ColRef(i, g.dtype, g.name, g.strdict))
+                for i, (f, g) in enumerate(zip(left.schema.fields,
+                                               right.schema.fields))]
+            plan = L.Join(left, right, jt, conds)
+            if not all_:
+                plan = L.Distinct(plan)
+        else:
+            raise BindError(f"set op {op}")
+        out = plan
+        if stmt.order_by or stmt.limit is not None:
+            # bind ORDER BY over output schema by name/ordinal
+            keys = []
+            for it in stmt.order_by:
+                keys.append(self._order_key_over_schema(it, out.schema))
+            if keys:
+                out = L.Order(out, keys)
+            if stmt.limit is not None or stmt.offset:
+                out = L.Limit(out, stmt.limit, stmt.offset)
+        return out
+
+    # ------------------------------------------------------------------
+    # FROM
+    # ------------------------------------------------------------------
+    def bind_from(self, refs: List[A.TableRef]
+                  ) -> Tuple[L.LogicalNode, Scope]:
+        if not refs:
+            # dummy single-row scan
+            from ..storage.table import TableData, TableColumn
+            td = TableData("__dummy", [TableColumn(
+                "__one", T.INTEGER, np.array([1], dtype=np.int32))])
+            plan = L.Get(td, [0])
+            sc = Scope()
+            sc.add("__dummy", plan.schema)
+            return plan, sc
+        plan, scope = self._bind_ref(refs[0])
+        for r in refs[1:]:
+            rplan, rscope = self._bind_ref(r)
+            plan = L.CrossProduct(plan, rplan)
+            for e in rscope.entries:
+                scope.add(e.alias, e.schema)
+        return plan, scope
+
+    def _bind_ref(self, ref: A.TableRef) -> Tuple[L.LogicalNode, Scope]:
+        if isinstance(ref, A.RBase):
+            name = ref.name.lower()
+            alias = (ref.alias or ref.name).lower()
+            if name in self.ctes:
+                sub = self.ctes[name]
+                sub_binder = Binder(self.catalog,
+                                    {k: v for k, v in self.ctes.items()
+                                     if k != name})
+                plan = sub_binder.bind_select(sub)
+                sc = Scope()
+                sc.add(alias, plan.schema)
+                return plan, sc
+            view_sql = self.catalog.get_view(name)
+            if view_sql is not None:
+                from . import parser as sqlparser
+                sub = sqlparser.parse(view_sql)[0]
+                plan = Binder(self.catalog, self.ctes).bind_select(sub)
+                sc = Scope()
+                sc.add(alias, plan.schema)
+                return plan, sc
+            td = self.catalog.get_table(name)
+            plan = L.Get(td, list(range(len(td.schema))))
+            sc = Scope()
+            sc.add(alias, plan.schema)
+            return plan, sc
+        if isinstance(ref, A.RSubquery):
+            plan = Binder(self.catalog, self.ctes).bind_select(ref.select)
+            sc = Scope()
+            sc.add(ref.alias.lower(), plan.schema)
+            return plan, sc
+        if isinstance(ref, A.RJoin):
+            return self._bind_join(ref)
+        raise BindError(f"unsupported table ref {ref}")
+
+    def _bind_join(self, ref: A.RJoin) -> Tuple[L.LogicalNode, Scope]:
+        lplan, lscope = self._bind_ref(ref.left)
+        rplan, rscope = self._bind_ref(ref.right)
+        lwidth = lscope.width
+        combined = Scope()
+        for e in lscope.entries:
+            combined.add(e.alias, e.schema)
+        for e in rscope.entries:
+            combined.add(e.alias, e.schema)
+        if ref.join_type == "cross" or (ref.on is None and not ref.using):
+            return L.CrossProduct(lplan, rplan), combined
+
+        conds: List[L.JoinCond] = []
+        extras: List[ir.Expr] = []
+        if ref.using:
+            for col in ref.using:
+                le = lscope.resolve([col])
+                re_ = rscope.resolve([col])
+                le2, re2 = self._align_join_keys(le, re_)
+                conds.append(L.JoinCond(le2, re2))
+        else:
+            for c in ir_conjuncts_ast(ref.on):
+                jc = self._try_equi_cond(c, lscope, rscope, combined,
+                                         lwidth)
+                if jc is not None:
+                    conds.append(jc)
+                else:
+                    extras.append(self.bind_expr(c, combined))
+        if not conds:
+            # no equi conditions: cross product + filter (inner only)
+            if ref.join_type != "inner":
+                raise BindError("non-equi outer joins not supported yet")
+            plan = L.CrossProduct(lplan, rplan)
+            for x in extras:
+                plan = L.Filter(plan, x)
+            return plan, combined
+        extra = ir.make_and(extras) if extras else None
+        plan = L.Join(lplan, rplan, ref.join_type, conds, extra=extra)
+        return plan, combined
+
+    def _try_equi_cond(self, c: A.EExpr, lscope, rscope, combined,
+                       lwidth) -> Optional[L.JoinCond]:
+        if not (isinstance(c, A.EBinary) and c.op == "=="):
+            return None
+        for a, b in ((c.left, c.right), (c.right, c.left)):
+            try:
+                le = self.bind_expr(a, lscope)
+                re_ = self.bind_expr(b, rscope)
+            except BindError:
+                continue
+            le2, re2 = self._align_join_keys(le, re_)
+            return L.JoinCond(le2, re2)
+        return None
+
+    def _align_join_keys(self, le: ir.Expr, re_: ir.Expr
+                         ) -> Tuple[ir.Expr, ir.Expr]:
+        """Make both key sides comparable on device (dict merge, decimal
+        rescale, numeric promote)."""
+        lt, rt = le.dtype, re_.dtype
+        if lt.id == TypeId.VARCHAR and rt.id == TypeId.VARCHAR:
+            ld = getattr(le, "strdict", None)
+            rd = getattr(re_, "strdict", None)
+            if ld is rd or ld is None or rd is None:
+                return le, re_
+            md, ltab, rtab = StringDictionary.merge(ld, rd)
+            le2 = ir.DictLookup(le, ltab, T.INTEGER, "dict_align")
+            re2 = ir.DictLookup(re_, rtab, T.INTEGER, "dict_align")
+            return le2, re2
+        if lt.id == TypeId.DECIMAL or rt.id == TypeId.DECIMAL:
+            s = max(lt.scale if lt.id == TypeId.DECIMAL else 0,
+                    rt.scale if rt.id == TypeId.DECIMAL else 0)
+            tgt = T.DECIMAL(18, s)
+            return ir.promote(ir._as_decimal(le), tgt), \
+                ir.promote(ir._as_decimal(re_), tgt)
+        if lt != rt and lt.is_numeric and rt.is_numeric:
+            ct = T.max_numeric(lt, rt)
+            return ir.promote(le, ct), ir.promote(re_, ct)
+        return le, re_
+
+    # ------------------------------------------------------------------
+    # WHERE + subquery flattening
+    # ------------------------------------------------------------------
+    def _bind_where(self, where: A.EExpr, plan, scope, outer_scope):
+        conjs = ir_conjuncts_ast(where)
+        preds: List[ir.Expr] = []
+        for c in conjs:
+            if isinstance(c, A.EExists) or (
+                    isinstance(c, A.EUnary) and c.op == "not"
+                    and isinstance(c.child, A.EExists)):
+                neg = isinstance(c, A.EUnary)
+                ex = c.child if neg else c
+                neg = neg or ex.negated
+                plan = self._flatten_exists(ex.subquery, neg, plan, scope)
+                continue
+            if isinstance(c, A.EIn) and c.subquery is not None:
+                plan = self._flatten_in(c, plan, scope)
+                continue
+            if _contains_scalar_sub(c):
+                c2, plan = self._flatten_scalar_subs(c, plan, scope)
+                preds.append(c2)
+                continue
+            preds.append(self.bind_expr(c, scope))
+        return plan, ir.make_and(preds)
+
+    def _bind_subquery_corr(self, sub: A.SelectStmt, outer_scope: Scope):
+        """Bind subquery FROM/WHERE, splitting correlated equality conjuncts.
+
+        Returns (inner_plan, inner_scope, corr) where corr is a list of
+        (outer_expr, inner_expr) bound pairs."""
+        sub_binder = Binder(self.catalog, self.ctes)
+        plan, iscope = sub_binder.bind_from(sub.from_refs)
+        corr: List[Tuple[ir.Expr, ir.Expr]] = []
+        preds: List[ir.Expr] = []
+        if sub.where is not None:
+            for c in ir_conjuncts_ast(sub.where):
+                try:
+                    preds.append(sub_binder.bind_expr(c, iscope))
+                    continue
+                except BindError:
+                    pass
+                ok = False
+                if isinstance(c, A.EBinary) and c.op == "==":
+                    for a, b in ((c.left, c.right), (c.right, c.left)):
+                        try:
+                            oe = self.bind_expr(a, outer_scope)
+                            ie = sub_binder.bind_expr(b, iscope)
+                        except BindError:
+                            continue
+                        oe2, ie2 = self._align_join_keys(oe, ie)
+                        corr.append((oe2, ie2))
+                        ok = True
+                        break
+                if not ok:
+                    raise BindError(
+                        "unsupported correlated predicate in subquery")
+        if preds:
+            plan = L.Filter(plan, ir.make_and(preds))
+        return sub_binder, plan, iscope, corr
+
+    def _flatten_exists(self, sub: A.SelectStmt, negated: bool, plan,
+                        scope) -> L.LogicalNode:
+        sb, iplan, iscope, corr = self._bind_subquery_corr(sub, scope)
+        if not corr:
+            # uncorrelated EXISTS: evaluate as mark over const? keep simple:
+            # semi-join on constant key 1=1 via cross + limit is overkill;
+            # use count>0 decided at execution by semi join on dummy keys
+            one = ir.Const(1, T.INTEGER)
+            iplan = L.Project(iplan, [one], ["__k"])
+            oplan = L.Project(plan, [
+                ir.ColRef(i, f.dtype, f.name, f.strdict)
+                for i, f in enumerate(plan.schema.fields)] + [one],
+                list(plan.schema.names) + ["__k"])
+            jt = "anti" if negated else "semi"
+            j = L.Join(oplan, iplan, jt,
+                       [L.JoinCond(ir.ColRef(len(plan.schema), T.INTEGER,
+                                             "__k"),
+                                   ir.ColRef(0, T.INTEGER, "__k"))])
+            # drop helper column
+            return L.Project(j, [
+                ir.ColRef(i, f.dtype, f.name, f.strdict)
+                for i, f in enumerate(plan.schema.fields)],
+                list(plan.schema.names))
+        jt = "anti" if negated else "semi"
+        # inner plan projects the correlated inner exprs as join keys
+        ikeys = [ie for (_, ie) in corr]
+        iproj = L.Project(iplan, ikeys,
+                          [f"__ck{i}" for i in range(len(ikeys))])
+        conds = [L.JoinCond(oe, ir.ColRef(i, ie.dtype, f"__ck{i}",
+                                          getattr(ie, "strdict", None)))
+                 for i, (oe, ie) in enumerate(corr)]
+        return L.Join(plan, iproj, jt, conds)
+
+    def _flatten_in(self, c: A.EIn, plan, scope) -> L.LogicalNode:
+        sb, iplan, iscope, corr = self._bind_subquery_corr(c.subquery,
+                                                           scope)
+        # bind subquery select item over inner scope
+        if len(c.subquery.items) != 1:
+            raise BindError("IN subquery must return one column")
+        item = sb.bind_expr(c.subquery.items[0][0], iscope)
+        outer = self.bind_expr(c.child, scope)
+        o2, i2 = self._align_join_keys(outer, item)
+        keys = [i2] + [ie for (_, ie) in corr]
+        iproj = L.Project(iplan, keys,
+                          [f"__ck{i}" for i in range(len(keys))])
+        conds = [L.JoinCond(o2, ir.ColRef(0, i2.dtype, "__ck0",
+                                          getattr(i2, "strdict", None)))]
+        for i, (oe, ie) in enumerate(corr):
+            conds.append(L.JoinCond(
+                oe, ir.ColRef(i + 1, ie.dtype, f"__ck{i+1}",
+                              getattr(ie, "strdict", None))))
+        jt = "anti" if c.negated else "semi"
+        return L.Join(plan, iproj, jt, conds)
+
+    def _flatten_scalar_subs(self, c: A.EExpr, plan, scope):
+        """Replace each scalar subquery inside conjunct c with a column
+        joined into plan; returns (bound predicate, new plan)."""
+        subs: List[A.ESub] = []
+        _collect_scalar_subs(c, subs)
+        replacements: Dict[int, ir.Expr] = {}
+        for s in subs:
+            sb, iplan, iscope, corr = self._bind_subquery_corr(s.subquery,
+                                                               scope)
+            if len(s.subquery.items) != 1:
+                raise BindError("scalar subquery must return one column")
+            item_ast = s.subquery.items[0][0]
+            if corr:
+                if not self._contains_agg(item_ast):
+                    raise BindError(
+                        "correlated scalar subquery must be an aggregate")
+                agg_ctx = AggCtx()
+                bound_item = sb.bind_expr(item_ast, iscope,
+                                          agg_ctx=agg_ctx)
+                groups = [ie for (_, ie) in corr]
+                agg = L.Aggregate(iplan, groups, agg_ctx.specs,
+                                  [f"__g{i}" for i in range(len(groups))])
+                # resolve AggRefs in bound_item over agg output
+                bound_item = _resolve_aggrefs(bound_item, len(groups))
+                aproj = L.Project(
+                    agg,
+                    [ir.ColRef(i, g.dtype, f"__g{i}",
+                               getattr(g, "strdict", None))
+                     for i, g in enumerate(groups)] + [bound_item],
+                    [f"__g{i}" for i in range(len(groups))] + ["__v"])
+                conds = [L.JoinCond(
+                    oe, ir.ColRef(i, ie.dtype, f"__g{i}",
+                                  getattr(ie, "strdict", None)))
+                    for i, (oe, ie) in enumerate(corr)]
+                old_width = len(plan.schema)
+                plan = L.Join(plan, aproj, "left", conds)
+                vcol = ir.ColRef(old_width + len(groups) + 0 +
+                                 0, bound_item.dtype, "__v")
+                # value column is last in join output
+                vcol = ir.ColRef(len(plan.schema) - 1, bound_item.dtype,
+                                 "__v")
+                replacements[id(s)] = vcol
+            else:
+                # uncorrelated: full subquery plan (may itself aggregate)
+                splan = Binder(self.catalog, self.ctes).bind_select(
+                    s.subquery)
+                old_width = len(plan.schema)
+                plan = L.CrossProduct(plan, splan)
+                f = splan.schema.field(0)
+                replacements[id(s)] = ir.ColRef(old_width, f.dtype,
+                                                f.name, f.strdict)
+        # bind c with replacements for ESub nodes
+        bound = self.bind_expr(c, _scope_of_plan(plan, scope),
+                               sub_replacements=replacements)
+        return bound, plan
+
+    # ------------------------------------------------------------------
+    # aggregation binding
+    # ------------------------------------------------------------------
+    def _contains_agg(self, e: A.EExpr) -> bool:
+        if isinstance(e, A.EFunc) and e.name in AGG_FUNCS:
+            return True
+        for ch in _ast_children(e):
+            if self._contains_agg(ch):
+                return True
+        return False
+
+    def _bind_aggregate(self, stmt: A.SelectStmt, items, plan, scope):
+        # resolve group-by expressions (ordinals / aliases / exprs)
+        group_asts: List[A.EExpr] = []
+        for g in stmt.group_by:
+            if isinstance(g, A.ELit) and isinstance(g.value, int):
+                group_asts.append(items[g.value - 1][0])
+                continue
+            if isinstance(g, A.EIdent) and len(g.parts) == 1:
+                # alias of a select item?
+                matched = False
+                for e, alias in items:
+                    if alias == g.parts[0] and not isinstance(e, A.EIdent):
+                        group_asts.append(e)
+                        matched = True
+                        break
+                if matched:
+                    continue
+            group_asts.append(g)
+        bound_groups = [self.bind_expr(g, scope) for g in group_asts]
+        group_keys = [_ekey(bg) for bg in bound_groups]
+
+        agg_ctx = AggCtx()
+        bound_items = []
+        for e, alias in items:
+            bound_items.append(self.bind_expr(e, scope, agg_ctx=agg_ctx,
+                                              group_map=(group_asts,
+                                                         group_keys)))
+        having_bound = None
+        if stmt.having is not None:
+            having_bound = self.bind_expr(stmt.having, scope,
+                                          agg_ctx=agg_ctx,
+                                          group_map=(group_asts,
+                                                     group_keys))
+
+        agg = L.Aggregate(plan, bound_groups, agg_ctx.specs,
+                          [f"__g{i}" for i in range(len(bound_groups))])
+        ngroups = len(bound_groups)
+        bound_items = [_resolve_aggrefs(b, ngroups) for b in bound_items]
+        if having_bound is not None:
+            having_bound = _resolve_aggrefs(having_bound, ngroups)
+        return agg, bound_items, having_bound
+
+    # ------------------------------------------------------------------
+    # ORDER BY
+    # ------------------------------------------------------------------
+    def _bind_order(self, stmt, items, names, plan: L.LogicalNode):
+        keys = []
+        item_keys = [_ekey(e) for e, _ in items]
+        for it in stmt.order_by:
+            e = it.expr
+            idx = None
+            if isinstance(e, A.ELit) and isinstance(e.value, int):
+                idx = e.value - 1
+            elif isinstance(e, A.EIdent) and len(e.parts) == 1 \
+                    and e.parts[0] in names:
+                idx = names.index(e.parts[0])
+            elif _ekey(e) in item_keys:
+                idx = item_keys.index(_ekey(e))
+            if idx is None:
+                raise BindError(
+                    f"ORDER BY expression must appear in SELECT list: {e}")
+            f = plan.schema.field(idx)
+            nl = it.nulls_last
+            if nl is None:
+                nl = True   # duckdb default NULLS LAST
+            keys.append(L.OrderKey(
+                ir.ColRef(idx, f.dtype, f.name, f.strdict), it.desc, nl))
+        return L.Order(plan, keys)
+
+    def _order_key_over_schema(self, it: A.OrderItem, schema: Schema):
+        e = it.expr
+        if isinstance(e, A.ELit) and isinstance(e.value, int):
+            idx = e.value - 1
+        elif isinstance(e, A.EIdent):
+            idx = schema.index_of(e.parts[-1])
+        else:
+            raise BindError("unsupported ORDER BY in set operation")
+        f = schema.field(idx)
+        return L.OrderKey(ir.ColRef(idx, f.dtype, f.name, f.strdict),
+                          it.desc, it.nulls_last
+                          if it.nulls_last is not None else True)
+
+    # ------------------------------------------------------------------
+    # expression binding
+    # ------------------------------------------------------------------
+    def bind_expr(self, e: A.EExpr, scope: Scope, agg_ctx=None,
+                  group_map=None, sub_replacements=None) -> ir.Expr:
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        # group expression matching (whole-subtree)
+        if group_map is not None:
+            gasts, gkeys = group_map
+            for gi, ga in enumerate(gasts):
+                if _ast_equal(e, ga):
+                    bg = self.bind_expr(ga, scope)
+                    return ir.ColRef(gi, bg.dtype, f"__g{gi}",
+                                     getattr(bg, "strdict", None))
+        if sub_replacements is not None and isinstance(e, A.ESub):
+            return sub_replacements[id(e)]
+
+        if isinstance(e, A.EIdent):
+            return scope.resolve(e.parts)
+        if isinstance(e, A.ELit):
+            return self._bind_literal(e.value)
+        if isinstance(e, A.ETyped):
+            return self._bind_typed_literal(e)
+        if isinstance(e, A.EUnary):
+            if e.op == "not":
+                return ir.Not(b(e.child))
+            c = b(e.child)
+            if isinstance(c, ir.Const) and c.value is not None:
+                return ir.Const(-c.value, c.dtype)
+            zero = ir.Const(0, c.dtype)
+            return ir.bind_arith("-", zero, c)
+        if isinstance(e, A.EBinary):
+            if e.op in ("and", "or"):
+                return ir.BoolOp(e.op, (b(e.left), b(e.right)))
+            if e.op in ("==", "!=", "<", "<=", ">", ">="):
+                return self._bind_comparison(e.op, e.left, e.right, scope,
+                                             agg_ctx, group_map,
+                                             sub_replacements)
+            return self._bind_arith(e.op, b(e.left), b(e.right))
+        if isinstance(e, A.EBetween):
+            lo = A.EBinary(">=", e.child, e.lo)
+            hi = A.EBinary("<=", e.child, e.hi)
+            both = A.EBinary("and", lo, hi)
+            out = b(both)
+            return ir.Not(out) if e.negated else out
+        if isinstance(e, A.EIsNull):
+            return ir.IsNull(b(e.child), e.negated)
+        if isinstance(e, A.ELike):
+            return self._bind_like(e, scope, agg_ctx, group_map,
+                                   sub_replacements)
+        if isinstance(e, A.EIn):
+            if e.subquery is not None:
+                raise BindError("IN subquery only supported in WHERE")
+            child = b(e.child)
+            if child.dtype.id == TypeId.VARCHAR:
+                sd = getattr(child, "strdict", None)
+                codes = []
+                for item in e.items:
+                    if not isinstance(item, A.ELit):
+                        raise BindError("IN list must be literals")
+                    code = sd.code_of(item.value)
+                    if code >= 0:
+                        codes.append(code)
+                if not codes:
+                    return ir.Const(bool(e.negated), T.BOOLEAN)
+                return ir.InList(child, codes, e.negated)
+            vals = []
+            for item in e.items:
+                be = b(item)
+                if not isinstance(be, ir.Const):
+                    raise BindError("IN list must be literals")
+                v = be.value
+                if child.dtype.id == TypeId.DECIMAL \
+                        and be.dtype.id != TypeId.DECIMAL:
+                    v = v * T.decimal_scale_factor(child.dtype.scale)
+                vals.append(v)
+            return ir.InList(child, vals, e.negated)
+        if isinstance(e, A.ECase):
+            return self._bind_case(e, scope, agg_ctx, group_map,
+                                   sub_replacements)
+        if isinstance(e, A.ECast):
+            return self._bind_cast(b(e.child), e.typename, e.width, e.scale)
+        if isinstance(e, A.EFunc):
+            return self._bind_func(e, scope, agg_ctx, group_map,
+                                   sub_replacements)
+        if isinstance(e, A.ESub):
+            raise BindError("scalar subquery not supported here")
+        if isinstance(e, A.EExists):
+            raise BindError("EXISTS only supported in WHERE conjuncts")
+        raise BindError(f"cannot bind expression {e}")
+
+    def _bind_literal(self, v) -> ir.Const:
+        t = T.literal_type(v)
+        if v is None:
+            return ir.Const(None, t)
+        if t.id == TypeId.VARCHAR:
+            c = ir.Const(0, T.VARCHAR)
+            c.strdict = StringDictionary(np.array([v], dtype=object))
+            return c
+        return ir.Const(T.encode_literal(v, t), t)
+
+    def _bind_typed_literal(self, e: A.ETyped) -> ir.Expr:
+        if e.typename == "date":
+            return ir.Const(T.encode_literal(e.text, T.DATE), T.DATE)
+        if e.typename == "timestamp":
+            return ir.Const(T.encode_literal(e.text, T.TIMESTAMP),
+                            T.TIMESTAMP)
+        if e.typename == "interval":
+            txt = e.text.strip()
+            unit = e.qualifier
+            if unit is None:
+                parts = txt.split()
+                txt, unit = parts[0], parts[1].rstrip("s")
+            n = int(txt)
+            c = ir.Const(n, T.INTERVAL)
+            c.interval_unit = unit
+            return c
+        raise BindError(f"typed literal {e.typename}")
+
+    def _bind_arith(self, op: str, l: ir.Expr, r: ir.Expr) -> ir.Expr:
+        # date +/- interval with month units folds via host when const
+        for a, bso in ((l, r), (r, l)):
+            if getattr(bso, "dtype", None) == T.INTERVAL \
+                    and isinstance(bso, ir.Const):
+                unit = getattr(bso, "interval_unit", "day")
+                other = a
+                if isinstance(other, ir.Const) \
+                        and other.dtype.id == TypeId.DATE:
+                    days = other.value
+                    n = bso.value if op == "+" else -bso.value
+                    if unit == "month":
+                        nd = add_months_host(days, n)
+                    elif unit == "year":
+                        nd = add_months_host(days, 12 * n)
+                    elif unit == "day":
+                        nd = days + n
+                    elif unit == "week":
+                        nd = days + 7 * n
+                    else:
+                        raise BindError(f"interval unit {unit}")
+                    return ir.Const(nd, T.DATE)
+                # non-const date +/- day interval
+                if unit in ("day", "week"):
+                    n = bso.value * (7 if unit == "week" else 1)
+                    return ir.bind_arith(op, other,
+                                         ir.Const(n, T.INTEGER))
+                raise BindError(
+                    "month intervals on non-constant dates unsupported")
+        return ir.bind_arith(op, l, r)
+
+    def _bind_comparison(self, op, la, ra, scope, agg_ctx, group_map,
+                         sub_replacements) -> ir.Expr:
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        l = b(la)
+        r = b(ra)
+        lt, rt = l.dtype, r.dtype
+        if lt.id == TypeId.VARCHAR or rt.id == TypeId.VARCHAR:
+            return self._bind_string_comparison(op, l, r)
+        return ir.bind_comparison(op, l, r)
+
+    def _bind_string_comparison(self, op, l: ir.Expr, r: ir.Expr):
+        ld = getattr(l, "strdict", None)
+        rd = getattr(r, "strdict", None)
+        # constant side?
+        if isinstance(r, ir.Const) and rd is not None and ld is not None:
+            s = rd.decode_one(r.value) if r.value is not None else None
+            return self._string_vs_const(op, l, ld, s)
+        if isinstance(l, ir.Const) and ld is not None and rd is not None:
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
+                    "==": "==", "!=": "!="}
+            s = ld.decode_one(l.value) if l.value is not None else None
+            return self._string_vs_const(flip[op], r, rd, s)
+        # column vs column
+        if ld is rd:
+            return ir.Cmp(op, l, r)
+        md, ltab, rtab = StringDictionary.merge(ld, rd)
+        return ir.Cmp(op, ir.DictLookup(l, ltab, T.INTEGER, "dict_align"),
+                      ir.DictLookup(r, rtab, T.INTEGER, "dict_align"))
+
+    def _string_vs_const(self, op, col: ir.Expr, sd: StringDictionary,
+                         s: Optional[str]):
+        if s is None:
+            return ir.Const(None, T.BOOLEAN)
+        code_eq = sd.code_of(s)
+        if op == "==":
+            if code_eq < 0:
+                return ir.BoolOp("and", (
+                    ir.Const(False, T.BOOLEAN),
+                    ir.IsNull(col, negated=True)))
+            return ir.Cmp("==", col, ir.Const(code_eq, T.INTEGER))
+        if op == "!=":
+            if code_eq < 0:
+                return ir.IsNull(col, negated=True) \
+                    if False else ir.Cmp(">=", col,
+                                         ir.Const(0, T.INTEGER))
+            return ir.Cmp("!=", col, ir.Const(code_eq, T.INTEGER))
+        if op == "<":
+            return ir.Cmp("<", col, ir.Const(sd.lower_bound(s), T.INTEGER))
+        if op == "<=":
+            return ir.Cmp("<", col, ir.Const(sd.upper_bound(s), T.INTEGER))
+        if op == ">":
+            return ir.Cmp(">=", col, ir.Const(sd.upper_bound(s), T.INTEGER))
+        if op == ">=":
+            return ir.Cmp(">=", col, ir.Const(sd.lower_bound(s), T.INTEGER))
+        raise BindError(op)
+
+    def _bind_like(self, e: A.ELike, scope, agg_ctx, group_map,
+                   sub_replacements):
+        col = self.bind_expr(e.child, scope, agg_ctx, group_map,
+                             sub_replacements)
+        if col.dtype.id != TypeId.VARCHAR:
+            raise BindError("LIKE requires VARCHAR")
+        pat = self.bind_expr(e.pattern, scope)
+        if not isinstance(pat, ir.Const):
+            raise BindError("LIKE pattern must be constant")
+        pd = getattr(pat, "strdict", None)
+        pattern = pd.decode_one(pat.value)
+        sd = getattr(col, "strdict", None)
+        table = sd.match_like(pattern)
+        out = ir.DictLookup(col, table, T.BOOLEAN, f"like:{pattern}")
+        return ir.Not(out) if e.negated else out
+
+    def _bind_case(self, e: A.ECase, scope, agg_ctx, group_map,
+                   sub_replacements):
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        whens = []
+        for c, v in e.whens:
+            if e.operand is not None:
+                c = A.EBinary("==", e.operand, c)
+            whens.append((b(c), v))
+        vals = [b(v) for _, v in whens] if False else None
+        bvs = [b(v) for (_, v) in e.whens]
+        belse = b(e.else_) if e.else_ is not None else None
+        # common result type
+        ts = [v.dtype for v in bvs] + ([belse.dtype] if belse else [])
+        ct = ts[0]
+        for t2 in ts[1:]:
+            ct = ir.common_type(ct, t2)
+        if ct.id == TypeId.DECIMAL:
+            s = max((t.scale for t in ts if t.id == TypeId.DECIMAL),
+                    default=0)
+            ct = T.DECIMAL(18, s)
+            bvs = [ir.promote(ir._as_decimal(v) if v.dtype.is_integer
+                              or v.dtype.id == TypeId.DECIMAL else v, ct)
+                   for v in bvs]
+            if belse is not None:
+                belse = ir.promote(ir._as_decimal(belse)
+                                   if belse.dtype.is_integer
+                                   or belse.dtype.id == TypeId.DECIMAL
+                                   else belse, ct)
+        else:
+            bvs = [ir.promote(v, ct) for v in bvs]
+            if belse is not None:
+                belse = ir.promote(belse, ct)
+        if belse is None:
+            belse = ir.Const(None, ct)
+        wpairs = [(w[0], v) for w, v in zip(whens, bvs)]
+        out = ir.Case(wpairs, belse, ct)
+        sd = next((getattr(v, "strdict", None) for v in bvs
+                   if getattr(v, "strdict", None) is not None), None)
+        if sd is not None:
+            out.strdict = sd
+        return out
+
+    def _bind_cast(self, c: ir.Expr, typename: str, w: int, s: int):
+        tmap = {
+            "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
+            "bigint": T.BIGINT, "int8": T.BIGINT, "hugeint": T.HUGEINT,
+            "smallint": T.SMALLINT, "tinyint": T.TINYINT,
+            "double": T.DOUBLE, "float8": T.DOUBLE, "real": T.FLOAT,
+            "float": T.FLOAT, "boolean": T.BOOLEAN, "bool": T.BOOLEAN,
+            "date": T.DATE, "timestamp": T.TIMESTAMP,
+            "varchar": T.VARCHAR, "text": T.VARCHAR, "string": T.VARCHAR,
+        }
+        if typename in ("decimal", "numeric"):
+            return ir.Cast(c, T.DECIMAL(w or 18, s))
+        if typename not in tmap:
+            raise BindError(f"unknown type {typename}")
+        tgt = tmap[typename]
+        if tgt.id == TypeId.VARCHAR:
+            return self._cast_to_varchar(c)
+        return ir.Cast(c, tgt)
+
+    def _cast_to_varchar(self, c: ir.Expr) -> ir.Expr:
+        if c.dtype.id == TypeId.VARCHAR:
+            return c
+        raise BindError("cast to varchar supported only for varchar")
+
+    def _bind_func(self, e: A.EFunc, scope, agg_ctx, group_map,
+                   sub_replacements) -> ir.Expr:
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        name = e.name
+        if name in AGG_FUNCS or (name == "count" and e.star):
+            if agg_ctx is None:
+                raise BindError(f"aggregate {name} not allowed here")
+            return self._bind_agg_func(e, scope, agg_ctx, group_map,
+                                       sub_replacements)
+        if name in ("year", "month", "day"):
+            a = b(e.args[0])
+            return ir.Func(name, [a], T.BIGINT)
+        if name == "date_part":
+            part = e.args[0]
+            if not isinstance(part, A.ELit):
+                raise BindError("date_part needs constant part")
+            a = b(e.args[1])
+            return ir.Func(part.value.lower(), [a], T.BIGINT)
+        if name in ("abs",):
+            a = b(e.args[0])
+            return ir.Func(name, [a], a.dtype)
+        if name in ("floor", "ceil", "sqrt"):
+            a = b(e.args[0])
+            a = ir.promote(a, T.DOUBLE)
+            return ir.Func(name, [a], T.DOUBLE)
+        if name == "round":
+            a = b(e.args[0])
+            digits = 0
+            if len(e.args) > 1:
+                d2 = b(e.args[1])
+                digits = d2.value
+            if a.dtype.id == TypeId.DECIMAL:
+                return ir.Cast(a, T.DECIMAL(18, digits))
+            f = ir.Func("round", [ir.promote(a, T.DOUBLE)], T.DOUBLE)
+            f.extra = digits
+            return f
+        if name == "coalesce":
+            args = [b(a) for a in e.args]
+            ct = args[0].dtype
+            for a in args[1:]:
+                ct = ir.common_type(ct, a.dtype)
+            args = [ir.promote(a, ct) for a in args]
+            out = ir.Func("coalesce", args, ct)
+            sd = next((getattr(a, "strdict", None) for a in args
+                       if getattr(a, "strdict", None) is not None), None)
+            if sd is not None:
+                out.strdict = sd
+            return out
+        # host-dictionary string functions
+        if name in _STR_FUNCS:
+            return self._bind_string_func(name, e, scope, agg_ctx,
+                                          group_map, sub_replacements)
+        raise BindError(f"unknown function {name}")
+
+    def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
+                       sub_replacements) -> AggRef:
+        name = e.name
+        if name == "count" and e.star:
+            spec = L.AggSpec("count_star", None, T.BIGINT, "count_star")
+            idx = agg_ctx.add(spec, "count_star()")
+            return AggRef(idx, T.BIGINT)
+        if not e.args:
+            raise BindError(f"{name} requires an argument")
+        # aggregate arguments bind over the raw input scope: group-expr
+        # substitution must NOT apply inside an aggregate
+        arg = self.bind_expr(e.args[0], scope, None, None,
+                             sub_replacements)
+        if name == "count":
+            spec = L.AggSpec("count", arg, T.BIGINT, "count",
+                             distinct=e.distinct)
+            idx = agg_ctx.add(spec, f"count({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, T.BIGINT)
+        if name == "sum":
+            at = arg.dtype
+            if at.id == TypeId.DECIMAL:
+                rt = T.DECIMAL(18, at.scale)
+            elif at.is_integer:
+                rt = T.HUGEINT
+            else:
+                rt = T.DOUBLE
+            spec = L.AggSpec("sum", arg, rt, "sum", distinct=e.distinct)
+            idx = agg_ctx.add(spec, f"sum({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, rt)
+        if name == "avg":
+            spec = L.AggSpec("avg", arg, T.DOUBLE, "avg",
+                             distinct=e.distinct)
+            idx = agg_ctx.add(spec, f"avg({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, T.DOUBLE)
+        if name in ("min", "max"):
+            spec = L.AggSpec(name, arg, arg.dtype, name)
+            idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
+            return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name in ("any_value", "first"):
+            spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
+            idx = agg_ctx.add(spec, f"any_value({_ekey(arg)})")
+            return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        raise BindError(f"aggregate {name} not supported yet")
+
+    def _bind_string_func(self, name, e: A.EFunc, scope, agg_ctx,
+                          group_map, sub_replacements):
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        args = [b(a) for a in e.args]
+        col = args[0]
+        sd = getattr(col, "strdict", None)
+        if col.dtype.id != TypeId.VARCHAR or sd is None:
+            raise BindError(f"{name} requires VARCHAR column")
+        const_args = []
+        for a in args[1:]:
+            if not isinstance(a, ir.Const):
+                raise BindError(f"{name}: extra args must be constants")
+            v = a.value
+            if getattr(a, "strdict", None) is not None:
+                v = a.strdict.decode_one(v)
+            const_args.append(v)
+        fn = _STR_FUNCS[name]
+        if name in ("length", "char_length", "strlen"):
+            table = np.array([fn(str(v), *const_args)
+                              for v in sd.values], dtype=np.int64)
+            return ir.DictLookup(col, table, T.BIGINT, name)
+        if name in ("starts_with", "prefix", "contains", "suffix",
+                    "ends_with", "regexp_matches"):
+            table = np.array([bool(fn(str(v), *const_args))
+                              for v in sd.values], dtype=bool)
+            return ir.DictLookup(col, table, T.BOOLEAN, name)
+        # string -> string: build output dictionary
+        outs = [fn(str(v), *const_args) for v in sd.values]
+        new_dict = StringDictionary(np.unique(np.asarray(outs, dtype=object)
+                                              .astype(str)))
+        table = np.array([new_dict.code_of(o) for o in outs],
+                         dtype=np.int32)
+        out = ir.DictLookup(col, table, T.VARCHAR, name)
+        out.strdict = new_dict
+        return out
+
+
+_STR_FUNCS = {
+    "substring": lambda s, start, length=None:
+        s[start - 1: start - 1 + length] if length is not None
+        else s[start - 1:],
+    "substr": lambda s, start, length=None:
+        s[start - 1: start - 1 + length] if length is not None
+        else s[start - 1:],
+    "upper": lambda s: s.upper(),
+    "lower": lambda s: s.lower(),
+    "trim": lambda s: s.strip(),
+    "ltrim": lambda s: s.lstrip(),
+    "rtrim": lambda s: s.rstrip(),
+    "length": lambda s: len(s),
+    "char_length": lambda s: len(s),
+    "strlen": lambda s: len(s),
+    "reverse": lambda s: s[::-1],
+    "starts_with": lambda s, p: s.startswith(p),
+    "prefix": lambda s, p: s.startswith(p),
+    "ends_with": lambda s, p: s.endswith(p),
+    "suffix": lambda s, p: s.endswith(p),
+    "contains": lambda s, p: p in s,
+    "concat": lambda s, t: s + str(t),
+    "regexp_matches": lambda s, p: bool(__import__("re").search(p, s)),
+    "replace": lambda s, a, b2: s.replace(a, b2),
+}
+
+
+# ---------------------------------------------------------------------------
+# AST utilities
+# ---------------------------------------------------------------------------
+
+def _ast_children(e: A.EExpr):
+    if isinstance(e, A.EBinary):
+        return [e.left, e.right]
+    if isinstance(e, A.EUnary):
+        return [e.child]
+    if isinstance(e, A.EFunc):
+        return list(e.args)
+    if isinstance(e, A.ECase):
+        out = []
+        if e.operand:
+            out.append(e.operand)
+        for c, v in e.whens:
+            out += [c, v]
+        if e.else_:
+            out.append(e.else_)
+        return out
+    if isinstance(e, A.ECast):
+        return [e.child]
+    if isinstance(e, A.EBetween):
+        return [e.child, e.lo, e.hi]
+    if isinstance(e, (A.EIsNull,)):
+        return [e.child]
+    if isinstance(e, A.ELike):
+        return [e.child, e.pattern]
+    if isinstance(e, A.EIn):
+        return [e.child] + (e.items or [])
+    return []
+
+
+def _ast_equal(a: A.EExpr, b: A.EExpr) -> bool:
+    return repr(a) == repr(b)
+
+
+def ir_conjuncts_ast(e: Optional[A.EExpr]) -> List[A.EExpr]:
+    if e is None:
+        return []
+    if isinstance(e, A.EBinary) and e.op == "and":
+        return ir_conjuncts_ast(e.left) + ir_conjuncts_ast(e.right)
+    return [e]
+
+
+def _contains_scalar_sub(e: A.EExpr) -> bool:
+    if isinstance(e, A.ESub):
+        return True
+    return any(_contains_scalar_sub(c) for c in _ast_children(e))
+
+
+def _collect_scalar_subs(e: A.EExpr, out: List[A.ESub]):
+    if isinstance(e, A.ESub):
+        out.append(e)
+        return
+    for c in _ast_children(e):
+        _collect_scalar_subs(c, out)
+
+
+def _resolve_aggrefs(e: ir.Expr, ngroups: int) -> ir.Expr:
+    """Rewrite AggRef placeholders into ColRefs over aggregate output."""
+    import copy
+    if isinstance(e, AggRef):
+        return ir.ColRef(ngroups + e.index, e.dtype, f"__a{e.index}",
+                         e.strdict)
+    c = copy.copy(e)
+    if isinstance(e, ir.Case):
+        c.whens = [(_resolve_aggrefs(w, ngroups),
+                    _resolve_aggrefs(v, ngroups)) for w, v in e.whens]
+        c.else_ = _resolve_aggrefs(e.else_, ngroups)
+        return c
+    for attr in ("child", "left", "right"):
+        if hasattr(e, attr):
+            setattr(c, attr, _resolve_aggrefs(getattr(e, attr), ngroups))
+    if hasattr(e, "args") and not isinstance(e, ir.Case):
+        c.args = tuple(_resolve_aggrefs(a, ngroups) for a in e.args)
+    return c
+
+
+def _scope_of_plan(plan: L.LogicalNode, base_scope: Scope) -> Scope:
+    """Scope covering a plan whose prefix columns match base_scope and
+    whose suffix columns (from flattened subqueries) bind positionally."""
+    sc = Scope()
+    for e in base_scope.entries:
+        sc.add(e.alias, e.schema)
+    extra = len(plan.schema) - sc.width
+    if extra > 0:
+        fs = plan.schema.fields[-extra:]
+        sc.add("__sub", Schema(tuple(fs)))
+    return sc

@@ -1,0 +1,78 @@
+"""SQL tokenizer.
+
+Hand-rolled (the reference vendors a flex-generated Postgres scanner in
+third_party/libpg_query; a regex scanner is the right weight here — parsing
+is microseconds against seconds of kernel time).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List
+
+
+@dataclass
+class Token:
+    kind: str       # KW | IDENT | NUM | STR | OP | EOF
+    value: str
+    pos: int
+
+
+KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "offset", "as", "and", "or", "not", "in", "is", "null", "like", "ilike",
+    "between", "case", "when", "then", "else", "end", "cast", "distinct",
+    "join", "inner", "left", "right", "full", "outer", "cross", "on",
+    "using", "union", "all", "exists", "any", "asc", "desc", "nulls",
+    "first", "last", "with", "create", "view", "table", "drop", "replace",
+    "if", "interval", "date", "time", "timestamp", "true", "false",
+    "except", "intersect", "substring", "for", "extract", "values",
+    "insert", "into",
+}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<qid>"(?:[^"]|"")*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<op><=|>=|<>|!=|::|\|\||[-+*/%(),.<>=;\[\]])
+""", re.X | re.S)
+
+
+class SQLSyntaxError(Exception):
+    pass
+
+
+def tokenize(sql: str) -> List[Token]:
+    out: List[Token] = []
+    pos = 0
+    n = len(sql)
+    while pos < n:
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SQLSyntaxError(
+                f"unexpected character {sql[pos]!r} at position {pos}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "num":
+            out.append(Token("NUM", text, m.start()))
+        elif m.lastgroup == "str":
+            out.append(Token("STR", text[1:-1].replace("''", "'"),
+                             m.start()))
+        elif m.lastgroup == "qid":
+            out.append(Token("IDENT", text[1:-1].replace('""', '"'),
+                             m.start()))
+        elif m.lastgroup == "ident":
+            low = text.lower()
+            if low in KEYWORDS:
+                out.append(Token("KW", low, m.start()))
+            else:
+                out.append(Token("IDENT", low, m.start()))
+        else:
+            out.append(Token("OP", text, m.start()))
+    out.append(Token("EOF", "", n))
+    return out

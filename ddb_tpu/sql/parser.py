@@ -1,0 +1,534 @@
+"""Recursive-descent SQL parser (Pratt expressions).
+
+Covers the dialect exercised by the reference's benchmark suites (TPC-H /
+h2oai / ClickBench shapes) plus DDL basics; the reference's parser layer is
+src/parser/ + third_party/libpg_query — ours is original and minimal, grown
+query-shape by query-shape.
+"""
+
+from __future__ import annotations
+
+import decimal
+from typing import List, Optional
+
+from . import ast as A
+from .lexer import SQLSyntaxError, Token, tokenize
+
+
+def parse(sql: str) -> List[object]:
+    p = Parser(tokenize(sql), sql)
+    stmts = []
+    while not p.at("EOF"):
+        stmts.append(p.statement())
+        while p.accept_op(";"):
+            pass
+    return stmts
+
+
+class Parser:
+    def __init__(self, tokens: List[Token], text: str = ""):
+        self.toks = tokens
+        self.i = 0
+        self.text = text
+
+    # ---- token helpers ---------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at(self, kind: str, value: Optional[str] = None) -> bool:
+        t = self.peek()
+        return t.kind == kind and (value is None or t.value == value)
+
+    def at_kw(self, *vals) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.value in vals
+
+    def accept_kw(self, *vals) -> Optional[str]:
+        if self.at_kw(*vals):
+            return self.next().value
+        return None
+
+    def expect_kw(self, val: str) -> None:
+        if not self.accept_kw(val):
+            self.error(f"expected {val.upper()}")
+
+    def accept_op(self, op: str) -> bool:
+        if self.at("OP", op):
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            self.error(f"expected '{op}'")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "IDENT":
+            return self.next().value
+        # allow non-reserved keywords as identifiers where unambiguous
+        if t.kind == "KW" and t.value in ("date", "time", "timestamp",
+                                          "values", "first", "last"):
+            return self.next().value
+        self.error("expected identifier")
+
+    def error(self, msg: str):
+        t = self.peek()
+        raise SQLSyntaxError(f"{msg} at position {t.pos} (near {t.value!r})")
+
+    # ---- statements ------------------------------------------------------
+    def statement(self):
+        if self.at_kw("select", "with"):
+            return self.select_stmt()
+        if self.at_kw("create"):
+            return self.create_stmt()
+        if self.at_kw("drop"):
+            self.next()
+            kind = "view" if self.accept_kw("view") else \
+                ("table" if self.accept_kw("table") else
+                 self.error("expected TABLE or VIEW"))
+            if_exists = False
+            if self.accept_kw("if"):
+                self.expect_kw("exists")
+                if_exists = True
+            return A.DropStmt(kind, self.ident(), if_exists)
+        self.error("expected statement")
+
+    def create_stmt(self):
+        start = self.peek().pos
+        self.expect_kw("create")
+        or_replace = False
+        if self.accept_kw("or"):
+            self.expect_kw("replace")
+            or_replace = True
+        if self.accept_kw("view"):
+            name = self.ident()
+            self.expect_kw("as")
+            body_start = self.peek().pos
+            sel = self.select_stmt()
+            body_end = self.peek().pos
+            return A.CreateView(name, self.text[body_start:body_end],
+                                or_replace)
+        if self.accept_kw("table"):
+            name = self.ident()
+            self.expect_kw("as")
+            return A.CreateTableAs(name, self.select_stmt(), or_replace)
+        self.error("expected VIEW or TABLE")
+
+    # ---- SELECT ----------------------------------------------------------
+    def select_stmt(self) -> A.SelectStmt:
+        ctes = []
+        if self.accept_kw("with"):
+            while True:
+                name = self.ident()
+                self.expect_kw("as")
+                self.expect_op("(")
+                ctes.append((name, self.select_stmt()))
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+        stmt = self.select_core()
+        stmt.ctes = ctes
+        # set operations (left-associative)
+        while self.at_kw("union", "except", "intersect"):
+            op = self.next().value
+            all_ = bool(self.accept_kw("all"))
+            self.accept_kw("distinct")
+            rhs = self.select_core()
+            node = A.SelectStmt(set_op=(op, rhs, all_), set_left=stmt)
+            node.ctes = ctes
+            stmt = node
+        # trailing ORDER BY / LIMIT apply to the set-op result
+        if self.at_kw("order"):
+            tgt = stmt
+            self.next()
+            self.expect_kw("by")
+            tgt.order_by = self.order_items()
+        if self.accept_kw("limit"):
+            stmt.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            stmt.offset = int(self.next().value)
+        return stmt
+
+    def select_core(self) -> A.SelectStmt:
+        self.expect_kw("select")
+        s = A.SelectStmt()
+        if self.accept_kw("distinct"):
+            s.distinct = True
+        self.accept_kw("all")
+        while True:
+            e = self.expr()
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.ident()
+            elif self.peek().kind == "IDENT":
+                alias = self.next().value
+            s.items.append((e, alias))
+            if not self.accept_op(","):
+                break
+        if self.accept_kw("from"):
+            s.from_refs.append(self.table_ref())
+            while self.accept_op(","):
+                s.from_refs.append(self.table_ref())
+        if self.accept_kw("where"):
+            s.where = self.expr()
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            self.accept_kw("all")
+            while True:
+                s.group_by.append(self.expr())
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("having"):
+            s.having = self.expr()
+        if self.at_kw("order"):
+            # leave for select_stmt when part of set-op; consume here
+            self.next()
+            self.expect_kw("by")
+            s.order_by = self.order_items()
+        if self.accept_kw("limit"):
+            s.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            s.offset = int(self.next().value)
+        return s
+
+    def order_items(self):
+        items = []
+        while True:
+            e = self.expr()
+            it = A.OrderItem(e)
+            if self.accept_kw("desc"):
+                it.desc = True
+            else:
+                self.accept_kw("asc")
+            if self.accept_kw("nulls"):
+                if self.accept_kw("first"):
+                    it.nulls_last = False
+                else:
+                    self.expect_kw("last")
+                    it.nulls_last = True
+            items.append(it)
+            if not self.accept_op(","):
+                break
+        return items
+
+    # ---- table refs ------------------------------------------------------
+    def table_ref(self) -> A.TableRef:
+        left = self.table_primary()
+        while True:
+            jt = None
+            if self.accept_kw("cross"):
+                self.expect_kw("join")
+                right = self.table_primary()
+                left = A.RJoin(left, right, "cross")
+                continue
+            if self.at_kw("join", "inner", "left", "right", "full"):
+                if self.accept_kw("inner"):
+                    jt = "inner"
+                elif self.accept_kw("left"):
+                    self.accept_kw("outer")
+                    jt = "left"
+                elif self.accept_kw("right"):
+                    self.accept_kw("outer")
+                    jt = "right"
+                elif self.accept_kw("full"):
+                    self.accept_kw("outer")
+                    jt = "full"
+                else:
+                    jt = "inner"
+                self.expect_kw("join")
+                right = self.table_primary()
+                if self.accept_kw("on"):
+                    cond = self.expr()
+                    left = A.RJoin(left, right, jt, on=cond)
+                elif self.accept_kw("using"):
+                    self.expect_op("(")
+                    cols = [self.ident()]
+                    while self.accept_op(","):
+                        cols.append(self.ident())
+                    self.expect_op(")")
+                    left = A.RJoin(left, right, jt, using=cols)
+                else:
+                    left = A.RJoin(left, right, jt)
+                continue
+            return left
+
+    def table_primary(self) -> A.TableRef:
+        if self.accept_op("("):
+            if self.at_kw("select", "with"):
+                sel = self.select_stmt()
+                self.expect_op(")")
+                self.accept_kw("as")
+                alias = self.ident()
+                return A.RSubquery(sel, alias)
+            ref = self.table_ref()
+            self.expect_op(")")
+            return ref
+        name = self.ident()
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.ident()
+        elif self.peek().kind == "IDENT":
+            alias = self.next().value
+        return A.RBase(name, alias)
+
+    # ---- expressions (Pratt) --------------------------------------------
+    def expr(self) -> A.EExpr:
+        return self.expr_or()
+
+    def expr_or(self):
+        e = self.expr_and()
+        while self.accept_kw("or"):
+            e = A.EBinary("or", e, self.expr_and())
+        return e
+
+    def expr_and(self):
+        e = self.expr_not()
+        while self.accept_kw("and"):
+            e = A.EBinary("and", e, self.expr_not())
+        return e
+
+    def expr_not(self):
+        if self.accept_kw("not"):
+            return A.EUnary("not", self.expr_not())
+        return self.expr_cmp()
+
+    def expr_cmp(self):
+        e = self.expr_add()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("=", "<>", "!=", "<", "<=",
+                                              ">", ">="):
+                self.next()
+                op = {"=": "==", "<>": "!=", "!=": "!="}.get(t.value,
+                                                             t.value)
+                e = A.EBinary(op, e, self.expr_add())
+                continue
+            if t.kind == "KW":
+                negated = False
+                save = self.i
+                if self.accept_kw("not"):
+                    negated = True
+                if self.accept_kw("between"):
+                    lo = self.expr_add()
+                    self.expect_kw("and")
+                    hi = self.expr_add()
+                    e = A.EBetween(e, lo, hi, negated)
+                    continue
+                if self.accept_kw("in"):
+                    self.expect_op("(")
+                    if self.at_kw("select", "with"):
+                        sub = self.select_stmt()
+                        self.expect_op(")")
+                        e = A.EIn(e, subquery=sub, negated=negated)
+                    else:
+                        items = [self.expr()]
+                        while self.accept_op(","):
+                            items.append(self.expr())
+                        self.expect_op(")")
+                        e = A.EIn(e, items=items, negated=negated)
+                    continue
+                if self.accept_kw("like", "ilike"):
+                    e = A.ELike(e, self.expr_add(), negated)
+                    continue
+                if self.accept_kw("is"):
+                    neg2 = bool(self.accept_kw("not"))
+                    self.expect_kw("null")
+                    e = A.EIsNull(e, negated=neg2)
+                    continue
+                if negated:
+                    self.i = save
+            break
+        return e
+
+    def expr_add(self):
+        e = self.expr_mul()
+        while True:
+            if self.accept_op("+"):
+                e = A.EBinary("+", e, self.expr_mul())
+            elif self.accept_op("-"):
+                e = A.EBinary("-", e, self.expr_mul())
+            elif self.accept_op("||"):
+                e = A.EFunc("concat", [e, self.expr_mul()])
+            else:
+                return e
+
+    def expr_mul(self):
+        e = self.expr_unary()
+        while True:
+            if self.accept_op("*"):
+                e = A.EBinary("*", e, self.expr_unary())
+            elif self.accept_op("/"):
+                e = A.EBinary("/", e, self.expr_unary())
+            elif self.accept_op("%"):
+                e = A.EBinary("%", e, self.expr_unary())
+            else:
+                return e
+
+    def expr_unary(self):
+        if self.accept_op("-"):
+            return A.EUnary("-", self.expr_unary())
+        if self.accept_op("+"):
+            return self.expr_unary()
+        return self.expr_postfix()
+
+    def expr_postfix(self):
+        e = self.expr_primary()
+        while self.accept_op("::"):
+            tn, w, s = self.typename()
+            e = A.ECast(e, tn, w, s)
+        return e
+
+    def typename(self):
+        t = self.peek()
+        if t.kind in ("IDENT", "KW"):
+            name = self.next().value
+        else:
+            self.error("expected type name")
+        if name in ("double", "timestamp") and self.peek().kind in (
+                "IDENT", "KW") and self.peek().value == "precision":
+            self.next()
+        w = s = 0
+        if self.accept_op("("):
+            w = int(self.next().value)
+            if self.accept_op(","):
+                s = int(self.next().value)
+            self.expect_op(")")
+        return name, w, s
+
+    def expr_primary(self):
+        t = self.peek()
+        if t.kind == "NUM":
+            self.next()
+            txt = t.value
+            if "." in txt or "e" in txt.lower():
+                if "e" in txt.lower():
+                    return A.ELit(float(txt))
+                return A.ELit(decimal.Decimal(txt))
+            return A.ELit(int(txt))
+        if t.kind == "STR":
+            self.next()
+            return A.ELit(t.value)
+        if t.kind == "KW":
+            if t.value in ("date", "timestamp", "time") \
+                    and self.peek(1).kind == "STR":
+                self.next()
+                return A.ETyped(t.value, self.next().value)
+            if t.value == "interval":
+                self.next()
+                if self.peek().kind == "STR":
+                    txt = self.next().value
+                else:
+                    txt = self.next().value   # INTERVAL 3 MONTH
+                unit = None
+                if self.peek().kind in ("IDENT", "KW"):
+                    unit = self.next().value.rstrip("s")
+                return A.ETyped("interval", txt, unit)
+            if t.value in ("true", "false"):
+                self.next()
+                return A.ELit(t.value == "true")
+            if t.value == "null":
+                self.next()
+                return A.ELit(None)
+            if t.value == "case":
+                return self.case_expr()
+            if t.value == "cast":
+                self.next()
+                self.expect_op("(")
+                e = self.expr()
+                self.expect_kw("as")
+                tn, w, s = self.typename()
+                self.expect_op(")")
+                return A.ECast(e, tn, w, s)
+            if t.value == "exists":
+                self.next()
+                self.expect_op("(")
+                sub = self.select_stmt()
+                self.expect_op(")")
+                return A.EExists(sub)
+            if t.value == "not":
+                self.next()
+                return A.EUnary("not", self.expr_not())
+            if t.value == "substring":
+                self.next()
+                self.expect_op("(")
+                e = self.expr()
+                if self.accept_kw("from"):
+                    start = self.expr()
+                    length = None
+                    if self.accept_kw("for"):
+                        length = self.expr()
+                else:
+                    self.expect_op(",")
+                    start = self.expr()
+                    length = None
+                    if self.accept_op(","):
+                        length = self.expr()
+                self.expect_op(")")
+                args = [e, start] + ([length] if length is not None else [])
+                return A.EFunc("substring", args)
+            if t.value == "extract":
+                self.next()
+                self.expect_op("(")
+                part = self.next().value
+                self.expect_kw("from")
+                e = self.expr()
+                self.expect_op(")")
+                return A.EFunc(part.lower(), [e])
+        if self.accept_op("("):
+            if self.at_kw("select", "with"):
+                sub = self.select_stmt()
+                self.expect_op(")")
+                return A.ESub(sub)
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "OP" and t.value == "*":
+            self.next()
+            return A.EStar()
+        if t.kind in ("IDENT", "KW"):
+            name = self.ident()
+            # function call?
+            if self.at("OP", "("):
+                self.next()
+                if self.accept_op("*"):
+                    self.expect_op(")")
+                    return A.EFunc(name, [], star=True)
+                distinct = bool(self.accept_kw("distinct"))
+                args = []
+                if not self.at("OP", ")"):
+                    args.append(self.expr())
+                    while self.accept_op(","):
+                        args.append(self.expr())
+                self.expect_op(")")
+                return A.EFunc(name, args, distinct=distinct)
+            parts = [name]
+            while self.accept_op("."):
+                if self.at("OP", "*"):
+                    self.next()
+                    return A.EStar(prefix=parts[0])
+                parts.append(self.ident())
+            return A.EIdent(parts)
+        self.error("expected expression")
+
+    def case_expr(self):
+        self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.expr()
+        whens = []
+        while self.accept_kw("when"):
+            c = self.expr()
+            self.expect_kw("then")
+            v = self.expr()
+            whens.append((c, v))
+        else_ = None
+        if self.accept_kw("else"):
+            else_ = self.expr()
+        self.expect_kw("end")
+        return A.ECase(operand, whens, else_)

@@ -3,11 +3,16 @@ sharding tests run on host; real-TPU runs happen via bench.py)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # tests always run on host CPU
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU backend; override back
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
