@@ -103,8 +103,34 @@ def _decode_column(f, d, n):
 
 class Connection:
     def __init__(self):
+        from .replication import (ChangeDataCapture, SnapshotManager,
+                                  TimestampManager)
         self.catalog = Catalog()
         self._plan_cache: Dict[str, Any] = {}
+        self.clock = TimestampManager()
+        self.cdc = ChangeDataCapture(self.clock)
+        self.snapshots = SnapshotManager()
+        self._txn_backup = None          # catalog tables at BEGIN
+        self._txn_events = None          # CDC events buffered in txn
+
+    # ---- replication / fork-parity API ----------------------------------
+    def on_change(self, callback) -> "Connection":
+        """Register a CDC callback receiving ChangeEvent (fork parity:
+        change_data_capture config hook, reference main/config.hpp:461)."""
+        self.cdc.register(callback)
+        return self
+
+    def get_hlc_timestamp(self) -> int:
+        return self.clock.get_hlc_timestamp()
+
+    def set_hlc_timestamp(self, ts: int) -> None:
+        self.clock.set_hlc_timestamp(ts)
+
+    def create_snapshot(self) -> int:
+        return self.snapshots.create(self.catalog)
+
+    def remove_snapshot(self, sid: int) -> None:
+        self.snapshots.remove(sid)
 
     # ---- ingest ----------------------------------------------------------
     def register(self, name: str, obj) -> "Connection":
@@ -146,7 +172,9 @@ class Connection:
         stmts = sqlparser.parse(sql)
         result = None
         for stmt in stmts:
-            result = self._execute_statement(stmt)
+            r = self._execute_statement(stmt)
+            if r is not None:
+                result = r   # last row-returning statement wins (q15 style)
         return result
 
     sql = execute
@@ -163,7 +191,8 @@ class Connection:
             return QueryResult(schema, batch)
         if isinstance(stmt, A.CreateView):
             self.catalog.add_view(stmt.name, stmt.sql_text,
-                                  or_replace=stmt.or_replace)
+                                  or_replace=stmt.or_replace,
+                                  column_aliases=stmt.column_aliases)
             return None
         if isinstance(stmt, A.DropStmt):
             if stmt.kind == "view":
@@ -179,7 +208,155 @@ class Connection:
             td = _result_to_table(stmt.name, schema, batch)
             self.catalog.add_table(td, or_replace=stmt.or_replace)
             return None
+        if isinstance(stmt, A.CreateTable):
+            return self._execute_create_table(stmt)
+        if isinstance(stmt, A.InsertStmt):
+            return self._execute_insert(stmt)
+        if isinstance(stmt, A.DeleteStmt):
+            return self._execute_delete(stmt)
+        if isinstance(stmt, A.UpdateStmt):
+            return self._execute_update(stmt)
+        if isinstance(stmt, A.TransactionStmt):
+            return self._execute_transaction(stmt)
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    # ---- DML -------------------------------------------------------------
+    def _execute_create_table(self, stmt):
+        from .sql.binder import resolve_typename
+        from .storage import dml
+        if stmt.if_not_exists and self.catalog.has_table(stmt.name):
+            return None
+        fields = [(c.name.lower(),
+                   resolve_typename(c.typename, c.width, c.scale))
+                  for c in stmt.columns]
+        td = dml.empty_table(stmt.name.lower(), fields)
+        self.catalog.add_table(td, or_replace=stmt.or_replace)
+        return None
+
+    def _emit_cdc(self, table, op, rows, old_rows=None):
+        if not self.cdc.enabled:
+            return
+        if self._txn_events is not None:
+            self._txn_events.append((table, op, rows, old_rows))
+        else:
+            self.cdc.emit(table, op, rows, old_rows)
+
+    def _execute_insert(self, stmt):
+        from .sql import ast as A
+        from .sql.binder import Binder, Scope
+        from .storage import dml
+        td = self.catalog.get_table(stmt.table)
+        if stmt.values is not None:
+            b = Binder(self.catalog)
+            sc = Scope()
+            rows = []
+            for vr in stmt.values:
+                row = []
+                for e in vr:
+                    bound = b.bind_expr(e, sc)
+                    row.append(_const_python_value(bound))
+                rows.append(row)
+            n = dml.insert_rows(td, rows, stmt.columns)
+            self._emit_cdc(td.name, "insert", rows)
+            return None
+        # INSERT ... SELECT
+        binder = Binder(self.catalog)
+        plan = self._optimize(binder.bind_select(stmt.select))
+        schema, batch = physical.execute(plan)
+        src = _result_to_table("__tmp", schema, batch)
+        dml.append_table(td, src.columns)
+        if self.cdc.enabled:
+            import numpy as np
+            mask = np.ones(src.num_rows, dtype=bool)
+            self._emit_cdc(td.name, "insert",
+                           dml.rows_as_python(src, mask))
+        return None
+
+    def _bind_table_predicate(self, td, where):
+        """Evaluate WHERE over the full table -> bool mask (host)."""
+        import numpy as np
+        from .expr.compile import select_mask
+        from .sql.binder import Binder, Scope
+        if where is None:
+            return np.ones(td.num_rows, dtype=bool)
+        b = Binder(self.catalog)
+        sc = Scope()
+        sc.add(td.name, td.schema)
+        pred = b.bind_expr(where, sc)
+        batch = td.device_batch()
+        m = select_mask(pred, batch)
+        return np.asarray(m)[:td.num_rows]
+
+    def _execute_delete(self, stmt):
+        from .storage import dml
+        td = self.catalog.get_table(stmt.table)
+        mask = self._bind_table_predicate(td, stmt.where)
+        old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
+        dml.delete_rows(td, mask)
+        if old is not None:
+            self._emit_cdc(td.name, "delete", old)
+        return None
+
+    def _execute_update(self, stmt):
+        import numpy as np
+        from .expr.compile import evaluate
+        from .sql.binder import Binder, Scope
+        from .storage import dml
+        td = self.catalog.get_table(stmt.table)
+        mask = self._bind_table_predicate(td, stmt.where)
+        old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
+        b = Binder(self.catalog)
+        sc = Scope()
+        sc.add(td.name, td.schema)
+        batch = td.device_batch()
+        updates = {}
+        for col, e in stmt.assignments:
+            bound = b.bind_expr(e, sc)
+            try:
+                tcol = td.columns[td.schema.index_of(col)]
+            except KeyError:
+                from .sql.binder import BindError
+                raise BindError(
+                    f"UPDATE: column {col} not in table {td.name}")
+            if tcol.dtype.id != TypeId.VARCHAR \
+                    and bound.dtype != tcol.dtype:
+                from .expr import ir
+                bound = ir.Cast(bound, tcol.dtype)
+            d, n = evaluate(bound, batch)
+            updates[col.lower()] = (
+                np.asarray(d)[:td.num_rows],
+                np.asarray(n)[:td.num_rows] if n is not None else None,
+                getattr(bound, "strdict", None))
+        dml.update_rows(td, mask, updates)
+        if old is not None:
+            self._emit_cdc(td.name, "update",
+                           dml.rows_as_python(td, mask), old)
+        return None
+
+    def _execute_transaction(self, stmt):
+        from .storage.dml import clone_table
+        if stmt.kind == "begin":
+            if self._txn_backup is not None:
+                raise RuntimeError("transaction already active")
+            self._txn_backup = {n: clone_table(t)
+                                for n, t in self.catalog.tables.items()}
+            self._txn_events = []
+        elif stmt.kind == "commit":
+            if self._txn_backup is None:
+                raise RuntimeError("no transaction active")
+            events = self._txn_events or []
+            self._txn_backup = None
+            self._txn_events = None
+            hlc = self.clock.get_hlc_timestamp()
+            for table, op, rows, old_rows in events:
+                self.cdc.emit(table, op, rows, old_rows, hlc=hlc)
+        elif stmt.kind == "rollback":
+            if self._txn_backup is None:
+                raise RuntimeError("no transaction active")
+            self.catalog.tables = self._txn_backup
+            self._txn_backup = None
+            self._txn_events = None
+        return None
 
     def _optimize(self, plan):
         from .plan import optimizer
@@ -192,6 +369,20 @@ class Connection:
 
     def table(self, name: str) -> storage.TableData:
         return self.catalog.get_table(name)
+
+
+def _const_python_value(bound):
+    """Bound constant expression -> python value (for INSERT VALUES)."""
+    from .expr import ir
+    if isinstance(bound, ir.Const):
+        if bound.value is None:
+            return None
+        sd = getattr(bound, "strdict", None)
+        if sd is not None:
+            return sd.decode_one(bound.value)
+        return T.decode_value(bound.value, bound.dtype)
+    raise NotImplementedError(
+        "INSERT VALUES expressions must be constants")
 
 
 def _result_to_table(name, schema: Schema, batch: Batch):

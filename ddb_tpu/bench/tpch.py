@@ -230,44 +230,34 @@ TPCH_SCHEMAS = {
 
 
 def load_tbl(con, table: str, path: str):
-    """Load a dbgen-produced .tbl file (pipe-separated, trailing pipe)."""
-    from .. import types as T
-    from ..storage.strings import StringDictionary
-    from ..storage.table import TableColumn, TableData
+    """Load a dbgen-produced pipe-separated file (.tbl or exported .csv)
+    with exact types (decimals parsed as decimal128, no float round trip)."""
+    import pyarrow as pa
+    import pyarrow.csv as pcsv
+
+    from ..storage import table as storage
 
     schema = TPCH_SCHEMAS[table]
-    ncols = len(schema)
-    cols_raw = [[] for _ in range(ncols)]
-    with open(path) as f:
-        for line in f:
-            parts = line.rstrip("\n").split("|")
-            for i in range(ncols):
-                cols_raw[i].append(parts[i])
-    cols = []
-    for (name, kind), raw in zip(schema, cols_raw):
-        if kind == "int":
-            cols.append(TableColumn(name, T.INTEGER,
-                                    np.array(raw, dtype=np.int32)))
-        elif kind == "dec2":
-            v = np.array([int(round(float(x) * 100)) for x in raw],
-                         dtype=np.int64)
-            cols.append(TableColumn(name, T.DECIMAL(15, 2), v))
-        elif kind == "date":
-            v = np.array([(datetime.date.fromisoformat(x) - _EPOCH).days
-                          for x in raw], dtype=np.int32)
-            cols.append(TableColumn(name, T.DATE, v))
-        else:
-            sd, codes, nulls = StringDictionary.encode(raw)
-            cols.append(TableColumn(name, T.VARCHAR, codes, strdict=sd))
-    con.catalog.add_table(TableData(table, cols), or_replace=True)
+    names = [n for n, _ in schema]
+    kindmap = {"int": pa.int32(), "dec2": pa.decimal128(15, 2),
+               "date": pa.date32(), "str": pa.string()}
+    column_types = {n: kindmap[k] for n, k in schema}
+    at = pcsv.read_csv(
+        path,
+        read_options=pcsv.ReadOptions(column_names=names),
+        parse_options=pcsv.ParseOptions(delimiter="|"),
+        convert_options=pcsv.ConvertOptions(column_types=column_types))
+    con.catalog.add_table(storage.from_arrow(table, at), or_replace=True)
     return con
 
 
 def load_tpch(con, directory: str, tables=None):
     for t in (tables or TPCH_SCHEMAS):
-        p = os.path.join(directory, f"{t}.tbl")
-        if os.path.exists(p):
-            load_tbl(con, t, p)
+        for ext in (".tbl", ".csv"):
+            p = os.path.join(directory, f"{t}{ext}")
+            if os.path.exists(p):
+                load_tbl(con, t, p)
+                break
     return con
 
 

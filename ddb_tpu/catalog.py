@@ -45,13 +45,15 @@ class Catalog:
             raise CatalogException(f"table {name} does not exist")
         del self.tables[key]
 
-    def add_view(self, name: str, sql: str, or_replace: bool = False):
+    def add_view(self, name: str, sql: str, or_replace: bool = False,
+                 column_aliases=None):
         key = name.lower()
         if key in self.views and not or_replace:
             raise CatalogException(f"view {name} already exists")
-        self.views[key] = sql
+        self.views[key] = (sql, column_aliases)
 
-    def get_view(self, name: str) -> Optional[str]:
+    def get_view(self, name: str):
+        """Returns (sql, column_aliases) or None."""
         return self.views.get(name.lower())
 
     def drop_view(self, name: str, if_exists: bool = False):

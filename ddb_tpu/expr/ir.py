@@ -201,8 +201,14 @@ def common_type(a: DataType, b: DataType) -> DataType:
 def bind_comparison(op: str, left: Expr, right: Expr) -> Expr:
     ct = common_type(left.dtype, right.dtype)
     if ct.id == TypeId.DECIMAL:
-        s = max(left.dtype.scale if left.dtype.id == TypeId.DECIMAL else 0,
-                right.dtype.scale if right.dtype.id == TypeId.DECIMAL else 0)
+        ls = left.dtype.scale if left.dtype.id == TypeId.DECIMAL else 0
+        rs = right.dtype.scale if right.dtype.id == TypeId.DECIMAL else 0
+        s = max(ls, rs)
+        # a large rescale could overflow int64 (sums near 18 digits);
+        # fall back to exact-enough double comparison
+        if s - min(ls, rs) > 6:
+            return Cmp(op, promote(left, T.DOUBLE),
+                       promote(right, T.DOUBLE))
         ct = T.DECIMAL(18, s)
     return Cmp(op, promote(left, ct), promote(right, ct))
 

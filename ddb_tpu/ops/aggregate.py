@@ -246,6 +246,110 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
 
 
 # ---------------------------------------------------------------------------
+# DISTINCT aggregates (reference: distinct_aggregate_data.cpp nested-HT
+# re-aggregation) — here: sort by (group keys, value), aggregate only the
+# first occurrence of each (group, value) pair.
+# ---------------------------------------------------------------------------
+
+def group_distinct_aggregate(key_ops, value_ops, payload: AggPayload,
+                             sel, num_groups_cap: int):
+    """One DISTINCT aggregate per call; group order matches
+    group_and_aggregate over the same key_ops (same ascending key sort).
+    Returns (result, isnull) arrays of shape [num_groups_cap]."""
+    cap = sel.shape[0]
+    invalid = (~sel).astype(jnp.int32)
+    operands = [invalid, *key_ops, *value_ops]
+    carried = [payload.data]
+    if payload.nulls is not None:
+        carried.append(payload.nulls.astype(jnp.int8))
+    sorted_ops = lax.sort(operands + carried,
+                          num_keys=len(operands), is_stable=False)
+    inv_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(key_ops)]
+    vals_s = sorted_ops[1 + len(key_ops):len(operands)]
+    data_s = sorted_ops[len(operands)]
+    nn_s = sorted_ops[len(operands) + 1] if payload.nulls is not None \
+        else None
+    valid_s = inv_s == 0
+
+    kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k in keys_s:
+        kdiff = kdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    vdiff = kdiff
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    g_boundary = kdiff & valid_s
+    notnull = valid_s if nn_s is None else (valid_s & (nn_s == 0))
+    first_occ = vdiff & notnull
+
+    cnt = _seg_sum_scan(g_boundary, first_occ.astype(jnp.int64))
+    if payload.kind in ("count",):
+        per_row = cnt
+        cnt2 = cnt
+    elif payload.kind in ("sum", "sum_float", "avg"):
+        acc = _acc_dtype(payload.kind, data_s.dtype)
+        v = jnp.where(first_occ, data_s.astype(acc),
+                      jnp.zeros((), dtype=acc))
+        per_row = _seg_sum_scan(g_boundary, v)
+        cnt2 = cnt
+    else:
+        raise NotImplementedError(f"distinct {payload.kind}")
+
+    nxt_boundary = jnp.concatenate([g_boundary[1:],
+                                    jnp.ones(1, dtype=bool)])
+    nxt_invalid = jnp.concatenate([~valid_s[1:], jnp.ones(1, dtype=bool)])
+    is_last = valid_s & (nxt_boundary | nxt_invalid)
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    not_last = (~is_last).astype(jnp.int32)
+    _, _, gv, gc = lax.sort([not_last, pos, per_row, cnt2], num_keys=2,
+                            is_stable=False)
+    ncap = num_groups_cap
+    gv = gv[:ncap] if gv.shape[0] >= ncap else jnp.concatenate(
+        [gv, jnp.zeros(ncap - gv.shape[0], dtype=gv.dtype)])
+    gc = gc[:ncap] if gc.shape[0] >= ncap else jnp.concatenate(
+        [gc, jnp.zeros(ncap - gc.shape[0], dtype=gc.dtype)])
+    ngroups = g_boundary.sum().astype(jnp.int32)
+    gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
+    if payload.kind == "count":
+        return jnp.where(gsel, gv, 0), None
+    if payload.kind == "avg":
+        return (gv.astype(jnp.float64)
+                / jnp.maximum(gc, 1), (gc == 0) | ~gsel)
+    return gv, (gc == 0) | ~gsel
+
+
+def ungrouped_distinct(value_ops, payload: AggPayload, sel):
+    """DISTINCT aggregate without GROUP BY -> (scalar, isnull)."""
+    cap = sel.shape[0]
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    invalid = (~live).astype(jnp.int32)
+    sorted_ops = lax.sort([invalid, *value_ops, payload.data],
+                          num_keys=1 + len(value_ops), is_stable=False)
+    inv_s = sorted_ops[0]
+    vals_s = sorted_ops[1:-1]
+    data_s = sorted_ops[-1]
+    valid_s = inv_s == 0
+    vdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    first_occ = vdiff & valid_s
+    cnt = first_occ.astype(jnp.int64).sum()
+    if payload.kind == "count":
+        return cnt, None
+    if payload.kind in ("sum", "sum_float", "avg"):
+        acc = _acc_dtype(payload.kind, data_s.dtype)
+        s = jnp.where(first_occ, data_s.astype(acc),
+                      jnp.zeros((), acc)).sum()
+        if payload.kind == "avg":
+            return s.astype(jnp.float64) / jnp.maximum(cnt, 1), cnt == 0
+        return s, cnt == 0
+    raise NotImplementedError(f"distinct {payload.kind}")
+
+
+# ---------------------------------------------------------------------------
 # small-domain dense aggregation (PerfectHashAggregate analog,
 # reference: src/execution/perfect_aggregate_hashtable.cpp) — masked loop,
 # one linear pass per (group, payload): optimal for Q1-style tiny domains.

@@ -1,0 +1,262 @@
+"""Window function kernels — sort + segmented scans, scatter-free.
+
+TPU-native replacement for the reference's window executor
+(reference: src/execution/operator/aggregate/physical_window.cpp,
+src/function/window/window_segment_tree.cpp).  Where the reference builds
+segment trees per partition, here one multi-operand sort by
+(partition keys, order keys) + forward/backward segmented scans compute
+every supported function in O(n log n) fully vectorized work; an inverse
+sort (by carried row id) restores input order.
+
+Default frame semantics (duckdb): with ORDER BY, aggregates use
+RANGE UNBOUNDED PRECEDING .. CURRENT ROW (peer rows share the value at the
+END of their peer group); without ORDER BY the whole partition.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+from .aggregate import _seg_sum_scan, _seg_minmax_scan, _acc_dtype, _extreme
+
+
+def _seg_backfill_from_last(boundary_next_rev, v):
+    """Propagate the value at the LAST row of each segment backwards.
+    boundary_next_rev: boundary mask of the REVERSED sequence."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    f, out = lax.associative_scan(op, (boundary_next_rev, v[::-1]))
+    return out[::-1]
+
+
+class WindowSpec(NamedTuple):
+    kind: str              # row_number|rank|dense_rank|sum|min|max|count|
+    #                        count_star|avg|first_value|last_value|lag|lead
+    data: Optional[jax.Array]
+    nulls: Optional[jax.Array]
+    offset: int = 1        # lag/lead offset
+    has_order: bool = True
+    whole_partition: bool = False   # force whole-partition frame
+
+
+def compute_windows(part_ops: Sequence[jax.Array],
+                    order_ops: Sequence[jax.Array],
+                    specs: Sequence[WindowSpec],
+                    sel: jax.Array):
+    """Returns list[(data, nulls)] per spec, aligned to ORIGINAL row order.
+    Rows with sel=False get unspecified values (masked upstream)."""
+    cap = sel.shape[0]
+    rowid = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    invalid = (~sel).astype(jnp.int32)
+
+    carried = []
+    for s in specs:
+        if s.data is not None:
+            carried.append(s.data)
+            if s.nulls is not None:
+                carried.append(s.nulls.astype(jnp.int8))
+
+    operands = [invalid, *part_ops, *order_ops, rowid, *carried]
+    nkeys = 1 + len(part_ops) + len(order_ops)
+    sorted_ops = lax.sort(operands, num_keys=nkeys, is_stable=True)
+    valid_s = sorted_ops[0] == 0
+    parts_s = sorted_ops[1:1 + len(part_ops)]
+    orders_s = sorted_ops[1 + len(part_ops):nkeys - 0]
+    orders_s = sorted_ops[1 + len(part_ops):nkeys]
+    rid_s = sorted_ops[nkeys]
+    carried_s = sorted_ops[nkeys + 1:]
+
+    # partition boundaries
+    pb = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k in parts_s:
+        pb = pb | jnp.concatenate([jnp.ones(1, dtype=bool),
+                                   k[1:] != k[:-1]])
+    pb = pb | jnp.concatenate([jnp.ones(1, dtype=bool),
+                               valid_s[1:] != valid_s[:-1]])
+    # peer boundaries (partition + order keys change)
+    ob = pb
+    for k in orders_s:
+        ob = ob | jnp.concatenate([jnp.ones(1, dtype=bool),
+                                   k[1:] != k[:-1]])
+
+    pos = lax.broadcasted_iota(jnp.int64, (cap,), 0)
+    part_start = lax.associative_scan(jnp.maximum, jnp.where(pb, pos, 0))
+    row_number = (pos - part_start + 1)
+
+    # reversed-sequence boundary masks for backward fills
+    def rev_boundary(b):
+        # segment last-rows become boundaries of the reversed sequence
+        last = jnp.concatenate([b[1:], jnp.ones(1, dtype=bool)])
+        return last[::-1]
+
+    pb_rev = rev_boundary(pb)
+    ob_rev = rev_boundary(ob)
+
+    results_sorted = []
+    ci = 0
+    for s in specs:
+        data_s = None
+        nn_s = None
+        if s.data is not None:
+            data_s = carried_s[ci]
+            ci += 1
+            if s.nulls is not None:
+                nn_s = carried_s[ci]
+                ci += 1
+        notnull = valid_s if nn_s is None else (valid_s & (nn_s == 0))
+
+        if s.kind == "row_number":
+            results_sorted.append((row_number, None))
+            continue
+        if s.kind == "rank":
+            peer_first = lax.associative_scan(
+                jnp.maximum, jnp.where(ob, pos, 0))
+            results_sorted.append(((peer_first - part_start + 1), None))
+            continue
+        if s.kind == "dense_rank":
+            dr = _seg_sum_scan(pb, ob.astype(jnp.int64))
+            results_sorted.append((dr, None))
+            continue
+        if s.kind in ("lag", "lead"):
+            k = s.offset
+            if s.kind == "lag":
+                shifted = jnp.concatenate(
+                    [jnp.zeros(k, dtype=data_s.dtype), data_s[:-k]]) \
+                    if k > 0 else data_s
+                sh_nn = jnp.concatenate(
+                    [jnp.zeros(k, dtype=jnp.int8) + 1,
+                     (nn_s if nn_s is not None
+                      else jnp.zeros(cap, jnp.int8))[:-k]]) \
+                    if k > 0 else (nn_s if nn_s is not None
+                                   else jnp.zeros(cap, jnp.int8))
+                outside = row_number <= k
+            else:
+                shifted = jnp.concatenate(
+                    [data_s[k:], jnp.zeros(k, dtype=data_s.dtype)]) \
+                    if k > 0 else data_s
+                sh_nn = jnp.concatenate(
+                    [(nn_s if nn_s is not None
+                      else jnp.zeros(cap, jnp.int8))[k:],
+                     jnp.zeros(k, dtype=jnp.int8) + 1]) \
+                    if k > 0 else (nn_s if nn_s is not None
+                                   else jnp.zeros(cap, jnp.int8))
+                # outside if fewer than k rows remain in partition
+                part_end = _seg_backfill_from_last(pb_rev, pos)
+                outside = pos + k > part_end
+            isnull = outside | (sh_nn != 0)
+            results_sorted.append((shifted, isnull))
+            continue
+        if s.kind == "first_value":
+            fv = lax.associative_scan(
+                jnp.maximum, jnp.where(pb, pos, 0))  # partition first pos
+            # value at partition start: forward fill data from starts
+            def ff(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, va)
+            _, v = lax.associative_scan(ff, (pb, data_s))
+            results_sorted.append((v, None if nn_s is None
+                                   else _ff_nulls(pb, nn_s)))
+            continue
+        if s.kind == "last_value":
+            # default frame: value at current peer-group end
+            v = _seg_backfill_from_last(ob_rev, data_s)
+            results_sorted.append((v, None if nn_s is None
+                                   else _bf_nulls(ob_rev, nn_s)))
+            continue
+
+        # aggregates
+        if s.kind == "count_star":
+            run = _seg_sum_scan(pb, valid_s.astype(jnp.int64))
+            whole = s.whole_partition or not s.has_order
+            out = _frame_value(run, pb_rev, ob_rev, whole)
+            results_sorted.append((out, None))
+            continue
+        if s.kind == "count":
+            run = _seg_sum_scan(pb, notnull.astype(jnp.int64))
+            out = _frame_value(run, pb_rev, ob_rev,
+                               s.whole_partition or not s.has_order)
+            results_sorted.append((out, None))
+            continue
+        if s.kind in ("sum", "sum_float", "avg"):
+            acc = _acc_dtype(s.kind, data_s.dtype)
+            v = jnp.where(notnull, data_s.astype(acc),
+                          jnp.zeros((), acc))
+            run = _seg_sum_scan(pb, v)
+            cnt = _seg_sum_scan(pb, notnull.astype(jnp.int64))
+            whole = s.whole_partition or not s.has_order
+            out = _frame_value(run, pb_rev, ob_rev, whole)
+            cnt_f = _frame_value(cnt, pb_rev, ob_rev, whole)
+            if s.kind == "avg":
+                results_sorted.append((out.astype(jnp.float64)
+                                       / jnp.maximum(cnt_f, 1),
+                                       cnt_f == 0))
+            else:
+                results_sorted.append((out, cnt_f == 0))
+            continue
+        if s.kind in ("min", "max"):
+            big = _extreme(data_s.dtype, s.kind)
+            v = jnp.where(notnull, data_s, big)
+            run = _seg_minmax_scan(pb, v, s.kind == "min")
+            cnt = _seg_sum_scan(pb, notnull.astype(jnp.int64))
+            whole = s.whole_partition or not s.has_order
+            out = _frame_value(run, pb_rev, ob_rev, whole)
+            cnt_f = _frame_value(cnt, pb_rev, ob_rev, whole)
+            results_sorted.append((out, cnt_f == 0))
+            continue
+        raise NotImplementedError(f"window {s.kind}")
+
+    # restore original order: sort by rowid carrying all results
+    flat = []
+    layout = []
+    for d, n in results_sorted:
+        layout.append(n is not None)
+        flat.append(d)
+        if n is not None:
+            flat.append(n.astype(jnp.int8))
+    restored = lax.sort([rid_s, *flat], num_keys=1, is_stable=False)[1:]
+    out = []
+    i = 0
+    for has_null in layout:
+        d = restored[i]
+        i += 1
+        n = None
+        if has_null:
+            n = restored[i] != 0
+            i += 1
+        out.append((d, n))
+    return out
+
+
+def _ff_nulls(pb, nn_s):
+    def ff(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, v = lax.associative_scan(ff, (pb, nn_s))
+    return v != 0
+
+
+def _bf_nulls(ob_rev, nn_s):
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, v = lax.associative_scan(op, (ob_rev, nn_s[::-1]))
+    return v[::-1] != 0
+
+
+def _frame_value(running, pb_rev, ob_rev, whole_partition: bool):
+    """Map a running (inclusive) scan to the default-frame value:
+    whole partition => value at partition end; RANGE current-row =>
+    value at peer-group end."""
+    if whole_partition:
+        return _seg_backfill_from_last(pb_rev, running)
+    return _seg_backfill_from_last(ob_rev, running)

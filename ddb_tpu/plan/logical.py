@@ -162,6 +162,36 @@ class OrderKey:
 
 
 @dataclass
+class WindowFn:
+    kind: str                      # row_number|rank|dense_rank|sum|...
+    arg: Optional[ir.Expr]
+    partition: List[ir.Expr]
+    order: List[OrderKey]
+    dtype: DataType
+    name: str
+    offset: int = 1                # lag/lead
+    strdict: object = None
+
+
+@dataclass
+class Window(LogicalNode):
+    """Appends one column per window function to the child's schema
+    (reference: operator/aggregate/physical_window.cpp)."""
+    child: LogicalNode
+    fns: List[WindowFn]
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            fs = list(self.child.schema.fields) + [
+                Field(f.name, f.dtype, f.strdict) for f in self.fns]
+            self.schema = Schema(tuple(fs))
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
 class Order(LogicalNode):
     child: LogicalNode
     keys: List[OrderKey]

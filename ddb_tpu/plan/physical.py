@@ -195,6 +195,10 @@ def _agg_output(node: L.Aggregate, group_cols, agg_results, gsel, ngroups,
     for (d, n) in group_cols:
         cols.append(Column(d, n))
     for a, (d, n) in zip(node.aggs, agg_results):
+        if a.kind == "avg" and a.arg is not None \
+                and a.arg.dtype.id == TypeId.DECIMAL:
+            # integer sum was in fixed-point: scale back to a true double
+            d = d / T.decimal_scale_factor(a.arg.dtype.scale)
         want = np.dtype(a.dtype.np_dtype)
         if d.dtype != want:
             d = d.astype(want)
@@ -208,9 +212,19 @@ def _exec_aggregate(node: L.Aggregate, ctx):
     if not node.groups:
         def kern(b):
             ps = _payloads(node, b)
-            res = agg_ops.ungrouped_aggregate(ps, b.sel)
+            res = []
+            for spec, p in zip(node.aggs, ps):
+                if spec.distinct and spec.kind != "count_star":
+                    vops = sortkey.encode_key(p.data, p.nulls,
+                                              spec.arg.dtype)
+                    res.append(agg_ops.ungrouped_distinct(vops, p, b.sel))
+                else:
+                    res.append(agg_ops.ungrouped_aggregate([p], b.sel)[0])
             cols = []
             for a, (v, isn) in zip(node.aggs, res):
+                if a.kind == "avg" and a.arg is not None \
+                        and a.arg.dtype.id == TypeId.DECIMAL:
+                    v = v / T.decimal_scale_factor(a.arg.dtype.scale)
                 want = np.dtype(a.dtype.np_dtype)
                 d = jnp.zeros(128, dtype=want).at[0].set(v.astype(want))
                 n = None
@@ -222,7 +236,9 @@ def _exec_aggregate(node: L.Aggregate, ctx):
 
         return node.schema, _node_jit(node, "ungrouped", kern)(batch)
 
-    sizes = _perfect_hash_domain(node)
+    has_distinct = any(a.distinct and a.kind != "count_star"
+                       for a in node.aggs)
+    sizes = None if has_distinct else _perfect_hash_domain(node)
     if sizes is not None:
         strides = []
         acc = 1
@@ -269,8 +285,18 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             key_data.append((d, n))
         ps = _payloads(node, b)
         gcap = b.sel.shape[0]
-        group_cols, results, gsel, ng = agg_ops.group_and_aggregate(
-            key_ops, key_data, ps, b.sel, gcap)
+        plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
+                 if not (a.distinct and a.kind != "count_star")]
+        group_cols, plain_res, gsel, ng = agg_ops.group_and_aggregate(
+            key_ops, key_data, [p for _, p in plain], b.sel, gcap)
+        results = [None] * len(ps)
+        for (i, _), r in zip(plain, plain_res):
+            results[i] = r
+        for i, (a, p) in enumerate(zip(node.aggs, ps)):
+            if a.distinct and a.kind != "count_star":
+                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+                results[i] = agg_ops.group_distinct_aggregate(
+                    key_ops, vops, p, b.sel, gcap)
         return _agg_output(node, group_cols, results, gsel, ng, gcap)
 
     batch = _node_jit(node, "sort_agg", kern)(batch)
@@ -350,7 +376,7 @@ def _exec_join(node: L.Join, ctx):
     bt, lo, cnt, l_live = _node_jit(node, "probe", keys_kern)(lb, rb)
     jt = node.join_type
 
-    if jt in ("semi", "anti", "mark"):
+    if jt in ("semi", "anti", "mark") and node.extra is None:
         def kern(lb, cnt, l_live):
             has = cnt > 0
             if jt == "semi":
@@ -363,6 +389,44 @@ def _exec_join(node: L.Join, ctx):
             return Batch(cols, lb.sel, lb.count)
 
         out = _node_jit(node, "semi", kern)(lb, cnt, l_live)
+        return node.schema, maybe_compact(node, out)
+
+    if jt in ("semi", "anti", "mark") and node.extra is not None:
+        # residual condition: expand matches, filter pairs, then reduce to
+        # a per-probe-row matched flag (reference: ScanStructure semi/anti
+        # with non-equality conditions, physical_hash_join.cpp)
+        total = int(join_ops.match_total(cnt))
+        out_cap = bucket_capacity(max(total, 1))
+
+        def match_kern(lb, rb, bt, lo, cnt):
+            pi, bpos, valid = join_ops.expand(lo, cnt, out_cap)
+            brow = bt.srow[bpos]
+            cols = []
+            for c in lb.columns:
+                cols.append(Column(c.data[pi],
+                                   c.nulls[pi] if c.nulls is not None
+                                   else None))
+            for c in rb.columns:
+                cols.append(Column(c.data[brow],
+                                   c.nulls[brow] if c.nulls is not None
+                                   else None))
+            pairs = Batch(tuple(cols), valid, valid.astype(jnp.int32).sum())
+            m = select_mask(node.extra, pairs)
+            cap_l = lb.sel.shape[0]
+            tgt = jnp.where(m, pi, cap_l)
+            matched = jnp.zeros(cap_l + 1, dtype=jnp.int32) \
+                .at[tgt].max(1, mode="drop")[:cap_l] > 0
+            if jt == "semi":
+                msel = lb.sel & matched
+                return Batch(lb.columns, msel, msel.astype(jnp.int32).sum())
+            if jt == "anti":
+                msel = lb.sel & ~matched
+                return Batch(lb.columns, msel, msel.astype(jnp.int32).sum())
+            cols2 = lb.columns + (Column(matched, None),)
+            return Batch(cols2, lb.sel, lb.count)
+
+        out = _node_jit(node, ("semi_extra", out_cap), match_kern)(
+            lb, rb, bt, lo, cnt)
         return node.schema, maybe_compact(node, out)
 
     total = int(join_ops.match_total(cnt))
@@ -382,26 +446,36 @@ def _exec_join(node: L.Join, ctx):
             d = c.data[pi]
             n = c.nulls[pi] if c.nulls is not None else None
             cols.append(Column(d, n))
-        rnull_extra = None
         for c in rb.columns:
             d = c.data[brow]
             n = c.nulls[brow] if c.nulls is not None else None
             cols.append(Column(d, n))
         out = Batch(tuple(cols), valid, valid.astype(jnp.int32).sum())
+        cap_l = lb.sel.shape[0]
+        cap_r = rb.sel.shape[0]
         if node.extra is not None:
             m = select_mask(node.extra, out)
             out = Batch(out.columns, m, m.astype(jnp.int32).sum())
-        return out
+            # matched masks must reflect the residual filter
+            p_t = jnp.where(m, pi, cap_l)
+            probe_matched = jnp.zeros(cap_l + 1, jnp.int32) \
+                .at[p_t].max(1, mode="drop")[:cap_l] > 0
+            b_t = jnp.where(m, brow, cap_r)
+            build_matched = jnp.zeros(cap_r + 1, jnp.int32) \
+                .at[b_t].max(1, mode="drop")[:cap_r] > 0
+        else:
+            probe_matched = cnt > 0
+            build_matched = join_ops.matched_build_mask(bt, lo, cnt, cap_r)
+        return out, probe_matched, build_matched
 
-    out = _node_jit(node, ("expand", out_cap), expand_kern)(
-        lb, rb, bt, lo, cnt, l_live)
+    out, probe_matched, build_matched = _node_jit(
+        node, ("expand", out_cap), expand_kern)(lb, rb, bt, lo, cnt, l_live)
 
     if jt in ("left", "full", "right"):
         parts = [out]
-        nl = len(lb.columns)
         if jt in ("left", "full"):
-            def left_unmatched(lb, cnt, l_live):
-                m = lb.sel & (cnt == 0)
+            def left_unmatched(lb, probe_matched):
+                m = lb.sel & ~probe_matched
                 cap = lb.sel.shape[0]
                 cols = [Column(c.data, c.nulls) for c in lb.columns]
                 for c in rb.columns:
@@ -410,12 +484,11 @@ def _exec_join(node: L.Join, ctx):
                 return Batch(tuple(cols), m, m.astype(jnp.int32).sum())
 
             parts.append(_node_jit(node, "left_outer", left_unmatched)(
-                lb, cnt, l_live))
+                lb, probe_matched))
         if jt in ("right", "full"):
-            def right_unmatched(rb, bt, lo, cnt):
+            def right_unmatched(rb, build_matched):
                 cap = rb.sel.shape[0]
-                matched = join_ops.matched_build_mask(bt, lo, cnt, cap)
-                m = rb.sel & ~matched
+                m = rb.sel & ~build_matched
                 # NULL keys on build side never match; they must appear too
                 cols = []
                 for c in lb.columns:
@@ -426,7 +499,7 @@ def _exec_join(node: L.Join, ctx):
                 return Batch(tuple(cols), m, m.astype(jnp.int32).sum())
 
             parts.append(_node_jit(node, "right_outer", right_unmatched)(
-                rb, bt, lo, cnt))
+                rb, build_matched))
         out = _concat_batches(node, parts)
 
     return node.schema, maybe_compact(node, out)
@@ -553,6 +626,59 @@ def _exec_distinct(node: L.Distinct, ctx):
     return node.schema, maybe_compact(node, batch, force=True)
 
 
+def _exec_window(node: L.Window, ctx):
+    from ..ops import window as win_ops
+    schema, batch = execute(node.child, ctx)
+
+    # group fns by (partition, order) signature -> one sort per group
+    groups = {}
+    for i, f in enumerate(node.fns):
+        key = (tuple(repr(p) for p in f.partition),
+               tuple((repr(k.expr), k.desc, k.nulls_last) for k in f.order))
+        groups.setdefault(key, []).append((i, f))
+
+    def kern(b):
+        results = [None] * len(node.fns)
+        for key, fns in groups.items():
+            f0 = fns[0][1]
+            part_ops = []
+            for p in f0.partition:
+                d, n = evaluate(p, b)
+                part_ops.extend(sortkey.encode_key(d, n, p.dtype))
+            order_ops = []
+            for k in f0.order:
+                d, n = evaluate(k.expr, b)
+                order_ops.extend(sortkey.encode_key(
+                    d, n, k.expr.dtype, desc=k.desc,
+                    nulls_last=k.nulls_last))
+            specs = []
+            for i, f in fns:
+                data = nulls = None
+                kind = f.kind
+                if f.arg is not None:
+                    data, nulls = evaluate(f.arg, b)
+                    if kind == "sum" and f.arg.dtype.id in (
+                            TypeId.FLOAT, TypeId.DOUBLE):
+                        kind = "sum_float"
+                specs.append(win_ops.WindowSpec(
+                    kind, data, nulls, f.offset,
+                    has_order=bool(f.order)))
+            outs = win_ops.compute_windows(part_ops, order_ops, specs,
+                                           b.sel)
+            for (i, f), (d, n) in zip(fns, outs):
+                if f.kind == "avg" and f.arg is not None \
+                        and f.arg.dtype.id == TypeId.DECIMAL:
+                    d = d / T.decimal_scale_factor(f.arg.dtype.scale)
+                want = np.dtype(f.dtype.np_dtype)
+                if d.dtype != want:
+                    d = d.astype(want)
+                results[i] = Column(d, n)
+        cols = list(b.columns) + results
+        return Batch(tuple(cols), b.sel, b.count)
+
+    return node.schema, _node_jit(node, "window", kern)(batch)
+
+
 def _exec_union(node: L.Union, ctx):
     ls, lb = execute(node.left, ctx)
     rs, rb = execute(node.right, ctx)
@@ -567,6 +693,7 @@ _EXEC = {
     L.Join: _exec_join,
     L.CrossProduct: _exec_cross,
     L.Order: _exec_order,
+    L.Window: _exec_window,
     L.Limit: _exec_limit,
     L.Distinct: _exec_distinct,
     L.Union: _exec_union,

@@ -58,6 +58,15 @@ class EFunc(EExpr):
 
 
 @dataclass
+class EWindow(EExpr):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ... [frame])."""
+    func: "EFunc"
+    partition: List[EExpr] = field(default_factory=list)
+    order: List["OrderItem"] = field(default_factory=list)
+    frame: Optional[str] = None       # None => dialect default
+
+
+@dataclass
 class ECase(EExpr):
     operand: Optional[EExpr]
     whens: List[Tuple[EExpr, EExpr]]
@@ -134,6 +143,7 @@ class RBase(TableRef):
 class RSubquery(TableRef):
     select: "SelectStmt"
     alias: str
+    column_aliases: Optional[List[str]] = None
 
 
 @dataclass
@@ -177,6 +187,7 @@ class CreateView:
     name: str
     sql_text: str
     or_replace: bool = False
+    column_aliases: Optional[List[str]] = None
 
 
 @dataclass
@@ -191,3 +202,46 @@ class DropStmt:
     kind: str                 # table | view
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    typename: str
+    width: int = 0
+    scale: int = 0
+    not_null: bool = False
+
+
+@dataclass
+class CreateTable:
+    name: str
+    columns: List[ColumnDef]
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class InsertStmt:
+    table: str
+    columns: Optional[List[str]] = None
+    values: Optional[List[List[EExpr]]] = None   # VALUES rows
+    select: Optional[SelectStmt] = None
+
+
+@dataclass
+class DeleteStmt:
+    table: str
+    where: Optional[EExpr] = None
+
+
+@dataclass
+class UpdateStmt:
+    table: str
+    assignments: List[Tuple[str, EExpr]] = field(default_factory=list)
+    where: Optional[EExpr] = None
+
+
+@dataclass
+class TransactionStmt:
+    kind: str                 # begin | commit | rollback

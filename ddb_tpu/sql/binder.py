@@ -40,6 +40,27 @@ class BindError(Exception):
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "var_samp", "variance", "median"}
 
+_TYPE_MAP = {
+    "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
+    "bigint": T.BIGINT, "int8": T.BIGINT, "hugeint": T.HUGEINT,
+    "smallint": T.SMALLINT, "int2": T.SMALLINT, "tinyint": T.TINYINT,
+    "double": T.DOUBLE, "float8": T.DOUBLE, "real": T.FLOAT,
+    "float": T.FLOAT, "boolean": T.BOOLEAN, "bool": T.BOOLEAN,
+    "date": T.DATE, "timestamp": T.TIMESTAMP, "time": T.TIME,
+    "varchar": T.VARCHAR, "text": T.VARCHAR, "string": T.VARCHAR,
+    "char": T.VARCHAR, "bpchar": T.VARCHAR,
+}
+
+
+def resolve_typename(typename: str, width: int = 0, scale: int = 0
+                     ) -> DataType:
+    tn = typename.lower()
+    if tn in ("decimal", "numeric"):
+        return T.DECIMAL(width or 18, scale)
+    if tn not in _TYPE_MAP:
+        raise BindError(f"unknown type {typename}")
+    return _TYPE_MAP[tn]
+
 
 @dataclass
 class ScopeEntry:
@@ -107,6 +128,27 @@ class AggRef(ir.Expr):
     strdict: object = None
 
 
+@dataclass
+class WinRef(ir.Expr):
+    """Placeholder for a window-function result during select binding."""
+    index: int
+    dtype: DataType
+    strdict: object = None
+
+
+@dataclass
+class WinCtx:
+    fns: List = dfield(default_factory=list)
+    keys: List[str] = dfield(default_factory=list)
+
+    def add(self, fn, key: str) -> int:
+        if key in self.keys:
+            return self.keys.index(key)
+        self.keys.append(key)
+        self.fns.append(fn)
+        return len(self.fns) - 1
+
+
 def _ekey(e) -> str:
     """Structural key for matching expressions (group exprs, dedup)."""
     return repr(e)
@@ -154,11 +196,22 @@ class Binder:
             or (stmt.having is not None
                 and self._contains_agg(stmt.having)) \
             or bool(stmt.group_by)
+        has_windows = any(_contains_window(e) for e, _ in items)
 
         having_bound = None
+        if has_aggs and has_windows:
+            raise BindError(
+                "window functions over aggregates not supported yet")
         if has_aggs:
             plan, bound_items, having_bound = self._bind_aggregate(
                 stmt, items, plan, scope)
+        elif has_windows:
+            win_ctx = WinCtx()
+            bound_items = [self.bind_expr(e, scope, win_ctx=win_ctx)
+                           for e, _ in items]
+            base = len(plan.schema)
+            plan = L.Window(plan, win_ctx.fns)
+            bound_items = [_resolve_winrefs(b, base) for b in bound_items]
         else:
             bound_items = [self.bind_expr(e, scope) for e, _ in items]
 
@@ -176,13 +229,31 @@ class Binder:
         if having_bound is not None:
             plan = L.Filter(plan, having_bound)
 
-        plan = L.Project(plan, bound_items, names)
+        proj_child = plan
+        plan = L.Project(proj_child, bound_items, names)
 
         if stmt.distinct:
             plan = L.Distinct(plan)
 
         if stmt.order_by:
-            plan = self._bind_order(stmt, items, names, plan)
+            # hidden sort keys (ORDER BY g when g not selected) are legal
+            # when there's no DISTINCT/aggregate re-shaping in the way
+            hidden_scope = None
+            if not stmt.distinct and not has_aggs:
+                hidden_scope = scope
+            keys, hidden = self._bind_order_keys(stmt, items, names,
+                                                 plan.schema, hidden_scope)
+            if hidden:
+                ext_items = bound_items + [h for h, _ in hidden]
+                ext_names = names + [n for _, n in hidden]
+                plan = L.Project(proj_child, ext_items, ext_names)
+                plan = L.Order(plan, keys)
+                vis = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                       for i, f in enumerate(plan.schema.fields[
+                           :len(names)])]
+                plan = L.Project(plan, vis, names)
+            else:
+                plan = L.Order(plan, keys)
 
         if stmt.limit is not None or stmt.offset:
             plan = L.Limit(plan, stmt.limit, stmt.offset)
@@ -257,13 +328,17 @@ class Binder:
                 sc = Scope()
                 sc.add(alias, plan.schema)
                 return plan, sc
-            view_sql = self.catalog.get_view(name)
-            if view_sql is not None:
+            view = self.catalog.get_view(name)
+            if view is not None:
+                view_sql, vcols = view
                 from . import parser as sqlparser
                 sub = sqlparser.parse(view_sql)[0]
                 plan = Binder(self.catalog, self.ctes).bind_select(sub)
                 sc = Scope()
-                sc.add(alias, plan.schema)
+                schema = plan.schema
+                if vcols:
+                    schema = schema.rename(vcols)
+                sc.add(alias, schema)
                 return plan, sc
             td = self.catalog.get_table(name)
             plan = L.Get(td, list(range(len(td.schema))))
@@ -273,7 +348,10 @@ class Binder:
         if isinstance(ref, A.RSubquery):
             plan = Binder(self.catalog, self.ctes).bind_select(ref.select)
             sc = Scope()
-            sc.add(ref.alias.lower(), plan.schema)
+            schema = plan.schema
+            if ref.column_aliases:
+                schema = schema.rename(ref.column_aliases)
+            sc.add(ref.alias.lower(), schema)
             return plan, sc
         if isinstance(ref, A.RJoin):
             return self._bind_join(ref)
@@ -315,6 +393,22 @@ class Binder:
             for x in extras:
                 plan = L.Filter(plan, x)
             return plan, combined
+        # ON-clause extras on the NON-preserved side of an outer join are
+        # equivalent to pre-filtering that input (q13's o_comment NOT LIKE)
+        if extras and ref.join_type in ("left", "right"):
+            keep = []
+            for x in extras:
+                cols = ir.referenced_columns(x)
+                if ref.join_type == "left" and cols \
+                        and all(c >= lwidth for c in cols):
+                    rplan = L.Filter(rplan, ir.remap_columns(
+                        x, {c: c - lwidth for c in cols}))
+                elif ref.join_type == "right" and cols \
+                        and all(c < lwidth for c in cols):
+                    lplan = L.Filter(lplan, x)
+                else:
+                    keep.append(x)
+            extras = keep
         extra = ir.make_and(extras) if extras else None
         plan = L.Join(lplan, rplan, ref.join_type, conds, extra=extra)
         return plan, combined
@@ -391,6 +485,7 @@ class Binder:
         sub_binder = Binder(self.catalog, self.ctes)
         plan, iscope = sub_binder.bind_from(sub.from_refs)
         corr: List[Tuple[ir.Expr, ir.Expr]] = []
+        corr_extra: List[Tuple[str, ir.Expr, ir.Expr]] = []
         preds: List[ir.Expr] = []
         if sub.where is not None:
             for c in ir_conjuncts_ast(sub.where):
@@ -400,15 +495,22 @@ class Binder:
                 except BindError:
                     pass
                 ok = False
-                if isinstance(c, A.EBinary) and c.op == "==":
-                    for a, b in ((c.left, c.right), (c.right, c.left)):
+                if isinstance(c, A.EBinary) and c.op in (
+                        "==", "!=", "<", "<=", ">", ">="):
+                    flip = {"==": "==", "!=": "!=", "<": ">", "<=": ">=",
+                            ">": "<", ">=": "<="}
+                    for a, b, op in ((c.left, c.right, c.op),
+                                     (c.right, c.left, flip[c.op])):
                         try:
                             oe = self.bind_expr(a, outer_scope)
                             ie = sub_binder.bind_expr(b, iscope)
                         except BindError:
                             continue
                         oe2, ie2 = self._align_join_keys(oe, ie)
-                        corr.append((oe2, ie2))
+                        if op == "==":
+                            corr.append((oe2, ie2))
+                        else:
+                            corr_extra.append((op, oe2, ie2))
                         ok = True
                         break
                 if not ok:
@@ -416,12 +518,34 @@ class Binder:
                         "unsupported correlated predicate in subquery")
         if preds:
             plan = L.Filter(plan, ir.make_and(preds))
-        return sub_binder, plan, iscope, corr
+        return sub_binder, plan, iscope, corr, corr_extra
 
     def _flatten_exists(self, sub: A.SelectStmt, negated: bool, plan,
                         scope) -> L.LogicalNode:
-        sb, iplan, iscope, corr = self._bind_subquery_corr(sub, scope)
-        if not corr:
+        # uncorrelated subqueries (possibly with grouping etc.) bind whole
+        try:
+            full = Binder(self.catalog, self.ctes).bind_select(sub)
+        except BindError:
+            full = None
+        if full is not None:
+            one = ir.Const(1, T.INTEGER)
+            iplan = L.Project(full, [one], ["__k"])
+            oplan = L.Project(plan, [
+                ir.ColRef(i, f.dtype, f.name, f.strdict)
+                for i, f in enumerate(plan.schema.fields)] + [one],
+                list(plan.schema.names) + ["__k"])
+            jt = "anti" if negated else "semi"
+            j = L.Join(oplan, iplan, jt,
+                       [L.JoinCond(ir.ColRef(len(plan.schema), T.INTEGER,
+                                             "__k"),
+                                   ir.ColRef(0, T.INTEGER, "__k"))])
+            return L.Project(j, [
+                ir.ColRef(i, f.dtype, f.name, f.strdict)
+                for i, f in enumerate(plan.schema.fields)],
+                list(plan.schema.names))
+        sb, iplan, iscope, corr, corr_extra = \
+            self._bind_subquery_corr(sub, scope)
+        if not corr and not corr_extra:
             # uncorrelated EXISTS: evaluate as mark over const? keep simple:
             # semi-join on constant key 1=1 via cross + limit is overkill;
             # use count>0 decided at execution by semi join on dummy keys
@@ -441,19 +565,47 @@ class Binder:
                 ir.ColRef(i, f.dtype, f.name, f.strdict)
                 for i, f in enumerate(plan.schema.fields)],
                 list(plan.schema.names))
+        if not corr:
+            raise BindError("EXISTS correlation needs at least one "
+                            "equality predicate")
         jt = "anti" if negated else "semi"
-        # inner plan projects the correlated inner exprs as join keys
-        ikeys = [ie for (_, ie) in corr]
+        # inner plan projects the correlated inner exprs as join keys,
+        # plus inner sides of non-equality correlations for the residual
+        ikeys = [ie for (_, ie) in corr] + [ie for (_, _, ie) in corr_extra]
         iproj = L.Project(iplan, ikeys,
                           [f"__ck{i}" for i in range(len(ikeys))])
         conds = [L.JoinCond(oe, ir.ColRef(i, ie.dtype, f"__ck{i}",
                                           getattr(ie, "strdict", None)))
                  for i, (oe, ie) in enumerate(corr)]
-        return L.Join(plan, iproj, jt, conds)
+        extra = None
+        if corr_extra:
+            lw = len(plan.schema)
+            parts = []
+            for j, (op, oe, ie) in enumerate(corr_extra):
+                rref = ir.ColRef(lw + len(corr) + j, ie.dtype,
+                                 f"__ck{len(corr)+j}",
+                                 getattr(ie, "strdict", None))
+                parts.append(ir.Cmp(op, oe, rref))
+            extra = ir.make_and(parts)
+        return L.Join(plan, iproj, jt, conds, extra=extra)
 
     def _flatten_in(self, c: A.EIn, plan, scope) -> L.LogicalNode:
-        sb, iplan, iscope, corr = self._bind_subquery_corr(c.subquery,
-                                                           scope)
+        # uncorrelated subqueries (with grouping/having etc.): bind whole
+        try:
+            full = Binder(self.catalog, self.ctes).bind_select(c.subquery)
+        except BindError:
+            full = None
+        if full is not None:
+            f0 = full.schema.field(0)
+            outer = self.bind_expr(c.child, scope)
+            o2, i2 = self._align_join_keys(
+                outer, ir.ColRef(0, f0.dtype, f0.name, f0.strdict))
+            jt = "anti" if c.negated else "semi"
+            return L.Join(plan, full, jt, [L.JoinCond(o2, i2)])
+        sb, iplan, iscope, corr, corr_extra = \
+            self._bind_subquery_corr(c.subquery, scope)
+        if corr_extra:
+            raise BindError("IN subquery with non-equality correlation")
         # bind subquery select item over inner scope
         if len(c.subquery.items) != 1:
             raise BindError("IN subquery must return one column")
@@ -479,8 +631,11 @@ class Binder:
         _collect_scalar_subs(c, subs)
         replacements: Dict[int, ir.Expr] = {}
         for s in subs:
-            sb, iplan, iscope, corr = self._bind_subquery_corr(s.subquery,
-                                                               scope)
+            sb, iplan, iscope, corr, corr_extra = \
+                self._bind_subquery_corr(s.subquery, scope)
+            if corr_extra:
+                raise BindError(
+                    "scalar subquery with non-equality correlation")
             if len(s.subquery.items) != 1:
                 raise BindError("scalar subquery must return one column")
             item_ast = s.subquery.items[0][0]
@@ -547,10 +702,16 @@ class Binder:
                 group_asts.append(items[g.value - 1][0])
                 continue
             if isinstance(g, A.EIdent) and len(g.parts) == 1:
-                # alias of a select item?
+                # real column wins; otherwise a select-item alias
+                try:
+                    self.bind_expr(g, scope)
+                    group_asts.append(g)
+                    continue
+                except BindError:
+                    pass
                 matched = False
                 for e, alias in items:
-                    if alias == g.parts[0] and not isinstance(e, A.EIdent):
+                    if alias == g.parts[0]:
                         group_asts.append(e)
                         matched = True
                         break
@@ -584,8 +745,13 @@ class Binder:
     # ------------------------------------------------------------------
     # ORDER BY
     # ------------------------------------------------------------------
-    def _bind_order(self, stmt, items, names, plan: L.LogicalNode):
+    def _bind_order_keys(self, stmt, items, names, out_schema,
+                         hidden_scope):
+        """Resolve ORDER BY keys over the projected schema; unresolvable
+        keys bind over hidden_scope (if given) as hidden sort columns.
+        Returns (keys, hidden) where hidden = [(bound_expr, name)]."""
         keys = []
+        hidden = []
         item_keys = [_ekey(e) for e, _ in items]
         for it in stmt.order_by:
             e = it.expr
@@ -597,16 +763,25 @@ class Binder:
                 idx = names.index(e.parts[0])
             elif _ekey(e) in item_keys:
                 idx = item_keys.index(_ekey(e))
-            if idx is None:
-                raise BindError(
-                    f"ORDER BY expression must appear in SELECT list: {e}")
-            f = plan.schema.field(idx)
             nl = it.nulls_last
             if nl is None:
                 nl = True   # duckdb default NULLS LAST
+            if idx is not None:
+                f = out_schema.field(idx)
+                keys.append(L.OrderKey(
+                    ir.ColRef(idx, f.dtype, f.name, f.strdict),
+                    it.desc, nl))
+                continue
+            if hidden_scope is None:
+                raise BindError(
+                    f"ORDER BY expression must appear in SELECT list: {e}")
+            be = self.bind_expr(e, hidden_scope)
+            hidx = len(names) + len(hidden)
+            hidden.append((be, f"__sort{len(hidden)}"))
             keys.append(L.OrderKey(
-                ir.ColRef(idx, f.dtype, f.name, f.strdict), it.desc, nl))
-        return L.Order(plan, keys)
+                ir.ColRef(hidx, be.dtype, f"__sort{len(hidden)-1}",
+                          getattr(be, "strdict", None)), it.desc, nl))
+        return keys, hidden
 
     def _order_key_over_schema(self, it: A.OrderItem, schema: Schema):
         e = it.expr
@@ -625,9 +800,14 @@ class Binder:
     # expression binding
     # ------------------------------------------------------------------
     def bind_expr(self, e: A.EExpr, scope: Scope, agg_ctx=None,
-                  group_map=None, sub_replacements=None) -> ir.Expr:
+                  group_map=None, sub_replacements=None,
+                  win_ctx=None) -> ir.Expr:
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
-                                     sub_replacements)
+                                     sub_replacements, win_ctx)
+        if isinstance(e, A.EWindow):
+            if win_ctx is None:
+                raise BindError("window function not allowed here")
+            return self._bind_window(e, scope, win_ctx)
         # group expression matching (whole-subtree)
         if group_map is not None:
             gasts, gkeys = group_map
@@ -708,10 +888,45 @@ class Binder:
             return self._bind_func(e, scope, agg_ctx, group_map,
                                    sub_replacements)
         if isinstance(e, A.ESub):
-            raise BindError("scalar subquery not supported here")
+            return self._eager_scalar_sub(e)
         if isinstance(e, A.EExists):
             raise BindError("EXISTS only supported in WHERE conjuncts")
         raise BindError(f"cannot bind expression {e}")
+
+    def _eager_scalar_sub(self, e: A.ESub) -> ir.Expr:
+        """Uncorrelated scalar subquery: execute at bind time, fold to a
+        constant (correlated ones are flattened in _bind_where; reaching
+        here correlated raises BindError from the inner bind)."""
+        from ..plan import optimizer, physical
+        plan = Binder(self.catalog, self.ctes).bind_select(e.subquery)
+        plan = optimizer.optimize(plan)
+        schema, batch = physical.execute(plan)
+        import numpy as np
+        sel = np.asarray(batch.sel)
+        f = schema.field(0)
+        idx = np.nonzero(sel)[0]
+        if len(idx) == 0:
+            return ir.Const(None, f.dtype)
+        i = int(idx[0])
+        col = batch.columns[0]
+        if col.nulls is not None and bool(np.asarray(col.nulls)[i]):
+            return ir.Const(None, f.dtype)
+        raw = np.asarray(col.data)[i]
+        if f.dtype.id == TypeId.VARCHAR:
+            c = ir.Const(0, T.VARCHAR)
+            c.strdict = StringDictionary(
+                np.array([f.strdict.decode_one(int(raw))], dtype=object))
+            return c
+        dt = f.dtype
+        v = raw.item()
+        if dt.id == TypeId.DECIMAL:
+            # strip trailing zeros so downstream rescales stay in int64
+            scale = dt.scale
+            while scale > 0 and v % 10 == 0:
+                v //= 10
+                scale -= 1
+            dt = T.DECIMAL(18, scale)
+        return ir.Const(v, dt)
 
     def _bind_literal(self, v) -> ir.Const:
         t = T.literal_type(v)
@@ -889,6 +1104,29 @@ class Binder:
         return out
 
     def _bind_cast(self, c: ir.Expr, typename: str, w: int, s: int):
+        # constant-fold casts of string literals (CAST('1998-09-02' AS date))
+        if isinstance(c, ir.Const) and c.dtype.id == TypeId.VARCHAR \
+                and getattr(c, "strdict", None) is not None:
+            text = c.strdict.decode_one(c.value)
+            tgt = {"date": T.DATE, "timestamp": T.TIMESTAMP}.get(typename)
+            if typename in ("decimal", "numeric"):
+                tgt = T.DECIMAL(w or 18, s)
+            elif typename in ("int", "integer", "bigint", "smallint",
+                              "tinyint", "int4", "int8"):
+                tgt = T.BIGINT if typename in ("bigint", "int8") \
+                    else T.INTEGER
+            elif typename in ("double", "float8", "real", "float"):
+                tgt = T.DOUBLE
+            if tgt is not None:
+                import decimal as _dec
+                v = text
+                if tgt.id == TypeId.DECIMAL:
+                    v = _dec.Decimal(text)
+                elif tgt.is_integer:
+                    v = int(text)
+                elif tgt.id == TypeId.DOUBLE:
+                    v = float(text)
+                return ir.Const(T.encode_literal(v, tgt), tgt)
         tmap = {
             "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
             "bigint": T.BIGINT, "int8": T.BIGINT, "hugeint": T.HUGEINT,
@@ -966,6 +1204,55 @@ class Binder:
             return self._bind_string_func(name, e, scope, agg_ctx,
                                           group_map, sub_replacements)
         raise BindError(f"unknown function {name}")
+
+    def _bind_window(self, e: A.EWindow, scope, win_ctx: WinCtx) -> WinRef:
+        fn = e.func
+        name = fn.name
+        partition = [self.bind_expr(p, scope) for p in e.partition]
+        order = []
+        for it in e.order:
+            oe = self.bind_expr(it.expr, scope)
+            nl = it.nulls_last if it.nulls_last is not None else True
+            order.append(L.OrderKey(oe, it.desc, nl))
+        arg = None
+        offset = 1
+        if name in ("row_number", "rank", "dense_rank"):
+            dtype = T.BIGINT
+        elif name == "count" and (fn.star or not fn.args):
+            name = "count_star"
+            dtype = T.BIGINT
+        else:
+            if not fn.args:
+                raise BindError(f"window {name} requires an argument")
+            arg = self.bind_expr(fn.args[0], scope)
+            if name in ("lag", "lead") and len(fn.args) > 1:
+                off = self.bind_expr(fn.args[1], scope)
+                if not isinstance(off, ir.Const):
+                    raise BindError("lag/lead offset must be constant")
+                offset = int(off.value)
+            if name == "count":
+                dtype = T.BIGINT
+            elif name == "sum":
+                at = arg.dtype
+                dtype = T.DECIMAL(18, at.scale) \
+                    if at.id == TypeId.DECIMAL else (
+                        T.HUGEINT if at.is_integer else T.DOUBLE)
+            elif name == "avg":
+                dtype = T.DOUBLE
+            elif name in ("min", "max", "first_value", "last_value",
+                          "lag", "lead"):
+                dtype = arg.dtype
+            else:
+                raise BindError(f"window function {name} not supported")
+        wf = L.WindowFn(name, arg, partition, order, dtype,
+                        name, offset,
+                        getattr(arg, "strdict", None)
+                        if arg is not None else None)
+        key = repr((name, repr(arg), [repr(p) for p in partition],
+                    [(repr(k.expr), k.desc, k.nulls_last)
+                     for k in order], offset))
+        idx = win_ctx.add(wf, key)
+        return WinRef(idx, dtype, wf.strdict)
 
     def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                        sub_replacements) -> AggRef:
@@ -1133,6 +1420,34 @@ def _collect_scalar_subs(e: A.EExpr, out: List[A.ESub]):
         return
     for c in _ast_children(e):
         _collect_scalar_subs(c, out)
+
+
+def _contains_window(e: A.EExpr) -> bool:
+    if isinstance(e, A.EWindow):
+        return True
+    for c in _ast_children(e):
+        if _contains_window(c):
+            return True
+    return False
+
+
+def _resolve_winrefs(e: ir.Expr, base: int) -> ir.Expr:
+    import copy
+    if isinstance(e, WinRef):
+        return ir.ColRef(base + e.index, e.dtype, f"__w{e.index}",
+                         e.strdict)
+    c = copy.copy(e)
+    if isinstance(e, ir.Case):
+        c.whens = [(_resolve_winrefs(w, base), _resolve_winrefs(v, base))
+                   for w, v in e.whens]
+        c.else_ = _resolve_winrefs(e.else_, base)
+        return c
+    for attr in ("child", "left", "right"):
+        if hasattr(e, attr):
+            setattr(c, attr, _resolve_winrefs(getattr(e, attr), base))
+    if hasattr(e, "args") and not isinstance(e, ir.Case):
+        c.args = tuple(_resolve_winrefs(a, base) for a in e.args)
+    return c
 
 
 def _resolve_aggrefs(e: ir.Expr, ngroups: int) -> ir.Expr:

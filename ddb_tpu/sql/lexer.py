@@ -28,7 +28,9 @@ KEYWORDS = {
     "first", "last", "with", "create", "view", "table", "drop", "replace",
     "if", "interval", "date", "time", "timestamp", "true", "false",
     "except", "intersect", "substring", "for", "extract", "values",
-    "insert", "into",
+    "insert", "into", "over", "partition", "rows", "range", "preceding",
+    "following", "unbounded", "current", "row", "update", "delete",
+    "set", "primary", "key", "default",
 }
 
 _TOKEN_RE = re.compile(r"""

@@ -87,6 +87,36 @@ class Parser:
             return self.select_stmt()
         if self.at_kw("create"):
             return self.create_stmt()
+        if self.at_kw("insert"):
+            return self.insert_stmt()
+        if self.at_kw("delete"):
+            self.next()
+            self.expect_kw("from")
+            name = self.ident()
+            where = self.expr() if self.accept_kw("where") else None
+            return A.DeleteStmt(name, where)
+        if self.at_kw("update"):
+            self.next()
+            name = self.ident()
+            self.expect_kw("set")
+            assigns = []
+            while True:
+                col = self.ident()
+                self.expect_op("=")
+                assigns.append((col, self.expr()))
+                if not self.accept_op(","):
+                    break
+            where = self.expr() if self.accept_kw("where") else None
+            return A.UpdateStmt(name, assigns, where)
+        t = self.peek()
+        if t.kind == "IDENT" and t.value in ("begin", "commit",
+                                             "rollback", "abort"):
+            self.next()
+            if self.peek().kind == "IDENT" and \
+                    self.peek().value == "transaction":
+                self.next()
+            kind = {"abort": "rollback"}.get(t.value, t.value)
+            return A.TransactionStmt(kind)
         if self.at_kw("drop"):
             self.next()
             kind = "view" if self.accept_kw("view") else \
@@ -108,17 +138,78 @@ class Parser:
             or_replace = True
         if self.accept_kw("view"):
             name = self.ident()
+            cols = self._opt_column_alias_list()
             self.expect_kw("as")
             body_start = self.peek().pos
             sel = self.select_stmt()
             body_end = self.peek().pos
             return A.CreateView(name, self.text[body_start:body_end],
-                                or_replace)
+                                or_replace, cols)
         if self.accept_kw("table"):
+            if_not_exists = False
+            if self.accept_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                if_not_exists = True
             name = self.ident()
-            self.expect_kw("as")
-            return A.CreateTableAs(name, self.select_stmt(), or_replace)
+            if self.accept_kw("as"):
+                return A.CreateTableAs(name, self.select_stmt(),
+                                       or_replace)
+            self.expect_op("(")
+            cols = []
+            while True:
+                cname = self.ident()
+                if cname == "primary" or self.at_kw("primary"):
+                    # PRIMARY KEY (...) table constraint: skip
+                    self.expect_kw("key") if cname == "primary" else None
+                    while not self.at("OP", ")"):
+                        self.next()
+                    break
+                tn, w, s = self.typename()
+                not_null = False
+                while True:
+                    if self.accept_kw("not"):
+                        self.expect_kw("null")
+                        not_null = True
+                    elif self.accept_kw("primary"):
+                        self.expect_kw("key")
+                        not_null = True
+                    elif self.accept_kw("default"):
+                        self.expr()
+                    else:
+                        break
+                cols.append(A.ColumnDef(cname, tn, w, s, not_null))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return A.CreateTable(name, cols, or_replace, if_not_exists)
         self.error("expected VIEW or TABLE")
+
+    def insert_stmt(self):
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        name = self.ident()
+        cols = None
+        if self.at("OP", "(") :
+            save = self.i
+            self.next()
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+        if self.accept_kw("values"):
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.expr()]
+                while self.accept_op(","):
+                    row.append(self.expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            return A.InsertStmt(name, cols, values=rows)
+        return A.InsertStmt(name, cols, select=self.select_stmt())
 
     # ---- SELECT ----------------------------------------------------------
     def select_stmt(self) -> A.SelectStmt:
@@ -265,7 +356,8 @@ class Parser:
                 self.expect_op(")")
                 self.accept_kw("as")
                 alias = self.ident()
-                return A.RSubquery(sel, alias)
+                cols = self._opt_column_alias_list()
+                return A.RSubquery(sel, alias, cols)
             ref = self.table_ref()
             self.expect_op(")")
             return ref
@@ -276,6 +368,19 @@ class Parser:
         elif self.peek().kind == "IDENT":
             alias = self.next().value
         return A.RBase(name, alias)
+
+    def _opt_column_alias_list(self):
+        """Optional (c1, c2, ...) column rename list after an alias."""
+        if self.at("OP", "(") and self.peek(1).kind in ("IDENT", "KW") \
+                and self.peek(2).kind == "OP" \
+                and self.peek(2).value in (",", ")"):
+            self.next()
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            return cols
+        return None
 
     # ---- expressions (Pratt) --------------------------------------------
     def expr(self) -> A.EExpr:
@@ -498,7 +603,10 @@ class Parser:
                 self.next()
                 if self.accept_op("*"):
                     self.expect_op(")")
-                    return A.EFunc(name, [], star=True)
+                    fn = A.EFunc(name, [], star=True)
+                    if self.at_kw("over"):
+                        return self.window_suffix(fn)
+                    return fn
                 distinct = bool(self.accept_kw("distinct"))
                 args = []
                 if not self.at("OP", ")"):
@@ -506,7 +614,10 @@ class Parser:
                     while self.accept_op(","):
                         args.append(self.expr())
                 self.expect_op(")")
-                return A.EFunc(name, args, distinct=distinct)
+                fn = A.EFunc(name, args, distinct=distinct)
+                if self.at_kw("over"):
+                    return self.window_suffix(fn)
+                return fn
             parts = [name]
             while self.accept_op("."):
                 if self.at("OP", "*"):
@@ -515,6 +626,28 @@ class Parser:
                 parts.append(self.ident())
             return A.EIdent(parts)
         self.error("expected expression")
+
+    def window_suffix(self, fn: A.EFunc) -> A.EWindow:
+        self.expect_kw("over")
+        self.expect_op("(")
+        w = A.EWindow(fn)
+        if self.accept_kw("partition"):
+            self.expect_kw("by")
+            w.partition.append(self.expr())
+            while self.accept_op(","):
+                w.partition.append(self.expr())
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            w.order = self.order_items()
+        if self.at_kw("rows", "range"):
+            # frame clause parsed but only defaults supported for now
+            frame_kind = self.next().value
+            parts = [frame_kind]
+            while not self.at("OP", ")"):
+                parts.append(self.next().value)
+            w.frame = " ".join(parts)
+        self.expect_op(")")
+        return w
 
     def case_expr(self):
         self.expect_kw("case")

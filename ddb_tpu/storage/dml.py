@@ -1,0 +1,176 @@
+"""Table mutation (INSERT/DELETE/UPDATE) — copy-on-write.
+
+Analog of the reference's DML operators + local storage
+(reference: src/execution/operator/persistent/physical_insert.cpp,
+physical_delete.cpp, physical_update.cpp, src/storage/local_storage.cpp).
+Every mutation REPLACES column arrays instead of mutating in place, so a
+snapshot (fork parity: Connection::CreateSnapshot, reference:
+src/main/connection.cpp:190-205) is a shallow copy of the table list.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import types as T
+from ..types import DataType, TypeId
+from .strings import StringDictionary
+from .table import ColumnStats, TableColumn, TableData
+
+
+def clone_table(td: TableData) -> TableData:
+    """Shallow snapshot clone (arrays shared; mutations replace arrays)."""
+    cols = [TableColumn(c.name, c.dtype, c.data, c.nulls, c.strdict,
+                        c.stats) for c in td.columns]
+    return TableData(td.name, cols)
+
+
+def empty_table(name: str, fields) -> TableData:
+    """fields: list[(name, DataType)]"""
+    cols = []
+    for cname, dt in fields:
+        data = np.zeros(0, dtype=dt.np_dtype)
+        sd = StringDictionary(np.array([], dtype=object).astype(str)) \
+            if dt.id == TypeId.VARCHAR else None
+        cols.append(TableColumn(cname, dt, data, None, sd))
+    return TableData(name, cols)
+
+
+def _encode_values(col: TableColumn, values: Sequence):
+    """Python values -> (physical array, null mask, new strdict or None).
+
+    For VARCHAR, returns codes against a dict EXTENDED with the new values
+    plus a translate table for existing codes."""
+    n = len(values)
+    nulls = np.array([v is None for v in values], dtype=bool)
+    if col.dtype.id == TypeId.VARCHAR:
+        new_strs = np.unique(np.array(
+            [("" if v is None else str(v)) for v in values], dtype=object)
+            .astype(str))
+        merged = np.unique(np.concatenate([col.strdict.values, new_strs])) \
+            if len(col.strdict.values) else new_strs
+        md = StringDictionary(merged)
+        translate = col.strdict.translate_to(md) \
+            if len(col.strdict.values) else None
+        codes = np.array([md.code_of("" if v is None else str(v))
+                          for v in values], dtype=np.int32)
+        return codes, nulls, (md, translate)
+    phys = np.array([T.encode_literal(v, col.dtype) for v in values],
+                    dtype=col.dtype.np_dtype)
+    return phys, nulls, None
+
+
+def insert_rows(td: TableData, rows: List[Sequence],
+                columns: Optional[List[str]] = None):
+    """Append python-value rows.  Missing columns get NULL."""
+    names = [c.name for c in td.columns]
+    if columns is None:
+        columns = names
+    colmap = {c: i for i, c in enumerate(columns)}
+    n = len(rows)
+    for ci, col in enumerate(td.columns):
+        if col.name in colmap:
+            vals = [r[colmap[col.name]] for r in rows]
+        else:
+            vals = [None] * n
+        data, nulls, dictinfo = _encode_values(col, vals)
+        if dictinfo is not None:
+            md, translate = dictinfo
+            old = col.data if translate is None else \
+                translate[col.data].astype(np.int32)
+            col.strdict = md
+            col.data = np.concatenate([old, data])
+        else:
+            col.data = np.concatenate([col.data, data])
+        if nulls.any() or col.nulls is not None:
+            old_n = col.nulls if col.nulls is not None else \
+                np.zeros(len(col.data) - n, dtype=bool)
+            col.nulls = np.concatenate([old_n, nulls])
+        col.compute_stats()
+    td.invalidate_cache()
+    return n
+
+
+def append_table(td: TableData, src_cols: List[TableColumn]):
+    """Append another table's columns (types must be compatible)."""
+    rows = None
+    pyvals = []
+    for col, s in zip(td.columns, src_cols):
+        if s.dtype.id == TypeId.VARCHAR:
+            vals = [None if (s.nulls is not None and s.nulls[i])
+                    else s.strdict.decode_one(int(s.data[i]))
+                    for i in range(len(s.data))]
+        else:
+            vals = [None if (s.nulls is not None and s.nulls[i])
+                    else T.decode_value(s.data[i], s.dtype)
+                    for i in range(len(s.data))]
+        pyvals.append(vals)
+    n = len(pyvals[0]) if pyvals else 0
+    rows = list(zip(*pyvals)) if pyvals else []
+    return insert_rows(td, rows)
+
+
+def delete_rows(td: TableData, mask: np.ndarray) -> int:
+    """Delete rows where mask is True; returns count deleted."""
+    keep = ~mask
+    for col in td.columns:
+        col.data = col.data[keep]
+        if col.nulls is not None:
+            col.nulls = col.nulls[keep]
+        col.compute_stats()
+    td.invalidate_cache()
+    return int(mask.sum())
+
+
+def update_rows(td: TableData, mask: np.ndarray,
+                updates: Dict[str, tuple]) -> int:
+    """updates: column name -> (values array over ALL rows, nulls or None,
+    value strdict for VARCHAR).  Applies at mask positions (copy-on-write)."""
+    for col in td.columns:
+        if col.name not in updates:
+            continue
+        vals, vnulls, vdict = updates[col.name]
+        if col.dtype.id == TypeId.VARCHAR:
+            # decode new values to strings, re-encode into merged dict
+            strs = [None if (vnulls is not None and vnulls[i])
+                    else vdict.decode_one(int(vals[i]))
+                    for i in np.nonzero(mask)[0]]
+            data, nulls, dictinfo = _encode_values(col, strs)
+            md, translate = dictinfo
+            base = col.data if translate is None else \
+                translate[col.data].astype(np.int32)
+            new = base.copy()
+            new[mask] = data
+            col.strdict = md
+            col.data = new
+        else:
+            new = col.data.copy()
+            new[mask] = np.asarray(vals)[mask].astype(col.dtype.np_dtype)
+            col.data = new
+        if vnulls is not None or col.nulls is not None:
+            old_n = col.nulls.copy() if col.nulls is not None else \
+                np.zeros(len(col.data), dtype=bool)
+            old_n[mask] = vnulls[mask] if vnulls is not None else False
+            col.nulls = old_n if old_n.any() else None
+        col.compute_stats()
+    td.invalidate_cache()
+    return int(mask.sum())
+
+
+def rows_as_python(td: TableData, mask: np.ndarray) -> List[tuple]:
+    """Materialize masked rows as python tuples (CDC row images)."""
+    idx = np.nonzero(mask)[0]
+    out = []
+    for i in idx:
+        row = []
+        for col in td.columns:
+            if col.nulls is not None and col.nulls[i]:
+                row.append(None)
+            elif col.dtype.id == TypeId.VARCHAR:
+                row.append(col.strdict.decode_one(int(col.data[i])))
+            else:
+                row.append(T.decode_value(col.data[i], col.dtype))
+        out.append(tuple(row))
+    return out

@@ -1,0 +1,112 @@
+"""DML, transactions, CDC, snapshots
+(reference: test/sql/insert, test/sql/update, test/sql/delete; fork CDC
+per SURVEY.md section 2.11)."""
+
+import decimal
+
+import pytest
+
+import ddb_tpu
+
+
+def test_create_insert_select():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER, b VARCHAR, c DECIMAL(10,2))")
+    con.execute("INSERT INTO t VALUES (1, 'x', 1.50), (2, 'y', 2.25)")
+    rows = con.execute("SELECT * FROM t ORDER BY a").fetchall()
+    assert rows == [(1, "x", decimal.Decimal("1.50")),
+                    (2, "y", decimal.Decimal("2.25"))]
+    con.execute("INSERT INTO t (a) VALUES (3)")
+    rows = con.execute("SELECT a, b FROM t WHERE b IS NULL").fetchall()
+    assert rows == [(3, None)]
+
+
+def test_insert_select():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE src (a INTEGER, s VARCHAR)")
+    con.execute("INSERT INTO src VALUES (1, 'p'), (2, 'q')")
+    con.execute("CREATE TABLE dst (a INTEGER, s VARCHAR)")
+    con.execute("INSERT INTO dst SELECT a + 10, s FROM src")
+    assert con.execute("SELECT * FROM dst ORDER BY a").fetchall() == \
+        [(11, "p"), (12, "q")]
+
+
+def test_delete_update():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER, v INTEGER)")
+    con.execute("INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    con.execute("DELETE FROM t WHERE a = 2")
+    assert con.execute("SELECT a FROM t ORDER BY a").fetchall() == \
+        [(1,), (3,)]
+    con.execute("UPDATE t SET v = v + 5 WHERE a = 3")
+    assert con.execute("SELECT v FROM t ORDER BY a").fetchall() == \
+        [(10,), (35,)]
+
+
+def test_update_varchar():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER, s VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, 'old'), (2, 'keep')")
+    con.execute("UPDATE t SET s = 'new' WHERE a = 1")
+    assert con.execute("SELECT s FROM t ORDER BY a").fetchall() == \
+        [("new",), ("keep",)]
+
+
+def test_transaction_rollback():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER)")
+    con.execute("INSERT INTO t VALUES (1)")
+    con.execute("BEGIN")
+    con.execute("INSERT INTO t VALUES (2)")
+    assert len(con.execute("SELECT * FROM t").fetchall()) == 2
+    con.execute("ROLLBACK")
+    assert con.execute("SELECT * FROM t").fetchall() == [(1,)]
+
+
+def test_cdc_stream():
+    con = ddb_tpu.connect()
+    events = []
+    con.on_change(events.append)
+    con.execute("CREATE TABLE t (a INTEGER, s VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    con.execute("UPDATE t SET s = 'z' WHERE a = 1")
+    con.execute("DELETE FROM t WHERE a = 2")
+    assert [e.op for e in events] == ["insert", "update", "delete"]
+    assert events[0].rows == [[1, "x"], [2, "y"]] or \
+        events[0].rows == [(1, "x"), (2, "y")]
+    assert events[1].old_rows == [(1, "x")]
+    assert events[1].rows == [(1, "z")]
+    assert events[2].rows == [(2, "y")]
+    # HLC timestamps strictly increase
+    assert events[0].hlc < events[1].hlc < events[2].hlc
+
+
+def test_cdc_transaction_commit():
+    con = ddb_tpu.connect()
+    events = []
+    con.on_change(events.append)
+    con.execute("CREATE TABLE t (a INTEGER)")
+    con.execute("BEGIN")
+    con.execute("INSERT INTO t VALUES (1)")
+    assert events == []          # buffered until commit
+    con.execute("COMMIT")
+    assert [e.op for e in events] == ["insert"]
+
+
+def test_snapshots():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER)")
+    con.execute("INSERT INTO t VALUES (1), (2)")
+    sid = con.create_snapshot()
+    con.execute("DELETE FROM t")
+    assert con.execute("SELECT count(*) FROM t").fetchall() == [(0,)]
+    snap = con.snapshots.get(sid)
+    assert snap["t"].num_rows == 2
+    con.remove_snapshot(sid)
+
+
+def test_hlc_external_advance():
+    con = ddb_tpu.connect()
+    t1 = con.get_hlc_timestamp()
+    con.set_hlc_timestamp(t1 + 10_000_000)
+    assert con.get_hlc_timestamp() > t1 + 10_000_000

@@ -1,0 +1,68 @@
+"""Window function tests (reference: test/sql/window/*)."""
+
+import pytest
+
+import ddb_tpu
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = ddb_tpu.connect()
+    c.register("t", {"g": ["a", "a", "a", "b", "b"],
+                     "x": [3, 1, 2, 10, 20],
+                     "v": [30, 10, 20, 100, 200]})
+    return c
+
+
+def q(con, sql):
+    return con.execute(sql).fetchall()
+
+
+def test_row_number(con):
+    rows = q(con, "SELECT x, row_number() OVER (PARTITION BY g ORDER BY x)"
+             " FROM t ORDER BY g, x")
+    assert rows == [(1, 1), (2, 2), (3, 3), (10, 1), (20, 2)]
+
+
+def test_rank_dense_rank(con):
+    c = ddb_tpu.connect()
+    c.register("r", {"x": [10, 10, 20, 30, 30]})
+    rows = q(c, "SELECT x, rank() OVER (ORDER BY x), "
+             "dense_rank() OVER (ORDER BY x) FROM r ORDER BY x, 2")
+    assert rows == [(10, 1, 1), (10, 1, 1), (20, 3, 2),
+                    (30, 4, 3), (30, 4, 3)]
+
+
+def test_running_sum(con):
+    rows = q(con, "SELECT g, x, sum(v) OVER (PARTITION BY g ORDER BY x) "
+             "FROM t ORDER BY g, x")
+    assert rows == [("a", 1, 10), ("a", 2, 30), ("a", 3, 60),
+                    ("b", 10, 100), ("b", 20, 300)]
+
+
+def test_partition_total(con):
+    rows = q(con, "SELECT g, x, sum(v) OVER (PARTITION BY g) FROM t "
+             "ORDER BY g, x")
+    assert rows == [("a", 1, 60), ("a", 2, 60), ("a", 3, 60),
+                    ("b", 10, 300), ("b", 20, 300)]
+
+
+def test_lag_lead(con):
+    rows = q(con, "SELECT x, lag(x) OVER (PARTITION BY g ORDER BY x), "
+             "lead(x) OVER (PARTITION BY g ORDER BY x) FROM t "
+             "ORDER BY g, x")
+    assert rows == [(1, None, 2), (2, 1, 3), (3, 2, None),
+                    (10, None, 20), (20, 10, None)]
+
+
+def test_first_last_value(con):
+    rows = q(con, "SELECT x, first_value(v) OVER (PARTITION BY g ORDER BY x)"
+             " FROM t ORDER BY g, x")
+    assert rows == [(1, 10), (2, 10), (3, 10), (10, 100), (20, 100)]
+
+
+def test_window_count_avg(con):
+    rows = q(con, "SELECT x, count(*) OVER (PARTITION BY g), "
+             "avg(v) OVER (PARTITION BY g) FROM t ORDER BY g, x")
+    assert rows == [(1, 3, 20.0), (2, 3, 20.0), (3, 3, 20.0),
+                    (10, 2, 150.0), (20, 2, 150.0)]
