@@ -107,9 +107,11 @@ class Connection:
                                   TimestampManager)
         self.catalog = Catalog()
         self._plan_cache: Dict[str, Any] = {}
+        from .config import Config
         self.clock = TimestampManager()
         self.cdc = ChangeDataCapture(self.clock)
         self.snapshots = SnapshotManager()
+        self.config = Config()
         self._txn_backup = None          # catalog tables at BEGIN
         self._txn_events = None          # CDC events buffered in txn
 
@@ -184,11 +186,25 @@ class Connection:
         from .sql import ast as A
         from .sql.binder import Binder
         if isinstance(stmt, A.SelectStmt):
-            binder = Binder(self.catalog)
+            binder = Binder(self.catalog, context=self)
             plan = binder.bind_select(stmt)
             plan = self._optimize(plan)
-            schema, batch = physical.execute(plan)
-            return QueryResult(schema, batch)
+            ctx = None
+            if self.config.get("enable_profiling"):
+                from .profiler import QueryProfiler
+                ctx = physical.ExecutionContext(QueryProfiler())
+            schema, batch = physical.execute(plan, ctx)
+            res = QueryResult(schema, batch)
+            if ctx is not None:
+                res.profile = ctx.profiler.render(plan)
+            return res
+        if isinstance(stmt, A.ExplainStmt):
+            return self._execute_explain(stmt)
+        if isinstance(stmt, A.SetStmt):
+            self.config.set(stmt.name, stmt.value)
+            return None
+        if isinstance(stmt, A.PragmaStmt):
+            return self._execute_pragma(stmt)
         if isinstance(stmt, A.CreateView):
             self.catalog.add_view(stmt.name, stmt.sql_text,
                                   or_replace=stmt.or_replace,
@@ -219,6 +235,46 @@ class Connection:
         if isinstance(stmt, A.TransactionStmt):
             return self._execute_transaction(stmt)
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    # ---- EXPLAIN / PRAGMA ------------------------------------------------
+    def _execute_explain(self, stmt):
+        from .plan.logical import explain as render_plan
+        from .profiler import QueryProfiler
+        from .sql.binder import Binder
+        binder = Binder(self.catalog, context=self)
+        plan = self._optimize(binder.bind_select(stmt.stmt))
+        if not stmt.analyze:
+            text = render_plan(plan)
+        else:
+            prof = QueryProfiler()
+            physical.execute(plan, physical.ExecutionContext(prof))
+            text = prof.render(plan)
+        return _text_result("explain", text.rstrip("\n").split("\n"))
+
+    def _execute_pragma(self, stmt):
+        name = stmt.name.lower()
+        if name == "table_info":
+            return self.execute(
+                f"SELECT * FROM pragma_table_info('{stmt.args[0]}')")
+        if name in ("enable_profiling", "enable_profile"):
+            self.config.set("enable_profiling", True)
+            return None
+        if name == "disable_profiling":
+            self.config.set("enable_profiling", False)
+            return None
+        if name == "show_tables":
+            return self.execute(
+                "SELECT table_name FROM duckdb_tables() ORDER BY 1")
+        if name == "database_size":
+            total = sum(
+                sum(c.data.nbytes for c in t.columns)
+                for t in self.catalog.tables.values())
+            return _text_result("database_size", [f"{total} bytes"])
+        # settings set via PRAGMA name=value
+        if stmt.args:
+            self.config.set(name, stmt.args[0])
+            return None
+        raise NotImplementedError(f"PRAGMA {name}")
 
     # ---- DML -------------------------------------------------------------
     def _execute_create_table(self, stmt):
@@ -369,6 +425,13 @@ class Connection:
 
     def table(self, name: str) -> storage.TableData:
         return self.catalog.get_table(name)
+
+
+def _text_result(name: str, lines) -> QueryResult:
+    from .storage.table import TableData
+    from .table_functions import _strcol
+    td = TableData(name, [_strcol(name, lines)])
+    return QueryResult(td.schema, td.device_batch())
 
 
 def _const_python_value(bound):

@@ -147,6 +147,13 @@ class RSubquery(TableRef):
 
 
 @dataclass
+class RFunction(TableRef):
+    name: str
+    args: List = field(default_factory=list)   # literal values
+    alias: Optional[str] = None
+
+
+@dataclass
 class RJoin(TableRef):
     left: TableRef
     right: TableRef
@@ -245,3 +252,21 @@ class UpdateStmt:
 @dataclass
 class TransactionStmt:
     kind: str                 # begin | commit | rollback
+
+
+@dataclass
+class ExplainStmt:
+    stmt: "SelectStmt"
+    analyze: bool = False
+
+
+@dataclass
+class SetStmt:
+    name: str
+    value: object
+
+
+@dataclass
+class PragmaStmt:
+    name: str
+    args: List = field(default_factory=list)

@@ -156,9 +156,11 @@ def _ekey(e) -> str:
 
 class Binder:
     def __init__(self, catalog: Catalog,
-                 cte_frames: Optional[Dict[str, A.SelectStmt]] = None):
+                 cte_frames: Optional[Dict[str, A.SelectStmt]] = None,
+                 context=None):
         self.catalog = catalog
         self.ctes: Dict[str, A.SelectStmt] = dict(cte_frames or {})
+        self.context = context   # owning Connection (table fns, config)
 
     # ------------------------------------------------------------------
     # statements
@@ -323,7 +325,7 @@ class Binder:
                 sub = self.ctes[name]
                 sub_binder = Binder(self.catalog,
                                     {k: v for k, v in self.ctes.items()
-                                     if k != name})
+                                     if k != name}, self.context)
                 plan = sub_binder.bind_select(sub)
                 sc = Scope()
                 sc.add(alias, plan.schema)
@@ -333,7 +335,7 @@ class Binder:
                 view_sql, vcols = view
                 from . import parser as sqlparser
                 sub = sqlparser.parse(view_sql)[0]
-                plan = Binder(self.catalog, self.ctes).bind_select(sub)
+                plan = Binder(self.catalog, self.ctes, self.context).bind_select(sub)
                 sc = Scope()
                 schema = plan.schema
                 if vcols:
@@ -345,8 +347,21 @@ class Binder:
             sc = Scope()
             sc.add(alias, plan.schema)
             return plan, sc
+        if isinstance(ref, A.RFunction):
+            from ..table_functions import TABLE_FUNCTIONS
+            fn = TABLE_FUNCTIONS.get(ref.name.lower())
+            if fn is None:
+                raise BindError(f"unknown table function {ref.name}")
+            if self.context is None:
+                raise BindError(
+                    f"table function {ref.name} needs a connection")
+            td = fn(self.context, ref.args)
+            plan = L.Get(td, list(range(len(td.schema))))
+            sc = Scope()
+            sc.add((ref.alias or ref.name).lower(), plan.schema)
+            return plan, sc
         if isinstance(ref, A.RSubquery):
-            plan = Binder(self.catalog, self.ctes).bind_select(ref.select)
+            plan = Binder(self.catalog, self.ctes, self.context).bind_select(ref.select)
             sc = Scope()
             schema = plan.schema
             if ref.column_aliases:
@@ -482,7 +497,7 @@ class Binder:
 
         Returns (inner_plan, inner_scope, corr) where corr is a list of
         (outer_expr, inner_expr) bound pairs."""
-        sub_binder = Binder(self.catalog, self.ctes)
+        sub_binder = Binder(self.catalog, self.ctes, self.context)
         plan, iscope = sub_binder.bind_from(sub.from_refs)
         corr: List[Tuple[ir.Expr, ir.Expr]] = []
         corr_extra: List[Tuple[str, ir.Expr, ir.Expr]] = []
@@ -524,7 +539,7 @@ class Binder:
                         scope) -> L.LogicalNode:
         # uncorrelated subqueries (possibly with grouping etc.) bind whole
         try:
-            full = Binder(self.catalog, self.ctes).bind_select(sub)
+            full = Binder(self.catalog, self.ctes, self.context).bind_select(sub)
         except BindError:
             full = None
         if full is not None:
@@ -592,7 +607,7 @@ class Binder:
     def _flatten_in(self, c: A.EIn, plan, scope) -> L.LogicalNode:
         # uncorrelated subqueries (with grouping/having etc.): bind whole
         try:
-            full = Binder(self.catalog, self.ctes).bind_select(c.subquery)
+            full = Binder(self.catalog, self.ctes, self.context).bind_select(c.subquery)
         except BindError:
             full = None
         if full is not None:
@@ -671,7 +686,7 @@ class Binder:
                 replacements[id(s)] = vcol
             else:
                 # uncorrelated: full subquery plan (may itself aggregate)
-                splan = Binder(self.catalog, self.ctes).bind_select(
+                splan = Binder(self.catalog, self.ctes, self.context).bind_select(
                     s.subquery)
                 old_width = len(plan.schema)
                 plan = L.CrossProduct(plan, splan)
@@ -898,7 +913,7 @@ class Binder:
         constant (correlated ones are flattened in _bind_where; reaching
         here correlated raises BindError from the inner bind)."""
         from ..plan import optimizer, physical
-        plan = Binder(self.catalog, self.ctes).bind_select(e.subquery)
+        plan = Binder(self.catalog, self.ctes, self.context).bind_select(e.subquery)
         plan = optimizer.optimize(plan)
         schema, batch = physical.execute(plan)
         import numpy as np

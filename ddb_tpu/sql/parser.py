@@ -73,7 +73,9 @@ class Parser:
             return self.next().value
         # allow non-reserved keywords as identifiers where unambiguous
         if t.kind == "KW" and t.value in ("date", "time", "timestamp",
-                                          "values", "first", "last"):
+                                          "values", "first", "last",
+                                          "range", "row", "rows", "key",
+                                          "set", "over", "partition"):
             return self.next().value
         self.error("expected identifier")
 
@@ -83,6 +85,38 @@ class Parser:
 
     # ---- statements ------------------------------------------------------
     def statement(self):
+        t = self.peek()
+        if t.kind == "IDENT" and t.value == "explain":
+            self.next()
+            analyze = False
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "analyze":
+                self.next()
+                analyze = True
+            return A.ExplainStmt(self.select_stmt(), analyze)
+        if t.kind == "KW" and t.value == "set" or \
+                (t.kind == "IDENT" and t.value == "set"):
+            self.next()
+            name = self.ident()
+            if not self.accept_op("="):
+                self.expect_kw("to") if self.at_kw("to") else None
+            v = self.expr_primary()
+            val = v.value if isinstance(v, A.ELit) else str(v)
+            return A.SetStmt(name, val)
+        if t.kind == "IDENT" and t.value == "pragma":
+            self.next()
+            name = self.ident()
+            args = []
+            if self.accept_op("("):
+                if not self.at("OP", ")"):
+                    args.append(self.expr_primary())
+                    while self.accept_op(","):
+                        args.append(self.expr_primary())
+                self.expect_op(")")
+            elif self.accept_op("="):
+                args.append(self.expr_primary())
+            return A.PragmaStmt(name, [a.value if isinstance(a, A.ELit)
+                                       else str(a) for a in args])
         if self.at_kw("select", "with"):
             return self.select_stmt()
         if self.at_kw("create"):
@@ -362,6 +396,23 @@ class Parser:
             self.expect_op(")")
             return ref
         name = self.ident()
+        if self.at("OP", "("):
+            self.next()
+            args = []
+            if not self.at("OP", ")"):
+                args.append(self.expr_primary())
+                while self.accept_op(","):
+                    args.append(self.expr_primary())
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.ident()
+            elif self.peek().kind == "IDENT":
+                alias = self.next().value
+            vals = [a.value if isinstance(a, A.ELit) else
+                    (a.text if isinstance(a, A.ETyped) else str(a))
+                    for a in args]
+            return A.RFunction(name, vals, alias)
         alias = None
         if self.accept_kw("as"):
             alias = self.ident()

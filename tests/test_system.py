@@ -1,0 +1,68 @@
+"""Settings / introspection / EXPLAIN / profiling
+(reference: src/function/table/system/*, main/query_profiler.hpp,
+settings registry per common/settings.json)."""
+
+import pytest
+
+import ddb_tpu
+
+
+@pytest.fixture()
+def con():
+    c = ddb_tpu.connect()
+    c.register("t", {"a": [1, 2, 3], "s": ["x", "y", "x"]})
+    return c
+
+
+def test_duckdb_tables(con):
+    rows = con.execute("SELECT table_name, column_count, estimated_size "
+                       "FROM duckdb_tables()").fetchall()
+    assert rows == [("t", 2, 3)]
+
+
+def test_duckdb_columns(con):
+    rows = con.execute(
+        "SELECT column_name, data_type FROM duckdb_columns() "
+        "WHERE table_name = 't' ORDER BY column_name").fetchall()
+    assert rows == [("a", "BIGINT"), ("s", "VARCHAR")]
+
+
+def test_settings(con):
+    con.execute("SET threads = 4")
+    rows = con.execute("SELECT value FROM duckdb_settings() "
+                       "WHERE name = 'threads'").fetchall()
+    assert rows == [("4",)]
+    with pytest.raises(KeyError):
+        con.execute("SET nonsense = 1")
+
+
+def test_pragma_table_info(con):
+    rows = con.execute("PRAGMA table_info('t')").fetchall()
+    assert [r[1] for r in rows] == ["a", "s"]
+
+
+def test_range_function(con):
+    rows = con.execute("SELECT sum(range) FROM range(10)").fetchall()
+    assert rows == [(45,)]
+    rows = con.execute(
+        "SELECT count(*) FROM generate_series(1, 5)").fetchall()
+    assert rows == [(5,)]
+
+
+def test_explain(con):
+    rows = con.execute("EXPLAIN SELECT a FROM t WHERE a > 1").fetchall()
+    text = "\n".join(r[0] for r in rows)
+    assert "Get" in text and "Project" in text
+
+
+def test_explain_analyze(con):
+    rows = con.execute(
+        "EXPLAIN ANALYZE SELECT s, sum(a) FROM t GROUP BY s").fetchall()
+    text = "\n".join(r[0] for r in rows)
+    assert "Aggregate" in text and "ms" in text
+
+
+def test_profiling_setting(con):
+    con.execute("PRAGMA enable_profiling")
+    res = con.execute("SELECT count(*) FROM t")
+    assert hasattr(res, "profile") and "Aggregate" in res.profile
