@@ -9,6 +9,7 @@ reference Python client (tools/pythonpkg/).
 from __future__ import annotations
 
 import decimal
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -134,6 +135,18 @@ class Connection:
     def remove_snapshot(self, sid: int) -> None:
         self.snapshots.remove(sid)
 
+    # ---- persistence (native single-file storage) -----------------------
+    def save(self, path: str) -> None:
+        """Checkpoint the whole database to a single file (atomic;
+        native writer in native/dtbfile.cpp)."""
+        from .storage.persist import save_database
+        save_database(self.catalog, path)
+
+    def load(self, path: str) -> "Connection":
+        from .storage.persist import load_database
+        load_database(self.catalog, path)
+        return self
+
     # ---- ingest ----------------------------------------------------------
     def register(self, name: str, obj) -> "Connection":
         """Register a pandas DataFrame / pyarrow Table / dict of columns."""
@@ -162,6 +175,9 @@ class Connection:
         if "column_names" in kw:
             opts["read_options"] = pcsv.ReadOptions(
                 column_names=kw["column_names"])
+        # duckdb semantics: empty CSV fields are NULL (also for strings)
+        opts["convert_options"] = pcsv.ConvertOptions(
+            strings_can_be_null=True)
         self.catalog.add_table(
             storage.from_arrow(name, pcsv.read_csv(path, **opts)),
             or_replace=True)
@@ -459,5 +475,10 @@ def _result_to_table(name, schema: Schema, batch: Batch):
     return storage.TableData(name, cols)
 
 
-def connect() -> Connection:
-    return Connection()
+def connect(database: Optional[str] = None) -> Connection:
+    """Open a connection; pass a path to load a saved database file."""
+    con = Connection()
+    if database is not None and database != ":memory:" \
+            and os.path.exists(database):
+        con.load(database)
+    return con

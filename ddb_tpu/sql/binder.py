@@ -201,12 +201,13 @@ class Binder:
         has_windows = any(_contains_window(e) for e, _ in items)
 
         having_bound = None
+        order_prebound = {}
         if has_aggs and has_windows:
             raise BindError(
                 "window functions over aggregates not supported yet")
         if has_aggs:
-            plan, bound_items, having_bound = self._bind_aggregate(
-                stmt, items, plan, scope)
+            plan, bound_items, having_bound, order_prebound = \
+                self._bind_aggregate(stmt, items, plan, scope)
         elif has_windows:
             win_ctx = WinCtx()
             bound_items = [self.bind_expr(e, scope, win_ctx=win_ctx)
@@ -244,7 +245,8 @@ class Binder:
             if not stmt.distinct and not has_aggs:
                 hidden_scope = scope
             keys, hidden = self._bind_order_keys(stmt, items, names,
-                                                 plan.schema, hidden_scope)
+                                                 plan.schema, hidden_scope,
+                                                 order_prebound)
             if hidden:
                 ext_items = bound_items + [h for h, _ in hidden]
                 ext_names = names + [n for _, n in hidden]
@@ -749,24 +751,40 @@ class Binder:
                                           group_map=(group_asts,
                                                      group_keys))
 
+        # ORDER BY expressions with aggregates not in the SELECT list
+        # pre-bind here so their specs make it into the Aggregate node
+        order_prebound = {}
+        for it in stmt.order_by:
+            if self._contains_agg(it.expr):
+                try:
+                    order_prebound[_ekey(it.expr)] = self.bind_expr(
+                        it.expr, scope, agg_ctx=agg_ctx,
+                        group_map=(group_asts, group_keys))
+                except BindError:
+                    pass
+
         agg = L.Aggregate(plan, bound_groups, agg_ctx.specs,
                           [f"__g{i}" for i in range(len(bound_groups))])
         ngroups = len(bound_groups)
         bound_items = [_resolve_aggrefs(b, ngroups) for b in bound_items]
         if having_bound is not None:
             having_bound = _resolve_aggrefs(having_bound, ngroups)
-        return agg, bound_items, having_bound
+        order_prebound = {k: _resolve_aggrefs(v, ngroups)
+                          for k, v in order_prebound.items()}
+        return agg, bound_items, having_bound, order_prebound
 
     # ------------------------------------------------------------------
     # ORDER BY
     # ------------------------------------------------------------------
     def _bind_order_keys(self, stmt, items, names, out_schema,
-                         hidden_scope):
+                         hidden_scope, prebound=None):
         """Resolve ORDER BY keys over the projected schema; unresolvable
-        keys bind over hidden_scope (if given) as hidden sort columns.
-        Returns (keys, hidden) where hidden = [(bound_expr, name)]."""
+        keys bind over hidden_scope / pre-bound aggregate expressions as
+        hidden sort columns.  Returns (keys, hidden) where hidden =
+        [(bound_expr, name)]."""
         keys = []
         hidden = []
+        prebound = prebound or {}
         item_keys = [_ekey(e) for e, _ in items]
         for it in stmt.order_by:
             e = it.expr
@@ -787,10 +805,13 @@ class Binder:
                     ir.ColRef(idx, f.dtype, f.name, f.strdict),
                     it.desc, nl))
                 continue
-            if hidden_scope is None:
+            if _ekey(e) in prebound:
+                be = prebound[_ekey(e)]
+            elif hidden_scope is not None:
+                be = self.bind_expr(e, hidden_scope)
+            else:
                 raise BindError(
                     f"ORDER BY expression must appear in SELECT list: {e}")
-            be = self.bind_expr(e, hidden_scope)
             hidx = len(names) + len(hidden)
             hidden.append((be, f"__sort{len(hidden)}"))
             keys.append(L.OrderKey(
@@ -1075,6 +1096,36 @@ class Binder:
         out = ir.DictLookup(col, table, T.BOOLEAN, f"like:{pattern}")
         return ir.Not(out) if e.negated else out
 
+    def _unify_string_exprs(self, exprs):
+        """Rewrite VARCHAR expressions from different dictionaries into a
+        shared merged dictionary (CASE/COALESCE over mixed strings)."""
+        dicts = [getattr(x, "strdict", None) for x in exprs]
+        uniq = {id(d): d for d in dicts if d is not None}
+        if len(uniq) <= 1:
+            sd = next(iter(uniq.values()), None)
+            return exprs, sd
+        merged = StringDictionary(np.unique(np.concatenate(
+            [d.values for d in uniq.values()])))
+        out = []
+        for x, d in zip(exprs, dicts):
+            if d is None:
+                out.append(x)
+                continue
+            if isinstance(x, ir.Const):
+                if x.value is None:
+                    nc = ir.Const(None, T.VARCHAR)
+                else:
+                    nc = ir.Const(merged.code_of(d.decode_one(x.value)),
+                                  T.VARCHAR)
+                nc.strdict = merged
+                out.append(nc)
+            else:
+                dl = ir.DictLookup(x, d.translate_to(merged), T.VARCHAR,
+                                   "dict_unify")
+                dl.strdict = merged
+                out.append(dl)
+        return out, merged
+
     def _bind_case(self, e: A.ECase, scope, agg_ctx, group_map,
                    sub_replacements):
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
@@ -1104,6 +1155,21 @@ class Binder:
                                    if belse.dtype.is_integer
                                    or belse.dtype.id == TypeId.DECIMAL
                                    else belse, ct)
+        elif ct.id == TypeId.VARCHAR:
+            allv = bvs + ([belse] if belse is not None else [])
+            allv, merged = self._unify_string_exprs(allv)
+            if belse is not None:
+                bvs, belse = allv[:-1], allv[-1]
+            else:
+                bvs = allv
+            if belse is None:
+                belse = ir.Const(None, ct)
+            wpairs = [(w[0], v) for w, v in zip(whens, bvs)]
+            out = ir.Case(wpairs, belse, ct)
+            out.strdict = merged if merged is not None else \
+                next((getattr(v, "strdict", None) for v in bvs
+                      if getattr(v, "strdict", None) is not None), None)
+            return out
         else:
             bvs = [ir.promote(v, ct) for v in bvs]
             if belse is not None:
@@ -1207,6 +1273,14 @@ class Binder:
             ct = args[0].dtype
             for a in args[1:]:
                 ct = ir.common_type(ct, a.dtype)
+            if ct.id == TypeId.VARCHAR:
+                args, merged = self._unify_string_exprs(args)
+                out = ir.Func("coalesce", args, ct)
+                out.strdict = merged if merged is not None else \
+                    next((getattr(a, "strdict", None) for a in args
+                          if getattr(a, "strdict", None) is not None),
+                         None)
+                return out
             args = [ir.promote(a, ct) for a in args]
             out = ir.Func("coalesce", args, ct)
             sd = next((getattr(a, "strdict", None) for a in args

@@ -1,0 +1,192 @@
+"""Database persistence: save/load via the native dtbfile library.
+
+Python side of the single-file storage engine (C++ core in
+native/dtbfile.cpp; reference counterpart src/storage/ checkpoint path,
+SURVEY.md section 2.7).  The catalog (tables, column types, dictionaries'
+layout, blob offsets/checksums) serializes to JSON; column data, null
+masks and dictionary UTF-8 serialize as raw blobs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from .. import types as T
+from ..types import DataType, TypeId
+from .strings import StringDictionary
+from .table import TableColumn, TableData
+
+_LIB = None
+
+
+def _native_dir():
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def _lib_path():
+    return os.path.join(_native_dir(), "libdtbfile.so")
+
+
+def build_native(force: bool = False) -> str:
+    """Compile the C++ storage library (g++, baked into the image)."""
+    src = os.path.join(_native_dir(), "dtbfile.cpp")
+    out = _lib_path()
+    if not force and os.path.exists(out) and \
+            os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
+        check=True, capture_output=True)
+    return out
+
+
+def _load_lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = build_native()
+    lib = ctypes.CDLL(path)
+    lib.dtb_write.restype = ctypes.c_int
+    lib.dtb_write.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64]
+    lib.dtb_read_catalog.restype = ctypes.c_void_p
+    lib.dtb_read_catalog.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.dtb_read_blob.restype = ctypes.c_int
+    lib.dtb_read_blob.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p]
+    lib.dtb_checksum.restype = ctypes.c_uint64
+    lib.dtb_checksum.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.dtb_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def _dict_blob(sd: StringDictionary) -> bytes:
+    parts = []
+    for s in sd.values:
+        b = str(s).encode("utf-8")
+        parts.append(len(b).to_bytes(4, "little"))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def _dict_from_blob(b: bytes, count: int) -> StringDictionary:
+    out = []
+    pos = 0
+    for _ in range(count):
+        ln = int.from_bytes(b[pos:pos + 4], "little")
+        pos += 4
+        out.append(b[pos:pos + ln].decode("utf-8"))
+        pos += ln
+    return StringDictionary(np.asarray(out, dtype=object).astype(str)
+                            if out else np.array([], dtype=object)
+                            .astype(str))
+
+
+def save_database(catalog, path: str) -> None:
+    lib = _load_lib()
+    blobs: List[bytes] = []
+    meta = {"tables": []}
+    offset = [0]
+
+    def add_blob(data: bytes):
+        off = offset[0]
+        blobs.append(data)
+        offset[0] += len(data)
+        csum = lib.dtb_checksum(data, len(data)) if data else 0
+        return {"offset": off, "length": len(data), "checksum": csum}
+
+    for name, td in sorted(catalog.tables.items()):
+        tmeta = {"name": name, "num_rows": td.num_rows, "columns": []}
+        for c in td.columns:
+            cm = {
+                "name": c.name,
+                "type": c.dtype.id.name,
+                "width": c.dtype.width,
+                "scale": c.dtype.scale,
+                "dtype": str(c.data.dtype),
+            }
+            cm["data"] = add_blob(np.ascontiguousarray(c.data).tobytes())
+            if c.nulls is not None:
+                cm["nulls"] = add_blob(
+                    np.ascontiguousarray(c.nulls).tobytes())
+            if c.strdict is not None:
+                cm["dict_count"] = len(c.strdict)
+                cm["dict"] = add_blob(_dict_blob(c.strdict))
+            tmeta["columns"].append(cm)
+        meta["tables"].append(tmeta)
+    meta["views"] = {n: list(v) for n, v in catalog.views.items()}
+
+    cat_json = json.dumps(meta).encode("utf-8")
+    n = len(blobs)
+    arr_p = (ctypes.c_void_p * n)()
+    arr_s = (ctypes.c_uint64 * n)()
+    keepalive = []
+    for i, b in enumerate(blobs):
+        buf = ctypes.create_string_buffer(b, len(b))
+        keepalive.append(buf)
+        arr_p[i] = ctypes.cast(buf, ctypes.c_void_p)
+        arr_s[i] = len(b)
+    rc = lib.dtb_write(path.encode(), cat_json, len(cat_json), arr_p,
+                       arr_s, n)
+    if rc != 0:
+        raise IOError(f"dtb_write failed with code {rc}")
+
+
+def load_database(catalog, path: str) -> None:
+    lib = _load_lib()
+    clen = ctypes.c_uint64()
+    doff = ctypes.c_uint64()
+    p = lib.dtb_read_catalog(path.encode(), ctypes.byref(clen),
+                             ctypes.byref(doff))
+    if not p:
+        raise IOError(f"cannot read database file {path}")
+    try:
+        meta = json.loads(ctypes.string_at(p, clen.value))
+    finally:
+        lib.dtb_free(p)
+    base = doff.value
+
+    def read_blob(bm) -> bytes:
+        buf = ctypes.create_string_buffer(bm["length"])
+        rc = lib.dtb_read_blob(path.encode(), base + bm["offset"],
+                               bm["length"], buf)
+        if rc != 0:
+            raise IOError(f"blob read failed ({rc})")
+        data = buf.raw
+        if lib.dtb_checksum(data, len(data)) != bm["checksum"] \
+                and bm["length"]:
+            raise IOError("blob checksum mismatch (corrupt file)")
+        return data
+
+    for tmeta in meta["tables"]:
+        cols = []
+        for cm in tmeta["columns"]:
+            dt = DataType(TypeId[cm["type"]], cm["width"], cm["scale"])
+            data = np.frombuffer(read_blob(cm["data"]),
+                                 dtype=np.dtype(cm["dtype"])).copy()
+            nulls = None
+            if "nulls" in cm:
+                nulls = np.frombuffer(read_blob(cm["nulls"]),
+                                      dtype=np.bool_).copy()
+            sd = None
+            if "dict" in cm:
+                sd = _dict_from_blob(read_blob(cm["dict"]),
+                                     cm["dict_count"])
+            cols.append(TableColumn(cm["name"], dt, data, nulls, sd))
+        catalog.add_table(TableData(tmeta["name"], cols),
+                          or_replace=True)
+    for name, v in meta.get("views", {}).items():
+        catalog.add_view(name, v[0], or_replace=True,
+                         column_aliases=v[1])

@@ -1,0 +1,32 @@
+"""Pallas kernel validation (interpret mode on CPU; the same kernel is
+validated compiled on real TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ddb_tpu.ops import pallas_agg as P
+
+
+def test_q1_fused_aggregate_interpret():
+    n = 4096
+    rng = np.random.default_rng(3)
+    args = [rng.integers(100, 5100, n).astype(np.int32),
+            rng.integers(90000, 520000000, n).astype(np.int32),
+            rng.integers(0, 11, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate(
+        *(jnp.asarray(x) for x in args), 10471, n_rows=n, interpret=True))
+    want = P.reference_sums(*args, 10471)
+    assert np.array_equal(got, want)
+
+
+def test_q1_limb_reconstruction():
+    sums = np.arange(P.GROUPS * P.PAYLOADS, dtype=np.int64).reshape(
+        P.GROUPS, P.PAYLOADS)
+    r = P.q1_results_from_sums(sums)
+    assert r["sum_disc_price"][0] == 4 * (1 << 16) + 5
+    assert r["count"][1] == sums[1, 3]
