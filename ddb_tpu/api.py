@@ -109,10 +109,12 @@ class Connection:
         self.catalog = Catalog()
         self._plan_cache: Dict[str, Any] = {}
         from .config import Config
+        from .logging_ import LogManager
         self.clock = TimestampManager()
         self.cdc = ChangeDataCapture(self.clock)
         self.snapshots = SnapshotManager()
         self.config = Config()
+        self.log = LogManager()
         self._txn_backup = None          # catalog tables at BEGIN
         self._txn_events = None          # CDC events buffered in txn
 
@@ -203,16 +205,23 @@ class Connection:
         from .sql.binder import Binder
         if isinstance(stmt, A.SelectStmt):
             binder = Binder(self.catalog, context=self)
-            plan = binder.bind_select(stmt)
-            plan = self._optimize(plan)
+            unopt = binder.bind_select(stmt)
+            plan = self._optimize(unopt)
             ctx = None
             if self.config.get("enable_profiling"):
                 from .profiler import QueryProfiler
                 ctx = physical.ExecutionContext(QueryProfiler())
+            import time as _time
+            t0 = _time.perf_counter()
             schema, batch = physical.execute(plan, ctx)
             res = QueryResult(schema, batch)
+            self.log.debug("query",
+                           f"executed in "
+                           f"{(_time.perf_counter()-t0)*1e3:.1f} ms")
             if ctx is not None:
                 res.profile = ctx.profiler.render(plan)
+            if self.config.get("enable_verification"):
+                self._verify_statement(stmt, unopt, res)
             return res
         if isinstance(stmt, A.ExplainStmt):
             return self._execute_explain(stmt)
@@ -251,6 +260,23 @@ class Connection:
         if isinstance(stmt, A.TransactionStmt):
             return self._execute_transaction(stmt)
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    # ---- statement verification -----------------------------------------
+    def _verify_statement(self, stmt, unopt_plan, res: QueryResult):
+        """Run the UNOPTIMIZED plan and diff results — the analog of the
+        reference's statement verifiers (src/verification/
+        statement_verifier.hpp: ORIGINAL vs UNOPTIMIZED).  Only sensible
+        on small inputs; enable via SET enable_verification = true."""
+        schema, batch = physical.execute(unopt_plan)
+        other = QueryResult(schema, batch)
+        a = sorted(map(repr, res.fetchall()))
+        b = sorted(map(repr, other.fetchall()))
+        if a != b:
+            self.log.warn("verify", "optimized vs unoptimized mismatch")
+            raise RuntimeError(
+                "statement verification failed: optimized and unoptimized "
+                f"plans disagree ({len(a)} vs {len(b)} rows)")
+        self.log.debug("verify", "unoptimized-plan cross-check ok")
 
     # ---- EXPLAIN / PRAGMA ------------------------------------------------
     def _execute_explain(self, stmt):

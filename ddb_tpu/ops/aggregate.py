@@ -31,10 +31,51 @@ import numpy as np
 
 
 class AggPayload(NamedTuple):
-    """One aggregate input: function kind + evaluated argument."""
-    kind: str                      # sum|min|max|count|count_star|avg|sum_float|any_value
+    """One aggregate input: function kind + evaluated argument.
+
+    kinds: sum|sum_float|avg|min|max|count|count_star|any_value|
+           var_samp|var_pop|stddev_samp|stddev_pop|
+           covar_samp|covar_pop|corr (two-argument: data2)"""
+    kind: str
     data: Optional[jax.Array]      # None for count_star
     nulls: Optional[jax.Array]
+    data2: Optional[jax.Array] = None   # second argument (corr/covar)
+
+
+_VAR_KINDS = ("var_samp", "var_pop", "stddev_samp", "stddev_pop")
+_COVAR_KINDS = ("covar_samp", "covar_pop", "corr")
+
+
+def _finalize_var(kind, s1, s2, cnt):
+    """Population/sample variance & stddev from Σx, Σx², n (float64)."""
+    n = jnp.maximum(cnt, 1).astype(jnp.float64)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m2 = jnp.maximum(m2, 0.0)
+    if kind.endswith("_pop"):
+        var = m2
+        bad = cnt == 0
+    else:
+        var = m2 * n / jnp.maximum(n - 1, 1)
+        bad = cnt <= 1
+    if kind.startswith("stddev"):
+        return jnp.sqrt(var), bad
+    return var, bad
+
+
+def _finalize_covar(kind, sx, sy, sxy, sxx, syy, cnt):
+    n = jnp.maximum(cnt, 1).astype(jnp.float64)
+    mx, my = sx / n, sy / n
+    cov_p = sxy / n - mx * my
+    if kind == "covar_pop":
+        return cov_p, cnt == 0
+    if kind == "covar_samp":
+        return cov_p * n / jnp.maximum(n - 1, 1), cnt <= 1
+    vx = jnp.maximum(sxx / n - mx * mx, 0.0)
+    vy = jnp.maximum(syy / n - my * my, 0.0)
+    denom = jnp.sqrt(vx * vy)
+    return cov_p / jnp.where(denom == 0, 1.0, denom), \
+        (cnt <= 1) | (denom == 0)
 
 
 # ---------------------------------------------------------------------------
@@ -78,6 +119,8 @@ def _extreme(dt, kind):
     if dt in (jnp.float32, jnp.float64):
         v = np.inf if kind == "min" else -np.inf
         return jnp.asarray(v, dtype=dt)
+    if np.dtype(dt) == np.bool_:
+        return jnp.asarray(kind == "min", dtype=jnp.bool_)
     info = np.iinfo(np.dtype(dt))
     return jnp.asarray(info.max if kind == "min" else info.min, dtype=dt)
 
@@ -122,6 +165,8 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
     for i, p in enumerate(payloads):
         if p.data is not None:
             carry(("pd", i), p.data)
+        if p.data2 is not None:
+            carry(("p2", i), p.data2)
         if p.nulls is not None:
             carry(("pn", i), p.nulls.astype(jnp.int8))
 
@@ -154,35 +199,50 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
     is_last = valid_s & (nxt_boundary | nxt_invalid)
 
     # ---- per-row segmented accumulations --------------------------------
-    results_rows = []      # (per-row arrays whose value at is_last = result)
+    # entries: (kind, [per-row arrays whose value at is_last = result],
+    #           cnt_per_row or None)
+    results_rows = []
     for i, p in enumerate(payloads):
         if p.kind == "count_star":
             cnt = _seg_sum_scan(boundary, valid_s.astype(jnp.int64))
-            results_rows.append(("count", cnt, None))
+            results_rows.append(("count", [cnt], None))
             continue
         data_s = cs(("pd", i))
         nn_s = cs(("pn", i)) if p.nulls is not None else None
         notnull = valid_s if nn_s is None else (valid_s & (nn_s == 0))
         cnt = _seg_sum_scan(boundary, notnull.astype(jnp.int64))
         if p.kind == "count":
-            results_rows.append(("count", cnt, None))
+            results_rows.append(("count", [cnt], None))
         elif p.kind in ("sum", "sum_float", "avg"):
             acc = _acc_dtype(p.kind, data_s.dtype)
             v = jnp.where(notnull, data_s.astype(acc),
                           jnp.zeros((), dtype=acc))
             s = _seg_sum_scan(boundary, v)
-            if p.kind == "avg":
-                results_rows.append(("avg", s, cnt))
-            else:
-                results_rows.append(("sum", s, cnt))
+            results_rows.append((("avg" if p.kind == "avg" else "sum"),
+                                 [s], cnt))
         elif p.kind in ("min", "max"):
             big = _extreme(data_s.dtype, p.kind)
             v = jnp.where(notnull, data_s, big)
             m = _seg_minmax_scan(boundary, v, p.kind == "min")
-            results_rows.append(("minmax", m, cnt))
+            results_rows.append(("minmax", [m], cnt))
         elif p.kind == "any_value":
             v = _seg_first_scan(boundary, notnull, data_s)
-            results_rows.append(("minmax", v, cnt))
+            results_rows.append(("minmax", [v], cnt))
+        elif p.kind in _VAR_KINDS:
+            x = jnp.where(notnull, data_s.astype(jnp.float64), 0.0)
+            s1 = _seg_sum_scan(boundary, x)
+            s2 = _seg_sum_scan(boundary, x * x)
+            results_rows.append((p.kind, [s1, s2], cnt))
+        elif p.kind in _COVAR_KINDS:
+            d2 = cs(("p2", i))
+            x = jnp.where(notnull, data_s.astype(jnp.float64), 0.0)
+            y = jnp.where(notnull, d2.astype(jnp.float64), 0.0)
+            arrs = [_seg_sum_scan(boundary, x),
+                    _seg_sum_scan(boundary, y),
+                    _seg_sum_scan(boundary, x * y),
+                    _seg_sum_scan(boundary, x * x),
+                    _seg_sum_scan(boundary, y * y)]
+            results_rows.append((p.kind, arrs, cnt))
         else:
             raise NotImplementedError(p.kind)
 
@@ -192,8 +252,8 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
         compact_carry.append(cs(("kd", i)))
         if nmask is not None:
             compact_carry.append(cs(("kn", i)))
-    for kind, arr, cnt in results_rows:
-        compact_carry.append(arr)
+    for kind, arrs, cnt in results_rows:
+        compact_carry.extend(arrs)
         if cnt is not None:
             compact_carry.append(cnt)
 
@@ -224,23 +284,31 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
         group_cols.append((gd, gn))
 
     agg_results = []
-    for kind, arr, cnt in results_rows:
-        gv = take(out_i)
-        out_i += 1
+    for kind, arrs, cnt in results_rows:
+        gvs = []
+        for _ in arrs:
+            gvs.append(take(out_i))
+            out_i += 1
         if cnt is not None:
             gc = take(out_i)
             out_i += 1
         else:
             gc = None
         if kind == "count":
-            agg_results.append((jnp.where(gsel, gv, 0), None))
+            agg_results.append((jnp.where(gsel, gvs[0], 0), None))
         elif kind == "sum":
-            agg_results.append((gv, (gc == 0) | ~gsel))
+            agg_results.append((gvs[0], (gc == 0) | ~gsel))
         elif kind == "avg":
-            out = gv.astype(jnp.float64) / jnp.maximum(gc, 1)
+            out = gvs[0].astype(jnp.float64) / jnp.maximum(gc, 1)
             agg_results.append((out, (gc == 0) | ~gsel))
+        elif kind in _VAR_KINDS:
+            out, bad = _finalize_var(kind, gvs[0], gvs[1], gc)
+            agg_results.append((out, bad | ~gsel))
+        elif kind in _COVAR_KINDS:
+            out, bad = _finalize_covar(kind, *gvs, gc)
+            agg_results.append((out, bad | ~gsel))
         else:  # minmax / any_value
-            agg_results.append((gv, (gc == 0) | ~gsel))
+            agg_results.append((gvs[0], (gc == 0) | ~gsel))
 
     return group_cols, agg_results, gsel, ngroups
 
@@ -430,6 +498,102 @@ def ungrouped_aggregate(payloads: Sequence[AggPayload], sel: jax.Array):
         elif p.kind == "any_value":
             idx = jnp.argmax(live)
             results.append((p.data[idx], cnt == 0))
+        elif p.kind in _VAR_KINDS:
+            x = jnp.where(live, p.data.astype(jnp.float64), 0.0)
+            out, bad = _finalize_var(p.kind, x.sum(), (x * x).sum(), cnt)
+            results.append((out, bad))
+        elif p.kind in _COVAR_KINDS:
+            x = jnp.where(live, p.data.astype(jnp.float64), 0.0)
+            y = jnp.where(live, p.data2.astype(jnp.float64), 0.0)
+            out, bad = _finalize_covar(
+                p.kind, x.sum(), y.sum(), (x * y).sum(), (x * x).sum(),
+                (y * y).sum(), cnt)
+            results.append((out, bad))
         else:
             raise NotImplementedError(p.kind)
     return results
+
+
+# ---------------------------------------------------------------------------
+# holistic aggregates: quantile / median (reference: holistic aggregates in
+# extension/core_functions/aggregate/holistic/) — sort-based positional
+# selection, fully vectorized.
+# ---------------------------------------------------------------------------
+
+def group_quantile(key_ops, value_ops, payload: AggPayload, q: float,
+                   sel, num_groups_cap: int, interpolate: bool):
+    """Per-group quantile of payload.data ordered by value_ops.
+    Group order matches group_and_aggregate over the same key_ops.
+    Returns (result float64|value dtype, isnull)."""
+    cap = sel.shape[0]
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    invalid = (~live).astype(jnp.int32)
+    operands = [invalid, *key_ops, *value_ops]
+    sorted_ops = lax.sort(operands + [payload.data],
+                          num_keys=len(operands), is_stable=False)
+    inv_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(key_ops)]
+    data_s = sorted_ops[-1]
+    valid_s = inv_s == 0
+
+    kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k in keys_s:
+        kdiff = kdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    boundary = kdiff & valid_s
+    ngroups = boundary.sum().astype(jnp.int32)
+    cnt_scan = _seg_sum_scan(boundary, valid_s.astype(jnp.int64))
+
+    # group start positions via compaction of boundary rows
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    not_b = (~boundary).astype(jnp.int32)
+    _, starts = lax.sort([not_b, pos], num_keys=2)
+    ncap = num_groups_cap
+    starts = starts[:ncap]
+    gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
+
+    # per-group count = value of cnt_scan at group end; group end =
+    # next start - 1 (last group: total valid count - 1)
+    total_valid = valid_s.astype(jnp.int32).sum()
+    nxt = jnp.concatenate([starts[1:], jnp.full(1, 0, starts.dtype)])
+    idx = lax.broadcasted_iota(jnp.int32, (ncap,), 0)
+    ends = jnp.where(idx == ngroups - 1, total_valid - 1,
+                     jnp.where(gsel, nxt - 1, 0))
+    cnts = jnp.clip(cnt_scan[jnp.clip(ends, 0, cap - 1)], 0, None)
+    cnts = jnp.where(gsel, cnts, 0)
+
+    # positions of the quantile element(s)
+    frac = q * (cnts.astype(jnp.float64) - 1)
+    lo_off = jnp.clip(jnp.floor(frac).astype(jnp.int64), 0, None)
+    hi_off = jnp.clip(jnp.ceil(frac).astype(jnp.int64), 0, None)
+    lo_idx = jnp.clip(starts.astype(jnp.int64) + lo_off, 0, cap - 1)
+    hi_idx = jnp.clip(starts.astype(jnp.int64) + hi_off, 0, cap - 1)
+    vlo = data_s[lo_idx]
+    vhi = data_s[hi_idx]
+    isnull = (cnts == 0) | ~gsel
+    if interpolate:
+        w = frac - jnp.floor(frac)
+        out = vlo.astype(jnp.float64) * (1 - w) \
+            + vhi.astype(jnp.float64) * w
+        return out, isnull
+    return vlo, isnull
+
+
+def ungrouped_quantile(value_ops, payload: AggPayload, q: float, sel,
+                       interpolate: bool):
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    invalid = (~live).astype(jnp.int32)
+    sorted_ops = lax.sort([invalid, *value_ops, payload.data],
+                          num_keys=1 + len(value_ops), is_stable=False)
+    data_s = sorted_ops[-1]
+    cnt = live.astype(jnp.int64).sum()
+    frac = q * (cnt.astype(jnp.float64) - 1)
+    lo = jnp.clip(jnp.floor(frac).astype(jnp.int64), 0, None)
+    hi = jnp.clip(jnp.ceil(frac).astype(jnp.int64), 0, None)
+    vlo = data_s[jnp.clip(lo, 0, data_s.shape[0] - 1)]
+    vhi = data_s[jnp.clip(hi, 0, data_s.shape[0] - 1)]
+    if interpolate:
+        w = frac - jnp.floor(frac)
+        return (vlo.astype(jnp.float64) * (1 - w)
+                + vhi.astype(jnp.float64) * w), cnt == 0
+    return vlo, cnt == 0

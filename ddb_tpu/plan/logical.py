@@ -73,11 +73,15 @@ class Project(LogicalNode):
 
 @dataclass
 class AggSpec:
-    kind: str                      # sum|min|max|count|count_star|avg|any_value
+    kind: str          # sum|min|max|count|count_star|avg|any_value|
+    #                    var_*|stddev_*|covar_*|corr|median|quantile_*
     arg: Optional[ir.Expr]
     dtype: DataType
     name: str
     distinct: bool = False
+    arg2: Optional[ir.Expr] = None     # corr/covar second argument
+    quantile: Optional[float] = None   # median/quantile fraction
+    interpolate: bool = False          # continuous quantile
 
 
 @dataclass

@@ -339,21 +339,26 @@ def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
         return L.Project(child, exprs, node.names, node.schema)
 
     if isinstance(node, L.Aggregate):
+        import dataclasses
         used = set()
         for g in node.groups:
             used.update(_cols_of(g))
         for a in node.aggs:
-            if a.arg is not None:
-                used.update(_cols_of(a.arg))
+            for arg in (a.arg, a.arg2):
+                if arg is not None:
+                    used.update(_cols_of(arg))
         child, remap = _prune_child(node.child, used)
         groups = [ir.remap_columns(g, {c: remap[c] for c in _cols_of(g)})
                   for g in node.groups]
-        aggs = [L.AggSpec(a.kind,
-                          ir.remap_columns(a.arg,
-                                           {c: remap[c]
-                                            for c in _cols_of(a.arg)})
-                          if a.arg is not None else None,
-                          a.dtype, a.name, a.distinct)
+
+        def remap_arg(arg):
+            if arg is None:
+                return None
+            return ir.remap_columns(arg, {c: remap[c]
+                                          for c in _cols_of(arg)})
+
+        aggs = [dataclasses.replace(a, arg=remap_arg(a.arg),
+                                    arg2=remap_arg(a.arg2))
                 for a in node.aggs]
         return L.Aggregate(child, groups, aggs, node.group_names,
                            node.schema)

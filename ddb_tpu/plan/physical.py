@@ -179,13 +179,18 @@ def _payloads(node: L.Aggregate, b: Batch):
     for a in node.aggs:
         if a.kind == "count_star":
             ps.append(agg_ops.AggPayload("count_star", None, None))
-        else:
-            d, n = evaluate(a.arg, b)
-            kind = a.kind
-            if kind == "sum" and a.arg.dtype.id in (TypeId.FLOAT,
-                                                    TypeId.DOUBLE):
-                kind = "sum_float"
-            ps.append(agg_ops.AggPayload(kind, d, n))
+            continue
+        d, n = evaluate(a.arg, b)
+        d2 = None
+        if a.arg2 is not None:
+            d2, n2 = evaluate(a.arg2, b)
+            if n2 is not None:
+                n = n2 if n is None else (n | n2)
+        kind = a.kind
+        if kind == "sum" and a.arg.dtype.id in (TypeId.FLOAT,
+                                                TypeId.DOUBLE):
+            kind = "sum_float"
+        ps.append(agg_ops.AggPayload(kind, d, n, d2))
     return ps
 
 
@@ -195,7 +200,8 @@ def _agg_output(node: L.Aggregate, group_cols, agg_results, gsel, ngroups,
     for (d, n) in group_cols:
         cols.append(Column(d, n))
     for a, (d, n) in zip(node.aggs, agg_results):
-        if a.kind == "avg" and a.arg is not None \
+        if (a.kind == "avg" or (a.kind == "quantile" and a.interpolate)) \
+                and a.arg is not None \
                 and a.arg.dtype.id == TypeId.DECIMAL:
             # integer sum was in fixed-point: scale back to a true double
             d = d / T.decimal_scale_factor(a.arg.dtype.scale)
@@ -214,7 +220,12 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             ps = _payloads(node, b)
             res = []
             for spec, p in zip(node.aggs, ps):
-                if spec.distinct and spec.kind != "count_star":
+                if spec.kind == "quantile":
+                    vops = sortkey.encode_key(p.data, p.nulls,
+                                              spec.arg.dtype)
+                    res.append(agg_ops.ungrouped_quantile(
+                        vops, p, spec.quantile, b.sel, spec.interpolate))
+                elif spec.distinct and spec.kind != "count_star":
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
                     res.append(agg_ops.ungrouped_distinct(vops, p, b.sel))
@@ -222,7 +233,9 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     res.append(agg_ops.ungrouped_aggregate([p], b.sel)[0])
             cols = []
             for a, (v, isn) in zip(node.aggs, res):
-                if a.kind == "avg" and a.arg is not None \
+                if (a.kind == "avg"
+                        or (a.kind == "quantile" and a.interpolate)) \
+                        and a.arg is not None \
                         and a.arg.dtype.id == TypeId.DECIMAL:
                     v = v / T.decimal_scale_factor(a.arg.dtype.scale)
                 want = np.dtype(a.dtype.np_dtype)
@@ -285,15 +298,25 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             key_data.append((d, n))
         ps = _payloads(node, b)
         gcap = b.sel.shape[0]
+
+        def is_special(a):
+            return a.kind == "quantile" or (a.distinct
+                                            and a.kind != "count_star")
+
         plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
-                 if not (a.distinct and a.kind != "count_star")]
+                 if not is_special(a)]
         group_cols, plain_res, gsel, ng = agg_ops.group_and_aggregate(
             key_ops, key_data, [p for _, p in plain], b.sel, gcap)
         results = [None] * len(ps)
         for (i, _), r in zip(plain, plain_res):
             results[i] = r
         for i, (a, p) in enumerate(zip(node.aggs, ps)):
-            if a.distinct and a.kind != "count_star":
+            if a.kind == "quantile":
+                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+                results[i] = agg_ops.group_quantile(
+                    key_ops, vops, p, a.quantile, b.sel, gcap,
+                    a.interpolate)
+            elif a.distinct and a.kind != "count_star":
                 vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
                 results[i] = agg_ops.group_distinct_aggregate(
                     key_ops, vops, p, b.sel, gcap)

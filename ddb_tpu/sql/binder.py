@@ -38,7 +38,10 @@ class BindError(Exception):
 
 
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
-             "stddev", "stddev_samp", "var_samp", "variance", "median"}
+             "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+             "variance", "median", "quantile", "quantile_cont",
+             "quantile_disc", "corr", "covar_pop", "covar_samp",
+             "bool_and", "bool_or", "approx_count_distinct"}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -1385,7 +1388,64 @@ class Binder:
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
             idx = agg_ctx.add(spec, f"any_value({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name in ("stddev", "stddev_samp", "stddev_pop", "var_samp",
+                    "var_pop", "variance"):
+            kind = {"stddev": "stddev_samp", "variance": "var_samp"} \
+                .get(name, name)
+            arg = self._agg_numeric(arg)
+            spec = L.AggSpec(kind, arg, T.DOUBLE, kind)
+            idx = agg_ctx.add(spec, f"{kind}({_ekey(arg)})")
+            return AggRef(idx, T.DOUBLE)
+        if name in ("corr", "covar_pop", "covar_samp"):
+            if len(e.args) != 2:
+                raise BindError(f"{name} requires two arguments")
+            arg = self._agg_numeric(arg)
+            arg2 = self._agg_numeric(
+                self.bind_expr(e.args[1], scope, None, None,
+                               sub_replacements))
+            spec = L.AggSpec(name, arg, T.DOUBLE, name, arg2=arg2)
+            idx = agg_ctx.add(spec, f"{name}({_ekey(arg)},{_ekey(arg2)})")
+            return AggRef(idx, T.DOUBLE)
+        if name in ("median", "quantile_cont", "quantile_disc",
+                    "quantile"):
+            q = 0.5
+            if name != "median":
+                if len(e.args) < 2:
+                    raise BindError(f"{name} requires a fraction")
+                qe = self.bind_expr(e.args[1], scope)
+                if not isinstance(qe, ir.Const):
+                    raise BindError("quantile fraction must be constant")
+                q = float(qe.value)
+                if qe.dtype.id == TypeId.DECIMAL:
+                    q /= T.decimal_scale_factor(qe.dtype.scale)
+            interp = name in ("median", "quantile_cont") \
+                and arg.dtype.id != TypeId.VARCHAR
+            rt = T.DOUBLE if interp else arg.dtype
+            kind = "quantile"
+            spec = L.AggSpec(kind, arg, rt, name, quantile=q,
+                             interpolate=interp)
+            idx = agg_ctx.add(spec, f"quantile({_ekey(arg)},{q},{interp})")
+            return AggRef(idx, rt, getattr(arg, "strdict", None)
+                          if not interp else None)
+        if name in ("bool_and", "bool_or"):
+            spec = L.AggSpec("min" if name == "bool_and" else "max",
+                             arg, T.BOOLEAN, name)
+            idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
+            return AggRef(idx, T.BOOLEAN)
+        if name == "approx_count_distinct":
+            spec = L.AggSpec("count", arg, T.BIGINT, name, distinct=True)
+            idx = agg_ctx.add(spec, f"count({_ekey(arg)},True)")
+            return AggRef(idx, T.BIGINT)
         raise BindError(f"aggregate {name} not supported yet")
+
+    def _agg_numeric(self, arg: ir.Expr) -> ir.Expr:
+        """Promote statistical-aggregate inputs to DOUBLE (duckdb casts
+        decimal/int inputs for stddev/corr familes)."""
+        if arg.dtype.id == TypeId.DOUBLE:
+            return arg
+        if not arg.dtype.is_numeric:
+            raise BindError("statistical aggregate requires numeric input")
+        return ir.Cast(arg, T.DOUBLE)
 
     def _bind_string_func(self, name, e: A.EFunc, scope, agg_ctx,
                           group_map, sub_replacements):

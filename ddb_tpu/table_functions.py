@@ -103,7 +103,20 @@ def fn_pragma_table_info(ctx, args) -> TableData:
     ])
 
 
+def fn_duckdb_logs(ctx, args) -> TableData:
+    import datetime
+    es = list(ctx.log.entries)
+    return TableData("duckdb_logs", [
+        _strcol("timestamp", [
+            datetime.datetime.fromtimestamp(e.ts).isoformat()
+            for e in es]),
+        _strcol("level", [e.level for e in es]),
+        _strcol("type", [e.type for e in es]),
+        _strcol("message", [e.message for e in es])])
+
+
 TABLE_FUNCTIONS: Dict[str, Callable] = {
+    "duckdb_logs": fn_duckdb_logs,
     "duckdb_tables": fn_duckdb_tables,
     "duckdb_columns": fn_duckdb_columns,
     "duckdb_settings": fn_duckdb_settings,

@@ -111,6 +111,17 @@ QUERIES = [
     "FROM t WHERE b = 9 AND a IS NOT NULL ORDER BY rn LIMIT 10",
     "SELECT abs(a) ab, count(*) FROM t WHERE a IS NOT NULL "
     "GROUP BY ab ORDER BY ab LIMIT 10",
+    "SELECT round(stddev_samp(f), 8), round(var_pop(f), 8) FROM t",
+    "SELECT b, round(stddev_pop(a), 8) FROM t WHERE a IS NOT NULL "
+    "GROUP BY b ORDER BY b",
+    "SELECT round(corr(a, b), 10), round(covar_samp(a, b), 10) FROM t "
+    "WHERE a IS NOT NULL",
+    "SELECT median(b), quantile_cont(b, 0.25) FROM t",
+    "SELECT b, median(a) FROM t WHERE a IS NOT NULL GROUP BY b "
+    "ORDER BY b",
+    "SELECT quantile_disc(a, 0.9) FROM t WHERE a IS NOT NULL",
+    "SELECT bool_and(a > -100), bool_or(a > 49) FROM t "
+    "WHERE a IS NOT NULL",
 ]
 
 

@@ -66,3 +66,20 @@ def test_profiling_setting(con):
     con.execute("PRAGMA enable_profiling")
     res = con.execute("SELECT count(*) FROM t")
     assert hasattr(res, "profile") and "Aggregate" in res.profile
+
+
+def test_statement_verifier(con):
+    con.execute("SET enable_verification = true")
+    rows = con.execute("SELECT s, sum(a) FROM t GROUP BY s ORDER BY s") \
+        .fetchall()
+    assert rows == [("x", 4), ("y", 2)]
+    con.execute("SET enable_verification = false")
+
+
+def test_logging(con):
+    con.log.clear()
+    con.log.level = "debug"
+    con.execute("SELECT count(*) FROM t")
+    rows = con.execute("SELECT type, message FROM duckdb_logs() "
+                       "WHERE type = 'query'").fetchall()
+    assert rows and "executed" in rows[0][1]
