@@ -115,6 +115,14 @@ class Connection:
         self.snapshots = SnapshotManager()
         self.config = Config()
         self.log = LogManager()
+        self.mesh = None          # set via use_mesh() for SPMD execution
+
+    def use_mesh(self, mesh) -> "Connection":
+        """Execute queries distributed over a jax.sharding.Mesh (tables
+        row-sharded, aggregates/joins via ICI exchanges).  Unsupported
+        operators fall back to single-device execution."""
+        self.mesh = mesh
+        return self
         self._txn_backup = None          # catalog tables at BEGIN
         self._txn_events = None          # CDC events buffered in txn
 
@@ -213,7 +221,16 @@ class Connection:
                 ctx = physical.ExecutionContext(QueryProfiler())
             import time as _time
             t0 = _time.perf_counter()
-            schema, batch = physical.execute(plan, ctx)
+            if self.mesh is not None:
+                try:
+                    from .parallel.executor import execute_distributed
+                    schema, batch = execute_distributed(plan, self.mesh)
+                except NotImplementedError as e:
+                    self.log.debug("dist",
+                                   f"fallback to single device: {e}")
+                    schema, batch = physical.execute(plan, ctx)
+            else:
+                schema, batch = physical.execute(plan, ctx)
             res = QueryResult(schema, batch)
             self.log.debug("query",
                            f"executed in "
