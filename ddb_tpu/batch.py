@@ -88,6 +88,11 @@ class Schema:
         for i, f in enumerate(self.fields):
             if f.name == name:
                 return i
+        # SQL identifiers are case-insensitive
+        low = name.lower()
+        for i, f in enumerate(self.fields):
+            if f.name.lower() == low:
+                return i
         raise KeyError(name)
 
     def field(self, i: int) -> Field:

@@ -96,4 +96,88 @@ def dispatch(e: ir.Func, batch, evaluate):
             out_d = jnp.where(out_n, d, out_d)
             out_n = (out_n & n) if n is not None else None
         return out_d, out_n
+    if name in _MATH1:
+        d, n = evaluate(e.args[0], batch)
+        return _MATH1[name](d.astype(jnp.float64)), n
+    if name in ("pow", "power"):
+        a, an = evaluate(e.args[0], batch)
+        b, bn = evaluate(e.args[1], batch)
+        n = an if bn is None else (bn if an is None else an | bn)
+        return jnp.power(a.astype(jnp.float64),
+                         b.astype(jnp.float64)), n
+    if name in ("least", "greatest"):
+        fn = jnp.minimum if name == "least" else jnp.maximum
+        out_d, out_n = evaluate(e.args[0], batch)
+        for a in e.args[1:]:
+            d, n = evaluate(a, batch)
+            # NULLs are ignored (SQL least/greatest semantics)
+            if out_n is not None and n is not None:
+                both = out_n & n
+                out_d = jnp.where(out_n, d, jnp.where(n, out_d,
+                                                      fn(out_d, d)))
+                out_n = both
+            elif out_n is not None:
+                out_d = jnp.where(out_n, d, fn(out_d, d))
+                out_n = None
+            elif n is not None:
+                out_d = jnp.where(n, out_d, fn(out_d, d))
+            else:
+                out_d = fn(out_d, d)
+        return out_d, out_n
+    if name == "nullif":
+        a, an = evaluate(e.args[0], batch)
+        b, bn = evaluate(e.args[1], batch)
+        eq = a == b
+        if bn is not None:
+            eq = eq & ~bn
+        n = eq if an is None else (an | eq)
+        return a, n
+    if name == "ifnull":
+        a, an = evaluate(e.args[0], batch)
+        b, bn = evaluate(e.args[1], batch)
+        if an is None:
+            return a, None
+        return jnp.where(an, b, a), (an & bn) if bn is not None else None
+    if name in ("date_trunc_year", "date_trunc_month"):
+        d, n = evaluate(e.args[0], batch)
+        y, m, _ = _civil_from_days(d)
+        if name == "date_trunc_year":
+            m = jnp.ones_like(m)
+        import jax
+        days = _days_from_civil_dev(y, m, jnp.ones_like(m))
+        return days.astype(jnp.int32), n
+    if name in ("dayofweek", "isodow"):
+        d, n = evaluate(e.args[0], batch)
+        # 1970-01-01 was a Thursday (dow 4 with Sunday=0)
+        dow = (d.astype(jnp.int64) + 4) % 7
+        if name == "isodow":
+            dow = jnp.where(dow == 0, 7, dow)
+        return dow, n
+    if name in ("quarter",):
+        d, n = evaluate(e.args[0], batch)
+        _, m, _ = _civil_from_days(d)
+        return ((m - 1) // 3 + 1).astype(jnp.int64), n
     raise NotImplementedError(f"scalar function {name}")
+
+
+def _days_from_civil_dev(y, m, d):
+    """Device version of days_from_civil (jnp)."""
+    y = y.astype(jnp.int64)
+    m = m.astype(jnp.int64)
+    d = d.astype(jnp.int64)
+    y = y - (m <= 2)
+    era = jnp.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * jnp.where(m > 2, m - 3, m + 9) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+_MATH1 = {
+    "ln": jnp.log, "log": jnp.log10, "log2": jnp.log2, "log10": jnp.log10,
+    "exp": jnp.exp, "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
+    "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
+    "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
+    "sign": jnp.sign, "radians": jnp.radians, "degrees": jnp.degrees,
+    "cbrt": jnp.cbrt,
+}

@@ -96,11 +96,11 @@ class Scope:
                     f = e.schema.field(i)
                     return ir.ColRef(e.start + i, f.dtype, col, f.strdict)
             raise BindError(f"unknown table alias {tbl}")
-        col = parts[-1]
+        col = parts[-1].lower()
         hits = []
         for e in self.entries:
             for i, f in enumerate(e.schema.fields):
-                if f.name == col:
+                if f.name.lower() == col:
                     hits.append(ir.ColRef(e.start + i, f.dtype, col,
                                           f.strdict))
         if len(hits) == 1:
@@ -1291,6 +1291,56 @@ class Binder:
             if sd is not None:
                 out.strdict = sd
             return out
+        if name in ("ln", "log", "log2", "log10", "exp", "sin", "cos",
+                    "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+                    "radians", "degrees", "cbrt"):
+            a = ir.promote(b(e.args[0]), T.DOUBLE)
+            return ir.Func(name, [a], T.DOUBLE)
+        if name == "sign":
+            a = b(e.args[0])
+            return ir.Func(name, [ir.promote(a, T.DOUBLE)], T.DOUBLE)
+        if name in ("pow", "power"):
+            return ir.Func("pow", [b(e.args[0]), b(e.args[1])], T.DOUBLE)
+        if name in ("least", "greatest"):
+            args = [b(a) for a in e.args]
+            ct = args[0].dtype
+            for a in args[1:]:
+                ct = ir.common_type(ct, a.dtype)
+            if ct.id == TypeId.VARCHAR:
+                args, merged = self._unify_string_exprs(args)
+                out = ir.Func(name, args, ct)
+                out.strdict = merged if merged is not None else \
+                    getattr(args[0], "strdict", None)
+                return out
+            args = [ir.promote(a, ct) for a in args]
+            return ir.Func(name, args, ct)
+        if name == "nullif":
+            a = b(e.args[0])
+            a2 = b(e.args[1])
+            out = ir.Func("nullif", [a, a2], a.dtype)
+            sd = getattr(a, "strdict", None)
+            if sd is not None:
+                out.strdict = sd
+            return out
+        if name == "ifnull":
+            a = b(e.args[0])
+            a2 = b(e.args[1])
+            ct = ir.common_type(a.dtype, a2.dtype)
+            return ir.Func("ifnull", [ir.promote(a, ct),
+                                      ir.promote(a2, ct)], ct)
+        if name == "date_trunc":
+            part = e.args[0]
+            if not isinstance(part, A.ELit):
+                raise BindError("date_trunc needs a constant part")
+            d = b(e.args[1])
+            p = part.value.lower()
+            if p not in ("year", "month"):
+                raise BindError(f"date_trunc part {p} unsupported")
+            return ir.Func(f"date_trunc_{p}", [d], T.DATE)
+        if name in ("quarter", "dayofweek", "dow", "isodow"):
+            a = b(e.args[0])
+            nm = {"dow": "dayofweek"}.get(name, name)
+            return ir.Func(nm, [a], T.BIGINT)
         # host-dictionary string functions
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,

@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--repeat", type=int, default=1)
     args = ap.parse_args()
 
+    # the axon sitecustomize overrides JAX_PLATFORMS=cpu from the env;
+    # re-assert it through the config API before backend init
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     import ddb_tpu
     from ddb_tpu.bench.compare import compare_result
     from ddb_tpu.bench.tpch import load_tpch

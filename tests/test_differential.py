@@ -122,6 +122,16 @@ QUERIES = [
     "SELECT quantile_disc(a, 0.9) FROM t WHERE a IS NOT NULL",
     "SELECT bool_and(a > -100), bool_or(a > 49) FROM t "
     "WHERE a IS NOT NULL",
+    "SELECT round(sum(ln(b + 1)), 8), round(sum(sqrt(b)), 8) FROM t",
+    "SELECT round(sum(pow(b, 2)), 4) FROM t",
+    "SELECT least(a, b) l2, greatest(a, b) g2 FROM t "
+    "WHERE a IS NOT NULL ORDER BY l2, g2 LIMIT 5",
+    "SELECT count(*) FROM t WHERE nullif(b, 5) IS NULL",
+    "SELECT sum(ifnull(a, 0)) FROM t",
+    "SELECT date_trunc('month', d) m2, count(*) FROM t "
+    "GROUP BY m2 ORDER BY m2 LIMIT 6",
+    "SELECT quarter(d) q2, count(*) FROM t GROUP BY q2 ORDER BY q2",
+    "SELECT dayofweek(d) w2, count(*) FROM t GROUP BY w2 ORDER BY w2",
 ]
 
 
