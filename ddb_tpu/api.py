@@ -116,6 +116,8 @@ class Connection:
         self.config = Config()
         self.log = LogManager()
         self.mesh = None          # set via use_mesh() for SPMD execution
+        self._txn_backup = None          # catalog tables at BEGIN
+        self._txn_events = None          # CDC events buffered in txn
 
     def use_mesh(self, mesh) -> "Connection":
         """Execute queries distributed over a jax.sharding.Mesh (tables
@@ -123,8 +125,6 @@ class Connection:
         operators fall back to single-device execution."""
         self.mesh = mesh
         return self
-        self._txn_backup = None          # catalog tables at BEGIN
-        self._txn_events = None          # CDC events buffered in txn
 
     # ---- replication / fork-parity API ----------------------------------
     def on_change(self, callback) -> "Connection":
@@ -198,6 +198,8 @@ class Connection:
         from .sql import parser as sqlparser
         from .sql.binder import Binder
         stmts = sqlparser.parse(sql)
+        if len(stmts) == 1:
+            stmts[0]._sql_text = sql     # plan-cache key
         result = None
         for stmt in stmts:
             r = self._execute_statement(stmt)
@@ -212,9 +214,20 @@ class Connection:
         from .sql import ast as A
         from .sql.binder import Binder
         if isinstance(stmt, A.SelectStmt):
-            binder = Binder(self.catalog, context=self)
-            unopt = binder.bind_select(stmt)
-            plan = self._optimize(unopt)
+            # plan cache: rebinding is cheap but per-node jit caches on the
+            # plan objects are not — reuse plans while the catalog version
+            # is unchanged (reference: prepared-statement rebinding)
+            ckey = getattr(stmt, "_sql_text", None)
+            cached = self._plan_cache.get(ckey) if ckey else None
+            if cached is not None and cached[0] == self.catalog.version:
+                _, unopt, plan = cached
+            else:
+                binder = Binder(self.catalog, context=self)
+                unopt = binder.bind_select(stmt)
+                plan = self._optimize(unopt)
+                if ckey:
+                    self._plan_cache[ckey] = (self.catalog.version,
+                                              unopt, plan)
             ctx = None
             if self.config.get("enable_profiling"):
                 from .profiler import QueryProfiler
@@ -372,6 +385,7 @@ class Connection:
                     row.append(_const_python_value(bound))
                 rows.append(row)
             n = dml.insert_rows(td, rows, stmt.columns)
+            self.catalog.bump()
             self._emit_cdc(td.name, "insert", rows)
             return None
         # INSERT ... SELECT
@@ -380,6 +394,7 @@ class Connection:
         schema, batch = physical.execute(plan)
         src = _result_to_table("__tmp", schema, batch)
         dml.append_table(td, src.columns)
+        self.catalog.bump()
         if self.cdc.enabled:
             import numpy as np
             mask = np.ones(src.num_rows, dtype=bool)
@@ -408,6 +423,7 @@ class Connection:
         mask = self._bind_table_predicate(td, stmt.where)
         old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
         dml.delete_rows(td, mask)
+        self.catalog.bump()
         if old is not None:
             self._emit_cdc(td.name, "delete", old)
         return None
@@ -443,6 +459,7 @@ class Connection:
                 np.asarray(n)[:td.num_rows] if n is not None else None,
                 getattr(bound, "strdict", None))
         dml.update_rows(td, mask, updates)
+        self.catalog.bump()
         if old is not None:
             self._emit_cdc(td.name, "update",
                            dml.rows_as_python(td, mask), old)
@@ -469,6 +486,7 @@ class Connection:
             if self._txn_backup is None:
                 raise RuntimeError("no transaction active")
             self.catalog.tables = self._txn_backup
+            self.catalog.bump()          # invalidate cached plans
             self._txn_backup = None
             self._txn_events = None
         return None

@@ -20,13 +20,18 @@ class CatalogException(Exception):
 class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableData] = {}
-        self.views: Dict[str, str] = {}       # name -> SQL text
+        self.views: Dict[str, str] = {}       # name -> (sql, col aliases)
+        self.version = 0    # bumped on any change; invalidates plan cache
+
+    def bump(self):
+        self.version += 1
 
     def add_table(self, table: TableData, or_replace: bool = False):
         key = table.name.lower()
         if key in self.tables and not or_replace:
             raise CatalogException(f"table {table.name} already exists")
         self.tables[key] = table
+        self.bump()
 
     def get_table(self, name: str) -> TableData:
         t = self.tables.get(name.lower())
@@ -44,6 +49,7 @@ class Catalog:
                 return
             raise CatalogException(f"table {name} does not exist")
         del self.tables[key]
+        self.bump()
 
     def add_view(self, name: str, sql: str, or_replace: bool = False,
                  column_aliases=None):
@@ -51,6 +57,7 @@ class Catalog:
         if key in self.views and not or_replace:
             raise CatalogException(f"view {name} already exists")
         self.views[key] = (sql, column_aliases)
+        self.bump()
 
     def get_view(self, name: str):
         """Returns (sql, column_aliases) or None."""
@@ -63,3 +70,4 @@ class Catalog:
                 return
             raise CatalogException(f"view {name} does not exist")
         del self.views[key]
+        self.bump()
