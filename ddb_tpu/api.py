@@ -194,15 +194,15 @@ class Connection:
         return self
 
     # ---- query -----------------------------------------------------------
-    def execute(self, sql: str) -> QueryResult:
+    def execute(self, sql: str, params=None) -> QueryResult:
         from .sql import parser as sqlparser
         from .sql.binder import Binder
         stmts = sqlparser.parse(sql)
-        if len(stmts) == 1:
+        if len(stmts) == 1 and params is None:
             stmts[0]._sql_text = sql     # plan-cache key
         result = None
         for stmt in stmts:
-            r = self._execute_statement(stmt)
+            r = self._execute_statement(stmt, params)
             if r is not None:
                 result = r   # last row-returning statement wins (q15 style)
         return result
@@ -210,7 +210,7 @@ class Connection:
     sql = execute
     query = execute
 
-    def _execute_statement(self, stmt) -> Optional[QueryResult]:
+    def _execute_statement(self, stmt, params=None) -> Optional[QueryResult]:
         from .sql import ast as A
         from .sql.binder import Binder
         if isinstance(stmt, A.SelectStmt):
@@ -219,13 +219,16 @@ class Connection:
             # is unchanged (reference: prepared-statement rebinding)
             ckey = getattr(stmt, "_sql_text", None)
             cached = self._plan_cache.get(ckey) if ckey else None
-            if cached is not None and cached[0] == self.catalog.version:
+            if cached is not None and cached[0] == self.catalog.version \
+                    and params is None:
                 _, unopt, plan = cached
             else:
                 binder = Binder(self.catalog, context=self)
+                if params is not None:
+                    binder.params = list(params)
                 unopt = binder.bind_select(stmt)
                 plan = self._optimize(unopt)
-                if ckey:
+                if ckey and params is None:
                     self._plan_cache[ckey] = (self.catalog.version,
                                               unopt, plan)
             ctx = None

@@ -67,13 +67,29 @@ def _live_count(batch: Batch) -> int:
 
 
 def _compact(batch: Batch, new_cap: int) -> Batch:
-    perm = order_ops.compact_permutation(batch.sel)
-    cols = []
+    """Move live rows to the front and shrink capacity — one stable sort
+    carrying every column (linear; no random gathers)."""
+    cap = batch.sel.shape[0]
+    invalid = (~batch.sel).astype(jnp.int32)
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    carried = []
     for c in batch.columns:
-        d = c.data[perm][:new_cap]
-        n = c.nulls[perm][:new_cap] if c.nulls is not None else None
+        carried.append(c.data)
+        if c.nulls is not None:
+            carried.append(c.nulls.astype(jnp.int8))
+    out = lax.sort([invalid, pos, *carried], num_keys=2, is_stable=False)
+    sel = (out[0] == 0)[:new_cap]
+    rest = out[2:]
+    cols = []
+    i = 0
+    for c in batch.columns:
+        d = rest[i][:new_cap]
+        i += 1
+        n = None
+        if c.nulls is not None:
+            n = rest[i][:new_cap] != 0
+            i += 1
         cols.append(Column(d, n))
-    sel = batch.sel[perm][:new_cap]
     return Batch(tuple(cols), sel, batch.count)
 
 
@@ -610,10 +626,30 @@ def _exec_order(node: L.Order, ctx):
             d, n = evaluate(k.expr, b)
             key_ops.extend(sortkey.encode_key(
                 d, n, k.expr.dtype, desc=k.desc, nulls_last=k.nulls_last))
-        perm = order_ops.sort_permutation(key_ops, b.sel)
-        cols = [(c.data, c.nulls) for c in b.columns]
-        new_cols, sel = order_ops.apply_permutation(cols, b.sel, perm)
-        return Batch(tuple(Column(d, n) for d, n in new_cols), sel, b.count)
+        # carry all columns through ONE sort (linear data movement) —
+        # no post-sort random gathers (docs/PERF_NOTES.md rule 2)
+        invalid = (~b.sel).astype(jnp.int32)
+        carried = []
+        for c in b.columns:
+            carried.append(c.data)
+            if c.nulls is not None:
+                carried.append(c.nulls.astype(jnp.int8))
+        nkeys = 1 + len(key_ops)
+        out = lax.sort([invalid, *key_ops, *carried], num_keys=nkeys,
+                       is_stable=True)
+        sel = out[0] == 0
+        rest = out[nkeys:]
+        cols = []
+        i = 0
+        for c in b.columns:
+            d = rest[i]
+            i += 1
+            n = None
+            if c.nulls is not None:
+                n = rest[i] != 0
+                i += 1
+            cols.append(Column(d, n))
+        return Batch(tuple(cols), sel, b.count)
 
     return node.schema, _node_jit(node, "order", kern)(batch)
 

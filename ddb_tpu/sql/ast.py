@@ -127,6 +127,12 @@ class EStar(EExpr):
     prefix: Optional[str] = None   # t.* vs *
 
 
+@dataclass
+class EParam(EExpr):
+    """Prepared-statement parameter: ? (positional) or $n."""
+    index: Optional[int] = None    # None => next positional
+
+
 # ---- table refs -----------------------------------------------------------
 
 class TableRef:

@@ -164,6 +164,8 @@ class Binder:
         self.catalog = catalog
         self.ctes: Dict[str, A.SelectStmt] = dict(cte_frames or {})
         self.context = context   # owning Connection (table fns, config)
+        self.params: Optional[list] = None   # prepared-statement values
+        self._next_param = 0
 
     # ------------------------------------------------------------------
     # statements
@@ -860,6 +862,18 @@ class Binder:
 
         if isinstance(e, A.EIdent):
             return scope.resolve(e.parts)
+        if isinstance(e, A.EParam):
+            if self.params is None:
+                raise BindError("query has parameters but none were "
+                                "supplied (pass params=[...])")
+            if e.index is not None:
+                idx = e.index - 1
+            else:
+                idx = self._next_param
+                self._next_param += 1
+            if idx >= len(self.params):
+                raise BindError(f"missing value for parameter {idx + 1}")
+            return self._bind_literal(self.params[idx])
         if isinstance(e, A.ELit):
             return self._bind_literal(e.value)
         if isinstance(e, A.ETyped):

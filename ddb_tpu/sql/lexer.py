@@ -39,6 +39,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<param>\?|\$\d+)
   | (?P<op><=|>=|<>|!=|::|\|\||[-+*/%(),.<>=;\[\]])
 """, re.X | re.S)
 
@@ -68,6 +69,8 @@ def tokenize(sql: str) -> List[Token]:
         elif m.lastgroup == "qid":
             out.append(Token("IDENT", text[1:-1].replace('""', '"'),
                              m.start()))
+        elif m.lastgroup == "param":
+            out.append(Token("PARAM", text, m.start()))
         elif m.lastgroup == "ident":
             low = text.lower()
             if low in KEYWORDS:

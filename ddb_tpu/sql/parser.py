@@ -644,6 +644,11 @@ class Parser:
             e = self.expr()
             self.expect_op(")")
             return e
+        if t.kind == "PARAM":
+            self.next()
+            if t.value == "?":
+                return A.EParam(None)
+            return A.EParam(int(t.value[1:]))
         if t.kind == "OP" and t.value == "*":
             self.next()
             return A.EStar()

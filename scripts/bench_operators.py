@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Per-operator TPU benchmarks: filter, sort, join, aggregate rows/s/chip
+vs speed-of-light rooflines (BASELINE.json metric).
+
+Methodology: device-side repeat loops (amortize the ~24 ms tunnel round
+trip), inputs varied per iteration to prevent loop hoisting, single scalar
+fetch.  Results append to docs/OPERATOR_BENCH.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def bench_loop(make_step, reps, *args):
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    def loop(*a):
+        def body(i, acc):
+            return acc + make_step(i, *a)
+        return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
+
+    jl = jax.jit(loop)
+    base = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int64) + 1)
+    _ = np.asarray(jl(*args))
+    _ = np.asarray(base(args[0]))
+    t0 = time.perf_counter()
+    _ = np.asarray(base(args[0]))
+    rt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(jl(*args))
+        times.append(time.perf_counter() - t0)
+    return max((min(times) - rt) / reps, 1e-9)
+
+
+HBM_BW = 819e9   # v5e
+
+
+def main():
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    import ddb_tpu  # noqa: F401
+    from ddb_tpu.ops import join as join_ops
+
+    n = 6 * 1024 * 1024
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # ---- filter: predicate + count over 3 int32 columns -----------------
+    a = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
+    b = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
+    c = jnp.asarray(rng.integers(0, 10, n).astype(np.int32))
+
+    def filter_step(i, a, b, c):
+        m = (a > (24 + i % 2)) & (b < 900) & (c != 3)
+        return m.astype(jnp.int64).sum()
+
+    t = bench_loop(filter_step, 20, a, b, c)
+    results["filter"] = {
+        "rows_per_sec": n / t,
+        "roofline": HBM_BW / 12,          # 3 int32 reads
+        "config": "3-column conjunctive predicate, 6.3M rows",
+    }
+
+    # ---- sort: 1-key int64 + carried row id ------------------------------
+    k = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
+    rid = jnp.asarray(np.arange(n, dtype=np.int32))
+
+    def sort_step(i, k, rid):
+        out = lax.sort([k + i, rid], num_keys=1)
+        return out[1][0].astype(jnp.int64)
+
+    t = bench_loop(sort_step, 5, k, rid)
+    # sort roofline: log2(n) passes over (8+4)B/row (merge-network model)
+    passes = int(np.ceil(np.log2(n)))
+    results["sort"] = {
+        "rows_per_sec": n / t,
+        "roofline": HBM_BW / (12 * passes),
+        "config": "int64 key + int32 payload, 6.3M rows",
+    }
+
+    # ---- join: build 1M, probe 6.3M, expand ------------------------------
+    nb = 1 << 20
+    bk = jnp.asarray(rng.permutation(nb).astype(np.int64))
+    bsel = jnp.asarray(np.ones(nb, dtype=bool))
+    pk = jnp.asarray(rng.integers(0, nb, n).astype(np.int64))
+    psel = jnp.asarray(np.ones(n, dtype=bool))
+
+    def join_step(i, bk, bsel, pk, psel):
+        bt = join_ops.build(bk + (i % 2), bsel)
+        lo, cnt = join_ops.probe_ranges(bt, pk + (i % 2), None, psel)
+        return cnt.astype(jnp.int64).sum()
+
+    # build() takes (key, key_null, sel)
+    def join_step(i, bk, bsel, pk, psel):  # noqa: F811
+        bt = join_ops.build(bk + (i % 2), None, bsel)
+        lo, cnt = join_ops.probe_ranges(bt, pk + (i % 2), None, psel)
+        return cnt.astype(jnp.int64).sum()
+
+    t = bench_loop(join_step, 5, bk, bsel, pk, psel)
+    results["join_probe"] = {
+        "rows_per_sec": n / t,
+        "roofline": HBM_BW / (12 * int(np.ceil(np.log2(n + nb)))),
+        "config": "1M build x 6.3M probe, unique keys (merge probe)",
+    }
+
+    # ---- aggregate: pallas fused Q1 --------------------------------------
+    from ddb_tpu.ops import pallas_agg as P
+    qty = jnp.asarray(rng.integers(100, 5100, n).astype(np.int32))
+    ext = jnp.asarray(rng.integers(90000, 520000000, n).astype(np.int32))
+    dc = jnp.asarray(rng.integers(0, 11, n).astype(np.int32))
+    tx = jnp.asarray(rng.integers(0, 9, n).astype(np.int32))
+    sd = jnp.asarray(rng.integers(8000, 10600, n).astype(np.int32))
+    gid = jnp.asarray(rng.integers(0, 6, n).astype(np.int32))
+
+    def agg_step(i, *args):
+        return P.q1_fused_aggregate(*args, 10471 - (i % 2), n_rows=n).sum()
+
+    t = bench_loop(agg_step, 10, qty, ext, dc, tx, sd, gid)
+    results["aggregate"] = {
+        "rows_per_sec": n / t,
+        "roofline": HBM_BW / 24,          # 6 int32 columns
+        "config": "Q1 fused filter + 6-group x 8-payload aggregate",
+    }
+
+    for name, r in results.items():
+        r["rows_per_sec"] = round(r["rows_per_sec"], 1)
+        r["roofline"] = round(r["roofline"], 1)
+        r["roofline_frac"] = round(r["rows_per_sec"] / r["roofline"], 4)
+        print(f"{name:12s} {r['rows_per_sec']/1e9:8.2f} G rows/s   "
+              f"{100*r['roofline_frac']:5.1f}% of roofline "
+              f"({r['config']})")
+
+    out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "OPERATOR_BENCH.json")
+    with open(out_path, "w") as f:
+        json.dump({"chip": "v5e (axon tunnel)", "rows": n,
+                   "results": results}, f, indent=1)
+    print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -195,3 +195,16 @@ def test_substring(con):
     rows = q(c2, "SELECT s FROM s1 WHERE substring(s, 1, 3) = 'hel' "
              "ORDER BY s")
     assert rows == [("help",), ("hello",)] or rows == [("hello",), ("help",)]
+
+
+def test_prepared_parameters(con):
+    rows = con.execute("SELECT a FROM t1 WHERE a > ? AND b < ? ORDER BY a",
+                       params=[2, 50]).fetchall()
+    assert rows == [(3,), (4,)]
+    rows = con.execute("SELECT a FROM t1 WHERE s = $1 ORDER BY a",
+                       params=["x"]).fetchall()
+    assert rows == [(1,), (3,)]
+    import pytest as _pytest
+    from ddb_tpu.sql.binder import BindError
+    with _pytest.raises(BindError):
+        con.execute("SELECT a FROM t1 WHERE a > ?")
