@@ -44,6 +44,7 @@ class WindowSpec(NamedTuple):
     offset: int = 1        # lag/lead offset
     has_order: bool = True
     whole_partition: bool = False   # force whole-partition frame
+    rows_frame: Optional[tuple] = None   # (preceding|None, following|None)
 
 
 def compute_windows(part_ops: Sequence[jax.Array],
@@ -170,6 +171,47 @@ def compute_windows(part_ops: Sequence[jax.Array],
             v = _seg_backfill_from_last(ob_rev, data_s)
             results_sorted.append((v, None if nn_s is None
                                    else _bf_nulls(ob_rev, nn_s)))
+            continue
+
+        # explicit ROWS frame: sliding sums via prefix differences
+        if s.rows_frame is not None and s.kind in (
+                "sum", "sum_float", "avg", "count", "count_star"):
+            pre, post = s.rows_frame
+            part_end = _seg_backfill_from_last(pb_rev, pos)
+            if s.kind == "count_star":
+                v = valid_s.astype(jnp.int64)
+                nn_cnt = v
+            elif s.kind == "count":
+                v = notnull.astype(jnp.int64)
+                nn_cnt = v
+            else:
+                acc = _acc_dtype(s.kind, data_s.dtype)
+                v = jnp.where(notnull, data_s.astype(acc),
+                              jnp.zeros((), acc))
+                nn_cnt = notnull.astype(jnp.int64)
+            pref = jnp.cumsum(v)
+            prefc = jnp.cumsum(nn_cnt)
+            lo_i = part_start if pre is None else \
+                jnp.maximum(pos - pre, part_start)
+            hi_i = part_end if post is None else \
+                jnp.minimum(pos + post, part_end)
+            hi_i = jnp.clip(hi_i, 0, cap - 1).astype(jnp.int64)
+            lo_i = jnp.clip(lo_i, 0, cap - 1).astype(jnp.int64)
+
+            def rng_sum(p, base):
+                hi_v = jnp.take(p, hi_i)
+                lo_v = jnp.take(p, lo_i) - jnp.take(base, lo_i)
+                return hi_v - lo_v
+            wsum = rng_sum(pref, v)
+            wcnt = rng_sum(prefc, nn_cnt)
+            if s.kind in ("count", "count_star"):
+                results_sorted.append((wcnt, None))
+            elif s.kind == "avg":
+                results_sorted.append((wsum.astype(jnp.float64)
+                                       / jnp.maximum(wcnt, 1),
+                                       wcnt == 0))
+            else:
+                results_sorted.append((wsum, wcnt == 0))
             continue
 
         # aggregates

@@ -175,6 +175,9 @@ class WindowFn:
     name: str
     offset: int = 1                # lag/lead
     strdict: object = None
+    # ROWS frame: (preceding, following); None component = unbounded;
+    # frame=None => dialect default (RANGE unbounded-preceding..current)
+    frame: Optional[tuple] = None
 
 
 @dataclass

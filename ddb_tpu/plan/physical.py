@@ -721,7 +721,8 @@ def _exec_window(node: L.Window, ctx):
                         kind = "sum_float"
                 specs.append(win_ops.WindowSpec(
                     kind, data, nulls, f.offset,
-                    has_order=bool(f.order)))
+                    has_order=bool(f.order),
+                    rows_frame=f.frame))
             outs = win_ops.compute_windows(part_ops, order_ops, specs,
                                            b.sel)
             for (i, f), (d, n) in zip(fns, outs):

@@ -1400,15 +1400,51 @@ class Binder:
                 dtype = arg.dtype
             else:
                 raise BindError(f"window function {name} not supported")
+        frame = self._parse_frame(e.frame, name)
         wf = L.WindowFn(name, arg, partition, order, dtype,
                         name, offset,
                         getattr(arg, "strdict", None)
-                        if arg is not None else None)
+                        if arg is not None else None, frame)
         key = repr((name, repr(arg), [repr(p) for p in partition],
                     [(repr(k.expr), k.desc, k.nulls_last)
                      for k in order], offset))
         idx = win_ctx.add(wf, key)
         return WinRef(idx, dtype, wf.strdict)
+
+    def _parse_frame(self, text: Optional[str], fn_name: str):
+        """Parse 'rows between X and Y' -> (preceding, following);
+        None component = unbounded.  Returns None for dialect default."""
+        if not text:
+            return None
+        toks = text.lower().split()
+        if toks[0] != "rows":
+            raise BindError("only ROWS frames supported (RANGE default "
+                            "frames need no clause)")
+        if fn_name not in ("sum", "avg", "count", "count_star"):
+            raise BindError(f"ROWS frame unsupported for {fn_name}")
+        # rows between <bound> and <bound>
+        body = " ".join(toks[1:])
+        if not body.startswith("between "):
+            raise BindError(f"unsupported frame: {text}")
+        a, b2 = body[len("between "):].split(" and ")
+
+        def bound(s, is_start):
+            s = s.strip()
+            if s == "unbounded preceding":
+                return None if is_start else 0
+            if s == "unbounded following":
+                return None
+            if s == "current row":
+                return 0
+            n, kind = s.split()
+            n = int(n)
+            if kind == "preceding":
+                return n if is_start else -n
+            return -n if is_start else n   # following
+
+        pre = bound(a, True)
+        post = bound(b2, False)
+        return (pre, post)
 
     def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                        sub_replacements) -> AggRef:

@@ -66,3 +66,19 @@ def test_window_count_avg(con):
              "avg(v) OVER (PARTITION BY g) FROM t ORDER BY g, x")
     assert rows == [(1, 3, 20.0), (2, 3, 20.0), (3, 3, 20.0),
                     (10, 2, 150.0), (20, 2, 150.0)]
+
+
+def test_rows_frame_moving_sum(con):
+    rows = q(con, "SELECT g, x, sum(v) OVER (PARTITION BY g ORDER BY x "
+             "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t "
+             "ORDER BY g, x")
+    assert rows == [("a", 1, 10), ("a", 2, 30), ("a", 3, 50),
+                    ("b", 10, 100), ("b", 20, 300)]
+
+
+def test_rows_frame_centered_avg(con):
+    rows = q(con, "SELECT x, avg(v) OVER (PARTITION BY g ORDER BY x "
+             "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM t "
+             "ORDER BY g, x")
+    assert rows == [(1, 15.0), (2, 20.0), (3, 25.0),
+                    (10, 150.0), (20, 150.0)]
