@@ -198,14 +198,45 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
     parts = [push_filters(c, lp) for c, lp in zip(children, local_preds)]
     sizes = [_estimate_rows(p) for p in parts]
 
-    # greedy left-deep join order: start from the largest probe side's
-    # perspective — actually: start from smallest, join connected next
+    # greedy left-deep join order by ESTIMATED OUTPUT CARDINALITY:
+    # |L join R| ~= |L| * |R| / max(ndv(Lkey), ndv(Rkey)) — avoids
+    # low-cardinality-key fan-out blowups (e.g. joining two fact-side
+    # tables on nationkey).  Reference analog: cardinality_estimator.cpp.
     remaining = set(range(len(parts)))
     conds_left = list(join_conds)
 
-    # start with the child involved in a join cond with the smallest size
     def cond_children(jc):
         return {jc[0], jc[1]}
+
+    def _ndv(part, expr) -> float:
+        """Crude per-expr distinct-count estimate from base-table stats."""
+        cols = _cols_of(expr)
+        if len(cols) != 1:
+            return max(_estimate_rows(part), 1.0)
+        node = part
+        idx = cols[0]
+        while True:
+            if isinstance(node, L.Filter):
+                node = node.child
+                continue
+            if isinstance(node, L.Project):
+                e2 = node.exprs[idx]
+                c2 = _cols_of(e2)
+                if len(c2) != 1:
+                    return max(_estimate_rows(part), 1.0)
+                idx = c2[0]
+                node = node.child
+                continue
+            break
+        if isinstance(node, L.Get):
+            col = node.table.columns[node.column_indices[idx]]
+            s = col.stats
+            if s.distinct_hint:
+                return float(s.distinct_hint)
+            if s.min is not None and s.max is not None \
+                    and col.dtype.is_integer:
+                return float(max(int(s.max) - int(s.min) + 1, 1))
+        return max(_estimate_rows(part), 1.0)
 
     if conds_left:
         start = min((c for jc in conds_left for c in cond_children(jc)),
@@ -214,6 +245,7 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
         start = min(remaining, key=lambda c: sizes[c])
 
     current = parts[start]
+    cur_size = sizes[start]
     placed = [start]                 # child order in current plan
     placed_offsets = {start: 0}
     cur_width = len(parts[start].schema)
@@ -224,25 +256,35 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
             e, {c: c + placed_offsets[ci] for c in _cols_of(e)})
 
     while remaining:
-        # find conds connecting placed <-> unplaced
-        candidates = []
+        # find conds connecting placed <-> unplaced, estimate join output
+        candidates = {}
         for jc in conds_left:
             ci, cj, le, re_ = jc
             if ci in placed_offsets and cj in remaining:
-                candidates.append((cj, jc, False))
+                new, pe, ne = cj, le, re_
+                psrc = parts[ci]
             elif cj in placed_offsets and ci in remaining:
-                candidates.append((ci, jc, True))
+                new, pe, ne = ci, re_, le
+                psrc = parts[cj]
+            else:
+                continue
+            ndv = max(_ndv(psrc, pe), _ndv(parts[new], ne), 1.0)
+            est = cur_size * sizes[new] / ndv
+            if new not in candidates or est < candidates[new]:
+                candidates[new] = est
         if not candidates:
             nxt = min(remaining, key=lambda c: sizes[c])
             right = parts[nxt]
             current = L.CrossProduct(current, right)
+            cur_size = cur_size * sizes[nxt]
             placed_offsets[nxt] = cur_width
             cur_width += len(right.schema)
             placed.append(nxt)
             remaining.discard(nxt)
             continue
-        # pick the smallest new child
-        nxt = min((c for c, _, _ in candidates), key=lambda c: sizes[c])
+        # pick the candidate with the smallest estimated output
+        nxt = min(candidates, key=lambda c: candidates[c])
+        cur_size = max(candidates[nxt], 1.0)
         # gather ALL conds connecting placed set with nxt
         use, keep = [], []
         for jc in conds_left:
