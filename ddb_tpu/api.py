@@ -67,11 +67,40 @@ class QueryResult:
         return pd.DataFrame(rows, columns=self.column_names)
 
     def arrow(self):
+        """Zero-copy-ish arrow export: numeric columns go straight from
+        the gathered numpy buffers; strings decode via the dictionary."""
         import pyarrow as pa
-        rows = self.fetchall()
-        cols = list(zip(*rows)) if rows else [[] for _ in self.schema.fields]
-        return pa.table({n: list(c) for n, c
-                         in zip(self.column_names, cols)})
+        arrays = {}
+        for f, d, n in self._host_columns():
+            t = f.dtype
+            mask = n if n is not None else None
+            if t.id == TypeId.VARCHAR:
+                idx = pa.array(d.astype(np.int32), mask=mask)
+                arrays[f.name] = pa.DictionaryArray.from_arrays(
+                    idx, pa.array(f.strdict.values.astype(object)))
+            elif t.id == TypeId.DECIMAL:
+                vals = [None if (mask is not None and mask[i])
+                        else decimal.Decimal(int(v)).scaleb(-t.scale)
+                        for i, v in enumerate(d)]
+                arrays[f.name] = pa.array(
+                    vals, pa.decimal128(max(t.width, 19), t.scale))
+            elif t.id == TypeId.DATE:
+                arrays[f.name] = pa.array(d.astype("datetime64[D]"),
+                                          mask=mask)
+            elif t.id == TypeId.TIMESTAMP:
+                arrays[f.name] = pa.array(d.astype("datetime64[us]"),
+                                          mask=mask)
+            else:
+                arrays[f.name] = pa.array(d, mask=mask)
+        return pa.table(arrays)
+
+    def fetchnumpy(self):
+        """Dict of numpy arrays (masked where NULL)."""
+        out = {}
+        for f, d, n in self._host_columns():
+            out[f.name] = np.ma.masked_array(d, mask=n) \
+                if n is not None else d
+        return out
 
     def __repr__(self):
         rows = self.fetchall()
@@ -292,7 +321,50 @@ class Connection:
             return self._execute_update(stmt)
         if isinstance(stmt, A.TransactionStmt):
             return self._execute_transaction(stmt)
+        if isinstance(stmt, A.CopyStmt):
+            return self._execute_copy(stmt)
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    def _execute_copy(self, stmt):
+        """COPY table/(query) TO 'file' | COPY table FROM 'file'
+        (reference: operator/persistent/physical_copy_to_file.cpp)."""
+        from .sql import ast as A
+        if stmt.direction == "to":
+            if isinstance(stmt.target, A.SelectStmt):
+                res = self._execute_statement(stmt.target)
+            else:
+                res = self.execute(f"SELECT * FROM {stmt.target}")
+            at = res.arrow()
+            if stmt.format == "parquet":
+                import pyarrow.parquet as pq
+                pq.write_table(at, stmt.path)
+            else:
+                import pyarrow.csv as pcsv
+                # dictionary columns decode for portable CSV output
+                import pyarrow as pa
+                cols = {}
+                for name in at.column_names:
+                    c = at.column(name)
+                    if pa.types.is_dictionary(c.type):
+                        c = c.cast(pa.string())
+                    cols[name] = c
+                pcsv.write_csv(pa.table(cols), stmt.path)
+            return None
+        # COPY ... FROM: append file contents into the table
+        from .storage import dml
+        import pyarrow.csv as pcsv
+        import pyarrow.parquet as pq
+        from .storage import table as storage_mod
+        td = self.catalog.get_table(stmt.target)
+        if stmt.format == "parquet":
+            at = pq.read_table(stmt.path)
+        else:
+            at = pcsv.read_csv(stmt.path, convert_options=pcsv
+                               .ConvertOptions(strings_can_be_null=True))
+        src = storage_mod.from_arrow("__copy", at)
+        dml.append_table(td, src.columns)
+        self.catalog.bump()
+        return None
 
     # ---- statement verification -----------------------------------------
     def _verify_statement(self, stmt, unopt_plan, res: QueryResult):

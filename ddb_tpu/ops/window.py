@@ -125,6 +125,27 @@ def compute_windows(part_ops: Sequence[jax.Array],
             dr = _seg_sum_scan(pb, ob.astype(jnp.int64))
             results_sorted.append((dr, None))
             continue
+        if s.kind in ("percent_rank", "cume_dist", "ntile"):
+            part_end = _seg_backfill_from_last(pb_rev, pos)
+            psize = (part_end - part_start + 1).astype(jnp.float64)
+            if s.kind == "percent_rank":
+                peer_first = lax.associative_scan(
+                    jnp.maximum, jnp.where(ob, pos, 0))
+                rk = (peer_first - part_start).astype(jnp.float64)
+                out = rk / jnp.maximum(psize - 1, 1)
+                results_sorted.append((out, None))
+            elif s.kind == "cume_dist":
+                # peers share the value at the END of their peer group
+                peer_end = _seg_backfill_from_last(ob_rev, pos)
+                out = (peer_end - part_start + 1).astype(jnp.float64) \
+                    / psize
+                results_sorted.append((out, None))
+            else:  # ntile(k)
+                k = jnp.float64(s.offset)
+                rn0 = (pos - part_start).astype(jnp.float64)
+                out = jnp.floor(rn0 * k / psize).astype(jnp.int64) + 1
+                results_sorted.append((out, None))
+            continue
         if s.kind in ("lag", "lead"):
             k = s.offset
             if s.kind == "lag":

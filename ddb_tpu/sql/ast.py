@@ -276,3 +276,11 @@ class SetStmt:
 class PragmaStmt:
     name: str
     args: List = field(default_factory=list)
+
+
+@dataclass
+class CopyStmt:
+    target: object            # table name (str) or SelectStmt
+    path: str
+    direction: str            # "to" | "from"
+    format: str = "csv"

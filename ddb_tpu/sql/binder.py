@@ -1374,6 +1374,16 @@ class Binder:
         offset = 1
         if name in ("row_number", "rank", "dense_rank"):
             dtype = T.BIGINT
+        elif name in ("percent_rank", "cume_dist"):
+            dtype = T.DOUBLE
+        elif name == "ntile":
+            if not fn.args:
+                raise BindError("ntile requires a bucket count")
+            k = self.bind_expr(fn.args[0], scope)
+            if not isinstance(k, ir.Const):
+                raise BindError("ntile bucket count must be constant")
+            offset = int(k.value)
+            dtype = T.BIGINT
         elif name == "count" and (fn.star or not fn.args):
             name = "count_star"
             dtype = T.BIGINT

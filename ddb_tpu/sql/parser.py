@@ -151,6 +151,33 @@ class Parser:
                 self.next()
             kind = {"abort": "rollback"}.get(t.value, t.value)
             return A.TransactionStmt(kind)
+        if t.kind == "IDENT" and t.value == "copy":
+            self.next()
+            if self.accept_op("("):
+                target = self.select_stmt()
+                self.expect_op(")")
+            else:
+                target = self.ident()
+            if self.accept_kw("to"):
+                direction = "to"
+            elif self.accept_kw("from"):
+                direction = "from"
+            else:
+                # TO may lex as IDENT
+                w = self.next().value
+                direction = w if w in ("to", "from") else \
+                    self.error("expected TO or FROM")
+            path = self.next().value
+            fmt = "csv"
+            if self.accept_op("("):
+                while not self.at("OP", ")"):
+                    word = self.next().value
+                    if word == "format":
+                        fmt = self.next().value
+                self.expect_op(")")
+            if path.lower().endswith(".parquet"):
+                fmt = "parquet"
+            return A.CopyStmt(target, path, direction, fmt)
         if self.at_kw("drop"):
             self.next()
             kind = "view" if self.accept_kw("view") else \
