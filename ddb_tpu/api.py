@@ -239,6 +239,9 @@ class Connection:
     sql = execute
     query = execute
 
+    def cursor(self) -> "Cursor":
+        return Cursor(self)
+
     def _execute_statement(self, stmt, params=None) -> Optional[QueryResult]:
         from .sql import ast as A
         from .sql.binder import Binder
@@ -314,7 +317,7 @@ class Connection:
         if isinstance(stmt, A.CreateTable):
             return self._execute_create_table(stmt)
         if isinstance(stmt, A.InsertStmt):
-            return self._execute_insert(stmt)
+            return self._execute_insert(stmt, params)
         if isinstance(stmt, A.DeleteStmt):
             return self._execute_delete(stmt)
         if isinstance(stmt, A.UpdateStmt):
@@ -444,13 +447,15 @@ class Connection:
         else:
             self.cdc.emit(table, op, rows, old_rows)
 
-    def _execute_insert(self, stmt):
+    def _execute_insert(self, stmt, params=None):
         from .sql import ast as A
         from .sql.binder import Binder, Scope
         from .storage import dml
         td = self.catalog.get_table(stmt.table)
         if stmt.values is not None:
             b = Binder(self.catalog)
+            if params is not None:
+                b.params = list(params)
             sc = Scope()
             rows = []
             for vr in stmt.values:
@@ -609,6 +614,68 @@ def _result_to_table(name, schema: Schema, batch: Batch):
         cols.append(storage.TableColumn(f.name, f.dtype, d, n,
                                         strdict=f.strdict))
     return storage.TableData(name, cols)
+
+
+class Cursor:
+    """PEP 249-style cursor over a Connection (reference parity:
+    tools/pythonpkg DBAPI surface)."""
+
+    arraysize = 1
+
+    def __init__(self, con: "Connection"):
+        self._con = con
+        self._res: Optional[QueryResult] = None
+        self._pos = 0
+
+    @property
+    def description(self):
+        if self._res is None:
+            return None
+        return [(f.name, repr(f.dtype), None, None, None, None, None)
+                for f in self._res.schema.fields]
+
+    @property
+    def rowcount(self):
+        if self._res is None:
+            return -1
+        return len(self._res.fetchall())
+
+    def execute(self, sql: str, params=None) -> "Cursor":
+        self._res = self._con.execute(sql, params)
+        self._pos = 0
+        return self
+
+    def executemany(self, sql: str, seq) -> "Cursor":
+        for params in seq:
+            self.execute(sql, params)
+        return self
+
+    def fetchone(self):
+        rows = self._res.fetchall() if self._res else []
+        if self._pos >= len(rows):
+            return None
+        r = rows[self._pos]
+        self._pos += 1
+        return r
+
+    def fetchmany(self, size=None):
+        size = size or self.arraysize
+        out = []
+        for _ in range(size):
+            r = self.fetchone()
+            if r is None:
+                break
+            out.append(r)
+        return out
+
+    def fetchall(self):
+        rows = self._res.fetchall() if self._res else []
+        out = rows[self._pos:]
+        self._pos = len(rows)
+        return list(out)
+
+    def close(self):
+        self._res = None
 
 
 def connect(database: Optional[str] = None) -> Connection:
