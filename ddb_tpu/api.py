@@ -307,7 +307,7 @@ class Connection:
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
             return None
         if isinstance(stmt, A.CreateTableAs):
-            binder = Binder(self.catalog)
+            binder = Binder(self.catalog, context=self)
             plan = binder.bind_select(stmt.select)
             plan = self._optimize(plan)
             schema, batch = physical.execute(plan)
@@ -453,7 +453,7 @@ class Connection:
         from .storage import dml
         td = self.catalog.get_table(stmt.table)
         if stmt.values is not None:
-            b = Binder(self.catalog)
+            b = Binder(self.catalog, context=self)
             if params is not None:
                 b.params = list(params)
             sc = Scope()
@@ -469,7 +469,7 @@ class Connection:
             self._emit_cdc(td.name, "insert", rows)
             return None
         # INSERT ... SELECT
-        binder = Binder(self.catalog)
+        binder = Binder(self.catalog, context=self)
         plan = self._optimize(binder.bind_select(stmt.select))
         schema, batch = physical.execute(plan)
         src = _result_to_table("__tmp", schema, batch)
@@ -489,7 +489,7 @@ class Connection:
         from .sql.binder import Binder, Scope
         if where is None:
             return np.ones(td.num_rows, dtype=bool)
-        b = Binder(self.catalog)
+        b = Binder(self.catalog, context=self)
         sc = Scope()
         sc.add(td.name, td.schema)
         pred = b.bind_expr(where, sc)
@@ -516,7 +516,7 @@ class Connection:
         td = self.catalog.get_table(stmt.table)
         mask = self._bind_table_predicate(td, stmt.where)
         old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
-        b = Binder(self.catalog)
+        b = Binder(self.catalog, context=self)
         sc = Scope()
         sc.add(td.name, td.schema)
         batch = td.device_batch()

@@ -153,6 +153,13 @@ class RSubquery(TableRef):
 
 
 @dataclass
+class RValues(TableRef):
+    rows: List[List[EExpr]] = field(default_factory=list)
+    alias: Optional[str] = None
+    column_aliases: Optional[List[str]] = None
+
+
+@dataclass
 class RFunction(TableRef):
     name: str
     args: List = field(default_factory=list)   # literal values

@@ -354,6 +354,37 @@ class Binder:
             sc = Scope()
             sc.add(alias, plan.schema)
             return plan, sc
+        if isinstance(ref, A.RValues):
+            # inline VALUES table: fold literal rows into a TableData
+            from ..storage.table import TableData, TableColumn
+            sc0 = Scope()
+            bound_rows = [[self.bind_expr(e, sc0) for e in row]
+                          for row in ref.rows]
+            ncols = len(bound_rows[0])
+            names = ref.column_aliases or \
+                [f"col{j}" for j in range(ncols)]
+            cols = []
+            for j in range(ncols):
+                vals = []
+                for row in bound_rows:
+                    c = row[j]
+                    if not isinstance(c, ir.Const):
+                        raise BindError("VALUES rows must be constant")
+                    if c.value is None:
+                        vals.append(None)
+                    elif getattr(c, "strdict", None) is not None:
+                        vals.append(c.strdict.decode_one(c.value))
+                    else:
+                        vals.append(T.decode_value(c.value, c.dtype))
+                import pyarrow as pa
+                arr = pa.array(vals)
+                from ..storage.table import _from_arrow_column
+                cols.append(_from_arrow_column(names[j], arr))
+            td = TableData(ref.alias or "values", cols)
+            plan = L.Get(td, list(range(ncols)))
+            sc = Scope()
+            sc.add((ref.alias or "values").lower(), plan.schema)
+            return plan, sc
         if isinstance(ref, A.RFunction):
             from ..table_functions import TABLE_FUNCTIONS
             fn = TABLE_FUNCTIONS.get(ref.name.lower())

@@ -419,6 +419,25 @@ class Parser:
                 alias = self.ident()
                 cols = self._opt_column_alias_list()
                 return A.RSubquery(sel, alias, cols)
+            if self.at_kw("values"):
+                self.next()
+                rows = []
+                while True:
+                    self.expect_op("(")
+                    row = [self.expr()]
+                    while self.accept_op(","):
+                        row.append(self.expr())
+                    self.expect_op(")")
+                    rows.append(row)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                self.accept_kw("as")
+                alias = None
+                if self.peek().kind == "IDENT":
+                    alias = self.next().value
+                cols = self._opt_column_alias_list()
+                return A.RValues(rows, alias, cols)
             ref = self.table_ref()
             self.expect_op(")")
             return ref

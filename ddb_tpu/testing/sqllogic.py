@@ -1,0 +1,211 @@
+"""Mini sqllogictest runner.
+
+Executes the reference's `.test` files (reference: test/sqlite/
+sqllogic_test_runner.cpp, format per test/sql/**) against this engine.
+Supported directives: statement ok/error, query <types> [sort modes],
+loop/endloop, foreach/endloop, require (skips), mode skip/unskip,
+# comments.  Unsupported pragmas are ignored (verify_external etc.).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class RunResult:
+    path: str
+    ran: int = 0
+    passed: int = 0
+    failures: List[str] = field(default_factory=list)
+    skipped_reason: Optional[str] = None
+
+    @property
+    def ok(self):
+        return not self.failures and self.skipped_reason is None
+
+
+_IGNORED_PRAGMAS = (
+    "verify_external", "verify_parallelism", "verify_serializer",
+    "enable_verification", "disable_verification", "verify_fetch_row",
+    "debug_", "force_", "threads",
+)
+
+
+def _format_value(v) -> str:
+    import datetime
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _values_match(got: str, want: str) -> bool:
+    if got == want:
+        return True
+    # numeric-equality fallback (1 vs 1.0 vs 1.00)
+    try:
+        import decimal
+        return decimal.Decimal(got) == decimal.Decimal(want)
+    except Exception:
+        pass
+    if want == "(empty)" and got == "":
+        return True
+    return False
+
+
+def run_file(con, path: str, max_statements: Optional[int] = None
+             ) -> RunResult:
+    res = RunResult(path)
+    with open(path) as f:
+        lines = f.read().split("\n")
+
+    i = 0
+    loops: List[tuple] = []    # (var, values, start_line)
+    env = {}
+    skipping = False
+
+    def subst(text: str) -> str:
+        for k, v in env.items():
+            text = text.replace(f"${{{k}}}", str(v))
+        return text
+
+    while i < len(lines):
+        line = lines[i].strip()
+        i += 1
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        d = tok[0].lower()
+
+        if d == "require":
+            res.skipped_reason = f"require {tok[1]}"
+            return res
+        if d == "mode":
+            skipping = tok[1] == "skip"
+            continue
+        if skipping:
+            continue
+        if d in ("loop", "foreach"):
+            var = tok[1]
+            if d == "loop":
+                vals = list(range(int(tok[2]), int(tok[3])))
+            else:
+                vals = tok[2:]
+            loops.append([var, vals, 0, i])
+            env[var] = vals[0]
+            continue
+        if d == "endloop":
+            var, vals, idx, start = loops[-1]
+            if idx + 1 < len(vals):
+                loops[-1][2] = idx + 1
+                env[var] = vals[idx + 1]
+                i = start
+            else:
+                loops.pop()
+                env.pop(var, None)
+            continue
+        if d in ("statement", "query"):
+            # gather SQL until blank line or ----
+            sql_lines = []
+            expect = None
+            while i < len(lines):
+                ln = lines[i]
+                i += 1
+                if ln.strip() == "----":
+                    expect = []
+                    while i < len(lines) and lines[i].strip() != "":
+                        expect.append(lines[i])
+                        i += 1
+                    break
+                if ln.strip() == "":
+                    break
+                sql_lines.append(ln)
+            sql = subst("\n".join(sql_lines))
+            res.ran += 1
+            if max_statements and res.ran > max_statements:
+                return res
+
+            if d == "statement":
+                want_error = tok[1] == "error"
+                low = sql.lower().strip()
+                if low.startswith("pragma") and any(
+                        p in low for p in _IGNORED_PRAGMAS):
+                    res.passed += 1
+                    continue
+                try:
+                    con.execute(sql)
+                    err = None
+                except Exception as e:
+                    err = e
+                if want_error and err is None:
+                    res.failures.append(
+                        f"line {i}: expected error: {sql[:80]}")
+                elif not want_error and err is not None:
+                    res.failures.append(
+                        f"line {i}: {type(err).__name__}: "
+                        f"{str(err)[:100]} in: {sql[:80]}")
+                else:
+                    res.passed += 1
+                continue
+
+            # query
+            sortmode = "nosort"
+            if len(tok) >= 3:
+                sortmode = tok[2]
+            try:
+                rows = con.execute(sql).fetchall()
+            except Exception as e:
+                res.failures.append(
+                    f"line {i}: {type(e).__name__}: {str(e)[:100]} "
+                    f"in: {sql[:80]}")
+                continue
+            got = []
+            for r in rows:
+                got.append([_format_value(v) for v in r])
+            if expect is None:
+                res.passed += 1
+                continue
+            # expected: either tab-separated rows or one value per line
+            exp_rows = [e.split("\t") for e in expect]
+            ncols = len(got[0]) if got else (len(exp_rows[0])
+                                            if exp_rows else 0)
+            if exp_rows and len(exp_rows[0]) == 1 and ncols > 1:
+                flat = [e[0] for e in exp_rows]
+                exp_rows = [flat[j:j + ncols]
+                            for j in range(0, len(flat), ncols)]
+            if sortmode == "sort":
+                got = sorted(got)
+                exp_rows = sorted(exp_rows)
+            if len(got) != len(exp_rows):
+                res.failures.append(
+                    f"line {i}: {len(got)} rows != {len(exp_rows)}: "
+                    f"{sql[:80]}")
+                continue
+            bad = False
+            for g, e in zip(got, exp_rows):
+                if len(g) != len(e) or not all(
+                        _values_match(a, b) for a, b in zip(g, e)):
+                    res.failures.append(
+                        f"line {i}: {g} != {e}: {sql[:60]}")
+                    bad = True
+                    break
+            if not bad:
+                res.passed += 1
+            continue
+        # unknown directive: ignore the line
+    return res
