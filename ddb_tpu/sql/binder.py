@@ -292,10 +292,13 @@ class Binder:
             raise BindError(f"set op {op}")
         out = plan
         if stmt.order_by or stmt.limit is not None:
-            # bind ORDER BY over output schema by name/ordinal
+            # ORDER BY binds over the output schema; aliases from EITHER
+            # side of the set operation resolve positionally
+            alt_names = [f.name for f in right.schema.fields]
             keys = []
             for it in stmt.order_by:
-                keys.append(self._order_key_over_schema(it, out.schema))
+                keys.append(self._order_key_over_schema(
+                    it, out.schema, alt_names))
             if keys:
                 out = L.Order(out, keys)
             if stmt.limit is not None or stmt.offset:
@@ -774,6 +777,9 @@ class Binder:
         bound_groups = [self.bind_expr(g, scope) for g in group_asts]
         group_keys = [_ekey(bg) for bg in bound_groups]
 
+        for e, alias in items:
+            self._validate_group_refs(e, group_asts, scope)
+
         agg_ctx = AggCtx()
         bound_items = []
         for e, alias in items:
@@ -809,6 +815,38 @@ class Binder:
                           for k, v in order_prebound.items()}
         return agg, bound_items, having_bound, order_prebound
 
+
+    def _default_nulls_last(self) -> bool:
+        if self.context is not None:
+            try:
+                return str(self.context.config.get(
+                    "default_null_order")).lower() in (
+                    "nulls_last", "last")
+            except Exception:
+                pass
+        return True
+
+    def _validate_group_refs(self, e: A.EExpr, group_asts, scope):
+        """Reject bare column references that are neither grouped nor
+        inside an aggregate (reference: binder 'must appear in GROUP BY'
+        errors, test_group_by_error.test)."""
+        if any(_ast_equal(e, g) for g in group_asts):
+            return
+        if isinstance(e, A.EFunc) and (e.name in AGG_FUNCS or e.star):
+            return
+        if isinstance(e, (A.EWindow, A.ESub, A.EExists)):
+            return
+        if isinstance(e, A.EIdent):
+            try:
+                self.bind_expr(e, scope)
+            except BindError:
+                return   # alias/unknown — resolved or errored elsewhere
+            raise BindError(
+                f"column \"{e.parts[-1]}\" must appear in the GROUP BY "
+                "clause or be used in an aggregate function")
+        for c in _ast_children(e):
+            self._validate_group_refs(c, group_asts, scope)
+
     # ------------------------------------------------------------------
     # ORDER BY
     # ------------------------------------------------------------------
@@ -834,7 +872,7 @@ class Binder:
                 idx = item_keys.index(_ekey(e))
             nl = it.nulls_last
             if nl is None:
-                nl = True   # duckdb default NULLS LAST
+                nl = self._default_nulls_last()
             if idx is not None:
                 f = out_schema.field(idx)
                 keys.append(L.OrderKey(
@@ -855,18 +893,29 @@ class Binder:
                           getattr(be, "strdict", None)), it.desc, nl))
         return keys, hidden
 
-    def _order_key_over_schema(self, it: A.OrderItem, schema: Schema):
+    def _order_key_over_schema(self, it: A.OrderItem, schema: Schema,
+                               alt_names=None):
         e = it.expr
         if isinstance(e, A.ELit) and isinstance(e.value, int):
             idx = e.value - 1
         elif isinstance(e, A.EIdent):
-            idx = schema.index_of(e.parts[-1])
+            name = e.parts[-1]
+            try:
+                idx = schema.index_of(name)
+            except KeyError:
+                if alt_names and name.lower() in [a.lower()
+                                                 for a in alt_names]:
+                    idx = [a.lower() for a in alt_names].index(
+                        name.lower())
+                else:
+                    raise BindError(f"ORDER BY column {name} not found")
         else:
             raise BindError("unsupported ORDER BY in set operation")
         f = schema.field(idx)
         return L.OrderKey(ir.ColRef(idx, f.dtype, f.name, f.strdict),
                           it.desc, it.nulls_last
-                          if it.nulls_last is not None else True)
+                          if it.nulls_last is not None
+                          else self._default_nulls_last())
 
     # ------------------------------------------------------------------
     # expression binding
@@ -972,6 +1021,14 @@ class Binder:
             return self._bind_func(e, scope, agg_ctx, group_map,
                                    sub_replacements)
         if isinstance(e, A.ESub):
+            # FROM-less scalar subquery over outer columns inlines
+            # directly: (SELECT t.a) == t.a
+            if not e.subquery.from_refs and len(e.subquery.items) == 1 \
+                    and e.subquery.where is None:
+                try:
+                    return b(e.subquery.items[0][0])
+                except BindError:
+                    pass
             return self._eager_scalar_sub(e)
         if isinstance(e, A.EExists):
             raise BindError("EXISTS only supported in WHERE conjuncts")
@@ -1399,7 +1456,8 @@ class Binder:
         order = []
         for it in e.order:
             oe = self.bind_expr(it.expr, scope)
-            nl = it.nulls_last if it.nulls_last is not None else True
+            nl = it.nulls_last if it.nulls_last is not None \
+                else self._default_nulls_last()
             order.append(L.OrderKey(oe, it.desc, nl))
         arg = None
         offset = 1

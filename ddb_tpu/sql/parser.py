@@ -294,6 +294,13 @@ class Parser:
             rhs = self.select_core()
             node = A.SelectStmt(set_op=(op, rhs, all_), set_left=stmt)
             node.ctes = ctes
+            # trailing ORDER BY/LIMIT parsed into the last core belong to
+            # the whole set operation
+            if rhs.order_by:
+                node.order_by, rhs.order_by = rhs.order_by, []
+            if rhs.limit is not None or rhs.offset:
+                node.limit, node.offset = rhs.limit, rhs.offset
+                rhs.limit, rhs.offset = None, 0
             stmt = node
         # trailing ORDER BY / LIMIT apply to the set-op result
         if self.at_kw("order"):

@@ -13,6 +13,9 @@ from ddb_tpu.testing.sqllogic import run_file
 REF = "/root/reference"
 
 ALLOWLIST = [
+    "test/sql/join/inner/test_join.test",
+    "test/sql/aggregate/group/test_group_null.test",
+    "test/sql/types/null/test_null_aggr.test",
     "test/sql/join/inner/join_cross_product.test",
     "test/sql/join/inner/not_between_is_null.test",
     "test/sql/join/inner/test_eq_ineq_join.test",
