@@ -116,6 +116,65 @@ def probe_ranges(bt: BuildTable, pkey: jax.Array, pkey_null,
             jnp.where(ok, cnt, 0).astype(jnp.int32))
 
 
+def range_probe(bt: BuildTable, pkey: jax.Array, pkey_null,
+                psel: jax.Array, op: str):
+    """Per probe row: (lo, count) of build slots with `probe <op> build`
+    over ORDER-PRESERVING int64 keys (sortkey._orderable encodings).
+
+    The TPU analog of the reference's PiecewiseMergeJoin
+    (reference: operator/join/physical_piecewise_merge_join.cpp): the build
+    side is sorted, so every inequality match set is a contiguous prefix or
+    suffix of the sorted build array.  One merged sort of build+probe keys
+    yields, per probe row, its rank among build keys (count_le) and its
+    equal-key run length (count_eq) — both scatter-free.
+    """
+    live = psel if pkey_null is None else (psel & ~pkey_null)
+    nb = bt.skey.shape[0]
+    npr = pkey.shape[0]
+    pk = jnp.where(live, pkey.astype(jnp.int64), _KEY_SENTINEL)
+
+    keys = jnp.concatenate([bt.skey, pk])
+    tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                           jnp.ones(npr, jnp.int32)])
+    idx = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
+    ckey = jnp.concatenate([bt.skey, jnp.full(npr, _KEY_SENTINEL)])
+    cstart = jnp.concatenate([bt.rstart, jnp.zeros(npr, jnp.int32)])
+    cend = jnp.concatenate([bt.rend, jnp.zeros(npr, jnp.int32)])
+
+    mkeys, mtag, midx, mkey2, mstart, mend = lax.sort(
+        [keys, tag, idx, ckey, cstart, cend], num_keys=2, is_stable=False)
+
+    is_build = mtag == 0
+    fkey, fstart, fend = _forward_fill(is_build, (mkey2, mstart, mend))
+
+    pos = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
+    probe_rank = jnp.cumsum(mtag)                 # probes at-or-before, incl
+    count_le = pos + 1 - probe_rank               # build rows with key <= v
+    eq = jnp.where(fkey == mkeys, fend - fstart + 1, 0)
+    count_lt = count_le - eq
+
+    _, le_all, lt_all = lax.sort(
+        [midx, count_le, count_lt], num_keys=1, is_stable=False)
+    count_le = le_all[nb:]
+    count_lt = lt_all[nb:]
+
+    nvalid = bt.nbuild
+    if op == "<":          # probe < build: suffix after count_le
+        lo, cnt = count_le, nvalid - count_le
+    elif op == "<=":       # probe <= build: suffix after count_lt
+        lo, cnt = count_lt, nvalid - count_lt
+    elif op == ">":        # probe > build: prefix of count_lt
+        lo, cnt = jnp.zeros_like(count_lt), count_lt
+    elif op == ">=":
+        lo, cnt = jnp.zeros_like(count_le), count_le
+    else:
+        raise ValueError(f"range_probe op {op}")
+    ok = live & (pk != _KEY_SENTINEL)
+    cnt = jnp.maximum(cnt, 0)
+    return (jnp.where(ok, lo, 0).astype(jnp.int32),
+            jnp.where(ok, cnt, 0).astype(jnp.int32))
+
+
 def match_total(count) -> jax.Array:
     return count.astype(jnp.int64).sum()
 

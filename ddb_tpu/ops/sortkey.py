@@ -41,14 +41,15 @@ def encode_key(data, nulls, dtype: DataType, *, desc: bool = False,
 def _orderable(data, dtype: DataType):
     """Map to a dtype where the natural (signed) order == value order."""
     if dtype.id in (TypeId.FLOAT, TypeId.DOUBLE):
-        # IEEE trick: flip all bits for negatives, flip sign bit for positives
+        # IEEE trick for SIGNED comparisons: positive floats' bit patterns
+        # already order correctly as signed ints; negative floats keep the
+        # sign bit (staying below positives) but need their magnitude bits
+        # flipped so more-negative sorts lower
         if data.dtype == jnp.float32:
             bits = jax_bitcast(data, jnp.int32)
-            mask = jnp.where(bits < 0, np.int32(-1), np.int32(np.int32(-2**31)))
-            return bits ^ mask
+            return jnp.where(bits < 0, bits ^ np.int32(2**31 - 1), bits)
         bits = jax_bitcast(data.astype(jnp.float64), jnp.int64)
-        mask = jnp.where(bits < 0, np.int64(-1), np.int64(np.int64(-2**63)))
-        return bits ^ mask
+        return jnp.where(bits < 0, bits ^ np.int64(2**63 - 1), bits)
     if data.dtype == jnp.bool_:
         return data.astype(jnp.int32)
     return data  # signed ints/dates/decimals order naturally

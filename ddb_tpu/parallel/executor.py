@@ -92,6 +92,10 @@ def execute_distributed(plan: L.LogicalNode, mesh) -> Tuple[Schema, Batch]:
 
 
 def _exec(node: L.LogicalNode, ctx: DistContext):
+    if isinstance(node, (L.RecursiveCTE, L.CTERef)):
+        # fixpoint loops are host-driven; run them on the single-device
+        # executor (their inputs are small working tables)
+        return physical.execute(node)
     if isinstance(node, L.Get):
         return _exec_get(node, ctx)
     if isinstance(node, L.Filter):

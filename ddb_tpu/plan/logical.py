@@ -125,6 +125,11 @@ class Join(LogicalNode):
     conds: List[JoinCond]
     extra: Optional[ir.Expr] = None   # residual predicate over concat schema
     mark_name: str = "mark"
+    # inequality driver when conds is empty: (left_expr, op, right_expr),
+    # op ∈ {<,<=,>,>=} — sort-based range join (reference:
+    # physical_piecewise_merge_join.cpp / physical_iejoin.cpp); additional
+    # inequalities land in `extra` (IEJoin-style residual filtering)
+    range_cond: Optional[tuple] = None
     schema: Schema = None
 
     def __post_init__(self):
@@ -253,6 +258,44 @@ class Union(LogicalNode):
 
     def children(self):
         return [self.left, self.right]
+
+
+class CTECell:
+    """Host-side mailbox carrying the recursive CTE working table between
+    iterations (the analog of the reference's recurring ColumnDataCollection
+    in PhysicalRecursiveCTE, operator/set/physical_recursive_cte.cpp)."""
+
+    def __init__(self):
+        self.batch = None
+
+
+@dataclass
+class CTERef(LogicalNode):
+    """Reference to the recursive CTE's working table inside the
+    recursive half of the union (reference: LOGICAL_CTE_REF /
+    physical_cte_ref via operator/scan/physical_column_data_scan.cpp)."""
+    name: str
+    schema: Schema
+    cell: CTECell = None
+
+
+@dataclass
+class RecursiveCTE(LogicalNode):
+    """WITH RECURSIVE t AS (base UNION [ALL] recursive)
+    (reference: operator/set/physical_recursive_cte.cpp) — executed as a
+    host-driven fixpoint loop over jitted iteration kernels."""
+    base: LogicalNode
+    recursive: LogicalNode
+    union_all: bool
+    cell: CTECell
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.base.schema
+
+    def children(self):
+        return [self.base, self.recursive]
 
 
 def explain(node: LogicalNode, indent: int = 0) -> str:

@@ -78,7 +78,7 @@ def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
         left = push_filters(node.left, lpreds)
         right = push_filters(node.right, rpreds)
         nj = L.Join(left, right, node.join_type, node.conds, node.extra,
-                    node.mark_name)
+                    node.mark_name, node.range_cond)
         return _wrap(nj, stay)
 
     if isinstance(node, L.Order):
@@ -100,7 +100,7 @@ def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
 
     # default: optimize children, keep preds here
     new = copy.copy(node)
-    for attr in ("child", "left", "right"):
+    for attr in ("child", "left", "right", "base", "recursive"):
         if hasattr(new, attr):
             setattr(new, attr, push_filters(getattr(node, attr), []))
     return _wrap(new, preds)
@@ -406,7 +406,7 @@ def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
                            node.schema)
 
     new = copy.copy(node)
-    for attr in ("child", "left", "right"):
+    for attr in ("child", "left", "right", "base", "recursive"):
         if hasattr(new, attr):
             setattr(new, attr, _prune_rec(getattr(node, attr)))
     return new

@@ -1,15 +1,22 @@
-"""Physical execution of bound logical plans.
+"""Physical execution of bound logical plans — whole-pipeline fusion.
 
-The TPU analog of the reference's PhysicalOperator/PipelineExecutor stack
-(reference: src/execution/physical_operator.hpp:36, parallel/
-pipeline_executor.cpp).  Differences by design:
+The TPU analog of the reference's PhysicalOperator/Pipeline/PipelineExecutor
+stack (reference: src/execution/physical_operator.hpp:36,
+src/parallel/pipeline.hpp:72, parallel/pipeline_executor.cpp).  Differences
+by design:
 
-* Operators are pure functions over whole-column Batches, jit-compiled once
-  per plan node (XLA fuses scan+filter+project chains into single kernels —
-  the reference fuses manually via its streaming-operator loop).
+* **Pipeline compiler.**  Operators append deferred transformations to a
+  `Lazy` fusion DAG instead of launching kernels; every chain between
+  pipeline *breakers* is traced and jit-compiled as ONE XLA program, so
+  XLA fuses scan+filter+project+aggregate chains end-to-end (the reference
+  fuses by looping streaming operators over DataChunks inside one task —
+  reference: pipeline_executor.cpp:186-280).  Breakers are exactly the
+  points that need a host-side cardinality decision: join output capacity,
+  UNION packing, cross products.  A breaker costs one device→host fetch of
+  a small stats vector (all scalars batched into a single transfer).
 * Dynamic cardinalities (join fan-out, group counts, post-filter
-  compaction) are decided on host between jitted stages with power-of-two
-  capacity bucketing — the TPU answer to HAVE_MORE_OUTPUT / chunked
+  compaction) are decided on host at breakers with power-of-two capacity
+  bucketing — the TPU answer to HAVE_MORE_OUTPUT / chunked
   ScanStructure::Next probing (reference: physical_hash_join.cpp:973-1045).
 * Aggregation picks a perfect-hash path (dense small key domain — analog
   of reference's PerfectHashAggregate, perfect_aggregate_hashtable.cpp)
@@ -19,7 +26,7 @@ pipeline_executor.cpp).  Differences by design:
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.lax as lax
@@ -46,25 +53,113 @@ class ExecutionContext:
 
 
 # ---------------------------------------------------------------------------
-# helpers
+# fusion DAG
 # ---------------------------------------------------------------------------
+
+class Lazy:
+    """Deferred device computation — one node of a per-query fusion DAG.
+
+    The pipeline-compiler analog of the reference's Pipeline (source →
+    streaming operators → sink, reference: parallel/pipeline.hpp:72):
+    forcing a Lazy compiles its reachable DAG into a single jitted XLA
+    program.  `key` is a structural cache key (stable across executions of
+    the same prepared plan — plan objects are reused by the plan cache), so
+    repeated queries hit both the composed-function cache and jax's own
+    trace cache.  `fn` closures must only capture plan-node metadata, never
+    device arrays (same discipline as the per-node jit caches before)."""
+
+    __slots__ = ("key", "fn", "deps")
+
+    def __init__(self, key, fn, deps):
+        self.key = key
+        self.fn = fn
+        self.deps = tuple(deps)
+
+
+def _lazy(node, key, fn, *deps) -> Lazy:
+    k = (id(node),) + (key if isinstance(key, tuple) else (key,))
+    return Lazy(k, fn, deps)
+
 
 def _node_jit(node, key, fn, static_argnums=()):
     """One jax.jit per (plan node, kernel); jit itself caches on shapes."""
     cache = getattr(node, "_kern_cache", None)
     if cache is None:
         cache = {}
-        object.__setattr__(node, "_kern_cache", cache) \
-            if hasattr(node, "__dataclass_fields__") else setattr(
-                node, "_kern_cache", cache)
+        setattr(node, "_kern_cache", cache)
     if key not in cache:
         cache[key] = jax.jit(fn, static_argnums=static_argnums)
     return cache[key]
 
 
-def _live_count(batch: Batch) -> int:
-    return int(batch.count)
+def _force(trigger, items):
+    """Compile + run the fused stage producing every item in `items`.
 
+    Concrete (non-Lazy) items pass through.  The composed function is
+    cached on `trigger` keyed by DAG structure; since all constituent plan
+    nodes are alive in trigger's subtree, their ids are stable keys."""
+    if not any(isinstance(x, Lazy) for x in items):
+        return list(items)
+
+    order: List[Lazy] = []
+    seen = set()
+
+    def visit(x: Lazy):
+        if id(x) in seen:
+            return
+        seen.add(id(x))
+        for d in x.deps:
+            if isinstance(d, Lazy):
+                visit(d)
+        order.append(x)
+
+    for x in items:
+        if isinstance(x, Lazy):
+            visit(x)
+
+    node_pos = {id(nd): i for i, nd in enumerate(order)}
+    leaf_ids = {}
+    leaves = []
+
+    def leaf(d):
+        if id(d) not in leaf_ids:
+            leaf_ids[id(d)] = len(leaves)
+            leaves.append(d)
+        return leaf_ids[id(d)]
+
+    struct = []
+    for nd in order:
+        spec = tuple(("n", node_pos[id(d)]) if isinstance(d, Lazy)
+                     else ("l", leaf(d)) for d in nd.deps)
+        struct.append((nd.key, spec))
+    out_spec = tuple(("n", node_pos[id(x)]) if isinstance(x, Lazy)
+                     else ("l", leaf(x)) for x in items)
+    stage_key = ("stage", tuple(struct), out_spec)
+
+    def composed(*leaf_vals):
+        env = [None] * len(order)
+        for i, nd in enumerate(order):
+            args = [env[node_pos[id(d)]] if isinstance(d, Lazy)
+                    else leaf_vals[leaf_ids[id(d)]] for d in nd.deps]
+            env[i] = nd.fn(*args)
+        return tuple(env[p] if k == "n" else leaf_vals[p]
+                     for k, p in out_spec)
+
+    fn = _node_jit(trigger, stage_key, composed)
+    return list(fn(*leaves))
+
+
+def _concrete(node, b):
+    return _force(node, [b])[0] if isinstance(b, Lazy) else b
+
+
+def _stack_counts(*batches):
+    return jnp.stack([b.count.astype(jnp.int32) for b in batches])
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
 
 def _compact(batch: Batch, new_cap: int) -> Batch:
     """Move live rows to the front and shrink capacity — one stable sort
@@ -93,15 +188,21 @@ def _compact(batch: Batch, new_cap: int) -> Batch:
     return Batch(tuple(cols), sel, batch.count)
 
 
-def maybe_compact(node, batch: Batch, force: bool = False) -> Batch:
-    """Shrink capacity when live rows occupy < half the batch."""
-    n = _live_count(batch)
-    want = bucket_capacity(n)
-    if force and want < batch.capacity or want <= batch.capacity // 2:
-        fn = _node_jit(node, ("compact", want),
-                       functools.partial(_compact, new_cap=want))
-        return fn(batch)
-    return batch
+def _compact_lazy(node, b, n: int, tag="compact",
+                  always=False) -> Union[Batch, Lazy]:
+    """Queue a capacity shrink when live rows don't fill the batch.
+    `always` forces the live-rows-to-front move even when the capacity
+    doesn't shrink (needed before static `[:n]` packing slices).  Only
+    callable where n (live count) is host-known, i.e. after a breaker's
+    stats fetch."""
+    cap = b.sel.shape[0] if isinstance(b, Batch) else None
+    if cap is None:
+        raise AssertionError("compact needs a concrete batch")
+    want = min(bucket_capacity(max(n, 1)), cap)
+    if want < cap or always:
+        return _lazy(node, (tag, want),
+                     functools.partial(_compact, new_cap=want), b)
+    return b
 
 
 def _joinable_int64(data, dtype) -> jnp.ndarray:
@@ -120,12 +221,21 @@ def _joinable_int64(data, dtype) -> jnp.ndarray:
 def execute(node: L.LogicalNode, ctx: Optional[ExecutionContext] = None
             ) -> Tuple[Schema, Batch]:
     ctx = ctx or ExecutionContext()
+    schema, b = _execute(node, ctx)
+    return schema, _concrete(node, b)
+
+
+def _execute(node: L.LogicalNode, ctx) -> Tuple[Schema, Union[Batch, Lazy]]:
     fn = _EXEC[type(node)]
     if ctx.profiler is not None:
+        # profiled runs break fusion per operator so per-op timing and
+        # cardinality stay meaningful (same trade as the reference's
+        # profiler, main/query_profiler.hpp)
         with ctx.profiler.operator(type(node).__name__, node):
-            schema, batch = fn(node, ctx)
-            ctx.profiler.record_cardinality(node, batch)
-        return schema, batch
+            schema, b = fn(node, ctx)
+            b = _concrete(node, b)
+            ctx.profiler.record_cardinality(node, b)
+        return schema, b
     return fn(node, ctx)
 
 
@@ -138,24 +248,22 @@ def _exec_get(node: L.Get, ctx):
             m = select_mask(pred, b)
             return Batch(b.columns, m, m.astype(jnp.int32).sum())
 
-        batch = _node_jit(node, "scan_filter", kern)(batch)
-        batch = maybe_compact(node, batch)
+        return node.schema, _lazy(node, "scan_filter", kern, batch)
     return node.schema, batch
 
 
 def _exec_filter(node: L.Filter, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     def kern(b):
         m = select_mask(node.predicate, b)
         return Batch(b.columns, m, m.astype(jnp.int32).sum())
 
-    batch = _node_jit(node, "filter", kern)(batch)
-    return node.schema, maybe_compact(node, batch)
+    return node.schema, _lazy(node, "filter", kern, batch)
 
 
 def _exec_project(node: L.Project, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     def kern(b):
         cols = []
@@ -164,7 +272,7 @@ def _exec_project(node: L.Project, ctx):
             cols.append(Column(d, n))
         return Batch(tuple(cols), b.sel, b.count)
 
-    return node.schema, _node_jit(node, "project", kern)(batch)
+    return node.schema, _lazy(node, "project", kern, batch)
 
 
 # ---- aggregation ----------------------------------------------------------
@@ -229,7 +337,7 @@ def _agg_output(node: L.Aggregate, group_cols, agg_results, gsel, ngroups,
 
 
 def _exec_aggregate(node: L.Aggregate, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     if not node.groups:
         def kern(b):
@@ -263,7 +371,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             sel = jnp.zeros(128, dtype=bool).at[0].set(True)
             return Batch(tuple(cols), sel, jnp.int32(1))
 
-        return node.schema, _node_jit(node, "ungrouped", kern)(batch)
+        return node.schema, _lazy(node, "ungrouped", kern, batch)
 
     has_distinct = any(a.distinct and a.kind != "count_star"
                        for a in node.aggs)
@@ -302,8 +410,8 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             return _agg_output(node, group_cols, results, gsel,
                                gsel.astype(jnp.int32).sum(), domain)
 
-        batch = _node_jit(node, "perfect_agg", kern)(batch)
-        return node.schema, maybe_compact(node, batch, force=True)
+        # output capacity = dense domain: already small and static
+        return node.schema, _lazy(node, "perfect_agg", kern, batch)
 
     # general sort-based path
     def kern(b):
@@ -338,8 +446,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     key_ops, vops, p, b.sel, gcap)
         return _agg_output(node, group_cols, results, gsel, ng, gcap)
 
-    batch = _node_jit(node, "sort_agg", kern)(batch)
-    return node.schema, maybe_compact(node, batch, force=True)
+    return node.schema, _lazy(node, "sort_agg", kern, batch)
 
 
 # ---- joins ----------------------------------------------------------------
@@ -391,13 +498,23 @@ def _densify_keys(lds, l_live, rds, r_live):
 
 
 def _exec_join(node: L.Join, ctx):
-    lschema, lb = execute(node.left, ctx)
-    rschema, rb = execute(node.right, ctx)
-
-    # build side compaction keeps the sorted build small
-    rb = maybe_compact(node.right, rb)
+    lschema, lbz = _execute(node.left, ctx)
+    rschema, rbz = _execute(node.right, ctx)
+    jt = node.join_type
 
     def keys_kern(lb, rb):
+        if not node.conds and node.range_cond is not None:
+            # sort-based range join: order-preserving key encodings
+            le, rop, re_ = node.range_cond
+            ld, ln = evaluate(le, lb)
+            rd, rn = evaluate(re_, rb)
+            lk = sortkey._orderable(ld, le.dtype).astype(jnp.int64)
+            rk = sortkey._orderable(rd, re_.dtype).astype(jnp.int64)
+            l_live = _combine_live(lb.sel, [ln])
+            r_live = _combine_live(rb.sel, [rn])
+            bt = join_ops.build(rk, None, r_live)
+            lo, cnt = join_ops.range_probe(bt, lk, None, l_live, rop)
+            return bt, lo, cnt
         lds, lns = _key_arrays(node.conds, lb, "left")
         rds, rns = _key_arrays(node.conds, rb, "right")
         l_live = _combine_live(lb.sel, lns)
@@ -410,13 +527,14 @@ def _exec_join(node: L.Join, ctx):
             r_live = r_live & (rk >= 0)
         bt = join_ops.build(rk, None, r_live)
         lo, cnt = join_ops.probe_ranges(bt, lk, None, l_live)
-        return bt, lo, cnt, l_live
+        return bt, lo, cnt
 
-    bt, lo, cnt, l_live = _node_jit(node, "probe", keys_kern)(lb, rb)
-    jt = node.join_type
+    probe = _lazy(node, "probe", keys_kern, lbz, rbz)
 
     if jt in ("semi", "anti", "mark") and node.extra is None:
-        def kern(lb, cnt, l_live):
+        # fully fused — no host decision needed at all
+        def kern(lb, pr):
+            _, _, cnt = pr
             has = cnt > 0
             if jt == "semi":
                 m = lb.sel & has
@@ -427,14 +545,41 @@ def _exec_join(node: L.Join, ctx):
             cols = lb.columns + (Column(has, None),)
             return Batch(cols, lb.sel, lb.count)
 
-        out = _node_jit(node, "semi", kern)(lb, cnt, l_live)
-        return node.schema, maybe_compact(node, out)
+        return node.schema, _lazy(node, "semi", kern, lbz, probe)
 
-    if jt in ("semi", "anti", "mark") and node.extra is not None:
+    # breaker: ONE fused stage for both children + probe, ONE stats fetch
+    def join_stats(lb, rb, pr):
+        return jnp.stack([join_ops.match_total(pr[2]),
+                          lb.count.astype(jnp.int64),
+                          rb.count.astype(jnp.int64)])
+
+    statsz = _lazy(node, "stats", join_stats, lbz, rbz, probe)
+    lb, rb, (bt, lo, cnt), st = _force(node, [lbz, rbz, probe, statsz])
+    total, n_l_live, n_r_live = (int(x) for x in np.asarray(st))
+
+    cap_l = lb.sel.shape[0]
+    cap_r = rb.sel.shape[0]
+
+    # adaptive recompaction: when a side is very sparse (selective filters
+    # upstream), shrinking it makes the re-probe + expansion gathers far
+    # cheaper than the wasted first probe (the analog of the reference's
+    # dynamic radix-bit repartitioning, join_hashtable.hpp:375-428)
+    if (bucket_capacity(max(n_l_live, 1)) <= cap_l // 8
+            or bucket_capacity(max(n_r_live, 1)) <= cap_r // 8):
+        lbc = _compact_lazy(node, lb, n_l_live, tag="lcomp")
+        rbc = _compact_lazy(node, rb, n_r_live, tag="rcomp")
+        probe2 = _lazy(node, "probe2", keys_kern, lbc, rbc)
+        stats2 = _lazy(node, "stats2", join_stats, lbc, rbc, probe2)
+        lb, rb, (bt, lo, cnt), st = _force(
+            node, [lbc, rbc, probe2, stats2])
+        total, n_l_live, n_r_live = (int(x) for x in np.asarray(st))
+        cap_l = lb.sel.shape[0]
+        cap_r = rb.sel.shape[0]
+
+    if jt in ("semi", "anti", "mark"):
         # residual condition: expand matches, filter pairs, then reduce to
         # a per-probe-row matched flag (reference: ScanStructure semi/anti
         # with non-equality conditions, physical_hash_join.cpp)
-        total = int(join_ops.match_total(cnt))
         out_cap = bucket_capacity(max(total, 1))
 
         def match_kern(lb, rb, bt, lo, cnt):
@@ -451,7 +596,6 @@ def _exec_join(node: L.Join, ctx):
                                    else None))
             pairs = Batch(tuple(cols), valid, valid.astype(jnp.int32).sum())
             m = select_mask(node.extra, pairs)
-            cap_l = lb.sel.shape[0]
             tgt = jnp.where(m, pi, cap_l)
             matched = jnp.zeros(cap_l + 1, dtype=jnp.int32) \
                 .at[tgt].max(1, mode="drop")[:cap_l] > 0
@@ -464,100 +608,106 @@ def _exec_join(node: L.Join, ctx):
             cols2 = lb.columns + (Column(matched, None),)
             return Batch(cols2, lb.sel, lb.count)
 
-        out = _node_jit(node, ("semi_extra", out_cap), match_kern)(
-            lb, rb, bt, lo, cnt)
-        return node.schema, maybe_compact(node, out)
+        return node.schema, _lazy(node, ("semi_extra", out_cap, cap_l),
+                                  match_kern, lb, rb, bt, lo, cnt)
 
-    total = int(join_ops.match_total(cnt))
-    n_l_extra = 0
-    n_r_extra = 0
-    if jt in ("left", "full"):
-        n_l_extra = _live_count(lb)      # upper bound on unmatched probes
-    if jt in ("right", "full"):
-        n_r_extra = _live_count(rb)
-    out_cap = bucket_capacity(max(total + n_l_extra + n_r_extra, 1))
+    # inner/left/right/full: ONE kernel builds matches + outer-unmatched
+    # rows into statically-partitioned regions of the output (no concat):
+    # [0, out_cap) = expanded matches, then cap_l left-outer slots, then
+    # cap_r right-outer slots, each validated by its own mask.
+    out_cap = bucket_capacity(max(total, 1))
+    ext_l = cap_l if jt in ("left", "full") else 0
+    ext_r = cap_r if jt in ("right", "full") else 0
 
-    def expand_kern(lb, rb, bt, lo, cnt, l_live):
+    def expand_kern(lb, rb, bt, lo, cnt):
         pi, bpos, valid = join_ops.expand(lo, cnt, out_cap)
         brow = bt.srow[bpos]
-        cols = []
-        for c in lb.columns:
-            d = c.data[pi]
-            n = c.nulls[pi] if c.nulls is not None else None
-            cols.append(Column(d, n))
-        for c in rb.columns:
-            d = c.data[brow]
-            n = c.nulls[brow] if c.nulls is not None else None
-            cols.append(Column(d, n))
-        out = Batch(tuple(cols), valid, valid.astype(jnp.int32).sum())
-        cap_l = lb.sel.shape[0]
-        cap_r = rb.sel.shape[0]
         if node.extra is not None:
-            m = select_mask(node.extra, out)
-            out = Batch(out.columns, m, m.astype(jnp.int32).sum())
-            # matched masks must reflect the residual filter
-            p_t = jnp.where(m, pi, cap_l)
+            pair_cols = []
+            for c in lb.columns:
+                pair_cols.append(Column(
+                    c.data[pi],
+                    c.nulls[pi] if c.nulls is not None else None))
+            for c in rb.columns:
+                pair_cols.append(Column(
+                    c.data[brow],
+                    c.nulls[brow] if c.nulls is not None else None))
+            pairs = Batch(tuple(pair_cols), valid,
+                          valid.astype(jnp.int32).sum())
+            m = select_mask(node.extra, pairs)
+            valid = valid & m
+            p_t = jnp.where(valid, pi, cap_l)
             probe_matched = jnp.zeros(cap_l + 1, jnp.int32) \
                 .at[p_t].max(1, mode="drop")[:cap_l] > 0
-            b_t = jnp.where(m, brow, cap_r)
+            b_t = jnp.where(valid, brow, cap_r)
             build_matched = jnp.zeros(cap_r + 1, jnp.int32) \
                 .at[b_t].max(1, mode="drop")[:cap_r] > 0
         else:
             probe_matched = cnt > 0
-            build_matched = join_ops.matched_build_mask(bt, lo, cnt, cap_r)
-        return out, probe_matched, build_matched
+            build_matched = join_ops.matched_build_mask(bt, lo, cnt, cap_r) \
+                if ext_r else None
 
-    out, probe_matched, build_matched = _node_jit(
-        node, ("expand", out_cap), expand_kern)(lb, rb, bt, lo, cnt, l_live)
+        def assemble(col_parts, dtype, any_null):
+            datas, nullsl = [], []
+            for d, n in col_parts:
+                datas.append(d)
+                if any_null:
+                    nullsl.append(n if n is not None
+                                  else jnp.zeros(d.shape[0], dtype=bool))
+            dd = jnp.concatenate(datas) if len(datas) > 1 else datas[0]
+            nn = (jnp.concatenate(nullsl) if len(nullsl) > 1
+                  else nullsl[0]) if any_null else None
+            return Column(dd, nn)
 
-    if jt in ("left", "full", "right"):
-        parts = [out]
-        if jt in ("left", "full"):
-            def left_unmatched(lb, probe_matched):
-                m = lb.sel & ~probe_matched
-                cap = lb.sel.shape[0]
-                cols = [Column(c.data, c.nulls) for c in lb.columns]
-                for c in rb.columns:
-                    cols.append(Column(jnp.zeros(cap, dtype=c.data.dtype),
-                                       jnp.ones(cap, dtype=bool)))
-                return Batch(tuple(cols), m, m.astype(jnp.int32).sum())
+        cols = []
+        for c in lb.columns:
+            parts = [(c.data[pi],
+                      c.nulls[pi] if c.nulls is not None else None)]
+            if ext_l:
+                parts.append((c.data, c.nulls))
+            if ext_r:
+                parts.append((jnp.zeros(cap_r, dtype=c.data.dtype),
+                              jnp.ones(cap_r, dtype=bool)))
+            any_null = c.nulls is not None or bool(ext_r)
+            cols.append(assemble(parts, c.data.dtype, any_null))
+        for c in rb.columns:
+            parts = [(c.data[brow],
+                      c.nulls[brow] if c.nulls is not None else None)]
+            if ext_l:
+                parts.append((jnp.zeros(cap_l, dtype=c.data.dtype),
+                              jnp.ones(cap_l, dtype=bool)))
+            if ext_r:
+                parts.append((c.data, c.nulls))
+            any_null = c.nulls is not None or bool(ext_l)
+            cols.append(assemble(parts, c.data.dtype, any_null))
+        sels = [valid]
+        if ext_l:
+            sels.append(lb.sel & ~probe_matched)
+        if ext_r:
+            sels.append(rb.sel & ~build_matched)
+        sel = jnp.concatenate(sels) if len(sels) > 1 else sels[0]
+        return Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
 
-            parts.append(_node_jit(node, "left_outer", left_unmatched)(
-                lb, probe_matched))
-        if jt in ("right", "full"):
-            def right_unmatched(rb, build_matched):
-                cap = rb.sel.shape[0]
-                m = rb.sel & ~build_matched
-                # NULL keys on build side never match; they must appear too
-                cols = []
-                for c in lb.columns:
-                    cols.append(Column(jnp.zeros(cap, dtype=c.data.dtype),
-                                       jnp.ones(cap, dtype=bool)))
-                for c in rb.columns:
-                    cols.append(Column(c.data, c.nulls))
-                return Batch(tuple(cols), m, m.astype(jnp.int32).sum())
-
-            parts.append(_node_jit(node, "right_outer", right_unmatched)(
-                rb, build_matched))
-        out = _concat_batches(node, parts)
-
-    return node.schema, maybe_compact(node, out)
+    out = _lazy(node, ("expand", out_cap, ext_l, ext_r, cap_l, cap_r),
+                expand_kern, lb, rb, bt, lo, cnt)
+    return node.schema, out
 
 
-def _concat_batches(node, parts: List[Batch]) -> Batch:
+def _concat_batches(node, parts, ns: List[int]):
     """Concatenate batches (same column layout), preserving live rows.
 
     Each part is first compacted (live rows to the front), then statically
-    sliced to its host-known live count, so parts pack densely."""
-    ns = [_live_count(p) for p in parts]
+    sliced to its host-known live count, so parts pack densely.  Parts must
+    be concrete (a breaker already fetched their live counts)."""
     total = sum(ns)
     cap = bucket_capacity(max(total, 1))
     compacted = []
+    caps = []
     for i, (p, n) in enumerate(zip(parts, ns)):
         c = bucket_capacity(max(n, 1))
-        fn = _node_jit(node, ("concat_compact", i, c),
-                       functools.partial(_compact, new_cap=c))
-        compacted.append(fn(p))
+        caps.append(min(c, p.sel.shape[0]))
+        compacted.append(_compact_lazy(node, p, n, tag=("ccat", i),
+                                       always=True))
 
     def kern(*parts):
         ncols = len(parts[0].columns)
@@ -578,16 +728,20 @@ def _concat_batches(node, parts: List[Batch]) -> Batch:
                                     for p, n in zip(parts, ns)]), cap)
         return Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
 
-    caps = tuple(p.capacity for p in compacted)
-    return _node_jit(node, ("concat", caps, tuple(ns), cap), kern)(*compacted)
+    return _lazy(node, ("concat", tuple(caps), tuple(ns), cap), kern,
+                 *compacted)
 
 
 def _exec_cross(node: L.CrossProduct, ctx):
-    ls, lb = execute(node.left, ctx)
-    rs, rb = execute(node.right, ctx)
-    lb = maybe_compact(node.left, lb, force=True)
-    rb = maybe_compact(node.right, rb, force=True)
-    nl, nr = lb.capacity, rb.capacity
+    ls, lbz = _execute(node.left, ctx)
+    rs, rbz = _execute(node.right, ctx)
+    statsz = _lazy(node, "stats",
+                   lambda lb, rb: _stack_counts(lb, rb), lbz, rbz)
+    lb, rb, st = _force(node, [lbz, rbz, statsz])
+    nl_live, nr_live = (int(x) for x in np.asarray(st))
+    lb = _concrete(node, _compact_lazy(node, lb, nl_live, tag="lcomp"))
+    rb = _concrete(node, _compact_lazy(node, rb, nr_live, tag="rcomp"))
+    nl, nr = lb.sel.shape[0], rb.sel.shape[0]
     cap = bucket_capacity(nl * nr)
 
     def kern(lb, rb):
@@ -605,7 +759,7 @@ def _exec_cross(node: L.CrossProduct, ctx):
         sel = _pad(lb.sel[li] & rb.sel[ri], cap)
         return Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
 
-    return node.schema, _node_jit(node, ("cross", cap), kern)(lb, rb)
+    return node.schema, _lazy(node, ("cross", cap, nl, nr), kern, lb, rb)
 
 
 def _pad(a, cap):
@@ -618,7 +772,7 @@ def _pad(a, cap):
 # ---- order / limit / distinct / union ------------------------------------
 
 def _exec_order(node: L.Order, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     def kern(b):
         key_ops = []
@@ -651,23 +805,22 @@ def _exec_order(node: L.Order, ctx):
             cols.append(Column(d, n))
         return Batch(tuple(cols), sel, b.count)
 
-    return node.schema, _node_jit(node, "order", kern)(batch)
+    return node.schema, _lazy(node, "order", kern, batch)
 
 
 def _exec_limit(node: L.Limit, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
     lim = node.limit if node.limit is not None else 1 << 60
 
     def kern(b):
         m = order_ops.limit_mask(b.sel, node.offset, lim)
         return Batch(b.columns, m, m.astype(jnp.int32).sum())
 
-    batch = _node_jit(node, "limit", kern)(batch)
-    return node.schema, maybe_compact(node, batch)
+    return node.schema, _lazy(node, "limit", kern, batch)
 
 
 def _exec_distinct(node: L.Distinct, ctx):
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     def kern(b):
         key_ops, key_data = [], []
@@ -681,13 +834,12 @@ def _exec_distinct(node: L.Distinct, ctx):
         cols = tuple(Column(d, n) for d, n in group_cols)
         return Batch(cols, gsel, ng)
 
-    batch = _node_jit(node, "distinct", kern)(batch)
-    return node.schema, maybe_compact(node, batch, force=True)
+    return node.schema, _lazy(node, "distinct", kern, batch)
 
 
 def _exec_window(node: L.Window, ctx):
     from ..ops import window as win_ops
-    schema, batch = execute(node.child, ctx)
+    schema, batch = _execute(node.child, ctx)
 
     # group fns by (partition, order) signature -> one sort per group
     groups = {}
@@ -736,13 +888,163 @@ def _exec_window(node: L.Window, ctx):
         cols = list(b.columns) + results
         return Batch(tuple(cols), b.sel, b.count)
 
-    return node.schema, _node_jit(node, "window", kern)(batch)
+    return node.schema, _lazy(node, "window", kern, batch)
 
 
 def _exec_union(node: L.Union, ctx):
-    ls, lb = execute(node.left, ctx)
-    rs, rb = execute(node.right, ctx)
-    return node.schema, _concat_batches(node, [lb, rb])
+    ls, lbz = _execute(node.left, ctx)
+    rs, rbz = _execute(node.right, ctx)
+    statsz = _lazy(node, "stats",
+                   lambda lb, rb: _stack_counts(lb, rb), lbz, rbz)
+    lb, rb, st = _force(node, [lbz, rbz, statsz])
+    ns = [int(x) for x in np.asarray(st)]
+    return node.schema, _concat_batches(node, [lb, rb], ns)
+
+
+# ---- recursive CTEs --------------------------------------------------------
+
+_MAX_RECURSION = 100000
+
+
+def _exec_cte_ref(node: L.CTERef, ctx):
+    if node.cell is None or node.cell.batch is None:
+        raise RuntimeError(f"recursive CTE ref {node.name} outside its "
+                           "fixpoint loop")
+    return node.schema, node.cell.batch
+
+
+def _count_lazy(node, tag, bz):
+    return _lazy(node, tag, lambda b: b.count.astype(jnp.int32)[None], bz)
+
+
+def _distinct_kern(schema):
+    def kern(b):
+        key_ops, key_data = [], []
+        for i, f in enumerate(schema.fields):
+            c = b.columns[i]
+            key_ops.extend(sortkey.encode_key(c.data, c.nulls, f.dtype))
+            key_data.append((c.data, c.nulls))
+        gcap = b.sel.shape[0]
+        group_cols, _, gsel, ng = agg_ops.group_and_aggregate(
+            key_ops, key_data, [], b.sel, gcap)
+        cols = tuple(Column(d, n) for d, n in group_cols)
+        return Batch(cols, gsel, ng)
+    return kern
+
+
+def _new_rows_kern(schema):
+    """Rows of `res` not present in `acc`, de-duplicated (UNION recursion
+    step; reference: physical_recursive_cte.cpp ProbeHT).  One combined
+    sort: a res row is NEW iff it is the first of its key group."""
+    def kern(acc, res):
+        na, nr = acc.sel.shape[0], res.sel.shape[0]
+        n = na + nr
+        live = jnp.concatenate([acc.sel, res.sel])
+        inv = (~live).astype(jnp.int32)
+        key_ops = []
+        for i, f in enumerate(schema.fields):
+            ca, cr = acc.columns[i], res.columns[i]
+            d = jnp.concatenate([ca.data, cr.data])
+            anull = ca.nulls is not None or cr.nulls is not None
+            nn = None
+            if anull:
+                nn = jnp.concatenate([
+                    ca.nulls if ca.nulls is not None
+                    else jnp.zeros(na, bool),
+                    cr.nulls if cr.nulls is not None
+                    else jnp.zeros(nr, bool)])
+            key_ops.extend(sortkey.encode_key(d, nn, f.dtype))
+        flag = jnp.concatenate([jnp.zeros(na, jnp.int32),
+                                jnp.ones(nr, jnp.int32)])
+        carried = []
+        ncarry = []
+        for i, f in enumerate(schema.fields):
+            ca, cr = acc.columns[i], res.columns[i]
+            anull = ca.nulls is not None or cr.nulls is not None
+            carried.append(jnp.concatenate([ca.data, cr.data]))
+            if anull:
+                carried.append(jnp.concatenate([
+                    (ca.nulls if ca.nulls is not None
+                     else jnp.zeros(na, bool)),
+                    (cr.nulls if cr.nulls is not None
+                     else jnp.zeros(nr, bool))]).astype(jnp.int8))
+            ncarry.append(anull)
+        nkeys = 1 + len(key_ops) + 1    # inv, keys..., flag
+        out = lax.sort([inv, *key_ops, flag, *carried], num_keys=nkeys,
+                       is_stable=True)
+        inv_s = out[0]
+        keys_s = out[1:1 + len(key_ops)]
+        flag_s = out[1 + len(key_ops)]
+        rest = out[nkeys:]
+        first = jnp.zeros(n, dtype=bool).at[0].set(True)
+        for k in keys_s:
+            first = first | jnp.concatenate(
+                [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+        new = first & (flag_s == 1) & (inv_s == 0)
+        cols = []
+        i = 0
+        for has_null in ncarry:
+            d = rest[i]
+            i += 1
+            nn = None
+            if has_null:
+                nn = rest[i] != 0
+                i += 1
+            cols.append(Column(d, nn))
+        return Batch(tuple(cols), new, new.astype(jnp.int32).sum())
+    return kern
+
+
+def _exec_recursive_cte(node: L.RecursiveCTE, ctx):
+    schema = node.schema
+    sb, basez = _execute(node.base, ctx)
+    if not node.union_all:
+        basez = _lazy(node, "bdedup", _distinct_kern(schema), basez)
+    base, st = _force(node, [basez, _count_lazy(node, "bstat", basez)])
+    n = int(np.asarray(st)[0])
+    base = _concrete(node, _compact_lazy(node, base, n, tag="bcomp",
+                                         always=True))
+    parts, ns = [base], [n]
+    acc = base
+    n_acc = n
+    working = base
+    it = 0
+    while n > 0:
+        it += 1
+        if it > _MAX_RECURSION:
+            raise RuntimeError("recursive CTE exceeded max iteration "
+                               f"count ({_MAX_RECURSION})")
+        node.cell.batch = working
+        rs, resz = _execute(node.recursive, ctx)
+        if node.union_all:
+            res, st = _force(node, [resz,
+                                    _count_lazy(node, "rstat", resz)])
+            n = int(np.asarray(st)[0])
+            if n == 0:
+                break
+            res = _concrete(node, _compact_lazy(node, res, n, tag="wcomp",
+                                                always=True))
+            parts.append(res)
+            ns.append(n)
+            working = res
+        else:
+            newz = _lazy(node, "newrows", _new_rows_kern(schema),
+                         acc, resz)
+            new, st = _force(node, [newz,
+                                    _count_lazy(node, "nstat", newz)])
+            n = int(np.asarray(st)[0])
+            if n == 0:
+                break
+            new = _concrete(node, _compact_lazy(node, new, n, tag="ncomp",
+                                                always=True))
+            parts.append(new)
+            ns.append(n)
+            n_acc += n
+            acc = _concrete(node, _concat_batches(
+                node, [acc, new], [n_acc - n, n]))
+            working = new
+    node.cell.batch = None
+    return schema, _concat_batches(node, parts, ns)
 
 
 _EXEC = {
@@ -757,4 +1059,6 @@ _EXEC = {
     L.Limit: _exec_limit,
     L.Distinct: _exec_distinct,
     L.Union: _exec_union,
+    L.CTERef: _exec_cte_ref,
+    L.RecursiveCTE: _exec_recursive_cte,
 }

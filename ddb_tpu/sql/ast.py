@@ -185,6 +185,14 @@ class OrderItem:
 
 
 @dataclass
+class CTEDef:
+    name: str
+    select: "SelectStmt"
+    cols: Optional[List[str]] = None      # column alias list
+    recursive: bool = False               # WITH RECURSIVE was present
+
+
+@dataclass
 class SelectStmt:
     items: List[Tuple[EExpr, Optional[str]]] = field(default_factory=list)
     distinct: bool = False

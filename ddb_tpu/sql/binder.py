@@ -157,6 +157,49 @@ def _ekey(e) -> str:
     return repr(e)
 
 
+def _references_cte(stmt: "A.SelectStmt", name: str) -> bool:
+    """Does any FROM reference in the (sub)query tree name this CTE?"""
+    def walk_ref(r) -> bool:
+        if isinstance(r, A.RBase):
+            return r.name.lower() == name
+        if isinstance(r, A.RSubquery):
+            return walk_stmt(r.select)
+        if isinstance(r, A.RJoin):
+            return walk_ref(r.left) or walk_ref(r.right)
+        return False
+
+    def walk_stmt(s) -> bool:
+        if s is None:
+            return False
+        if s.set_op is not None:
+            return walk_stmt(s.set_left) or walk_stmt(s.set_op[1])
+        if any(walk_ref(r) for r in s.from_refs):
+            return True
+        # subqueries in expressions (WHERE EXISTS (... FROM cte))
+        exprs = [e for e, _ in s.items] + [s.where, s.having]
+        stack = [e for e in exprs if e is not None]
+        while stack:
+            e = stack.pop()
+            sub = getattr(e, "subquery", None)
+            if sub is not None and walk_stmt(sub):
+                return True
+            for attr in ("child", "left", "right", "lo", "hi", "else_",
+                         "operand"):
+                v = getattr(e, attr, None)
+                if isinstance(v, A.EExpr):
+                    stack.append(v)
+            for attr in ("args", "items"):
+                v = getattr(e, attr, None)
+                if isinstance(v, (list, tuple)):
+                    stack.extend(x for x in v if isinstance(x, A.EExpr))
+            if isinstance(e, A.ECase):
+                for w, t in e.whens:
+                    stack.extend([w, t])
+        return False
+
+    return walk_stmt(stmt)
+
+
 class Binder:
     def __init__(self, catalog: Catalog,
                  cte_frames: Optional[Dict[str, A.SelectStmt]] = None,
@@ -172,8 +215,8 @@ class Binder:
     # ------------------------------------------------------------------
     def bind_select(self, stmt: A.SelectStmt,
                     outer_scope: Optional[Scope] = None) -> L.LogicalNode:
-        for name, sub in stmt.ctes:
-            self.ctes[name.lower()] = sub
+        for cdef in stmt.ctes:
+            self.ctes[cdef.name.lower()] = cdef
 
         if stmt.set_op is not None:
             return self._bind_setop(stmt)
@@ -305,6 +348,28 @@ class Binder:
                 out = L.Limit(out, stmt.limit, stmt.offset)
         return out
 
+    def _bind_recursive_cte(self, cdef: A.CTEDef) -> L.LogicalNode:
+        """WITH RECURSIVE name AS (base UNION [ALL] recursive)
+        (reference: binder bind of RecursiveCTENode,
+        src/planner/binder/query_node/bind_recursive_cte_node.cpp)."""
+        stmt = cdef.select
+        op, rhs, all_ = stmt.set_op
+        if op != "union":
+            raise BindError("recursive CTE requires UNION or UNION ALL")
+        name = cdef.name.lower()
+        sub_ctes = {k: v for k, v in self.ctes.items() if k != name}
+        base = Binder(self.catalog, sub_ctes,
+                      self.context).bind_select(stmt.set_left)
+        schema = base.schema.rename(cdef.cols) if cdef.cols \
+            else base.schema
+        cell = L.CTECell()
+        rec_binder = Binder(self.catalog, sub_ctes, self.context)
+        rec_binder.ctes[name] = L.CTERef(name, schema, cell)
+        rec = rec_binder.bind_select(rhs)
+        if len(rec.schema) != len(base.schema):
+            raise BindError("recursive CTE column count mismatch")
+        return L.RecursiveCTE(base, rec, all_, cell, schema)
+
     # ------------------------------------------------------------------
     # FROM
     # ------------------------------------------------------------------
@@ -332,13 +397,27 @@ class Binder:
             name = ref.name.lower()
             alias = (ref.alias or ref.name).lower()
             if name in self.ctes:
-                sub = self.ctes[name]
-                sub_binder = Binder(self.catalog,
-                                    {k: v for k, v in self.ctes.items()
-                                     if k != name}, self.context)
-                plan = sub_binder.bind_select(sub)
+                cdef = self.ctes[name]
+                if isinstance(cdef, L.CTERef):
+                    # self-reference inside the recursive half: scan the
+                    # working table (reference: LOGICAL_CTE_REF)
+                    sc = Scope()
+                    sc.add(alias, cdef.schema)
+                    return cdef, sc
+                cols = cdef.cols if isinstance(cdef, A.CTEDef) else None
+                sub = cdef.select if isinstance(cdef, A.CTEDef) else cdef
+                if isinstance(cdef, A.CTEDef) and cdef.recursive \
+                        and sub.set_op is not None \
+                        and _references_cte(sub.set_op[1], name):
+                    plan = self._bind_recursive_cte(cdef)
+                else:
+                    sub_binder = Binder(self.catalog,
+                                        {k: v for k, v in self.ctes.items()
+                                         if k != name}, self.context)
+                    plan = sub_binder.bind_select(sub)
                 sc = Scope()
-                sc.add(alias, plan.schema)
+                schema = plan.schema.rename(cols) if cols else plan.schema
+                sc.add(alias, schema)
                 return plan, sc
             view = self.catalog.get_view(name)
             if view is not None:
@@ -441,8 +520,27 @@ class Binder:
                     conds.append(jc)
                 else:
                     extras.append(self.bind_expr(c, combined))
+        range_cond = None
         if not conds:
-            # no equi conditions: cross product + filter (inner only)
+            # no equi conditions: pick an inequality to drive a sort-based
+            # range join (reference: physical_piecewise_merge_join.cpp);
+            # the remaining conditions stay as residual pair filters
+            picked = None
+            for i, c in enumerate(ir_conjuncts_ast(ref.on)):
+                rc = self._try_range_cond(c, lscope, rscope)
+                if rc is not None:
+                    picked = i
+                    range_cond = rc
+                    break
+            if range_cond is not None:
+                extras = []
+                for i, c in enumerate(ir_conjuncts_ast(ref.on)):
+                    if i != picked:
+                        extras.append(self.bind_expr(c, combined))
+                extra = ir.make_and(extras) if extras else None
+                plan = L.Join(lplan, rplan, ref.join_type, [], extra=extra,
+                              range_cond=range_cond)
+                return plan, combined
             if ref.join_type != "inner":
                 raise BindError("non-equi outer joins not supported yet")
             plan = L.CrossProduct(lplan, rplan)
@@ -468,6 +566,28 @@ class Binder:
         extra = ir.make_and(extras) if extras else None
         plan = L.Join(lplan, rplan, ref.join_type, conds, extra=extra)
         return plan, combined
+
+    _FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+    def _try_range_cond(self, c: A.EExpr, lscope, rscope):
+        """Bind `lexpr <op> rexpr` with sides from opposite scopes into a
+        (left_expr, op, right_expr) range-join driver."""
+        if not (isinstance(c, A.EBinary)
+                and c.op in ("<", "<=", ">", ">=")):
+            return None
+        for a, b, op in ((c.left, c.right, c.op),
+                         (c.right, c.left, self._FLIP_OP[c.op])):
+            try:
+                le = self.bind_expr(a, lscope)
+                re_ = self.bind_expr(b, rscope)
+            except BindError:
+                continue
+            if le.dtype.id == TypeId.VARCHAR \
+                    or re_.dtype.id == TypeId.VARCHAR:
+                return None     # string ranges need dictionary order (r3)
+            le2, re2 = self._align_join_keys(le, re_)
+            return (le2, op, re2)
+        return None
 
     def _try_equi_cond(self, c: A.EExpr, lscope, rscope, combined,
                        lwidth) -> Optional[L.JoinCond]:
@@ -622,8 +742,35 @@ class Binder:
                 for i, f in enumerate(plan.schema.fields)],
                 list(plan.schema.names))
         if not corr:
-            raise BindError("EXISTS correlation needs at least one "
-                            "equality predicate")
+            # inequality-only correlation: range semi/anti join driven by
+            # the first usable inequality (reference: plan_comparison_join
+            # falls back to PiecewiseMergeJoin for these)
+            jt = "anti" if negated else "semi"
+            drv = next((k for k, (op, oe, ie) in enumerate(corr_extra)
+                        if op in ("<", "<=", ">", ">=")
+                        and oe.dtype.id != TypeId.VARCHAR
+                        and ie.dtype.id != TypeId.VARCHAR), None)
+            if drv is None:
+                raise BindError("EXISTS correlation needs an equality or "
+                                "inequality predicate")
+            ikeys = [ie for (_, _, ie) in corr_extra]
+            iproj = L.Project(iplan, ikeys,
+                              [f"__ck{i}" for i in range(len(ikeys))])
+            lw = len(plan.schema)
+            op0, oe0, ie0 = corr_extra[drv]
+            rref0 = ir.ColRef(drv, ie0.dtype, f"__ck{drv}",
+                              getattr(ie0, "strdict", None))
+            o2, r2 = self._align_join_keys(oe0, rref0)
+            parts = []
+            for j, (op, oe, ie) in enumerate(corr_extra):
+                if j == drv:
+                    continue
+                rref = ir.ColRef(lw + j, ie.dtype, f"__ck{j}",
+                                 getattr(ie, "strdict", None))
+                parts.append(ir.Cmp(op, oe, rref))
+            extra = ir.make_and(parts) if parts else None
+            return L.Join(plan, iproj, jt, [], extra=extra,
+                          range_cond=(o2, op0, r2))
         jt = "anti" if negated else "semi"
         # inner plan projects the correlated inner exprs as join keys,
         # plus inner sides of non-equality correlations for the residual

@@ -30,7 +30,7 @@ KEYWORDS = {
     "except", "intersect", "substring", "for", "extract", "values",
     "insert", "into", "over", "partition", "rows", "range", "preceding",
     "following", "unbounded", "current", "row", "update", "delete",
-    "set", "primary", "key", "default",
+    "set", "primary", "key", "default", "recursive",
 }
 
 _TOKEN_RE = re.compile(r"""

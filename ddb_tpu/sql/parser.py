@@ -276,11 +276,19 @@ class Parser:
     def select_stmt(self) -> A.SelectStmt:
         ctes = []
         if self.accept_kw("with"):
+            recursive = bool(self.accept_kw("recursive"))
             while True:
                 name = self.ident()
+                cols = None
+                if self.accept_op("("):
+                    cols = [self.ident()]
+                    while self.accept_op(","):
+                        cols.append(self.ident())
+                    self.expect_op(")")
                 self.expect_kw("as")
                 self.expect_op("(")
-                ctes.append((name, self.select_stmt()))
+                ctes.append(A.CTEDef(name, self.select_stmt(), cols,
+                                     recursive))
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break

@@ -208,3 +208,126 @@ def test_prepared_parameters(con):
     from ddb_tpu.sql.binder import BindError
     with _pytest.raises(BindError):
         con.execute("SELECT a FROM t1 WHERE a > ?")
+
+
+# ---- recursive CTEs (reference: test/sql/cte/recursive_cte*.test) -------
+
+def test_recursive_cte_union_all(con):
+    rows = con.execute("""
+        WITH RECURSIVE t(n) AS (
+            SELECT 1
+            UNION ALL
+            SELECT n + 1 FROM t WHERE n < 10
+        ) SELECT sum(n), count(*), min(n), max(n) FROM t""").fetchall()
+    assert rows == [(55, 10, 1, 10)]
+
+
+def test_recursive_cte_union_distinct_cycle(con):
+    c2 = ddb_tpu.connect()
+    c2.register("edges", {"src": [1, 2, 3, 4, 2], "dst": [2, 3, 4, 2, 1]})
+    rows = c2.execute("""
+        WITH RECURSIVE reach(node) AS (
+            SELECT 1
+            UNION
+            SELECT e.dst FROM reach r JOIN edges e ON r.node = e.src
+        ) SELECT node FROM reach ORDER BY node""").fetchall()
+    assert rows == [(1,), (2,), (3,), (4,)]
+
+
+def test_recursive_cte_multi_column(con):
+    rows = con.execute("""
+        WITH RECURSIVE fib(a, b) AS (
+            SELECT 0, 1
+            UNION ALL
+            SELECT b, a + b FROM fib WHERE b < 100
+        ) SELECT max(b) FROM fib""").fetchall()
+    assert rows == [(144,)]
+
+
+def test_cte_column_aliases(con):
+    rows = con.execute(
+        "WITH c(x, y) AS (SELECT 1, 2) SELECT y, x FROM c").fetchall()
+    assert rows == [(2, 1)]
+
+
+def test_recursive_cte_in_outer_join(con):
+    rows = con.execute("""
+        WITH RECURSIVE seq(n) AS (
+            SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 5
+        ) SELECT s1.n, s2.n FROM seq s1
+          JOIN seq s2 ON s2.n = s1.n + 1
+          ORDER BY s1.n""").fetchall()
+    assert rows == [(1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+# ---- range (inequality) joins (reference:
+# operator/join/physical_piecewise_merge_join.cpp, physical_iejoin.cpp) ----
+
+@pytest.fixture()
+def range_con():
+    c = ddb_tpu.connect()
+    c.register("lt", {"a": [1, 5, 10, None], "id": [1, 2, 3, 4]})
+    c.register("rt", {"b": [3, 7, None], "rid": [1, 2, 3]})
+    return c
+
+
+def test_range_join_inner(range_con):
+    rows = range_con.execute(
+        "SELECT id, rid FROM lt JOIN rt ON a < b ORDER BY id, rid"
+    ).fetchall()
+    assert rows == [(1, 1), (1, 2), (2, 2)]
+
+
+def test_range_join_flipped_op(range_con):
+    rows = range_con.execute(
+        "SELECT id, rid FROM lt JOIN rt ON b <= a ORDER BY id, rid"
+    ).fetchall()
+    assert rows == [(2, 1), (3, 1), (3, 2)]
+
+
+def test_range_join_left_outer(range_con):
+    rows = range_con.execute(
+        "SELECT id, rid FROM lt LEFT JOIN rt ON a > b ORDER BY id, rid"
+    ).fetchall()
+    assert rows == [(1, None), (2, 1), (3, 1), (3, 2), (4, None)]
+
+
+def test_range_join_full_outer(range_con):
+    rows = range_con.execute(
+        "SELECT id, rid FROM lt FULL JOIN rt ON a < b "
+        "ORDER BY id NULLS FIRST, rid").fetchall()
+    assert rows == [(None, 3), (1, 1), (1, 2), (2, 2), (3, None),
+                    (4, None)]
+
+
+def test_iejoin_two_inequalities(range_con):
+    range_con.register("ev", {"s": [1, 4, 8], "e": [5, 6, 12],
+                              "eid": [1, 2, 3]})
+    range_con.register("pt", {"x": [2, 5, 9, 13], "pid": [1, 2, 3, 4]})
+    rows = range_con.execute(
+        "SELECT eid, pid FROM ev JOIN pt ON x >= s AND x < e "
+        "ORDER BY eid, pid").fetchall()
+    assert rows == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_exists_inequality_correlation(range_con):
+    rows = range_con.execute(
+        "SELECT id FROM lt WHERE EXISTS "
+        "(SELECT 1 FROM rt WHERE lt.a < rt.b) ORDER BY id").fetchall()
+    assert rows == [(1,), (2,)]
+    rows = range_con.execute(
+        "SELECT id FROM lt WHERE NOT EXISTS "
+        "(SELECT 1 FROM rt WHERE lt.a < rt.b) ORDER BY id").fetchall()
+    assert rows == [(3,), (4,)]
+
+
+def test_negative_float_order_and_range():
+    c = ddb_tpu.connect()
+    c.register("f1", {"v": [0.5, -1.5, 2.0, -0.25, None]})
+    c.register("f2", {"w": [0, 1]})
+    rows = c.execute("SELECT v FROM f1 ORDER BY v").fetchall()
+    assert rows == [(-1.5,), (-0.25,), (0.5,), (2.0,), (None,)]
+    rows = c.execute("SELECT v, w FROM f1 JOIN f2 ON v < w "
+                     "ORDER BY v, w").fetchall()
+    assert rows == [(-1.5, 0), (-1.5, 1), (-0.25, 0), (-0.25, 1),
+                    (0.5, 1)]
