@@ -175,6 +175,58 @@ def range_probe(bt: BuildTable, pkey: jax.Array, pkey_null,
             jnp.where(ok, cnt, 0).astype(jnp.int32))
 
 
+def asof_probe(rk: jax.Array, rt: jax.Array, r_live: jax.Array,
+               lk: jax.Array, lt: jax.Array, l_live: jax.Array,
+               strict: bool):
+    """AsOf join: per probe row, the single LATEST build row with equal
+    key and build-time <= probe-time (< if strict).  Keys are
+    equality-preserving int64; times are ORDER-PRESERVING int64 encodings
+    (pre-negate both sides to express >=-directional asof as <=).
+
+    Reference: operator/join/physical_asof_join.cpp — theirs is a
+    partitioned merge; ours is one combined (key, time) sort + a
+    forward-fill, scatter-free.  Returns (BuildTable, lo, cnt) compatible
+    with the generic expand/outer machinery (cnt ∈ {0,1})."""
+    nb = rk.shape[0]
+    npr = lk.shape[0]
+    bkey = jnp.where(r_live, rk.astype(jnp.int64), _KEY_SENTINEL)
+    pkey = jnp.where(l_live, lk.astype(jnp.int64), _KEY_SENTINEL)
+
+    # sorted-build srow (stable: same slot numbering as the merged sort)
+    rowid = lax.broadcasted_iota(jnp.int32, (nb,), 0)
+    skey, _, srow = lax.sort([bkey, rt, rowid], num_keys=2, is_stable=True)
+
+    keys1 = jnp.concatenate([bkey, pkey])
+    keys2 = jnp.concatenate([rt, lt])
+    # inclusive: builds BEFORE probes at equal (key, time); strict: after
+    if strict:
+        tag = jnp.concatenate([jnp.ones(nb, jnp.int32),
+                               jnp.zeros(npr, jnp.int32)])
+    else:
+        tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
+                               jnp.ones(npr, jnp.int32)])
+    idx = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
+    kcarry = jnp.concatenate([bkey, jnp.full(npr, _KEY_SENTINEL)])
+
+    mk, mt, mtag, midx, mkc = lax.sort([keys1, keys2, tag, idx, kcarry],
+                                       num_keys=3, is_stable=True)
+    is_build = midx < nb
+    (fk,) = _forward_fill(is_build, (mkc,))
+    nbuilds = jnp.cumsum(is_build.astype(jnp.int32))   # at-or-before, incl
+    lo_m = jnp.maximum(nbuilds - 1, 0)
+    found_m = (fk == mk) & (mk != _KEY_SENTINEL)
+
+    _, lo_all, f_all = lax.sort(
+        [midx, lo_m, found_m.astype(jnp.int32)], num_keys=1,
+        is_stable=False)
+    lo = lo_all[nb:]
+    found = (f_all[nb:] > 0) & l_live
+    bt = BuildTable(skey, srow,
+                    jnp.zeros(nb, jnp.int32), jnp.zeros(nb, jnp.int32),
+                    r_live.astype(jnp.int32).sum())
+    return bt, lo.astype(jnp.int32), found.astype(jnp.int32)
+
+
 def match_total(count) -> jax.Array:
     return count.astype(jnp.int64).sum()
 

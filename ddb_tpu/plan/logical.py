@@ -130,6 +130,10 @@ class Join(LogicalNode):
     # physical_piecewise_merge_join.cpp / physical_iejoin.cpp); additional
     # inequalities land in `extra` (IEJoin-style residual filtering)
     range_cond: Optional[tuple] = None
+    # AsOf join: conds are the (optional) equality keys and range_cond is
+    # the time inequality; each probe row matches at most the nearest
+    # build row (reference: physical_asof_join.cpp)
+    asof: bool = False
     schema: Schema = None
 
     def __post_init__(self):

@@ -78,7 +78,7 @@ def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
         left = push_filters(node.left, lpreds)
         right = push_filters(node.right, rpreds)
         nj = L.Join(left, right, node.join_type, node.conds, node.extra,
-                    node.mark_name, node.range_cond)
+                    node.mark_name, node.range_cond, node.asof)
         return _wrap(nj, stay)
 
     if isinstance(node, L.Order):
@@ -129,10 +129,63 @@ def _flatten_cross(node: L.LogicalNode) -> List[L.LogicalNode]:
     return [node]
 
 
+def _col_ndv(tc) -> Optional[float]:
+    """Distinct-count estimate for a base-table column from its stats."""
+    s = tc.stats
+    if s.distinct_hint:
+        return float(s.distinct_hint)
+    if s.min is not None and s.max is not None and tc.dtype.is_integer:
+        return float(max(int(s.max) - int(s.min) + 1, 1))
+    return None
+
+
+def _pred_selectivity(get: "L.Get", p: ir.Expr) -> float:
+    """Stats-based selectivity of one pushed-down scan filter
+    (reference: optimizer/statistics_propagator.cpp — ours is the
+    min/max/ndv subset needed for join ordering)."""
+    if isinstance(p, ir.Cmp):
+        col, const, op = None, None, p.op
+        if isinstance(p.left, ir.ColRef) and isinstance(p.right, ir.Const):
+            col, const = p.left, p.right
+        elif isinstance(p.right, ir.ColRef) and isinstance(p.left,
+                                                           ir.Const):
+            col, const = p.right, p.left
+            op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+        if col is not None and const is not None:
+            tc = get.table.columns[get.column_indices[col.index]]
+            s = tc.stats
+            if op == "==":
+                ndv = _col_ndv(tc)
+                return 1.0 / ndv if ndv else 0.1
+            if op == "!=":
+                ndv = _col_ndv(tc)
+                return 1.0 - 1.0 / ndv if ndv else 0.9
+            if op in ("<", "<=", ">", ">=") and s.min is not None \
+                    and const.value is not None:
+                try:
+                    lo, hi, v = float(s.min), float(s.max), \
+                        float(const.value)
+                except (TypeError, ValueError):
+                    return 1.0 / 3.0
+                if hi <= lo:
+                    return 0.5
+                frac = min(max((v - lo) / (hi - lo), 0.0), 1.0)
+                return max(frac if op in ("<", "<=") else 1.0 - frac,
+                           1e-4)
+    if isinstance(p, ir.BoolOp) and p.op == "or":
+        s = 0.0
+        for a in p.args:
+            s += _pred_selectivity(get, a)
+        return min(s, 1.0)
+    return 0.25
+
+
 def _estimate_rows(node: L.LogicalNode) -> float:
     if isinstance(node, L.Get):
-        n = max(node.table.num_rows, 1)
-        return n * (0.25 ** len(node.filters))
+        n = float(max(node.table.num_rows, 1))
+        for f in node.filters:
+            n *= _pred_selectivity(node, f)
+        return max(n, 1.0)
     if isinstance(node, L.Filter):
         return _estimate_rows(node.child) * 0.25
     if isinstance(node, L.Aggregate):
@@ -147,6 +200,37 @@ def _estimate_rows(node: L.LogicalNode) -> float:
     if kids:
         return max(_estimate_rows(k) for k in kids)
     return 1.0
+
+
+def _ndv(part, expr) -> float:
+    """Crude per-expr distinct-count estimate from base-table stats."""
+    cols = _cols_of(expr)
+    if len(cols) != 1:
+        return max(_estimate_rows(part), 1.0)
+    node = part
+    idx = cols[0]
+    while True:
+        if isinstance(node, L.Filter):
+            node = node.child
+            continue
+        if isinstance(node, L.Project):
+            e2 = node.exprs[idx]
+            c2 = _cols_of(e2)
+            if len(c2) != 1:
+                return max(_estimate_rows(part), 1.0)
+            idx = c2[0]
+            node = node.child
+            continue
+        break
+    if isinstance(node, L.Get):
+        col = node.table.columns[node.column_indices[idx]]
+        s = col.stats
+        if s.distinct_hint:
+            return float(s.distinct_hint)
+        if s.min is not None and s.max is not None \
+                and col.dtype.is_integer:
+            return float(max(int(s.max) - int(s.min) + 1, 1))
+    return max(_estimate_rows(part), 1.0)
 
 
 def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
@@ -198,6 +282,34 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
     parts = [push_filters(c, lp) for c, lp in zip(children, local_preds)]
     sizes = [_estimate_rows(p) for p in parts]
 
+    # ---- DP join enumeration (reference: optimizer/join_order/
+    # plan_enumerator.cpp DPccp) for up to 11 relations; greedy beyond.
+    # Cost = sum of intermediate cardinalities; card(S) = prod(base) /
+    # prod(max ndv per join edge inside S) — the reference's
+    # cardinality_estimator.cpp denominator idea.
+    _ndv_cache = {}
+
+    def cond_ndv(k):
+        if k not in _ndv_cache:
+            ci, cj, le, re_ = join_conds[k]
+            _ndv_cache[k] = max(_ndv(parts[ci], le),
+                                _ndv(parts[cj], re_), 1.0)
+        return _ndv_cache[k]
+
+    dp_tree = None
+    if 2 <= len(parts) <= 11:
+        dp_tree = _dp_join_order(len(parts), sizes, join_conds, cond_ndv)
+
+    if dp_tree is not None:
+        applied = set()
+        current, placed_offsets, cur_width = _build_join_tree(
+            dp_tree, parts, join_conds, applied)
+        conds_left = [jc for k, jc in enumerate(join_conds)
+                      if k not in applied]
+        return _joins_postlude(children, offsets, parts, current,
+                               placed_offsets, cur_width, conds_left,
+                               residual)
+
     # greedy left-deep join order by ESTIMATED OUTPUT CARDINALITY:
     # |L join R| ~= |L| * |R| / max(ndv(Lkey), ndv(Rkey)) — avoids
     # low-cardinality-key fan-out blowups (e.g. joining two fact-side
@@ -207,36 +319,6 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
 
     def cond_children(jc):
         return {jc[0], jc[1]}
-
-    def _ndv(part, expr) -> float:
-        """Crude per-expr distinct-count estimate from base-table stats."""
-        cols = _cols_of(expr)
-        if len(cols) != 1:
-            return max(_estimate_rows(part), 1.0)
-        node = part
-        idx = cols[0]
-        while True:
-            if isinstance(node, L.Filter):
-                node = node.child
-                continue
-            if isinstance(node, L.Project):
-                e2 = node.exprs[idx]
-                c2 = _cols_of(e2)
-                if len(c2) != 1:
-                    return max(_estimate_rows(part), 1.0)
-                idx = c2[0]
-                node = node.child
-                continue
-            break
-        if isinstance(node, L.Get):
-            col = node.table.columns[node.column_indices[idx]]
-            s = col.stats
-            if s.distinct_hint:
-                return float(s.distinct_hint)
-            if s.min is not None and s.max is not None \
-                    and col.dtype.is_integer:
-                return float(max(int(s.max) - int(s.min) + 1, 1))
-        return max(_estimate_rows(part), 1.0)
 
     if conds_left:
         start = min((c for jc in conds_left for c in cond_children(jc)),
@@ -304,7 +386,18 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
         placed.append(nxt)
         remaining.discard(nxt)
 
-    # leftover conds (cycles in join graph) become filters
+    return _joins_postlude(children, offsets, parts, current,
+                           placed_offsets, cur_width, conds_left, residual)
+
+
+def _joins_postlude(children, offsets, parts, current, placed_offsets,
+                    cur_width, conds_left, residual):
+    """Shared tail of join building: leftover cycle conds + residual
+    predicates become filters; a Project restores original column order."""
+    def local_to_current(ci, e):
+        return ir.remap_columns(
+            e, {c: c + placed_offsets[ci] for c in _cols_of(e)})
+
     leftover = []
     for ci, cj, le, re_ in conds_left:
         leftover.append(ir.Cmp("==", local_to_current(ci, le),
@@ -332,6 +425,101 @@ def _build_joins(node: L.CrossProduct, preds: List[ir.Expr]
     return L.Project(current, exprs, names,
                      L.Schema(tuple(f for c in children
                                     for f in c.schema.fields)))
+
+
+def _dp_join_order(n, sizes, conds, cond_ndv):
+    """DPsub enumeration over connected splits (reference:
+    optimizer/join_order/plan_enumerator.cpp).  Returns a bushy tree of
+    ("leaf", i) / ("join", left_tree, right_tree); right side = estimated
+    smaller (build) side (reference: build_probe_side_optimizer.cpp)."""
+    card_memo = {}
+
+    def card(mask):
+        c = card_memo.get(mask)
+        if c is None:
+            c = 1.0
+            for i in range(n):
+                if mask >> i & 1:
+                    c *= sizes[i]
+            for k, (ci, cj, _, _) in enumerate(conds):
+                if mask >> ci & 1 and mask >> cj & 1:
+                    c /= cond_ndv(k)
+            c = max(c, 1.0)
+            card_memo[mask] = c
+        return c
+
+    edge_pairs = [(1 << ci, 1 << cj) for ci, cj, _, _ in conds]
+
+    def connected(s1, s2):
+        for mi, mj in edge_pairs:
+            if (s1 & mi and s2 & mj) or (s1 & mj and s2 & mi):
+                return True
+        return False
+
+    best = [None] * (1 << n)
+    for i in range(n):
+        best[1 << i] = (0.0, ("leaf", i))
+    for mask in range(3, 1 << n):
+        if mask & (mask - 1) == 0:      # single relation
+            continue
+        lowest = mask & -mask
+        cm = card(mask)
+        found = None
+        for want_connected in (True, False):
+            s1 = (mask - 1) & mask
+            while s1:
+                s2 = mask ^ s1
+                if (s1 & lowest) and s2 \
+                        and best[s1] is not None and best[s2] is not None \
+                        and (not want_connected or connected(s1, s2)):
+                    cost = best[s1][0] + best[s2][0] + cm
+                    if found is None or cost < found[0]:
+                        if card(s1) >= card(s2):
+                            tree = ("join", best[s1][1], best[s2][1])
+                        else:
+                            tree = ("join", best[s2][1], best[s1][1])
+                        found = (cost, tree)
+                s1 = (s1 - 1) & mask
+            if found is not None:
+                break                    # cross products only as fallback
+        best[mask] = found
+    full = best[(1 << n) - 1]
+    return full[1] if full else None
+
+
+def _build_join_tree(tree, parts, conds, applied):
+    """Assemble the L.Join tree from a DP tree, applying every equi-cond
+    at the first join where both endpoints are available.  Returns
+    (plan, {child_index: column_offset}, width)."""
+    if tree[0] == "leaf":
+        i = tree[1]
+        return parts[i], {i: 0}, len(parts[i].schema)
+    _, lt, rt = tree
+    lplan, lmap, lw = _build_join_tree(lt, parts, conds, applied)
+    rplan, rmap, rw = _build_join_tree(rt, parts, conds, applied)
+
+    def shift(e, off):
+        return ir.remap_columns(e, {c: c + off for c in _cols_of(e)})
+
+    jconds = []
+    for k, (ci, cj, le, re_) in enumerate(conds):
+        if k in applied:
+            continue
+        if ci in lmap and cj in rmap:
+            jconds.append(L.JoinCond(shift(le, lmap[ci]),
+                                     shift(re_, rmap[cj])))
+            applied.add(k)
+        elif cj in lmap and ci in rmap:
+            jconds.append(L.JoinCond(shift(re_, lmap[cj]),
+                                     shift(le, rmap[ci])))
+            applied.add(k)
+    if jconds:
+        plan = L.Join(lplan, rplan, "inner", jconds)
+    else:
+        plan = L.CrossProduct(lplan, rplan)
+    offs = dict(lmap)
+    offs.update({k: v + lw for k, v in rmap.items()})
+    return plan, offs, lw + rw
 
 
 # ---------------------------------------------------------------------------

@@ -503,6 +503,35 @@ def _exec_join(node: L.Join, ctx):
     jt = node.join_type
 
     def keys_kern(lb, rb):
+        if node.asof:
+            le, rop, re_ = node.range_cond
+            ld, ln = evaluate(le, lb)
+            rd, rn = evaluate(re_, rb)
+            lt = sortkey._orderable(ld, le.dtype).astype(jnp.int64)
+            rt = sortkey._orderable(rd, re_.dtype).astype(jnp.int64)
+            if rop in ("<", "<="):
+                # earliest build >= probe ≡ latest over negated times
+                lt = ~lt
+                rt = ~rt
+            strict = rop in ("<", ">")
+            l_live = _combine_live(lb.sel, [ln])
+            r_live = _combine_live(rb.sel, [rn])
+            if node.conds:
+                lds, lns = _key_arrays(node.conds, lb, "left")
+                rds, rns = _key_arrays(node.conds, rb, "right")
+                l_live = _combine_live(l_live, lns)
+                r_live = _combine_live(r_live, rns)
+                if len(lds) == 1:
+                    lk, rk = lds[0], rds[0]
+                else:
+                    lk, rk = _densify_keys(lds, l_live, rds, r_live)
+                    l_live = l_live & (lk >= 0)
+                    r_live = r_live & (rk >= 0)
+            else:
+                lk = jnp.zeros(lb.sel.shape[0], jnp.int64)
+                rk = jnp.zeros(rb.sel.shape[0], jnp.int64)
+            return join_ops.asof_probe(rk, rt, r_live, lk, lt, l_live,
+                                       strict)
         if not node.conds and node.range_cond is not None:
             # sort-based range join: order-preserving key encodings
             le, rop, re_ = node.range_cond

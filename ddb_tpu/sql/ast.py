@@ -173,6 +173,7 @@ class RJoin(TableRef):
     join_type: str            # inner|left|right|full|cross
     on: Optional[EExpr] = None
     using: Optional[List[str]] = None
+    asof: bool = False        # ASOF JOIN (nearest-match inequality)
 
 
 # ---- statements -----------------------------------------------------------
@@ -199,6 +200,8 @@ class SelectStmt:
     from_refs: List[TableRef] = field(default_factory=list)
     where: Optional[EExpr] = None
     group_by: List[EExpr] = field(default_factory=list)
+    # GROUPING SETS/ROLLUP/CUBE: index lists into group_by; None = plain
+    grouping_sets: Optional[List[List[int]]] = None
     having: Optional[EExpr] = None
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None

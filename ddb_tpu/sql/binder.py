@@ -504,6 +504,10 @@ class Binder:
         if ref.join_type == "cross" or (ref.on is None and not ref.using):
             return L.CrossProduct(lplan, rplan), combined
 
+        if ref.asof:
+            return self._bind_asof_join(ref, lplan, rplan, lscope, rscope,
+                                        combined)
+
         conds: List[L.JoinCond] = []
         extras: List[ir.Expr] = []
         if ref.using:
@@ -565,6 +569,33 @@ class Binder:
             extras = keep
         extra = ir.make_and(extras) if extras else None
         plan = L.Join(lplan, rplan, ref.join_type, conds, extra=extra)
+        return plan, combined
+
+    def _bind_asof_join(self, ref: A.RJoin, lplan, rplan, lscope, rscope,
+                        combined):
+        """ASOF JOIN: equality keys + exactly one inequality picking the
+        nearest build row (reference: physical_asof_join.cpp)."""
+        if ref.join_type not in ("inner", "left"):
+            raise BindError("ASOF JOIN supports INNER and LEFT")
+        if ref.on is None:
+            raise BindError("ASOF JOIN requires an ON clause")
+        conds: List[L.JoinCond] = []
+        range_cond = None
+        for c in ir_conjuncts_ast(ref.on):
+            jc = self._try_equi_cond(c, lscope, rscope, combined, None)
+            if jc is not None:
+                conds.append(jc)
+                continue
+            rc = self._try_range_cond(c, lscope, rscope)
+            if rc is not None and range_cond is None:
+                range_cond = rc
+                continue
+            raise BindError("ASOF JOIN conditions must be equality keys "
+                            "plus exactly one inequality")
+        if range_cond is None:
+            raise BindError("ASOF JOIN requires an inequality condition")
+        plan = L.Join(lplan, rplan, ref.join_type, conds,
+                      range_cond=range_cond, asof=True)
         return plan, combined
 
     _FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
@@ -952,8 +983,27 @@ class Binder:
                 except BindError:
                     pass
 
-        agg = L.Aggregate(plan, bound_groups, agg_ctx.specs,
-                          [f"__g{i}" for i in range(len(bound_groups))])
+        gnames = [f"__g{i}" for i in range(len(bound_groups))]
+        if stmt.grouping_sets is not None:
+            # one aggregate per set; excluded keys group by constant NULL
+            # (same result as omitting them) so every set shares one
+            # schema and the results UNION ALL cleanly (reference:
+            # grouping-set expansion in bind_select_node.cpp)
+            agg = None
+            for gset in stmt.grouping_sets:
+                keep = set(gset)
+                groups_k = []
+                for i, bg in enumerate(bound_groups):
+                    if i in keep:
+                        groups_k.append(bg)
+                    else:
+                        c = ir.Const(None, bg.dtype)
+                        c.strdict = getattr(bg, "strdict", None)
+                        groups_k.append(c)
+                a_k = L.Aggregate(plan, groups_k, agg_ctx.specs, gnames)
+                agg = a_k if agg is None else L.Union(agg, a_k)
+        else:
+            agg = L.Aggregate(plan, bound_groups, agg_ctx.specs, gnames)
         ngroups = len(bound_groups)
         bound_items = [_resolve_aggrefs(b, ngroups) for b in bound_items]
         if having_bound is not None:

@@ -30,7 +30,8 @@ KEYWORDS = {
     "except", "intersect", "substring", "for", "extract", "values",
     "insert", "into", "over", "partition", "rows", "range", "preceding",
     "following", "unbounded", "current", "row", "update", "delete",
-    "set", "primary", "key", "default", "recursive",
+    "set", "primary", "key", "default", "recursive", "asof",
+    "grouping", "rollup", "cube",
 }
 
 _TOKEN_RE = re.compile(r"""

@@ -347,10 +347,13 @@ class Parser:
         if self.accept_kw("group"):
             self.expect_kw("by")
             self.accept_kw("all")
-            while True:
-                s.group_by.append(self.expr())
-                if not self.accept_op(","):
-                    break
+            if self.at_kw("grouping", "rollup", "cube"):
+                self._grouping_sets(s)
+            else:
+                while True:
+                    s.group_by.append(self.expr())
+                    if not self.accept_op(","):
+                        break
         if self.accept_kw("having"):
             s.having = self.expr()
         if self.at_kw("order"):
@@ -384,6 +387,50 @@ class Parser:
                 break
         return items
 
+    def _grouping_sets(self, s: A.SelectStmt) -> None:
+        """GROUP BY GROUPING SETS ((...),...) | ROLLUP(...) | CUBE(...)
+        normalized to a distinct group-expr list + index sets
+        (reference: planner grouping-set expansion,
+        src/planner/binder/query_node/bind_select_node.cpp)."""
+        def expr_index(e):
+            k = repr(e)
+            for i, g in enumerate(s.group_by):
+                if repr(g) == k:
+                    return i
+            s.group_by.append(e)
+            return len(s.group_by) - 1
+
+        def expr_list():
+            self.expect_op("(")
+            out = []
+            if not self.accept_op(")"):
+                out.append(expr_index(self.expr()))
+                while self.accept_op(","):
+                    out.append(expr_index(self.expr()))
+                self.expect_op(")")
+            return out
+
+        sets: list = []
+        if self.accept_kw("grouping"):
+            if self.ident().lower() != "sets":
+                self.error("expected SETS after GROUPING")
+            self.expect_op("(")
+            while True:
+                sets.append(expr_list())
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        elif self.accept_kw("rollup"):
+            cols = expr_list()
+            sets = [cols[:k] for k in range(len(cols), -1, -1)]
+        elif self.accept_kw("cube"):
+            cols = expr_list()
+            for mask in range(1 << len(cols)):
+                sets.append([c for i, c in enumerate(cols)
+                             if mask >> i & 1])
+            sets.sort(key=lambda x: (-len(x), x))
+        s.grouping_sets = sets
+
     # ---- table refs ------------------------------------------------------
     def table_ref(self) -> A.TableRef:
         left = self.table_primary()
@@ -394,7 +441,9 @@ class Parser:
                 right = self.table_primary()
                 left = A.RJoin(left, right, "cross")
                 continue
-            if self.at_kw("join", "inner", "left", "right", "full"):
+            asof = bool(self.accept_kw("asof"))
+            if asof or self.at_kw("join", "inner", "left", "right",
+                                  "full"):
                 if self.accept_kw("inner"):
                     jt = "inner"
                 elif self.accept_kw("left"):
@@ -412,16 +461,16 @@ class Parser:
                 right = self.table_primary()
                 if self.accept_kw("on"):
                     cond = self.expr()
-                    left = A.RJoin(left, right, jt, on=cond)
+                    left = A.RJoin(left, right, jt, on=cond, asof=asof)
                 elif self.accept_kw("using"):
                     self.expect_op("(")
                     cols = [self.ident()]
                     while self.accept_op(","):
                         cols.append(self.ident())
                     self.expect_op(")")
-                    left = A.RJoin(left, right, jt, using=cols)
+                    left = A.RJoin(left, right, jt, using=cols, asof=asof)
                 else:
-                    left = A.RJoin(left, right, jt)
+                    left = A.RJoin(left, right, jt, asof=asof)
                 continue
             return left
 

@@ -331,3 +331,79 @@ def test_negative_float_order_and_range():
                      "ORDER BY v, w").fetchall()
     assert rows == [(-1.5, 0), (-1.5, 1), (-0.25, 0), (-0.25, 1),
                     (0.5, 1)]
+
+
+# ---- ASOF joins (reference: operator/join/physical_asof_join.cpp) --------
+
+@pytest.fixture()
+def asof_con():
+    c = ddb_tpu.connect()
+    c.register("trades", {"sym": ["a", "a", "b", "b", "a"],
+                          "t": [3, 7, 2, 9, 1], "px": [10, 11, 20, 21, 9]})
+    c.register("quotes", {"sym": ["a", "a", "b", "b"],
+                          "qt": [2, 6, 2, 8], "bid": [100, 101, 200, 201]})
+    return c
+
+
+def test_asof_join_inner(asof_con):
+    r = asof_con.execute("""
+        SELECT t, px, bid FROM trades ASOF JOIN quotes
+        ON trades.sym = quotes.sym AND trades.t >= quotes.qt
+        ORDER BY trades.sym, t""").fetchall()
+    assert r == [(3, 10, 100), (7, 11, 101), (2, 20, 200), (9, 21, 201)]
+
+
+def test_asof_join_left(asof_con):
+    r = asof_con.execute("""
+        SELECT t, px, bid FROM trades ASOF LEFT JOIN quotes
+        ON trades.sym = quotes.sym AND trades.t >= quotes.qt
+        ORDER BY trades.sym, t""").fetchall()
+    assert r == [(1, 9, None), (3, 10, 100), (7, 11, 101), (2, 20, 200),
+                 (9, 21, 201)]
+
+
+def test_asof_join_strict_and_reversed(asof_con):
+    r = asof_con.execute("""
+        SELECT t, bid FROM trades ASOF JOIN quotes
+        ON trades.sym = quotes.sym AND trades.t > quotes.qt
+        ORDER BY trades.sym, t""").fetchall()
+    assert r == [(3, 100), (7, 101), (9, 201)]
+    r = asof_con.execute("""
+        SELECT t, bid FROM trades ASOF JOIN quotes
+        ON trades.sym = quotes.sym AND trades.t <= quotes.qt
+        ORDER BY trades.sym, t""").fetchall()
+    assert r == [(1, 100), (3, 101), (2, 200)]
+
+
+# ---- GROUPING SETS / ROLLUP / CUBE (reference: grouping-set expansion,
+# src/planner/binder/query_node/bind_select_node.cpp) ----------------------
+
+@pytest.fixture()
+def gs_con():
+    c = ddb_tpu.connect()
+    c.register("gs", {"g": ["a", "a", "b", "b"], "h": [1, 2, 1, 2],
+                      "v": [10, 20, 30, 40]})
+    return c
+
+
+def test_rollup(gs_con):
+    r = gs_con.execute("""SELECT g, h, sum(v) FROM gs GROUP BY ROLLUP(g, h)
+        ORDER BY g NULLS LAST, h NULLS LAST""").fetchall()
+    assert r == [('a', 1, 10), ('a', 2, 20), ('a', None, 30), ('b', 1, 30),
+                 ('b', 2, 40), ('b', None, 70), (None, None, 100)]
+
+
+def test_cube(gs_con):
+    r = gs_con.execute("""SELECT g, h, sum(v) FROM gs GROUP BY CUBE(g, h)
+        ORDER BY g NULLS LAST, h NULLS LAST""").fetchall()
+    assert r == [('a', 1, 10), ('a', 2, 20), ('a', None, 30), ('b', 1, 30),
+                 ('b', 2, 40), ('b', None, 70), (None, 1, 40),
+                 (None, 2, 60), (None, None, 100)]
+
+
+def test_grouping_sets(gs_con):
+    r = gs_con.execute("""SELECT g, h, sum(v) FROM gs
+        GROUP BY GROUPING SETS ((g), (h), ())
+        ORDER BY g NULLS LAST, h NULLS LAST""").fetchall()
+    assert r == [('a', None, 30), ('b', None, 70), (None, 1, 40),
+                 (None, 2, 60), (None, None, 100)]
