@@ -45,6 +45,15 @@ class WindowSpec(NamedTuple):
     has_order: bool = True
     whole_partition: bool = False   # force whole-partition frame
     rows_frame: Optional[tuple] = None   # (preceding|None, following|None)
+    # RANGE value frame (reference: window_boundaries_state in
+    # function/window/window_executor.cpp): value distances over ONE
+    # numeric order key
+    range_frame: Optional[tuple] = None  # (preceding|None, following|None)
+    order_val: Optional[jax.Array] = None      # raw order-key values
+    order_val_nulls: Optional[jax.Array] = None
+    order_desc: bool = False
+    order_nulls_first: bool = False
+    order_dtype: object = None
 
 
 def compute_windows(part_ops: Sequence[jax.Array],
@@ -63,6 +72,11 @@ def compute_windows(part_ops: Sequence[jax.Array],
             carried.append(s.data)
             if s.nulls is not None:
                 carried.append(s.nulls.astype(jnp.int8))
+        if s.order_val is not None:
+            carried.append(s.order_val)
+            carried.append((s.order_val_nulls if s.order_val_nulls
+                            is not None else
+                            jnp.zeros(cap, bool)).astype(jnp.int8))
 
     operands = [invalid, *part_ops, *order_ops, rowid, *carried]
     nkeys = 1 + len(part_ops) + len(order_ops)
@@ -105,12 +119,18 @@ def compute_windows(part_ops: Sequence[jax.Array],
     for s in specs:
         data_s = None
         nn_s = None
+        oval_s = onn_s = None
         if s.data is not None:
             data_s = carried_s[ci]
             ci += 1
             if s.nulls is not None:
                 nn_s = carried_s[ci]
                 ci += 1
+        if s.order_val is not None:
+            oval_s = carried_s[ci]
+            ci += 1
+            onn_s = carried_s[ci]
+            ci += 1
         notnull = valid_s if nn_s is None else (valid_s & (nn_s == 0))
 
         if s.kind == "row_number":
@@ -194,10 +214,10 @@ def compute_windows(part_ops: Sequence[jax.Array],
                                    else _bf_nulls(ob_rev, nn_s)))
             continue
 
-        # explicit ROWS frame: sliding sums via prefix differences
-        if s.rows_frame is not None and s.kind in (
-                "sum", "sum_float", "avg", "count", "count_star"):
-            pre, post = s.rows_frame
+        # explicit ROWS / RANGE frame: sliding sums via prefix differences
+        if (s.rows_frame is not None or s.range_frame is not None) \
+                and s.kind in ("sum", "sum_float", "avg", "count",
+                               "count_star"):
             part_end = _seg_backfill_from_last(pb_rev, pos)
             if s.kind == "count_star":
                 v = valid_s.astype(jnp.int64)
@@ -212,19 +232,27 @@ def compute_windows(part_ops: Sequence[jax.Array],
                 nn_cnt = notnull.astype(jnp.int64)
             pref = jnp.cumsum(v)
             prefc = jnp.cumsum(nn_cnt)
-            lo_i = part_start if pre is None else \
-                jnp.maximum(pos - pre, part_start)
-            hi_i = part_end if post is None else \
-                jnp.minimum(pos + post, part_end)
+            if s.rows_frame is not None:
+                pre, post = s.rows_frame
+                lo_i = part_start if pre is None else \
+                    jnp.maximum(pos - pre, part_start)
+                hi_i = part_end if post is None else \
+                    jnp.minimum(pos + post, part_end)
+            else:
+                lo_i, hi_i = _range_frame_bounds(
+                    s, parts_s, orders_s, oval_s, onn_s, valid_s,
+                    pb, ob, ob_rev, part_start, part_end, pos, cap)
             hi_i = jnp.clip(hi_i, 0, cap - 1).astype(jnp.int64)
             lo_i = jnp.clip(lo_i, 0, cap - 1).astype(jnp.int64)
+            empty = hi_i < lo_i
+            hi_i = jnp.maximum(hi_i, lo_i)
 
             def rng_sum(p, base):
                 hi_v = jnp.take(p, hi_i)
                 lo_v = jnp.take(p, lo_i) - jnp.take(base, lo_i)
                 return hi_v - lo_v
-            wsum = rng_sum(pref, v)
-            wcnt = rng_sum(prefc, nn_cnt)
+            wsum = jnp.where(empty, 0, rng_sum(pref, v))
+            wcnt = jnp.where(empty, 0, rng_sum(prefc, nn_cnt))
             if s.kind in ("count", "count_star"):
                 results_sorted.append((wcnt, None))
             elif s.kind == "avg":
@@ -296,6 +324,89 @@ def compute_windows(part_ops: Sequence[jax.Array],
             i += 1
         out.append((d, n))
     return out
+
+
+def _rank_in_partition(parts_s, count_mask, enc_vals, enc_thr,
+                       strict: bool):
+    """Per row i: number of rows j in i's partition with count_mask[j]
+    and enc_vals[j] < enc_thr[i] (<= when strict=False).  Both sequences
+    are merged in ONE sort (queries tie-broken before/after equal reals),
+    then a segmented running count answers every query — scatter-free."""
+    cap = enc_vals.shape[0]
+    keys = [jnp.concatenate([p, p]) for p in parts_s]
+    vals = jnp.concatenate([enc_vals, enc_thr])
+    if strict:
+        # queries sort BEFORE equal reals: equal values not counted
+        tag = jnp.concatenate([jnp.ones(cap, jnp.int32),
+                               jnp.zeros(cap, jnp.int32)])
+    else:
+        tag = jnp.concatenate([jnp.zeros(cap, jnp.int32),
+                               jnp.ones(cap, jnp.int32)])
+    idx = lax.broadcasted_iota(jnp.int32, (2 * cap,), 0)
+    cm = jnp.concatenate([count_mask.astype(jnp.int64),
+                          jnp.zeros(cap, jnp.int64)])
+    ops = [*keys, vals, tag, idx, cm]
+    nk = len(keys) + 2
+    sorted_ = lax.sort(ops, num_keys=nk, is_stable=True)
+    keys_m = sorted_[:len(keys)]
+    idx_m = sorted_[nk]
+    cm_m = sorted_[nk + 1]
+    pbm = jnp.zeros(2 * cap, dtype=bool).at[0].set(True)
+    for k in keys_m:
+        pbm = pbm | jnp.concatenate([jnp.ones(1, dtype=bool),
+                                     k[1:] != k[:-1]])
+    cnt = _seg_sum_scan(pbm, cm_m)
+    _, cnt_o = lax.sort([idx_m, cnt], num_keys=1, is_stable=False)
+    return cnt_o[cap:]
+
+
+def _range_frame_bounds(s, parts_s, orders_s, oval_s, onn_s, valid_s,
+                        pb, ob, ob_rev, part_start, part_end, pos, cap):
+    """Positions (lo_i, hi_i) of a RANGE value frame in the sorted space
+    (reference: function/window/window_executor.cpp value boundaries).
+    NULL-order rows frame over their own peer group."""
+    from . import sortkey
+    pre, post = s.range_frame
+    o_isnull = onn_s != 0
+    o_notnull = valid_s & ~o_isnull
+
+    def enc(x):
+        e = sortkey._orderable(x, s.order_dtype).astype(jnp.int64)
+        return ~e if s.order_desc else e
+
+    enc_real = jnp.where(o_notnull, enc(oval_s),
+                         jnp.int64(2**63 - 1))
+    # base position of the non-NULL region within each partition
+    nulls_in_part = _seg_sum_scan(pb, o_isnull.astype(jnp.int64))
+    total_nulls = _seg_backfill_from_last(
+        jnp.concatenate([pb[1:], jnp.ones(1, dtype=bool)])[::-1],
+        nulls_in_part)
+    base = part_start + (total_nulls if s.order_nulls_first else 0)
+
+    sign = -1 if s.order_desc else 1
+    if pre is not None:
+        thr_lo = enc(oval_s - sign * pre)
+        cnt_lo = _rank_in_partition(parts_s, o_notnull, enc_real, thr_lo,
+                                    strict=True)
+        lo_i = base + cnt_lo
+    else:
+        lo_i = base
+    nn_total = _seg_backfill_from_last(
+        jnp.concatenate([pb[1:], jnp.ones(1, dtype=bool)])[::-1],
+        _seg_sum_scan(pb, o_notnull.astype(jnp.int64)))
+    if post is not None:
+        thr_hi = enc(oval_s + sign * post)
+        cnt_hi = _rank_in_partition(parts_s, o_notnull, enc_real, thr_hi,
+                                    strict=False)
+        hi_i = base + cnt_hi - 1
+    else:
+        hi_i = base + nn_total - 1
+    # NULL-order rows: frame = their peer group
+    peer_first = lax.associative_scan(jnp.maximum, jnp.where(ob, pos, 0))
+    peer_end = _seg_backfill_from_last(ob_rev, pos)
+    lo_i = jnp.where(o_isnull, peer_first, lo_i)
+    hi_i = jnp.where(o_isnull, peer_end, hi_i)
+    return lo_i, hi_i
 
 
 def _ff_nulls(pb, nn_s):

@@ -237,6 +237,25 @@ class Limit(LogicalNode):
 
 
 @dataclass
+class Sample(LogicalNode):
+    """USING SAMPLE / TABLESAMPLE (reference:
+    operator/helper/physical_reservoir_sample.cpp,
+    physical_streaming_sample.cpp).  method ∈ {rows, percent}."""
+    child: LogicalNode
+    method: str
+    amount: float             # row count or percentage
+    seed: int = 42
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
+
+
+@dataclass
 class Distinct(LogicalNode):
     child: LogicalNode
     schema: Schema = None

@@ -900,10 +900,33 @@ def _exec_window(node: L.Window, ctx):
                     if kind == "sum" and f.arg.dtype.id in (
                             TypeId.FLOAT, TypeId.DOUBLE):
                         kind = "sum_float"
+                rows_frame = range_frame = None
+                oval = onull = None
+                odesc = onf = False
+                odtype = None
+                if f.frame is not None:
+                    fkind, pre, post = f.frame
+                    if fkind == "rows":
+                        rows_frame = (pre, post)
+                    else:
+                        if len(f.order) != 1:
+                            raise NotImplementedError(
+                                "RANGE value frame needs exactly one "
+                                "ORDER BY key")
+                        ok = f.order[0]
+                        oval, onull = evaluate(ok.expr, b)
+                        odesc = ok.desc
+                        onf = not ok.nulls_last
+                        odtype = ok.expr.dtype
+                        range_frame = (pre, post)
                 specs.append(win_ops.WindowSpec(
                     kind, data, nulls, f.offset,
                     has_order=bool(f.order),
-                    rows_frame=f.frame))
+                    rows_frame=rows_frame,
+                    range_frame=range_frame,
+                    order_val=oval, order_val_nulls=onull,
+                    order_desc=odesc, order_nulls_first=onf,
+                    order_dtype=odtype))
             outs = win_ops.compute_windows(part_ops, order_ops, specs,
                                            b.sel)
             for (i, f), (d, n) in zip(fns, outs):
@@ -928,6 +951,31 @@ def _exec_union(node: L.Union, ctx):
     lb, rb, st = _force(node, [lbz, rbz, statsz])
     ns = [int(x) for x in np.asarray(st)]
     return node.schema, _concat_batches(node, [lb, rb], ns)
+
+
+def _exec_sample(node: L.Sample, ctx):
+    schema, batch = _execute(node.child, ctx)
+    seed = int(node.seed)
+
+    def kern(b):
+        cap = b.sel.shape[0]
+        key = jax.random.PRNGKey(seed)
+        u = jax.random.uniform(key, (cap,))
+        if node.method == "percent":
+            m = b.sel & (u < node.amount / 100.0)
+            return Batch(b.columns, m, m.astype(jnp.int32).sum())
+        # reservoir-style n-row sample: rank live rows by random draw —
+        # one sort + inverse permutation, scatter-free
+        inv = (~b.sel).astype(jnp.int32)
+        rowid = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        _, _, rid_s = lax.sort([inv, u, rowid], num_keys=2,
+                               is_stable=False)
+        pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        _, rank = lax.sort([rid_s, pos], num_keys=1, is_stable=False)
+        m = b.sel & (rank < int(node.amount))
+        return Batch(b.columns, m, m.astype(jnp.int32).sum())
+
+    return node.schema, _lazy(node, ("sample", seed), kern, batch)
 
 
 # ---- recursive CTEs --------------------------------------------------------
@@ -1090,4 +1138,5 @@ _EXEC = {
     L.Union: _exec_union,
     L.CTERef: _exec_cte_ref,
     L.RecursiveCTE: _exec_recursive_cte,
+    L.Sample: _exec_sample,
 }

@@ -167,6 +167,20 @@ class RFunction(TableRef):
 
 
 @dataclass
+class SampleSpec:
+    method: str               # rows | percent
+    amount: float
+    seed: int = 42
+
+
+@dataclass
+class RSampleRef(TableRef):
+    """<table-ref> TABLESAMPLE <spec>."""
+    ref: TableRef
+    spec: SampleSpec
+
+
+@dataclass
 class RJoin(TableRef):
     left: TableRef
     right: TableRef
@@ -202,6 +216,7 @@ class SelectStmt:
     group_by: List[EExpr] = field(default_factory=list)
     # GROUPING SETS/ROLLUP/CUBE: index lists into group_by; None = plain
     grouping_sets: Optional[List[List[int]]] = None
+    sample: Optional["SampleSpec"] = None     # USING SAMPLE
     having: Optional[EExpr] = None
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None

@@ -230,6 +230,10 @@ class Binder:
             if pred is not None:
                 plan = L.Filter(plan, pred)
 
+        if stmt.sample is not None:
+            plan = L.Sample(plan, stmt.sample.method, stmt.sample.amount,
+                            stmt.sample.seed)
+
         # expand stars
         items: List[Tuple[A.EExpr, Optional[str]]] = []
         for e, alias in stmt.items:
@@ -393,6 +397,10 @@ class Binder:
         return plan, scope
 
     def _bind_ref(self, ref: A.TableRef) -> Tuple[L.LogicalNode, Scope]:
+        if isinstance(ref, A.RSampleRef):
+            plan, sc = self._bind_ref(ref.ref)
+            return L.Sample(plan, ref.spec.method, ref.spec.amount,
+                            ref.spec.seed), sc
         if isinstance(ref, A.RBase):
             name = ref.name.lower()
             alias = (ref.alias or ref.name).lower()
@@ -1708,21 +1716,27 @@ class Binder:
         return WinRef(idx, dtype, wf.strdict)
 
     def _parse_frame(self, text: Optional[str], fn_name: str):
-        """Parse 'rows between X and Y' -> (preceding, following);
-        None component = unbounded.  Returns None for dialect default."""
+        """Parse 'rows|range between X and Y' -> (kind, preceding,
+        following); None component = unbounded.  Returns None for the
+        dialect default (RANGE unbounded-preceding..current-row)."""
         if not text:
             return None
         toks = text.lower().split()
-        if toks[0] != "rows":
-            raise BindError("only ROWS frames supported (RANGE default "
-                            "frames need no clause)")
-        if fn_name not in ("sum", "avg", "count", "count_star"):
-            raise BindError(f"ROWS frame unsupported for {fn_name}")
-        # rows between <bound> and <bound>
+        kind = toks[0]
+        if kind not in ("rows", "range"):
+            raise BindError(f"unsupported frame: {text}")
         body = " ".join(toks[1:])
         if not body.startswith("between "):
-            raise BindError(f"unsupported frame: {text}")
-        a, b2 = body[len("between "):].split(" and ")
+            # shorthand: '<bound>' == 'BETWEEN <bound> AND CURRENT ROW'
+            a, b2 = body, "current row"
+        else:
+            a, b2 = body[len("between "):].split(" and ")
+        if kind == "range" and a.strip() == "unbounded preceding" \
+                and b2.strip() == "current row":
+            return None          # the dialect default
+        if fn_name not in ("sum", "avg", "count", "count_star"):
+            raise BindError(f"{kind.upper()} frame unsupported for "
+                            f"{fn_name}")
 
         def bound(s, is_start):
             s = s.strip()
@@ -1732,15 +1746,15 @@ class Binder:
                 return None
             if s == "current row":
                 return 0
-            n, kind = s.split()
-            n = int(n)
-            if kind == "preceding":
+            n, k2 = s.split()
+            n = float(n) if "." in n else int(n)
+            if k2 == "preceding":
                 return n if is_start else -n
             return -n if is_start else n   # following
 
         pre = bound(a, True)
         post = bound(b2, False)
-        return (pre, post)
+        return (kind, pre, post)
 
     def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                        sub_replacements) -> AggRef:

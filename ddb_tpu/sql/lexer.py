@@ -31,7 +31,8 @@ KEYWORDS = {
     "insert", "into", "over", "partition", "rows", "range", "preceding",
     "following", "unbounded", "current", "row", "update", "delete",
     "set", "primary", "key", "default", "recursive", "asof",
-    "grouping", "rollup", "cube",
+    "grouping", "rollup", "cube", "sample", "tablesample", "repeatable",
+    "percent",
 }
 
 _TOKEN_RE = re.compile(r"""

@@ -344,6 +344,9 @@ class Parser:
                 s.from_refs.append(self.table_ref())
         if self.accept_kw("where"):
             s.where = self.expr()
+        if self.accept_kw("using"):
+            self.expect_kw("sample")
+            s.sample = self._sample_spec()
         if self.accept_kw("group"):
             self.expect_kw("by")
             self.accept_kw("all")
@@ -386,6 +389,28 @@ class Parser:
             if not self.accept_op(","):
                 break
         return items
+
+    def _sample_spec(self):
+        """<amount> [% | PERCENT | ROWS] [REPEATABLE (seed)] — reference:
+        parser sample_options (SampleOptions)."""
+        t = self.next()
+        if t.kind != "NUM":
+            self.error("expected sample size")
+        amount = float(t.value)
+        method = "rows"
+        if self.accept_op("%") or self.accept_kw("percent"):
+            method = "percent"
+        else:
+            self.accept_kw("rows")
+        seed = 42
+        if self.accept_kw("repeatable"):
+            self.expect_op("(")
+            st = self.next()
+            if st.kind != "NUM":
+                self.error("expected seed")
+            seed = int(st.value)
+            self.expect_op(")")
+        return A.SampleSpec(method, amount, seed)
 
     def _grouping_sets(self, s: A.SelectStmt) -> None:
         """GROUP BY GROUPING SETS ((...),...) | ROLLUP(...) | CUBE(...)
@@ -434,6 +459,8 @@ class Parser:
     # ---- table refs ------------------------------------------------------
     def table_ref(self) -> A.TableRef:
         left = self.table_primary()
+        if self.accept_kw("tablesample"):
+            left = A.RSampleRef(left, self._sample_spec())
         while True:
             jt = None
             if self.accept_kw("cross"):

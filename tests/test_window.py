@@ -82,3 +82,34 @@ def test_rows_frame_centered_avg(con):
              "ORDER BY g, x")
     assert rows == [(1, 15.0), (2, 20.0), (3, 25.0),
                     (10, 150.0), (20, 150.0)]
+
+
+# ---- RANGE value frames (reference: function/window/window_executor.cpp
+# value boundaries) ---------------------------------------------------------
+
+def test_range_value_frame():
+    c = ddb_tpu.connect()
+    c.register("wr", {"g": ["a", "a", "a", "a", "b", "b"],
+                      "t": [1, 2, 4, 7, 1, 10],
+                      "v": [10, 20, 30, 40, 5, 6]})
+    r = c.execute(
+        "SELECT g, t, sum(v) OVER (PARTITION BY g ORDER BY t "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) FROM wr "
+        "ORDER BY g, t").fetchall()
+    assert r == [('a', 1, 10), ('a', 2, 30), ('a', 4, 50), ('a', 7, 40),
+                 ('b', 1, 5), ('b', 10, 6)]
+    r = c.execute(
+        "SELECT t, sum(v) OVER (ORDER BY t DESC "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) FROM wr "
+        "WHERE g='a' ORDER BY t").fetchall()
+    assert r == [(1, 30), (2, 50), (4, 30), (7, 40)]
+    r = c.execute(
+        "SELECT t, count(*) OVER (ORDER BY t "
+        "RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) FROM wr "
+        "WHERE g='a' ORDER BY t").fetchall()
+    assert r == [(1, 3), (2, 3), (4, 4), (7, 2)]
+    # ROWS shorthand (no BETWEEN)
+    r = c.execute(
+        "SELECT t, sum(v) OVER (ORDER BY t ROWS 2 PRECEDING) FROM wr "
+        "WHERE g='a' ORDER BY t").fetchall()
+    assert r == [(1, 10), (2, 30), (4, 60), (7, 90)]
