@@ -43,6 +43,12 @@ class QueryResult:
         cols = []
         for f, c in zip(self.schema.fields, self.batch.columns):
             d = np.asarray(c.data)[sel]
+            if c.hi is not None:
+                # wide (i128) value: exact reconstruction with Python ints;
+                # int64 wrap preserves the low 32 bits of `data`
+                hi = np.asarray(c.hi)[sel].astype(object)
+                lo = (d & np.int64(0xFFFFFFFF)).astype(object)
+                d = hi * (1 << 32) + lo
             n = np.asarray(c.nulls)[sel] if c.nulls is not None else None
             cols.append((f, d, n))
         return cols

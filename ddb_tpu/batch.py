@@ -38,8 +38,12 @@ def bucket_capacity(n: int) -> int:
 
 
 class Column(NamedTuple):
-    data: jax.Array              # [cap] physical values
+    data: jax.Array              # [cap] physical values (lo limb if wide)
     nulls: Optional[jax.Array]   # [cap] bool, True => NULL; None => no nulls
+    # optional high limb for wide (i128-style) values: value = hi*2^32 + data
+    # (data then holds the unsigned low 32 bits in an int64 lane); produced
+    # by wide SUM accumulation (ops/aggregate.py), None everywhere else
+    hi: Optional[jax.Array] = None
 
 
 class Batch(NamedTuple):
@@ -137,6 +141,11 @@ def batch_to_host(batch: Batch, schema: Schema):
     out_data, out_nulls = [], []
     for col in batch.columns:
         d = np.asarray(col.data)[sel]
+        if col.hi is not None:
+            # `data` is the composed (possibly wrapped) int64; exact value
+            # = hi * 2^32 + low 32 bits.  Reconstruct as Python ints.
+            h = np.asarray(col.hi)[sel].astype(object)
+            d = h * (1 << 32) + (d & np.int64(0xFFFFFFFF)).astype(object)
         m = np.asarray(col.nulls)[sel] if col.nulls is not None else None
         out_data.append(d)
         out_nulls.append(m)

@@ -16,8 +16,9 @@ Benchmarked on v5e (6M rows): sort ~11-15 ms, scans ~4 ms, vs 467 ms for a
 single int64 segment_sum (scatter) — the scatter-free path wins >10x.
 
 Aggregate NULL semantics: NULLs ignored; empty/all-NULL groups yield NULL
-(except COUNT).  DECIMAL sums accumulate exact int64 (TODO(i128) for
->18-digit totals at SF100).
+(except COUNT).  DECIMAL/integer sums accumulate exact int64 when
+plan/bounds.py proves no overflow, else exact two-limb i128-style
+accumulation (_WIDE_KINDS) — reference analog: hugeint sum states.
 """
 
 from __future__ import annotations
@@ -44,6 +45,33 @@ class AggPayload(NamedTuple):
 
 _VAR_KINDS = ("var_samp", "var_pop", "stddev_samp", "stddev_pop")
 _COVAR_KINDS = ("covar_samp", "covar_pop", "corr")
+
+# wide (i128-style) sums: accumulate two int64 limbs (lo = v & 0xffffffff,
+# hi = v >> 32); exact for any count <= 2^31 of int64 inputs.  Reference
+# analog: hugeint sum states (extension/core_functions/aggregate/
+# distributive/sum.cpp).  Selected by plan/bounds.py overflow analysis.
+_WIDE_KINDS = ("sum_wide", "avg_wide")
+_LO_MASK = 0xFFFFFFFF
+
+
+def _split_limbs(v64):
+    lo = v64 & jnp.int64(_LO_MASK)
+    hi = v64 >> jnp.int64(32)
+    return lo, hi
+
+
+def _finalize_wide(slo, shi):
+    """Summed limbs -> (composed int64, true high limb).
+
+    composed = value mod 2^64 (exact whenever the value fits int64, so all
+    narrow consumers — joins, sorts, comparisons — keep working); the true
+    value is always hi * 2^32 + (composed & 0xffffffff) since int64 wrap
+    preserves the low bits."""
+    return slo + (shi << jnp.int64(32)), shi + (slo >> jnp.int64(32))
+
+
+def _compose_f64(slo, shi):
+    return shi.astype(jnp.float64) * float(2 ** 32) + slo.astype(jnp.float64)
 
 
 def _finalize_var(kind, s1, s2, cnt):
@@ -220,6 +248,13 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
             s = _seg_sum_scan(boundary, v)
             results_rows.append((("avg" if p.kind == "avg" else "sum"),
                                  [s], cnt))
+        elif p.kind in _WIDE_KINDS:
+            v64 = jnp.where(notnull, data_s.astype(jnp.int64),
+                            jnp.zeros((), jnp.int64))
+            lo, hi = _split_limbs(v64)
+            slo = _seg_sum_scan(boundary, lo)
+            shi = _seg_sum_scan(boundary, hi)
+            results_rows.append((p.kind, [slo, shi], cnt))
         elif p.kind in ("min", "max"):
             big = _extreme(data_s.dtype, p.kind)
             v = jnp.where(notnull, data_s, big)
@@ -298,6 +333,12 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
             agg_results.append((jnp.where(gsel, gvs[0], 0), None))
         elif kind == "sum":
             agg_results.append((gvs[0], (gc == 0) | ~gsel))
+        elif kind == "sum_wide":
+            lo, hi = _finalize_wide(gvs[0], gvs[1])
+            agg_results.append(((lo, hi), (gc == 0) | ~gsel))
+        elif kind == "avg_wide":
+            out = _compose_f64(gvs[0], gvs[1]) / jnp.maximum(gc, 1)
+            agg_results.append((out, (gc == 0) | ~gsel))
         elif kind == "avg":
             out = gvs[0].astype(jnp.float64) / jnp.maximum(gc, 1)
             agg_results.append((out, (gc == 0) | ~gsel))
@@ -354,14 +395,18 @@ def group_distinct_aggregate(key_ops, value_ops, payload: AggPayload,
 
     cnt = _seg_sum_scan(g_boundary, first_occ.astype(jnp.int64))
     if payload.kind in ("count",):
-        per_row = cnt
-        cnt2 = cnt
+        per_rows = [cnt]
     elif payload.kind in ("sum", "sum_float", "avg"):
         acc = _acc_dtype(payload.kind, data_s.dtype)
         v = jnp.where(first_occ, data_s.astype(acc),
                       jnp.zeros((), dtype=acc))
-        per_row = _seg_sum_scan(g_boundary, v)
-        cnt2 = cnt
+        per_rows = [_seg_sum_scan(g_boundary, v)]
+    elif payload.kind in _WIDE_KINDS:
+        v64 = jnp.where(first_occ, data_s.astype(jnp.int64),
+                        jnp.zeros((), jnp.int64))
+        lo, hi = _split_limbs(v64)
+        per_rows = [_seg_sum_scan(g_boundary, lo),
+                    _seg_sum_scan(g_boundary, hi)]
     else:
         raise NotImplementedError(f"distinct {payload.kind}")
 
@@ -371,21 +416,31 @@ def group_distinct_aggregate(key_ops, value_ops, payload: AggPayload,
     is_last = valid_s & (nxt_boundary | nxt_invalid)
     pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
     not_last = (~is_last).astype(jnp.int32)
-    _, _, gv, gc = lax.sort([not_last, pos, per_row, cnt2], num_keys=2,
-                            is_stable=False)
+    outs = lax.sort([not_last, pos, *per_rows, cnt], num_keys=2,
+                    is_stable=False)[2:]
     ncap = num_groups_cap
-    gv = gv[:ncap] if gv.shape[0] >= ncap else jnp.concatenate(
-        [gv, jnp.zeros(ncap - gv.shape[0], dtype=gv.dtype)])
-    gc = gc[:ncap] if gc.shape[0] >= ncap else jnp.concatenate(
-        [gc, jnp.zeros(ncap - gc.shape[0], dtype=gc.dtype)])
+
+    def fit(a):
+        if a.shape[0] >= ncap:
+            return a[:ncap]
+        return jnp.concatenate([a, jnp.zeros(ncap - a.shape[0],
+                                             dtype=a.dtype)])
+
+    gvs = [fit(a) for a in outs[:-1]]
+    gc = fit(outs[-1])
     ngroups = g_boundary.sum().astype(jnp.int32)
     gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
     if payload.kind == "count":
-        return jnp.where(gsel, gv, 0), None
+        return jnp.where(gsel, gvs[0], 0), None
     if payload.kind == "avg":
-        return (gv.astype(jnp.float64)
+        return (gvs[0].astype(jnp.float64)
                 / jnp.maximum(gc, 1), (gc == 0) | ~gsel)
-    return gv, (gc == 0) | ~gsel
+    if payload.kind == "avg_wide":
+        return (_compose_f64(gvs[0], gvs[1])
+                / jnp.maximum(gc, 1), (gc == 0) | ~gsel)
+    if payload.kind == "sum_wide":
+        return _finalize_wide(gvs[0], gvs[1]), (gc == 0) | ~gsel
+    return gvs[0], (gc == 0) | ~gsel
 
 
 def ungrouped_distinct(value_ops, payload: AggPayload, sel):
@@ -414,6 +469,14 @@ def ungrouped_distinct(value_ops, payload: AggPayload, sel):
         if payload.kind == "avg":
             return s.astype(jnp.float64) / jnp.maximum(cnt, 1), cnt == 0
         return s, cnt == 0
+    if payload.kind in _WIDE_KINDS:
+        v64 = jnp.where(first_occ, data_s.astype(jnp.int64),
+                        jnp.zeros((), jnp.int64))
+        lo, hi = _split_limbs(v64)
+        slo, shi = lo.sum(), hi.sum()
+        if payload.kind == "avg_wide":
+            return _compose_f64(slo, shi) / jnp.maximum(cnt, 1), cnt == 0
+        return _finalize_wide(slo, shi), cnt == 0
     raise NotImplementedError(f"distinct {payload.kind}")
 
 
@@ -453,6 +516,16 @@ def dense_group_aggregate(gid: jax.Array, domain: int,
                                 / jnp.maximum(nn, 1), nn == 0))
             else:
                 results.append((s, nn == 0))
+        elif p.kind in _WIDE_KINDS:
+            lo, hi = _split_limbs(p.data.astype(jnp.int64))
+            z = jnp.zeros((), jnp.int64)
+            slo = jnp.stack([jnp.where(m, lo, z).sum() for m in live_masks])
+            shi = jnp.stack([jnp.where(m, hi, z).sum() for m in live_masks])
+            if p.kind == "avg_wide":
+                results.append((_compose_f64(slo, shi)
+                                / jnp.maximum(nn, 1), nn == 0))
+            else:
+                results.append((_finalize_wide(slo, shi), nn == 0))
         elif p.kind in ("min", "max"):
             big = _extreme(p.data.dtype, p.kind)
             red = (jnp.min if p.kind == "min" else jnp.max)
@@ -490,6 +563,16 @@ def ungrouped_aggregate(payloads: Sequence[AggPayload], sel: jax.Array):
                                 / jnp.maximum(cnt, 1), cnt == 0))
             else:
                 results.append((s, cnt == 0))
+        elif p.kind in _WIDE_KINDS:
+            v64 = jnp.where(live, p.data.astype(jnp.int64),
+                            jnp.zeros((), jnp.int64))
+            lo, hi = _split_limbs(v64)
+            slo, shi = lo.sum(), hi.sum()
+            if p.kind == "avg_wide":
+                results.append((_compose_f64(slo, shi)
+                                / jnp.maximum(cnt, 1), cnt == 0))
+            else:
+                results.append((_finalize_wide(slo, shi), cnt == 0))
         elif p.kind in ("min", "max"):
             big = _extreme(p.data.dtype, p.kind)
             v = jnp.where(live, p.data, big)

@@ -42,6 +42,7 @@ from ..ops import join as join_ops
 from ..ops import order as order_ops
 from ..ops import sortkey
 from ..types import TypeId
+from . import bounds as B
 from . import logical as L
 
 
@@ -268,6 +269,11 @@ def _exec_project(node: L.Project, ctx):
     def kern(b):
         cols = []
         for e in node.exprs:
+            # bare column refs pass through unchanged, preserving wide
+            # (two-limb) columns exactly
+            if isinstance(e, ir.ColRef):
+                cols.append(b.columns[e.index])
+                continue
             d, n = evaluate(e, b)
             cols.append(Column(d, n))
         return Batch(tuple(cols), b.sel, b.count)
@@ -298,9 +304,32 @@ def _perfect_hash_domain(node: L.Aggregate):
     return sizes
 
 
-def _payloads(node: L.Aggregate, b: Batch):
+def _wide_aggs(node: L.Aggregate, capacity: int):
+    """Indices of sum/avg aggregates that need two-limb (i128) accumulation:
+    int/decimal argument whose int64 sum cannot be proven overflow-free by
+    interval analysis (plan/bounds.py) for this batch capacity."""
+    wide = set()
+    child_bounds = None
+    for i, a in enumerate(node.aggs):
+        if a.kind not in ("sum", "avg") or a.arg is None:
+            continue
+        at = a.arg.dtype
+        if not (at.is_integer or at.id == TypeId.DECIMAL):
+            continue
+        if child_bounds is None:
+            try:
+                child_bounds = B.node_bounds(node.child)
+            except Exception:
+                child_bounds = [None] * len(node.child.schema)
+        bd = B.expr_bounds(a.arg, child_bounds)
+        if not B.sum_fits_int64(bd, capacity):
+            wide.add(i)
+    return wide
+
+
+def _payloads(node: L.Aggregate, b: Batch, wide=frozenset()):
     ps = []
-    for a in node.aggs:
+    for i, a in enumerate(node.aggs):
         if a.kind == "count_star":
             ps.append(agg_ops.AggPayload("count_star", None, None))
             continue
@@ -314,6 +343,8 @@ def _payloads(node: L.Aggregate, b: Batch):
         if kind == "sum" and a.arg.dtype.id in (TypeId.FLOAT,
                                                 TypeId.DOUBLE):
             kind = "sum_float"
+        elif kind in ("sum", "avg") and i in wide:
+            kind = {"sum": "sum_wide", "avg": "avg_wide"}[kind]
         ps.append(agg_ops.AggPayload(kind, d, n, d2))
     return ps
 
@@ -324,6 +355,9 @@ def _agg_output(node: L.Aggregate, group_cols, agg_results, gsel, ngroups,
     for (d, n) in group_cols:
         cols.append(Column(d, n))
     for a, (d, n) in zip(node.aggs, agg_results):
+        if isinstance(d, tuple):          # wide sum: (composed, high limb)
+            cols.append(Column(d[0], n, d[1]))
+            continue
         if (a.kind == "avg" or (a.kind == "quantile" and a.interpolate)) \
                 and a.arg is not None \
                 and a.arg.dtype.id == TypeId.DECIMAL:
@@ -341,7 +375,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
 
     if not node.groups:
         def kern(b):
-            ps = _payloads(node, b)
+            ps = _payloads(node, b, _wide_aggs(node, b.sel.shape[0]))
             res = []
             for spec, p in zip(node.aggs, ps):
                 if spec.kind == "quantile":
@@ -357,6 +391,14 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     res.append(agg_ops.ungrouped_aggregate([p], b.sel)[0])
             cols = []
             for a, (v, isn) in zip(node.aggs, res):
+                n = None
+                if isn is not None:
+                    n = jnp.zeros(128, dtype=bool).at[0].set(isn)
+                if isinstance(v, tuple):   # wide sum (composed, hi limb)
+                    d = jnp.zeros(128, jnp.int64).at[0].set(v[0])
+                    h = jnp.zeros(128, jnp.int64).at[0].set(v[1])
+                    cols.append(Column(d, n, h))
+                    continue
                 if (a.kind == "avg"
                         or (a.kind == "quantile" and a.interpolate)) \
                         and a.arg is not None \
@@ -364,9 +406,6 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     v = v / T.decimal_scale_factor(a.arg.dtype.scale)
                 want = np.dtype(a.dtype.np_dtype)
                 d = jnp.zeros(128, dtype=want).at[0].set(v.astype(want))
-                n = None
-                if isn is not None:
-                    n = jnp.zeros(128, dtype=bool).at[0].set(isn)
                 cols.append(Column(d, n))
             sel = jnp.zeros(128, dtype=bool).at[0].set(True)
             return Batch(tuple(cols), sel, jnp.int32(1))
@@ -395,7 +434,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     code = jnp.where(n, size - 1, code)
                 key_cols.append((d, n))
                 gid = gid + code * stride
-            ps = _payloads(node, b)
+            ps = _payloads(node, b, _wide_aggs(node, b.sel.shape[0]))
             results, counts = agg_ops.dense_group_aggregate(
                 gid, domain, ps, b.sel)
             gsel = counts > 0
@@ -420,7 +459,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             d, n = evaluate(g, b)
             key_ops.extend(sortkey.encode_key(d, n, g.dtype))
             key_data.append((d, n))
-        ps = _payloads(node, b)
+        ps = _payloads(node, b, _wide_aggs(node, b.sel.shape[0]))
         gcap = b.sel.shape[0]
 
         def is_special(a):
@@ -817,6 +856,8 @@ def _exec_order(node: L.Order, ctx):
             carried.append(c.data)
             if c.nulls is not None:
                 carried.append(c.nulls.astype(jnp.int8))
+            if c.hi is not None:
+                carried.append(c.hi)
         nkeys = 1 + len(key_ops)
         out = lax.sort([invalid, *key_ops, *carried], num_keys=nkeys,
                        is_stable=True)
@@ -831,7 +872,11 @@ def _exec_order(node: L.Order, ctx):
             if c.nulls is not None:
                 n = rest[i] != 0
                 i += 1
-            cols.append(Column(d, n))
+            h = None
+            if c.hi is not None:
+                h = rest[i]
+                i += 1
+            cols.append(Column(d, n, h))
         return Batch(tuple(cols), sel, b.count)
 
     return node.schema, _lazy(node, "order", kern, batch)

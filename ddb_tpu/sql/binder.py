@@ -1777,7 +1777,9 @@ class Binder:
         if name == "sum":
             at = arg.dtype
             if at.id == TypeId.DECIMAL:
-                rt = T.DECIMAL(18, at.scale)
+                # duckdb parity: SUM(DECIMAL) -> DECIMAL(38, s); wide values
+                # carry a second limb column (batch.Column.hi)
+                rt = T.DECIMAL(38, at.scale)
             elif at.is_integer:
                 rt = T.HUGEINT
             else:

@@ -86,6 +86,14 @@ class DataType:
     def is_temporal(self) -> bool:
         return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP)
 
+    @property
+    def is_wide(self) -> bool:
+        """Values may exceed int64: columns of this type may carry a second
+        (high) limb; value = hi * 2^32 + lo (lo unsigned 32-bit in an int64
+        lane).  DECIMAL(w>18) and HUGEINT (reference: hugeint.cpp i128)."""
+        return (self.id == TypeId.DECIMAL and self.width > 18) \
+            or self.id == TypeId.HUGEINT
+
     # ---- physical mapping ------------------------------------------------
     @property
     def np_dtype(self) -> np.dtype:
@@ -130,11 +138,9 @@ SQLNULL = DataType(TypeId.NULL)
 
 
 def DECIMAL(width: int, scale: int) -> DataType:
-    if width > 18:
-        # TODO(i128): widths 19..38 need two-limb accumulation; clamp for now
-        # (tracked for SF100 sums).
-        width = 18
-    return DataType(TypeId.DECIMAL, width, scale)
+    # widths 19..38 are "wide": sums/values beyond int64 carry a second
+    # limb column (see DataType.is_wide, ops/aggregate.py wide sums)
+    return DataType(TypeId.DECIMAL, min(width, 38), scale)
 
 
 _EPOCH = datetime.date(1970, 1, 1)
@@ -156,7 +162,7 @@ def max_numeric(a: DataType, b: DataType) -> DataType:
         if lo.id == TypeId.DECIMAL:
             scale = max(a.scale, b.scale)
             width = max(a.width - a.scale, b.width - b.scale) + scale
-            return DECIMAL(min(width, 18), scale)
+            return DECIMAL(width, scale)
         # integer + decimal -> decimal with enough integral digits
         return DECIMAL(18, hi.scale)
     return hi
