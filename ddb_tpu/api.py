@@ -16,7 +16,7 @@ import numpy as np
 
 from . import types as T
 from .batch import Batch, Schema
-from .catalog import Catalog
+from .catalog import Catalog, CatalogException
 from .plan import logical as L
 from .plan import physical
 from .storage import table as storage
@@ -153,6 +153,8 @@ class Connection:
         self.mesh = None          # set via use_mesh() for SPMD execution
         self._txn_backup = None          # catalog tables at BEGIN
         self._txn_events = None          # CDC events buffered in txn
+        self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
+        self._attached: Dict[str, str] = {}   # ATTACH name -> path
 
     def use_mesh(self, mesh) -> "Connection":
         """Execute queries distributed over a jax.sharding.Mesh (tables
@@ -339,7 +341,112 @@ class Connection:
             return self._execute_transaction(stmt)
         if isinstance(stmt, A.CopyStmt):
             return self._execute_copy(stmt)
+        if isinstance(stmt, A.PrepareStmt):
+            # validate eagerly like the reference (parse errors at PREPARE)
+            from .sql import parser as sqlparser
+            sqlparser.parse(stmt.sql_text)
+            self._prepared[stmt.name.lower()] = stmt.sql_text
+            return None
+        if isinstance(stmt, A.ExecuteStmt):
+            text = self._prepared.get(stmt.name.lower())
+            if text is None:
+                raise CatalogException(
+                    f"prepared statement {stmt.name} does not exist")
+            args = [self._literal_value(a) for a in stmt.args]
+            return self.execute(text, args if args else None)
+        if isinstance(stmt, A.DeallocateStmt):
+            if stmt.name is None:
+                self._prepared.clear()
+            else:
+                self._prepared.pop(stmt.name.lower(), None)
+            return None
+        if isinstance(stmt, A.AlterStmt):
+            return self._execute_alter(stmt)
+        if isinstance(stmt, A.AttachStmt):
+            import os as _os
+            from .storage.persist import load_database
+            name = (stmt.name
+                    or _os.path.splitext(_os.path.basename(stmt.path))[0])
+            name = name.lower()
+            load_database(self.catalog, stmt.path, prefix=name + ".")
+            self._attached[name] = stmt.path
+            return None
+        if isinstance(stmt, A.DetachStmt):
+            name = stmt.name.lower()
+            if name not in self._attached:
+                raise CatalogException(f"database {stmt.name} is not attached")
+            del self._attached[name]
+            pre = name + "."
+            for k in [k for k in self.catalog.tables if k.startswith(pre)]:
+                del self.catalog.tables[k]
+            for k in [k for k in self.catalog.views if k.startswith(pre)]:
+                del self.catalog.views[k]
+            self.catalog.bump()
+            return None
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    def _literal_value(self, e):
+        """Constant expression -> python value (EXECUTE arguments)."""
+        from .sql import ast as A
+        if isinstance(e, A.ELit):
+            return e.value
+        if isinstance(e, A.EUnary) and e.op == "-":
+            v = self._literal_value(e.child)
+            return -v
+        if isinstance(e, A.ETyped):
+            import datetime
+            if e.typename == "date":
+                return datetime.date.fromisoformat(e.text)
+            if e.typename == "timestamp":
+                return datetime.datetime.fromisoformat(e.text)
+            return e.text
+        raise NotImplementedError(
+            f"EXECUTE argument {type(e).__name__} must be a literal")
+
+    def _execute_alter(self, stmt):
+        """ALTER TABLE rename/add/drop column, rename table (reference:
+        src/execution/operator/schema/physical_alter.cpp)."""
+        from .sql.binder import resolve_typename
+        import numpy as np
+        from .storage.table import TableColumn
+        if stmt.if_exists and not self.catalog.has_table(stmt.table):
+            return None
+        td = self.catalog.get_table(stmt.table)
+        if stmt.action == "rename_table":
+            key = stmt.table.lower()
+            new = stmt.new_name.lower()
+            if self.catalog.has_table(new):
+                raise CatalogException(f"table {new} already exists")
+            del self.catalog.tables[self.catalog._resolve(key)]
+            td.name = new
+            self.catalog.tables[new] = td
+        elif stmt.action == "rename_column":
+            col = self._find_column(td, stmt.name)
+            col.name = stmt.new_name.lower()
+        elif stmt.action == "add_column":
+            dt = resolve_typename(*stmt.coltype)
+            n = td.num_rows
+            col = TableColumn(stmt.name.lower(), dt,
+                              np.zeros(n, dtype=dt.np_dtype),
+                              np.ones(n, dtype=bool) if n else None)
+            td.columns.append(col)
+            td._device_batch = None
+        elif stmt.action == "drop_column":
+            col = self._find_column(td, stmt.name)
+            if len(td.columns) == 1:
+                raise CatalogException("cannot drop the last column")
+            td.columns.remove(col)
+            td._device_batch = None
+        self.catalog.bump()
+        return None
+
+    @staticmethod
+    def _find_column(td, name):
+        low = name.lower()
+        for c in td.columns:
+            if c.name.lower() == low:
+                return c
+        raise CatalogException(f"column {name} does not exist")
 
     def _execute_copy(self, stmt):
         """COPY table/(query) TO 'file' | COPY table FROM 'file'

@@ -34,13 +34,25 @@ class Catalog:
         self.bump()
 
     def get_table(self, name: str) -> TableData:
-        t = self.tables.get(name.lower())
-        if t is None:
+        key = self._resolve(name)
+        if key is None:
             raise CatalogException(f"table {name} does not exist")
-        return t
+        return self.tables[key]
+
+    def _resolve(self, name: str) -> Optional[str]:
+        """Resolve a possibly schema-qualified name: 'db.t' keys for
+        ATTACHed databases, 'main.' / 'main.main.' prefixes for the default
+        catalog (reference: catalog search path, src/catalog/catalog.cpp)."""
+        key = name.lower()
+        if key in self.tables:
+            return key
+        for pre in ("main.", "main.main."):
+            if key.startswith(pre) and key[len(pre):] in self.tables:
+                return key[len(pre):]
+        return None
 
     def has_table(self, name: str) -> bool:
-        return name.lower() in self.tables
+        return self._resolve(name) is not None
 
     def drop_table(self, name: str, if_exists: bool = False):
         key = name.lower()

@@ -317,3 +317,45 @@ class CopyStmt:
     path: str
     direction: str            # "to" | "from"
     format: str = "csv"
+
+
+@dataclass
+class PrepareStmt:
+    name: str
+    sql_text: str             # body re-parsed at EXECUTE with params bound
+
+
+@dataclass
+class ExecuteStmt:
+    name: str
+    args: List = field(default_factory=list)   # literal python values
+
+
+@dataclass
+class DeallocateStmt:
+    name: Optional[str]       # None => deallocate all
+
+
+@dataclass
+class AlterStmt:
+    """ALTER TABLE (reference: src/execution/operator/schema/
+    physical_alter.cpp, parser/statement/alter_statement.cpp)."""
+    table: str
+    action: str               # rename_table|rename_column|add_column|
+    #                           drop_column
+    name: Optional[str] = None        # column (or new table name)
+    new_name: Optional[str] = None
+    coltype: Optional[tuple] = None   # (typename, width, scale)
+    if_exists: bool = False
+
+
+@dataclass
+class AttachStmt:
+    path: str
+    name: Optional[str] = None        # defaults to file stem
+    read_only: bool = False
+
+
+@dataclass
+class DetachStmt:
+    name: str

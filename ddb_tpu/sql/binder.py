@@ -403,7 +403,7 @@ class Binder:
                             ref.spec.seed), sc
         if isinstance(ref, A.RBase):
             name = ref.name.lower()
-            alias = (ref.alias or ref.name).lower()
+            alias = (ref.alias or ref.name.split(".")[-1]).lower()
             if name in self.ctes:
                 cdef = self.ctes[name]
                 if isinstance(cdef, L.CTERef):

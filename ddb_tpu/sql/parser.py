@@ -57,6 +57,17 @@ class Parser:
         if not self.accept_kw(val):
             self.error(f"expected {val.upper()}")
 
+    def accept_word(self, *vals) -> Optional[str]:
+        """Accept a bare word whether it lexed as KW or IDENT."""
+        t = self.peek()
+        if t.kind in ("KW", "IDENT") and t.value in vals:
+            return self.next().value
+        return None
+
+    def expect_word(self, val: str) -> None:
+        if not self.accept_word(val):
+            self.error(f"expected {val.upper()}")
+
     def accept_op(self, op: str) -> bool:
         if self.at("OP", op):
             self.next()
@@ -188,7 +199,121 @@ class Parser:
                 self.expect_kw("exists")
                 if_exists = True
             return A.DropStmt(kind, self.ident(), if_exists)
+        if t.kind == "IDENT" and t.value == "prepare":
+            return self.prepare_stmt()
+        if t.kind == "IDENT" and t.value == "execute":
+            return self.execute_stmt()
+        if t.kind == "IDENT" and t.value == "deallocate":
+            self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "prepare":
+                self.next()
+            if self.at("OP", ";") or self.at("EOF") or self.at_kw("all"):
+                self.accept_kw("all")
+                return A.DeallocateStmt(None)
+            return A.DeallocateStmt(self.ident())
+        if t.kind == "IDENT" and t.value == "alter":
+            return self.alter_stmt()
+        if t.kind == "IDENT" and t.value == "attach":
+            self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "database":
+                self.next()
+            if not self.at("STR"):
+                self.error("expected database path string")
+            path = self.next().value
+            name = None
+            if self.accept_kw("as"):
+                name = self.ident()
+            read_only = False
+            if self.accept_op("("):
+                while not self.at("OP", ")"):
+                    w = self.next().value
+                    if str(w).lower() == "read_only":
+                        read_only = True
+                self.expect_op(")")
+            return A.AttachStmt(path, name, read_only)
+        if t.kind == "IDENT" and t.value == "detach":
+            self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "database":
+                self.next()
+            return A.DetachStmt(self.ident())
         self.error("expected statement")
+
+    def prepare_stmt(self):
+        """PREPARE name AS <statement> — body kept as raw text and
+        re-parsed at EXECUTE (reference: parser/statement/
+        prepare_statement.cpp; rebinding per execute matches the
+        reference's prepared-statement semantics)."""
+        self.next()
+        name = self.ident()
+        self.expect_kw("as")
+        body_start = self.peek().pos
+        depth = 0
+        end = len(self.text)
+        while not self.at("EOF"):
+            if self.at("OP", ";") and depth == 0:
+                end = self.peek().pos
+                break
+            if self.at("OP", "("):
+                depth += 1
+            elif self.at("OP", ")"):
+                depth -= 1
+            self.next()
+        return A.PrepareStmt(name, self.text[body_start:end])
+
+    def execute_stmt(self):
+        self.next()
+        name = self.ident()
+        args = []
+        if self.accept_op("("):
+            if not self.at("OP", ")"):
+                args.append(self.expr())
+                while self.accept_op(","):
+                    args.append(self.expr())
+            self.expect_op(")")
+        return A.ExecuteStmt(name, args)
+
+    def alter_stmt(self):
+        self.next()
+        self.expect_kw("table")
+        if_exists = False
+        if self.accept_kw("if"):
+            self.expect_kw("exists")
+            if_exists = True
+        table = self.ident()
+        w = self.peek()
+        if w.kind == "IDENT" and w.value == "rename":
+            self.next()
+            if self.accept_word("to"):
+                return A.AlterStmt(table, "rename_table",
+                                   new_name=self.ident(),
+                                   if_exists=if_exists)
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "column":
+                self.next()
+            col = self.ident()
+            self.expect_word("to")
+            return A.AlterStmt(table, "rename_column", name=col,
+                               new_name=self.ident(), if_exists=if_exists)
+        if w.kind == "IDENT" and w.value == "add":
+            self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "column":
+                self.next()
+            col = self.ident()
+            tn, wd, sc = self.typename()
+            return A.AlterStmt(table, "add_column", name=col,
+                               coltype=(tn, wd, sc), if_exists=if_exists)
+        if self.at_kw("drop") or (w.kind == "IDENT" and w.value == "drop"):
+            self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "column":
+                self.next()
+            return A.AlterStmt(table, "drop_column", name=self.ident(),
+                               if_exists=if_exists)
+        self.error("expected RENAME, ADD or DROP")
 
     def create_stmt(self):
         start = self.peek().pos
@@ -533,6 +658,10 @@ class Parser:
             self.expect_op(")")
             return ref
         name = self.ident()
+        # qualified name: db.table (ATTACHed databases / main catalog)
+        while self.at("OP", ".") and self.peek(1).kind in ("IDENT", "KW"):
+            self.next()
+            name += "." + self.ident()
         if self.at("OP", "("):
             self.next()
             args = []

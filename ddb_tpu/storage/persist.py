@@ -144,7 +144,9 @@ def save_database(catalog, path: str) -> None:
         raise IOError(f"dtb_write failed with code {rc}")
 
 
-def load_database(catalog, path: str) -> None:
+def load_database(catalog, path: str, prefix: str = "") -> None:
+    """Load a .dtb file into `catalog`; `prefix` ("db.") namespaces the
+    loaded entries for ATTACH (reference: src/main/attached_database.cpp)."""
     lib = _load_lib()
     clen = ctypes.c_uint64()
     doff = ctypes.c_uint64()
@@ -185,8 +187,8 @@ def load_database(catalog, path: str) -> None:
                 sd = _dict_from_blob(read_blob(cm["dict"]),
                                      cm["dict_count"])
             cols.append(TableColumn(cm["name"], dt, data, nulls, sd))
-        catalog.add_table(TableData(tmeta["name"], cols),
+        catalog.add_table(TableData(prefix + tmeta["name"], cols),
                           or_replace=True)
     for name, v in meta.get("views", {}).items():
-        catalog.add_view(name, v[0], or_replace=True,
+        catalog.add_view(prefix + name, v[0], or_replace=True,
                          column_aliases=v[1])
