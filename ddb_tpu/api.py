@@ -383,7 +383,74 @@ class Connection:
                 del self.catalog.views[k]
             self.catalog.bump()
             return None
+        if isinstance(stmt, A.PivotStmt):
+            return self._execute_statement(self._rewrite_pivot(stmt))
+        if isinstance(stmt, A.UnpivotStmt):
+            return self._execute_statement(self._rewrite_unpivot(stmt))
         raise NotImplementedError(f"statement {type(stmt).__name__}")
+
+    def _source_schema_names(self, ref):
+        from .sql.binder import Binder
+        plan, _ = Binder(self.catalog, context=self)._bind_ref(ref)
+        return plan.schema.names
+
+    def _rewrite_pivot(self, stmt):
+        """PIVOT -> GROUP BY + one CASE-filtered aggregate per pivot value
+        (the reference lowers pivots the same way: planner/binder/tableref/
+        bind_pivot.cpp)."""
+        from .sql import ast as A
+        values = stmt.in_values
+        if values is None:
+            # discover distinct pivot values (reference: PIVOT without IN
+            # runs a distinct scan at bind time)
+            disc = A.SelectStmt(
+                items=[(A.EIdent([stmt.on_col]), None)], distinct=True,
+                from_refs=[stmt.source],
+                order_by=[A.OrderItem(A.EIdent([stmt.on_col]))])
+            values = [r[0] for r in
+                      self._execute_statement(disc).fetchall()
+                      if r[0] is not None]
+        using = stmt.using
+        if not using:
+            using = [(A.EFunc("count", [], star=True), None)]
+        group = list(stmt.group_by)
+        if not group:
+            # implicit: every column not referenced by ON or USING
+            used = {stmt.on_col.lower()}
+            for e, _ in using:
+                used |= _ident_names(e)
+            group = [n for n in self._source_schema_names(stmt.source)
+                     if n.lower() not in used]
+        items = [(A.EIdent([g]), None) for g in group]
+        for v in values:
+            for e, alias in using:
+                filt = _pivot_filtered_agg(e, stmt.on_col, v)
+                label = str(v) if len(using) == 1 else \
+                    f"{v}_{alias or e.name}"
+                items.append((filt, label))
+        return A.SelectStmt(
+            items=items, from_refs=[stmt.source],
+            group_by=[A.EIdent([g]) for g in group],
+            order_by=[A.OrderItem(A.EIdent([g])) for g in group])
+
+    def _rewrite_unpivot(self, stmt):
+        """UNPIVOT -> UNION ALL of per-column projections, NULLs dropped
+        (reference: binder/tableref/bind_pivot.cpp unpivot path)."""
+        from .sql import ast as A
+        other = [n for n in self._source_schema_names(stmt.source)
+                 if n.lower() not in {c.lower() for c in stmt.on_cols}]
+        parts = []
+        for col in stmt.on_cols:
+            items = [(A.EIdent([o]), None) for o in other]
+            items.append((A.ELit(col), stmt.name_col))
+            items.append((A.EIdent([col]), stmt.value_col))
+            parts.append(A.SelectStmt(
+                items=items, from_refs=[stmt.source],
+                where=A.EIsNull(A.EIdent([col]), negated=True)))
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = A.SelectStmt(set_left=out, set_op=("union", nxt, True))
+        return out
 
     def _literal_value(self, e):
         """Constant expression -> python value (EXECUTE arguments)."""
@@ -805,3 +872,36 @@ def connect(database: Optional[str] = None) -> Connection:
             and os.path.exists(database):
         con.load(database)
     return con
+
+
+def _ident_names(e) -> set:
+    """All identifier names referenced by an unbound AST expression."""
+    from .sql import ast as A
+    out = set()
+    if isinstance(e, A.EIdent):
+        out.add(e.parts[-1].lower())
+    for f in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f)
+        if isinstance(v, A.EExpr):
+            out |= _ident_names(v)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, A.EExpr):
+                    out |= _ident_names(x)
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, A.EExpr):
+                            out |= _ident_names(y)
+    return out
+
+
+def _pivot_filtered_agg(e, on_col: str, value):
+    """agg(arg) -> agg(CASE WHEN on_col = value THEN arg END)."""
+    from .sql import ast as A
+    cond = A.EBinary("==", A.EIdent([on_col]), A.ELit(value))
+    if e.star or not e.args:
+        # count(*) -> count(CASE WHEN cond THEN 1 END)
+        return A.EFunc(e.name, [A.ECase(None, [(cond, A.ELit(1))], None)])
+    arg = e.args[0]
+    return A.EFunc(e.name, [A.ECase(None, [(cond, arg)], None)]
+                   + list(e.args[1:]), distinct=e.distinct)

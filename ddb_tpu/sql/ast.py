@@ -359,3 +359,24 @@ class AttachStmt:
 @dataclass
 class DetachStmt:
     name: str
+
+
+@dataclass
+class PivotStmt:
+    """Simplified PIVOT (reference: parser/statement/pivot_statement.cpp,
+    transform/tableref/transform_pivot.cpp): rewritten at execution into
+    one CASE-filtered aggregate per pivot value."""
+    source: TableRef
+    on_col: str
+    in_values: Optional[List] = None     # None => discover distinct values
+    using: List = field(default_factory=list)   # [(EFunc, alias|None)]
+    group_by: List[str] = field(default_factory=list)
+
+
+@dataclass
+class UnpivotStmt:
+    """UNPIVOT: columns -> (name, value) rows via UNION ALL rewrite."""
+    source: TableRef
+    on_cols: List[str] = field(default_factory=list)
+    name_col: str = "name"
+    value_col: str = "value"

@@ -321,17 +321,20 @@ class Binder:
         right = self.bind_select(rhs)
         if len(left.schema) != len(right.schema):
             raise BindError("set operation column count mismatch")
+        left, right = self._align_setop_strings(left, right)
         if op == "union":
             plan = L.Union(left, right)
             if not all_:
                 plan = L.Distinct(plan)
         elif op in ("except", "intersect"):
             jt = "anti" if op == "except" else "semi"
-            conds = [L.JoinCond(
-                ir.ColRef(i, f.dtype, f.name, f.strdict),
-                ir.ColRef(i, g.dtype, g.name, g.strdict))
-                for i, (f, g) in enumerate(zip(left.schema.fields,
-                                               right.schema.fields))]
+            conds = []
+            for i, (f, g) in enumerate(zip(left.schema.fields,
+                                           right.schema.fields)):
+                le = ir.ColRef(i, f.dtype, f.name, f.strdict)
+                re_ = ir.ColRef(i, g.dtype, g.name, g.strdict)
+                le, re_ = self._align_join_keys(le, re_)
+                conds.append(L.JoinCond(le, re_))
             plan = L.Join(left, right, jt, conds)
             if not all_:
                 plan = L.Distinct(plan)
@@ -641,6 +644,44 @@ class Binder:
             le2, re2 = self._align_join_keys(le, re_)
             return L.JoinCond(le2, re2)
         return None
+
+    def _align_setop_strings(self, left: L.LogicalNode,
+                             right: L.LogicalNode):
+        """Recode VARCHAR columns of both set-op sides into one merged
+        dictionary so codes compare/union correctly across sides
+        (reference: set ops operate on raw strings —
+        src/execution/operator/set/physical_union.cpp; our dictionary
+        encoding needs explicit alignment)."""
+        needs = []
+        for i, (f, g) in enumerate(zip(left.schema.fields,
+                                       right.schema.fields)):
+            if f.dtype.id == TypeId.VARCHAR \
+                    and g.dtype.id == TypeId.VARCHAR \
+                    and f.strdict is not None and g.strdict is not None \
+                    and f.strdict is not g.strdict:
+                needs.append(i)
+        if not needs:
+            return left, right
+
+        def recode(plan, other_schema, side):
+            exprs, names = [], []
+            for i, f in enumerate(plan.schema.fields):
+                e = ir.ColRef(i, f.dtype, f.name, f.strdict)
+                if i in needs:
+                    g = other_schema.fields[i]
+                    a, b = (f.strdict, g.strdict) if side == "l" \
+                        else (g.strdict, f.strdict)
+                    md, ltab, rtab = StringDictionary.merge(a, b)
+                    tab = ltab if side == "l" else rtab
+                    e = ir.DictLookup(e, tab.astype(np.int32),
+                                      T.VARCHAR, "dict_align")
+                    e.strdict = md
+                exprs.append(e)
+                names.append(f.name)
+            return L.Project(plan, exprs, names)
+
+        return (recode(left, right.schema, "l"),
+                recode(right, left.schema, "r"))
 
     def _align_join_keys(self, le: ir.Expr, re_: ir.Expr
                          ) -> Tuple[ir.Expr, ir.Expr]:

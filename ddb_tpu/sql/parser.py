@@ -199,6 +199,10 @@ class Parser:
                 self.expect_kw("exists")
                 if_exists = True
             return A.DropStmt(kind, self.ident(), if_exists)
+        if t.kind == "IDENT" and t.value == "pivot":
+            return self.pivot_stmt()
+        if t.kind == "IDENT" and t.value == "unpivot":
+            return self.unpivot_stmt()
         if t.kind == "IDENT" and t.value == "prepare":
             return self.prepare_stmt()
         if t.kind == "IDENT" and t.value == "execute":
@@ -240,6 +244,72 @@ class Parser:
                 self.next()
             return A.DetachStmt(self.ident())
         self.error("expected statement")
+
+    def pivot_stmt(self):
+        """PIVOT <source> ON <col> [IN (v,...)] USING agg() [AS a][, ...]
+        [GROUP BY c, ...] (reference: simplified pivot syntax,
+        parser/transform/tableref/transform_pivot.cpp)."""
+        self.next()
+        source = self.table_primary()
+        self.expect_kw("on")
+        on_col = self.ident()
+        in_values = None
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            in_values = [self._literal()]
+            while self.accept_op(","):
+                in_values.append(self._literal())
+            self.expect_op(")")
+        using = []
+        if self.accept_kw("using"):
+            while True:
+                e = self.expr()
+                alias = self.ident() if self.accept_kw("as") else None
+                using.append((e, alias))
+                if not self.accept_op(","):
+                    break
+        group_by = []
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.ident())
+            while self.accept_op(","):
+                group_by.append(self.ident())
+        return A.PivotStmt(source, on_col, in_values, using, group_by)
+
+    def unpivot_stmt(self):
+        """UNPIVOT <source> ON c1, c2, ... [INTO NAME n VALUE v]."""
+        self.next()
+        source = self.table_primary()
+        self.expect_kw("on")
+        on_cols = [self.ident()]
+        while self.accept_op(","):
+            on_cols.append(self.ident())
+        name_col, value_col = "name", "value"
+        if self.accept_kw("into"):
+            self.expect_word("name")
+            name_col = self.ident()
+            self.expect_word("value")
+            value_col = self.ident()
+        return A.UnpivotStmt(source, on_cols, name_col, value_col)
+
+    def _literal(self):
+        """A literal value (possibly signed) -> python value."""
+        neg = self.accept_op("-")
+        t = self.peek()
+        if t.kind == "NUM":
+            self.next()
+            v = decimal.Decimal(t.value) if "." in t.value else int(t.value)
+            return -v if neg else v
+        if t.kind == "STR":
+            self.next()
+            return t.value
+        if self.accept_kw("true"):
+            return True
+        if self.accept_kw("false"):
+            return False
+        if self.accept_kw("null"):
+            return None
+        self.error("expected literal")
 
     def prepare_stmt(self):
         """PREPARE name AS <statement> — body kept as raw text and
