@@ -126,3 +126,275 @@ TABLE_FUNCTIONS: Dict[str, Callable] = {
     "generate_series": fn_generate_series,
     "pragma_table_info": fn_pragma_table_info,
 }
+
+
+def _emptycols(*names):
+    return [_strcol(n, []) for n in names]
+
+
+def fn_duckdb_databases(ctx, args) -> TableData:
+    names = ["memory"] + sorted(ctx._attached)
+    paths = [""] + [ctx._attached[n] for n in sorted(ctx._attached)]
+    return TableData("duckdb_databases", [
+        _strcol("database_name", names), _strcol("path", paths),
+        _strcol("type", ["duckdb"] * len(names))])
+
+
+def fn_duckdb_schemas(ctx, args) -> TableData:
+    return TableData("duckdb_schemas", [
+        _strcol("schema_name", ["main"]),
+        _strcol("database_name", ["memory"])])
+
+
+def fn_duckdb_keywords(ctx, args) -> TableData:
+    from .sql.lexer import KEYWORDS
+    kws = sorted(KEYWORDS)
+    return TableData("duckdb_keywords", [
+        _strcol("keyword_name", kws),
+        _strcol("keyword_category", ["reserved"] * len(kws))])
+
+
+def fn_duckdb_types(ctx, args) -> TableData:
+    names = [t.name for t in T.TypeId if t.name not in ("INVALID", "NULL")]
+    sizes = [T.DataType(T.TypeId[n]).np_dtype.itemsize for n in names]
+    return TableData("duckdb_types", [
+        _strcol("type_name", [n.lower() for n in names]),
+        _intcol("type_size", sizes),
+        _strcol("logical_type", names)])
+
+
+def _function_registry():
+    """(name, kind) for every SQL-callable function the binder accepts."""
+    from .sql.binder import AGG_FUNCS
+    from .expr.functions import _MATH1
+    scalars = sorted(set(_MATH1) | {
+        "abs", "round", "floor", "ceil", "sqrt", "cbrt", "coalesce",
+        "pow", "power", "least", "greatest", "nullif", "ifnull",
+        "year", "month", "day", "quarter", "dayofweek", "isodow",
+        "date_trunc", "date_part", "extract", "lower", "upper", "length",
+        "substring", "substr", "trim", "ltrim", "rtrim", "replace",
+        "contains", "starts_with", "ends_with", "concat", "strpos",
+        "left", "right", "like_escape", "regexp_matches",
+        "regexp_replace", "split_part",
+    })
+    aggs = sorted(AGG_FUNCS)
+    tfs = sorted(TABLE_FUNCTIONS)
+    return ([(s, "scalar") for s in scalars]
+            + [(a, "aggregate") for a in aggs]
+            + [(t, "table") for t in tfs])
+
+
+def fn_duckdb_functions(ctx, args) -> TableData:
+    rows = _function_registry()
+    return TableData("duckdb_functions", [
+        _strcol("function_name", [r[0] for r in rows]),
+        _strcol("function_type", [r[1] for r in rows]),
+        _strcol("schema_name", ["main"] * len(rows))])
+
+
+def fn_duckdb_prepared_statements(ctx, args) -> TableData:
+    names = sorted(ctx._prepared)
+    return TableData("duckdb_prepared_statements", [
+        _strcol("name", names),
+        _strcol("statement", [ctx._prepared[n] for n in names])])
+
+
+def fn_duckdb_constraints(ctx, args) -> TableData:
+    return TableData("duckdb_constraints", _emptycols(
+        "table_name", "constraint_type", "constraint_text"))
+
+
+def fn_duckdb_indexes(ctx, args) -> TableData:
+    return TableData("duckdb_indexes", _emptycols(
+        "index_name", "table_name", "sql"))
+
+
+def fn_duckdb_sequences(ctx, args) -> TableData:
+    return TableData("duckdb_sequences", _emptycols(
+        "sequence_name", "schema_name"))
+
+
+def fn_duckdb_variables(ctx, args) -> TableData:
+    return TableData("duckdb_variables", _emptycols("name", "value"))
+
+
+def fn_duckdb_extensions(ctx, args) -> TableData:
+    # built-in capability surface presented extension-style (reference:
+    # duckdb_extensions lists parquet/json/tpch/...; ours are compiled in)
+    exts = ["parquet", "tpch", "core_functions"]
+    return TableData("duckdb_extensions", [
+        _strcol("extension_name", exts),
+        TableColumn("loaded", T.BOOLEAN,
+                    np.ones(len(exts), dtype=np.bool_)),
+        TableColumn("installed", T.BOOLEAN,
+                    np.ones(len(exts), dtype=np.bool_))])
+
+
+def fn_duckdb_optimizers(ctx, args) -> TableData:
+    names = ["expression_rewriter", "filter_pushdown", "cross_elimination",
+             "join_order", "column_pruning", "constant_folding",
+             "statistics_propagation"]
+    return TableData("duckdb_optimizers", [_strcol("name", names)])
+
+
+def fn_duckdb_memory(ctx, args) -> TableData:
+    import jax
+    tags, used, limit = [], [], []
+    for d in jax.local_devices():
+        stats = {}
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            pass
+        tags.append(str(d))
+        used.append(int(stats.get("bytes_in_use", 0)))
+        limit.append(int(stats.get("bytes_limit", 0)))
+    return TableData("duckdb_memory", [
+        _strcol("tag", tags),
+        _intcol("memory_usage_bytes", used),
+        _intcol("memory_limit_bytes", limit)])
+
+
+def fn_duckdb_temporary_files(ctx, args) -> TableData:
+    return TableData("duckdb_temporary_files", _emptycols("path"))
+
+
+def _table_bytes(td: TableData) -> int:
+    total = 0
+    for c in td.columns:
+        total += c.data.nbytes
+        if c.nulls is not None:
+            total += c.nulls.nbytes
+        if c.strdict is not None:
+            total += sum(len(str(v)) for v in c.strdict.values)
+    return total
+
+
+def fn_pragma_database_size(ctx, args) -> TableData:
+    total = sum(_table_bytes(td) for td in ctx.catalog.tables.values())
+    return TableData("pragma_database_size", [
+        _strcol("database_name", ["memory"]),
+        _intcol("database_size", [total]),
+        _intcol("block_size", [1 << 18]),
+        _intcol("total_blocks", [(total >> 18) + 1])])
+
+
+def fn_pragma_storage_info(ctx, args) -> TableData:
+    td = ctx.catalog.get_table(str(args[0]))
+    names, types, counts, nbytes, comp = [], [], [], [], []
+    for c in td.columns:
+        names.append(c.name)
+        types.append(repr(c.dtype))
+        counts.append(len(c.data))
+        nbytes.append(c.data.nbytes)
+        comp.append("dictionary" if c.strdict is not None else "plain")
+    return TableData("pragma_storage_info", [
+        _strcol("column_name", names), _strcol("column_type", types),
+        _intcol("count", counts), _intcol("bytes", nbytes),
+        _strcol("compression", comp)])
+
+
+def fn_pragma_metadata_info(ctx, args) -> TableData:
+    names = sorted(ctx.catalog.tables)
+    return TableData("pragma_metadata_info", [
+        _strcol("table_name", names),
+        _intcol("total_bytes", [
+            _table_bytes(ctx.catalog.tables[n]) for n in names])])
+
+
+def fn_pragma_collations(ctx, args) -> TableData:
+    return TableData("pragma_collations", [
+        _strcol("collname", ["default", "binary", "nocase"])])
+
+
+def fn_pragma_version(ctx, args) -> TableData:
+    return TableData("pragma_version", [
+        _strcol("library_version", ["ddb_tpu 0.3"]),
+        _strcol("source_id", ["tpu-native"])])
+
+
+def fn_test_all_types(ctx, args) -> TableData:
+    """Min/max/null row per supported type (reference:
+    src/function/table/system/test_all_types.cpp — powers type-matrix
+    tests)."""
+    import decimal as _d
+    cols = []
+    cols.append(TableColumn("bool", T.BOOLEAN,
+                            np.array([False, True, False]),
+                            np.array([False, False, True])))
+    for nm, t in (("int", T.INTEGER), ("bigint", T.BIGINT)):
+        info = np.iinfo(np.dtype(t.np_dtype))
+        cols.append(TableColumn(
+            nm, t, np.array([info.min, info.max, 0], dtype=t.np_dtype),
+            np.array([False, False, True])))
+    cols.append(TableColumn(
+        "double", T.DOUBLE,
+        np.array([-1.7976931348623157e308, 1.7976931348623157e308, 0.0]),
+        np.array([False, False, True])))
+    cols.append(TableColumn(
+        "dec_18_6", T.DECIMAL(18, 6),
+        np.array([-(10**18 - 1), 10**18 - 1, 0], dtype=np.int64),
+        np.array([False, False, True])))
+    cols.append(TableColumn(
+        "date", T.DATE, np.array([-100000, 100000, 0], dtype=np.int32),
+        np.array([False, False, True])))
+    sd, codes, _ = StringDictionary.encode(["", "longest_string", ""])
+    cols.append(TableColumn("varchar", T.VARCHAR, codes,
+                            np.array([False, False, True]), sd))
+    return TableData("test_all_types", cols)
+
+
+def fn_glob(ctx, args) -> TableData:
+    import glob as _g
+    return TableData("glob", [
+        _strcol("file", sorted(_g.glob(str(args[0]))))])
+
+
+def fn_repeat(ctx, args) -> TableData:
+    value, count = args[0], int(args[1])
+    if isinstance(value, str):
+        return TableData("repeat", [_strcol("repeat", [value] * count)])
+    return TableData("repeat", [
+        TableColumn("repeat", T.literal_type(value),
+                    np.full(count, value))])
+
+
+def fn_read_csv(ctx, args) -> TableData:
+    from .storage.table import from_arrow
+    import pyarrow.csv as pcsv
+    return from_arrow("read_csv", pcsv.read_csv(str(args[0])))
+
+
+def fn_read_parquet(ctx, args) -> TableData:
+    from .storage.table import from_arrow
+    import pyarrow.parquet as pq
+    return from_arrow("read_parquet", pq.read_table(str(args[0])))
+
+
+TABLE_FUNCTIONS.update({
+    "duckdb_databases": fn_duckdb_databases,
+    "duckdb_schemas": fn_duckdb_schemas,
+    "duckdb_keywords": fn_duckdb_keywords,
+    "duckdb_types": fn_duckdb_types,
+    "duckdb_functions": fn_duckdb_functions,
+    "duckdb_prepared_statements": fn_duckdb_prepared_statements,
+    "duckdb_constraints": fn_duckdb_constraints,
+    "duckdb_indexes": fn_duckdb_indexes,
+    "duckdb_sequences": fn_duckdb_sequences,
+    "duckdb_variables": fn_duckdb_variables,
+    "duckdb_extensions": fn_duckdb_extensions,
+    "duckdb_optimizers": fn_duckdb_optimizers,
+    "duckdb_memory": fn_duckdb_memory,
+    "duckdb_temporary_files": fn_duckdb_temporary_files,
+    "pragma_database_size": fn_pragma_database_size,
+    "pragma_storage_info": fn_pragma_storage_info,
+    "pragma_metadata_info": fn_pragma_metadata_info,
+    "pragma_collations": fn_pragma_collations,
+    "pragma_version": fn_pragma_version,
+    "test_all_types": fn_test_all_types,
+    "glob": fn_glob,
+    "repeat": fn_repeat,
+    "read_csv": fn_read_csv,
+    "read_csv_auto": fn_read_csv,
+    "read_parquet": fn_read_parquet,
+})

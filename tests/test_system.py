@@ -83,3 +83,35 @@ def test_logging(con):
     rows = con.execute("SELECT type, message FROM duckdb_logs() "
                        "WHERE type = 'query'").fetchall()
     assert rows and "executed" in rows[0][1]
+
+
+def test_introspection_breadth():
+    """All system table functions return (reference:
+    src/function/table/system/* inventory)."""
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE t (a INTEGER, s VARCHAR)")
+    c.sql("INSERT INTO t VALUES (1,'x')")
+    fns = ["duckdb_databases()", "duckdb_schemas()", "duckdb_keywords()",
+           "duckdb_types()", "duckdb_functions()", "duckdb_constraints()",
+           "duckdb_extensions()", "duckdb_optimizers()", "duckdb_memory()",
+           "duckdb_temporary_files()", "pragma_database_size()",
+           "pragma_storage_info('t')", "pragma_metadata_info()",
+           "pragma_collations()", "pragma_version()", "test_all_types()",
+           "duckdb_prepared_statements()", "duckdb_indexes()",
+           "duckdb_sequences()", "duckdb_variables()"]
+    for fn in fns:
+        r = c.sql(f"SELECT * FROM {fn}")
+        assert r.fetchall() is not None, fn
+    assert c.sql("SELECT count(*) FROM duckdb_keywords()").fetchall()[0][0] > 50
+    assert c.sql("SELECT count(*) FROM duckdb_functions()"
+                 " WHERE function_type = 'aggregate'").fetchall()[0][0] > 10
+
+
+def test_read_csv_table_function(tmp_path):
+    from ddb_tpu import Connection
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    c = Connection()
+    assert c.sql(f"SELECT * FROM read_csv('{p}') ORDER BY a").fetchall() \
+        == [(1, 'x'), (2, 'y')]
