@@ -96,6 +96,11 @@ class QueryResult:
             elif t.id == TypeId.TIMESTAMP:
                 arrays[f.name] = pa.array(d.astype("datetime64[us]"),
                                           mask=mask)
+            elif t.id == TypeId.LIST:
+                vals = [None if (mask is not None and mask[i])
+                        else f.strdict.decode_one(int(v))
+                        for i, v in enumerate(d)]
+                arrays[f.name] = pa.array(vals)
             else:
                 arrays[f.name] = pa.array(d, mask=mask)
         return pa.table(arrays)

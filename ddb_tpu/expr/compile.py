@@ -231,6 +231,8 @@ def _eval_inlist(e: ir.InList, b: Batch):
 def _eval_dictlookup(e: ir.DictLookup, b: Batch):
     d, n = evaluate(e.child, b)
     table = jnp.asarray(e.table)
+    if table.shape[0] == 0:      # empty dictionary (e.g. empty table)
+        return jnp.zeros(d.shape[0], dtype=table.dtype), n
     idx = jnp.clip(d.astype(jnp.int32), 0, table.shape[0] - 1)
     return table[idx], n
 

@@ -82,6 +82,9 @@ class AggSpec:
     arg2: Optional[ir.Expr] = None     # corr/covar second argument
     quantile: Optional[float] = None   # median/quantile fraction
     interpolate: bool = False          # continuous quantile
+    store: object = None       # ListStore/StringDictionary for collect/
+    #                            string_agg results (host-side payloads)
+    extra: object = None       # e.g. string_agg separator
 
 
 @dataclass
@@ -99,9 +102,10 @@ class Aggregate(LogicalNode):
             fs = [Field(n, g.dtype, getattr(g, "strdict", None))
                   for n, g in zip(self.group_names, self.groups)]
             fs += [Field(a.name, a.dtype,
-                         getattr(a.arg, "strdict", None)
-                         if a.kind in ("min", "max", "any_value")
-                         and a.arg is not None else None)
+                         a.store if a.store is not None else (
+                             getattr(a.arg, "strdict", None)
+                             if a.kind in ("min", "max", "any_value")
+                             and a.arg is not None else None))
                    for a in self.aggs]
             self.schema = Schema(tuple(fs))
 
@@ -340,3 +344,29 @@ def explain(node: LogicalNode, indent: int = 0) -> str:
     for c in node.children():
         out += explain(c, indent + 1)
     return out
+
+
+@dataclass
+class Unnest(LogicalNode):
+    """Expand one LIST column into rows (reference:
+    src/execution/operator/projection/physical_unnest.cpp).  Other columns
+    repeat per element; NULL/empty lists contribute zero rows."""
+    child: LogicalNode
+    index: int                 # which output column of child is the list
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            fs = list(self.child.schema.fields)
+            f = fs[self.index]
+            et = f.dtype.child if f.dtype.child is not None else T.INTEGER
+            sd = None
+            if et.id == T.TypeId.VARCHAR:
+                import numpy as np
+                from ..storage.strings import StringDictionary
+                sd = StringDictionary(np.array([], dtype=object))
+            fs[self.index] = Field(f.name, et, sd)
+            self.schema = Schema(tuple(fs))
+
+    def children(self):
+        return [self.child]

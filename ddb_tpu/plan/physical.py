@@ -173,6 +173,8 @@ def _compact(batch: Batch, new_cap: int) -> Batch:
         carried.append(c.data)
         if c.nulls is not None:
             carried.append(c.nulls.astype(jnp.int8))
+        if c.hi is not None:
+            carried.append(c.hi)
     out = lax.sort([invalid, pos, *carried], num_keys=2, is_stable=False)
     sel = (out[0] == 0)[:new_cap]
     rest = out[2:]
@@ -185,7 +187,11 @@ def _compact(batch: Batch, new_cap: int) -> Batch:
         if c.nulls is not None:
             n = rest[i][:new_cap] != 0
             i += 1
-        cols.append(Column(d, n))
+        h = None
+        if c.hi is not None:
+            h = rest[i][:new_cap]
+            i += 1
+        cols.append(Column(d, n, h))
     return Batch(tuple(cols), sel, batch.count)
 
 
@@ -371,6 +377,8 @@ def _agg_output(node: L.Aggregate, group_cols, agg_results, gsel, ngroups,
 
 
 def _exec_aggregate(node: L.Aggregate, ctx):
+    if any(a.kind in _HOST_AGG_KINDS for a in node.aggs):
+        return _exec_aggregate_host(node, ctx)
     schema, batch = _execute(node.child, ctx)
 
     if not node.groups:
@@ -486,6 +494,207 @@ def _exec_aggregate(node: L.Aggregate, ctx):
         return _agg_output(node, group_cols, results, gsel, ng, gcap)
 
     return node.schema, _lazy(node, "sort_agg", kern, batch)
+
+
+
+
+# ---- unnest (host expansion) ------------------------------------------------
+
+def _exec_unnest(node: "L.Unnest", ctx):
+    """Expand a LIST column into rows (reference: physical_unnest.cpp).
+    List payloads live host-side by design (no var-len device repr), so
+    unnest materializes the child and re-uploads the expanded batch."""
+    from ..storage.strings import StringDictionary
+    cschema, lazy = _execute(node.child, ctx)
+    b = _concrete(node.child, lazy)
+    sel = np.asarray(b.sel).astype(bool)
+    datas = []
+    for c in b.columns:
+        d = np.asarray(c.data)[sel]
+        n = np.asarray(c.nulls)[sel] if c.nulls is not None else None
+        datas.append((d, n))
+    store = cschema.fields[node.index].strdict
+    ids, idn = datas[node.index]
+    nlists = len(store)
+    lens = store.lengths() if nlists else np.zeros(0, np.int64)
+    reps = np.zeros(len(ids), dtype=np.int64)
+    valid = (ids >= 0) & (ids < nlists)
+    if idn is not None:
+        valid &= ~idn
+    reps[valid] = lens[ids[valid].astype(np.int64)]
+    total = int(reps.sum())
+    elems = []
+    for i in np.nonzero(reps)[0]:
+        elems.extend(store.items[int(ids[i])])
+    et = node.schema.fields[node.index].dtype
+    if et.id == TypeId.VARCHAR:
+        sd = node.schema.fields[node.index].strdict
+        newd, codes, en = StringDictionary.encode(elems)
+        sd.values = newd.values
+        sd._lookup = None
+        ed, enul = codes, (en if en.any() else None)
+    else:
+        enul = np.array([v is None for v in elems], dtype=bool)
+        ed = np.array([T.encode_literal(v, et) if v is not None else 0
+                       for v in elems], dtype=et.np_dtype)
+        enul = enul if enul.any() else None
+    arrays, nulls = [], []
+    for j, (d, n) in enumerate(datas):
+        if j == node.index:
+            arrays.append(ed)
+            nulls.append(enul)
+        else:
+            arrays.append(np.repeat(d, reps))
+            nulls.append(np.repeat(n, reps) if n is not None else None)
+    if total == 0:
+        arrays = [np.zeros(0, dtype=a.dtype) for a in arrays]
+        nulls = [None] * len(arrays)
+    return node.schema, make_batch(arrays, nulls, total)
+
+
+# ---- host aggregation for var-size results (list / string_agg) -------------
+
+_HOST_AGG_KINDS = ("collect", "string_agg")
+
+
+def _decode_host(vals, nulls, dtype, sd):
+    out = []
+    for i, v in enumerate(vals):
+        if nulls is not None and nulls[i]:
+            out.append(None)
+        elif sd is not None:
+            out.append(sd.decode_one(int(v)))
+        else:
+            out.append(T.decode_value(v, dtype))
+    return out
+
+
+def _exec_aggregate_host(node: L.Aggregate, ctx):
+    """Aggregation with variable-size results (list()/string_agg) runs on
+    host: sorted groupby over fetched arrays, python-list payloads into
+    the specs' stores (reference: nested aggregates in
+    extension/core_functions/aggregate/nested/list.cpp)."""
+    from ..storage.strings import StringDictionary
+    cschema, lazy = _execute(node.child, ctx)
+    b = _concrete(node.child, lazy)
+    sel = np.asarray(b.sel).astype(bool)
+
+    def fetch(pair):
+        d, n = pair
+        return (np.asarray(d)[sel],
+                np.asarray(n)[sel] if n is not None else None)
+
+    G = [fetch(evaluate(g, b)) for g in node.groups]
+    AV = []
+    for a in node.aggs:
+        if a.arg is None:
+            AV.append((None, None))
+        else:
+            AV.append(fetch(evaluate(a.arg, b)))
+    nrows = int(sel.sum())
+
+    if node.groups:
+        seq = []
+        for (d, n) in reversed(G):
+            seq.append(d)
+            seq.append(n if n is not None
+                       else np.zeros(len(d), dtype=bool))
+        order = np.lexsort(tuple(seq))
+        bounds = np.zeros(nrows, dtype=bool)
+        if nrows:
+            bounds[0] = True
+            for (d, n) in G:
+                ds = d[order]
+                bounds[1:] |= ds[1:] != ds[:-1]
+                if n is not None:
+                    ns = n[order]
+                    bounds[1:] |= ns[1:] != ns[:-1]
+        starts = np.nonzero(bounds)[0]
+        ends = np.append(starts[1:], nrows)
+    else:
+        order = np.arange(nrows)
+        starts = np.array([0])
+        ends = np.array([nrows])
+    ngroups = len(starts)
+
+    arrays, nulls_out = [], []
+    for (d, n) in G:
+        arrays.append(d[order][starts])
+        nulls_out.append(n[order][starts] if n is not None else None)
+
+    for a, (d, n) in zip(node.aggs, AV):
+        ds = d[order] if d is not None else None
+        ns = n[order] if n is not None else None
+        res, rn = [], []
+        for s, e in zip(starts, ends):
+            if a.kind == "count_star":
+                res.append(e - s)
+                rn.append(False)
+                continue
+            dd = ds[s:e]
+            live = ~ns[s:e] if ns is not None else np.ones(e - s,
+                                                           dtype=bool)
+            dd = dd[live]
+            if a.kind == "count":
+                res.append(len(dd))
+                rn.append(False)
+                continue
+            if a.kind in ("collect", "string_agg"):
+                sd = getattr(a.arg, "strdict", None)
+                vals = _decode_host(dd, None, a.arg.dtype, sd)
+                if a.distinct:
+                    seen, uniq = set(), []
+                    for v in vals:
+                        if v not in seen:
+                            seen.add(v)
+                            uniq.append(v)
+                    vals = uniq
+                if a.kind == "collect":
+                    res.append(vals)
+                    rn.append(False)
+                else:
+                    res.append(a.extra.join(str(v) for v in vals))
+                    rn.append(len(vals) == 0)
+                continue
+            if len(dd) == 0:
+                res.append(0)
+                rn.append(True)
+                continue
+            rn.append(False)
+            if a.kind in ("sum", "sum_float"):
+                res.append(dd.sum())
+            elif a.kind == "avg":
+                res.append(float(dd.astype(np.float64).mean()))
+            elif a.kind == "min":
+                res.append(dd.min())
+            elif a.kind == "max":
+                res.append(dd.max())
+            elif a.kind == "any_value":
+                res.append(dd[0])
+            else:
+                raise NotImplementedError(
+                    f"{a.kind} cannot combine with list aggregates yet")
+        if a.kind == "collect":
+            a.store.replace_all([r if not isnull else []
+                                 for r, isnull in zip(res, rn)])
+            arrays.append(np.arange(ngroups, dtype=np.int32))
+            nulls_out.append(None)
+        elif a.kind == "string_agg":
+            newd, codes, _ = StringDictionary.encode(
+                [r if not isnull else "" for r, isnull in zip(res, rn)])
+            a.store.values = newd.values
+            a.store._lookup = None
+            arrays.append(codes)
+            nulls_out.append(np.array(rn) if any(rn) else None)
+        elif a.kind == "avg":
+            arrays.append(np.array(res, dtype=np.float64))
+            nulls_out.append(np.array(rn) if any(rn) else None)
+        else:
+            want = np.dtype(a.dtype.np_dtype)
+            arrays.append(np.array(res).astype(want))
+            nulls_out.append(np.array(rn) if any(rn) else None)
+
+    return node.schema, make_batch(arrays, nulls_out, ngroups)
 
 
 # ---- joins ----------------------------------------------------------------
@@ -1181,6 +1390,7 @@ _EXEC = {
     L.Limit: _exec_limit,
     L.Distinct: _exec_distinct,
     L.Union: _exec_union,
+    L.Unnest: _exec_unnest,
     L.CTERef: _exec_cte_ref,
     L.RecursiveCTE: _exec_recursive_cte,
     L.Sample: _exec_sample,

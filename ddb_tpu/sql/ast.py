@@ -380,3 +380,9 @@ class UnpivotStmt:
     on_cols: List[str] = field(default_factory=list)
     name_col: str = "name"
     value_col: str = "value"
+
+
+@dataclass
+class EList(EExpr):
+    """List literal [e1, e2, ...]."""
+    items: List[EExpr] = field(default_factory=list)

@@ -41,7 +41,8 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
              "variance", "median", "quantile", "quantile_cont",
              "quantile_disc", "corr", "covar_pop", "covar_samp",
-             "bool_and", "bool_or", "approx_count_distinct"}
+             "bool_and", "bool_or", "approx_count_distinct",
+             "list", "array_agg", "string_agg", "group_concat"}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -246,6 +247,17 @@ class Binder:
             else:
                 items.append((e, alias))
 
+        # UNNEST as a top-level select item: bind the list argument as a
+        # column, then wrap the projection in an Unnest node (reference:
+        # unnest rewriter, src/optimizer/unnest_rewriter.cpp)
+        unnest_idx = None
+        for i, (e, alias) in enumerate(items):
+            if isinstance(e, A.EFunc) and e.name == "unnest":
+                if unnest_idx is not None:
+                    raise BindError("only one UNNEST per SELECT supported")
+                unnest_idx = i
+                items[i] = (e.args[0], alias or "unnest")
+
         has_aggs = any(self._contains_agg(e) for e, _ in items) \
             or (stmt.having is not None
                 and self._contains_agg(stmt.having)) \
@@ -287,6 +299,11 @@ class Binder:
         proj_child = plan
         plan = L.Project(proj_child, bound_items, names)
 
+        if unnest_idx is not None:
+            if plan.schema.fields[unnest_idx].dtype.id != TypeId.LIST:
+                raise BindError("UNNEST requires a LIST argument")
+            plan = L.Unnest(plan, unnest_idx)
+
         if stmt.distinct:
             plan = L.Distinct(plan)
 
@@ -294,7 +311,8 @@ class Binder:
             # hidden sort keys (ORDER BY g when g not selected) are legal
             # when there's no DISTINCT/aggregate re-shaping in the way
             hidden_scope = None
-            if not stmt.distinct and not has_aggs:
+            if not stmt.distinct and not has_aggs \
+                    and unnest_idx is None:
                 hidden_scope = scope
             keys, hidden = self._bind_order_keys(stmt, items, names,
                                                  plan.schema, hidden_scope,
@@ -1202,6 +1220,9 @@ class Binder:
             return self._bind_literal(self.params[idx])
         if isinstance(e, A.ELit):
             return self._bind_literal(e.value)
+        if isinstance(e, A.EList):
+            return self._bind_list_literal(e, scope, agg_ctx, group_map,
+                                           sub_replacements)
         if isinstance(e, A.ETyped):
             return self._bind_typed_literal(e)
         if isinstance(e, A.EUnary):
@@ -1592,6 +1613,21 @@ class Binder:
                 raise BindError(f"aggregate {name} not allowed here")
             return self._bind_agg_func(e, scope, agg_ctx, group_map,
                                        sub_replacements)
+        if name == "unnest":
+            raise BindError("UNNEST is only supported as a top-level "
+                            "SELECT item or table function")
+        if name in ("string_split", "str_split", "string_to_array",
+                    "split"):
+            return self._bind_string_split(e, scope, agg_ctx, group_map,
+                                           sub_replacements)
+        if name in ("array_length", "list_length", "len", "length",
+                    "cardinality", "list_contains", "array_contains",
+                    "list_has", "contains"):
+            a = b(e.args[0])
+            if a.dtype.id == TypeId.LIST:
+                return self._bind_list_func(name, a, e, scope, agg_ctx,
+                                            group_map, sub_replacements)
+            # fall through to the string/aliased handlers below
         if name in ("year", "month", "day"):
             a = b(e.args[0])
             return ir.Func(name, [a], T.BIGINT)
@@ -1841,6 +1877,30 @@ class Binder:
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
             idx = agg_ctx.add(spec, f"any_value({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name in ("list", "array_agg"):
+            from ..storage.lists import ListStore
+            store = ListStore()
+            rt = T.LIST(arg.dtype)
+            spec = L.AggSpec("collect", arg, rt, "list",
+                             distinct=e.distinct, store=store)
+            idx = agg_ctx.add(spec, f"list({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, rt, store)
+        if name in ("string_agg", "group_concat"):
+            sep = ","
+            if len(e.args) > 1:
+                s2 = self.bind_expr(e.args[1], scope, None, None,
+                                    sub_replacements)
+                if not isinstance(s2, ir.Const):
+                    raise BindError("string_agg separator must be constant")
+                sd2 = getattr(s2, "strdict", None)
+                sep = sd2.decode_one(s2.value) if sd2 is not None \
+                    else str(s2.value)
+            store = StringDictionary(np.array([], dtype=object))
+            spec = L.AggSpec("string_agg", arg, T.VARCHAR, "string_agg",
+                             distinct=e.distinct, store=store, extra=sep)
+            idx = agg_ctx.add(spec,
+                              f"string_agg({_ekey(arg)},{sep},{e.distinct})")
+            return AggRef(idx, T.VARCHAR, store)
         if name in ("stddev", "stddev_samp", "stddev_pop", "var_samp",
                     "var_pop", "variance"):
             kind = {"stddev": "stddev_samp", "variance": "var_samp"} \
@@ -1899,6 +1959,83 @@ class Binder:
         if not arg.dtype.is_numeric:
             raise BindError("statistical aggregate requires numeric input")
         return ir.Cast(arg, T.DOUBLE)
+
+    def _bind_list_literal(self, e: A.EList, scope, agg_ctx, group_map,
+                           sub_replacements) -> ir.Expr:
+        """[v1, v2, ...] -> Const of LIST type backed by a host ListStore
+        (reference: list_value / array literals, LogicalType::LIST)."""
+        from ..storage.lists import ListStore
+        vals = []
+        et = None
+        for it in e.items:
+            c = self.bind_expr(it, scope, agg_ctx, group_map,
+                               sub_replacements)
+            if not isinstance(c, ir.Const):
+                raise BindError("list literals must contain constants")
+            sd = getattr(c, "strdict", None)
+            if c.value is None:
+                vals.append(None)
+                continue
+            if sd is not None:
+                vals.append(sd.decode_one(c.value))
+            else:
+                vals.append(T.decode_value(c.value, c.dtype))
+            if c.dtype.id != TypeId.NULL:
+                et = c.dtype if et is None \
+                    else ir.common_type(et, c.dtype)
+        out = ir.Const(0, T.LIST(et if et is not None else T.INTEGER))
+        out.strdict = ListStore([vals])
+        return out
+
+    def _bind_string_split(self, e: A.EFunc, scope, agg_ctx, group_map,
+                           sub_replacements) -> ir.Expr:
+        """string_split(s, sep) -> LIST(VARCHAR): per-dictionary-code split
+        tables, list payloads host-side (reference:
+        extension/core_functions/scalar/string/string_split.cpp)."""
+        from ..storage.lists import ListStore
+        col = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                             sub_replacements)
+        sd = getattr(col, "strdict", None)
+        if col.dtype.id != TypeId.VARCHAR or sd is None:
+            raise BindError("string_split requires a VARCHAR argument")
+        sep = ","
+        if len(e.args) > 1:
+            s2 = self.bind_expr(e.args[1], scope, None, None,
+                                sub_replacements)
+            if not isinstance(s2, ir.Const):
+                raise BindError("string_split separator must be constant")
+            sd2 = getattr(s2, "strdict", None)
+            sep = sd2.decode_one(s2.value) if sd2 is not None \
+                else str(s2.value)
+        outs = [str(v).split(sep) if sep else [str(v)] for v in sd.values]
+        store = ListStore(outs)
+        out = ir.DictLookup(col, np.arange(len(outs), dtype=np.int32),
+                            T.LIST(T.VARCHAR), "string_split")
+        out.strdict = store
+        return out
+
+    def _bind_list_func(self, name, a: ir.Expr, e: A.EFunc, scope,
+                        agg_ctx, group_map, sub_replacements) -> ir.Expr:
+        """Scalar functions over LIST columns via per-list-id tables
+        (reference: extension/core_functions/scalar/list/*)."""
+        store = getattr(a, "strdict", None)
+        if store is None:
+            raise BindError(f"{name}: list argument has no store")
+        if name in ("array_length", "list_length", "len", "length",
+                    "cardinality"):
+            return ir.DictLookup(a, store.lengths(), T.BIGINT,
+                                 "list_length")
+        # list_contains(l, v)
+        v = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                           sub_replacements)
+        if not isinstance(v, ir.Const):
+            raise BindError(f"{name}: needle must be constant")
+        sdv = getattr(v, "strdict", None)
+        needle = sdv.decode_one(v.value) if sdv is not None \
+            else T.decode_value(v.value, v.dtype)
+        table = np.array([needle in lst for lst in store.items],
+                         dtype=bool)
+        return ir.DictLookup(a, table, T.BOOLEAN, "list_contains")
 
     def _bind_string_func(self, name, e: A.EFunc, scope, agg_ctx,
                           group_map, sub_replacements):

@@ -745,9 +745,17 @@ class Parser:
                 alias = self.ident()
             elif self.peek().kind == "IDENT":
                 alias = self.next().value
-            vals = [a.value if isinstance(a, A.ELit) else
-                    (a.text if isinstance(a, A.ETyped) else str(a))
-                    for a in args]
+            vals = []
+            for a in args:
+                if isinstance(a, A.ELit):
+                    vals.append(a.value)
+                elif isinstance(a, A.ETyped):
+                    vals.append(a.text)
+                elif isinstance(a, A.EList):
+                    vals.append([x.value if isinstance(x, A.ELit)
+                                 else str(x) for x in a.items])
+                else:
+                    vals.append(str(a))
             return A.RFunction(name, vals, alias)
         alias = None
         if self.accept_kw("as"):
@@ -895,6 +903,16 @@ class Parser:
 
     def expr_primary(self):
         t = self.peek()
+        if t.kind == "OP" and t.value == "[":
+            # list literal [e1, e2, ...]
+            self.next()
+            items = []
+            if not self.at("OP", "]"):
+                items.append(self.expr())
+                while self.accept_op(","):
+                    items.append(self.expr())
+            self.expect_op("]")
+            return A.EList(items)
         if t.kind == "NUM":
             self.next()
             txt = t.value

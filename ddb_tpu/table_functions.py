@@ -398,3 +398,26 @@ TABLE_FUNCTIONS.update({
     "read_csv_auto": fn_read_csv,
     "read_parquet": fn_read_parquet,
 })
+
+
+def fn_unnest(ctx, args) -> TableData:
+    """FROM unnest([v1, v2, ...]) — literal list to one-column table
+    (reference: src/function/table/unnest.cpp)."""
+    vals = args[0] if args and isinstance(args[0], list) else list(args)
+    nulls = np.array([v is None for v in vals], dtype=bool)
+    nn = nulls if nulls.any() else None
+    if any(isinstance(v, str) for v in vals):
+        sd, codes, snulls = StringDictionary.encode(vals)
+        return TableData("unnest", [
+            TableColumn("unnest", T.VARCHAR, codes,
+                        snulls if snulls.any() else None, sd)])
+    if any(isinstance(v, float) for v in vals):
+        data = np.array([0.0 if v is None else float(v) for v in vals])
+        return TableData("unnest", [
+            TableColumn("unnest", T.DOUBLE, data, nn)])
+    data = np.array([0 if v is None else int(v) for v in vals],
+                    dtype=np.int64)
+    return TableData("unnest", [TableColumn("unnest", T.BIGINT, data, nn)])
+
+
+TABLE_FUNCTIONS["unnest"] = fn_unnest

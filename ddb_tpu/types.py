@@ -50,6 +50,7 @@ class TypeId(enum.Enum):
     INTERVAL = 13
     VARCHAR = 14
     NULL = 15
+    LIST = 16
 
 
 _INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
@@ -61,11 +62,14 @@ class DataType:
     id: TypeId
     width: int = 0   # decimal precision
     scale: int = 0   # decimal scale
+    child: "DataType" = None   # LIST element type
 
     # ---- constructors ----------------------------------------------------
     def __repr__(self) -> str:
         if self.id == TypeId.DECIMAL:
             return f"DECIMAL({self.width},{self.scale})"
+        if self.id == TypeId.LIST:
+            return f"{self.child!r}[]"
         return self.id.name
 
     # ---- classification --------------------------------------------------
@@ -100,7 +104,7 @@ class DataType:
         return np.dtype(_PHYSICAL[self.id])
 
     def __hash__(self):
-        return hash((self.id, self.width, self.scale))
+        return hash((self.id, self.width, self.scale, self.child))
 
 
 _PHYSICAL = {
@@ -119,7 +123,15 @@ _PHYSICAL = {
     TypeId.INTERVAL: np.int64,   # micros; months handled at bind time
     TypeId.VARCHAR: np.int32,    # dictionary code
     TypeId.NULL: np.int32,
+    TypeId.LIST: np.int32,       # list-store id (storage/lists.py)
 }
+
+
+def LIST(child: DataType) -> DataType:
+    """Nested LIST type; rows hold list-store ids, element payloads live
+    host-side (reference: LogicalType::LIST, src/common/types.cpp;
+    var-size payloads have no device representation on TPU by design)."""
+    return DataType(TypeId.LIST, child=child)
 
 BOOLEAN = DataType(TypeId.BOOLEAN)
 TINYINT = DataType(TypeId.TINYINT)
@@ -231,5 +243,9 @@ def decode_value(raw, t: DataType, strdict=None):
     if t.id == TypeId.VARCHAR:
         if strdict is None:
             raise ValueError("VARCHAR column requires a dictionary")
+        return strdict.decode_one(int(raw))
+    if t.id == TypeId.LIST:
+        if strdict is None:
+            raise ValueError("LIST column requires a list store")
         return strdict.decode_one(int(raw))
     return int(raw)
