@@ -133,6 +133,14 @@ class AggRef(ir.Expr):
 
 
 @dataclass
+class GroupingRef(ir.Expr):
+    """Placeholder for GROUPING(col, ...) — resolved to bit tests over the
+    per-set grouping mask column after grouping-set expansion."""
+    indices: tuple
+    dtype: DataType = T.BIGINT
+
+
+@dataclass
 class WinRef(ir.Expr):
     """Placeholder for a window-function result during select binding."""
     index: int
@@ -1051,6 +1059,15 @@ class Binder:
                     pass
 
         gnames = [f"__g{i}" for i in range(len(bound_groups))]
+        ngroups = len(bound_groups)
+        has_grouping_fn = any(
+            any(isinstance(n, GroupingRef) for n in ir.walk(x))
+            for x in (list(bound_items)
+                      + ([having_bound] if having_bound is not None else [])
+                      + list(order_prebound.values())))
+        add_mask = has_grouping_fn and stmt.grouping_sets is not None
+        if add_mask:
+            gnames = gnames + ["__gmask"]
         if stmt.grouping_sets is not None:
             # one aggregate per set; excluded keys group by constant NULL
             # (same result as omitting them) so every set shares one
@@ -1067,15 +1084,29 @@ class Binder:
                         c = ir.Const(None, bg.dtype)
                         c.strdict = getattr(bg, "strdict", None)
                         groups_k.append(c)
+                if add_mask:
+                    mask = sum(1 << (ngroups - 1 - i)
+                               for i in range(ngroups) if i not in keep)
+                    groups_k.append(ir.Const(mask, T.BIGINT))
                 a_k = L.Aggregate(plan, groups_k, agg_ctx.specs, gnames)
                 agg = a_k if agg is None else L.Union(agg, a_k)
         else:
             agg = L.Aggregate(plan, bound_groups, agg_ctx.specs, gnames)
-        ngroups = len(bound_groups)
-        bound_items = [_resolve_aggrefs(b, ngroups) for b in bound_items]
+        base = ngroups + (1 if add_mask else 0)
+        if has_grouping_fn:
+            mask_col = ir.ColRef(ngroups, T.BIGINT, "__gmask") \
+                if add_mask else None
+            bound_items = [_resolve_grouprefs(b, mask_col, ngroups)
+                           for b in bound_items]
+            if having_bound is not None:
+                having_bound = _resolve_grouprefs(having_bound, mask_col,
+                                                  ngroups)
+            order_prebound = {k: _resolve_grouprefs(v, mask_col, ngroups)
+                              for k, v in order_prebound.items()}
+        bound_items = [_resolve_aggrefs(b, base) for b in bound_items]
         if having_bound is not None:
-            having_bound = _resolve_aggrefs(having_bound, ngroups)
-        order_prebound = {k: _resolve_aggrefs(v, ngroups)
+            having_bound = _resolve_aggrefs(having_bound, base)
+        order_prebound = {k: _resolve_aggrefs(v, base)
                           for k, v in order_prebound.items()}
         return agg, bound_items, having_bound, order_prebound
 
@@ -1616,6 +1647,22 @@ class Binder:
         if name == "unnest":
             raise BindError("UNNEST is only supported as a top-level "
                             "SELECT item or table function")
+        if name in ("grouping", "grouping_id"):
+            # resolved after grouping-set expansion (reference:
+            # GROUPING() over the grouping-set mask, bind_group_by)
+            if group_map is None:
+                raise BindError("grouping() requires GROUP BY")
+            gasts, _ = group_map
+            idxs = []
+            for arg in e.args:
+                for i, g in enumerate(gasts):
+                    if _ast_equal(arg, g):
+                        idxs.append(i)
+                        break
+                else:
+                    raise BindError(
+                        "grouping() argument must be a GROUP BY column")
+            return GroupingRef(tuple(idxs))
         if name in ("string_split", "str_split", "string_to_array",
                     "split"):
             return self._bind_string_split(e, scope, agg_ctx, group_map,
@@ -2186,6 +2233,43 @@ def _resolve_winrefs(e: ir.Expr, base: int) -> ir.Expr:
             setattr(c, attr, _resolve_winrefs(getattr(e, attr), base))
     if hasattr(e, "args") and not isinstance(e, ir.Case):
         c.args = tuple(_resolve_winrefs(a, base) for a in e.args)
+    return c
+
+
+def _resolve_grouprefs(e: ir.Expr, mask_col, ngroups: int) -> ir.Expr:
+    """Rewrite GroupingRef placeholders: bit tests over the grouping-set
+    mask column (plain GROUP BY: constant 0)."""
+    import copy
+    if isinstance(e, GroupingRef):
+        if mask_col is None:
+            return ir.Const(0, T.BIGINT)
+        out = None
+        for i in e.indices:
+            shift = 1 << (ngroups - 1 - i)
+            bit = ir.Arith("%",
+                           ir.Arith("//", mask_col,
+                                    ir.Const(shift, T.BIGINT), T.BIGINT),
+                           ir.Const(2, T.BIGINT), T.BIGINT)
+            out = bit if out is None \
+                else ir.Arith("+", ir.Arith("*", out,
+                                            ir.Const(2, T.BIGINT),
+                                            T.BIGINT), bit, T.BIGINT)
+        return out
+    c = copy.copy(e)
+    if isinstance(e, ir.Case):
+        c.whens = [(_resolve_grouprefs(w, mask_col, ngroups),
+                    _resolve_grouprefs(v, mask_col, ngroups))
+                   for w, v in e.whens]
+        c.else_ = _resolve_grouprefs(e.else_, mask_col, ngroups)
+        return c
+    for attr in ("child", "left", "right"):
+        if hasattr(e, attr):
+            setattr(c, attr,
+                    _resolve_grouprefs(getattr(e, attr), mask_col,
+                                       ngroups))
+    if hasattr(e, "args") and not isinstance(e, ir.Case):
+        c.args = tuple(_resolve_grouprefs(a, mask_col, ngroups)
+                       for a in e.args)
     return c
 
 

@@ -86,7 +86,8 @@ class Parser:
         if t.kind == "KW" and t.value in ("date", "time", "timestamp",
                                           "values", "first", "last",
                                           "range", "row", "rows", "key",
-                                          "set", "over", "partition"):
+                                          "set", "over", "partition",
+                                          "grouping"):
             return self.next().value
         self.error("expected identifier")
 
@@ -487,14 +488,14 @@ class Parser:
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break
-        stmt = self.select_core()
+        stmt = self._set_operand()
         stmt.ctes = ctes
         # set operations (left-associative)
         while self.at_kw("union", "except", "intersect"):
             op = self.next().value
             all_ = bool(self.accept_kw("all"))
             self.accept_kw("distinct")
-            rhs = self.select_core()
+            rhs = self._set_operand()
             node = A.SelectStmt(set_op=(op, rhs, all_), set_left=stmt)
             node.ctes = ctes
             # trailing ORDER BY/LIMIT parsed into the last core belong to
@@ -516,6 +517,16 @@ class Parser:
         if self.accept_kw("offset"):
             stmt.offset = int(self.next().value)
         return stmt
+
+    def _set_operand(self) -> A.SelectStmt:
+        """A set-operation operand: SELECT core or parenthesized select."""
+        if self.at("OP", "(") and self.peek(1).kind == "KW" \
+                and self.peek(1).value in ("select", "with"):
+            self.next()
+            inner = self.select_stmt()
+            self.expect_op(")")
+            return inner
+        return self.select_core()
 
     def select_core(self) -> A.SelectStmt:
         self.expect_kw("select")
@@ -698,6 +709,26 @@ class Parser:
 
     def table_primary(self) -> A.TableRef:
         if self.accept_op("("):
+            # parenthesized set expression as a table:
+            # ((SELECT ...) EXCEPT (SELECT ...)) alias — try a full select
+            # with backtracking before falling back to a table_ref
+            if self.at("OP", "("):
+                k = 0
+                while self.peek(k).kind == "OP" \
+                        and self.peek(k).value == "(":
+                    k += 1
+                if self.peek(k).kind == "KW" \
+                        and self.peek(k).value in ("select", "with"):
+                    save = self.i
+                    try:
+                        sel = self.select_stmt()
+                        self.expect_op(")")
+                        self.accept_kw("as")
+                        alias = self.ident()
+                        cols = self._opt_column_alias_list()
+                        return A.RSubquery(sel, alias, cols)
+                    except SQLSyntaxError:
+                        self.i = save
             if self.at_kw("select", "with"):
                 sel = self.select_stmt()
                 self.expect_op(")")

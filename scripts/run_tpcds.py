@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""TPC-DS differential runner: our engine vs the reference oracle CLI.
+
+Usage: python scripts/run_tpcds.py [--sf 0.01] [--queries 1-99]
+Runs in CHUNKS of separate subprocesses (many distinct query shapes in one
+jax process exhaust vm.max_map_count with compiled executables).
+
+Data: oracle `CALL dsdgen(sf=N); EXPORT DATABASE '/tmp/tpcds/sfN' (FORMAT
+csv, DELIMITER '|', HEADER false)` + a /tmp/tpcds/sfN.duckdb for the
+oracle side (reference: extension/tpcds/).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE = os.environ.get("DDB_ORACLE", "/tmp/ddbbuild/duckdb")
+
+CHILD = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax; jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, %(repo)r)
+from ddb_tpu import Connection
+from ddb_tpu.bench.tpcds import load_tpcds, query_text
+import decimal, datetime
+
+con = Connection()
+load_tpcds(con, %(datadir)r)
+
+def norm(v):
+    if v is None: return ""
+    if isinstance(v, bool): return "true" if v else "false"
+    if isinstance(v, float): return "%%.3f" %% v
+    if isinstance(v, decimal.Decimal): return "%%.3f" %% float(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%%Y-%%m-%%d %%H:%%M:%%S")
+    if isinstance(v, datetime.date): return v.isoformat()
+    return str(v)
+
+out = {}
+for q in %(queries)r:
+    try:
+        rows = con.sql(query_text(q)).fetchall()
+        out[q] = [[norm(v) for v in r] for r in rows]
+    except Exception as e:
+        out[q] = "ERROR " + type(e).__name__ + ": " + str(e)[:120]
+json.dump(out, open(%(outfile)r, "w"))
+"""
+
+
+def oracle_rows(sql: str, dbfile: str):
+    import csv
+    import io
+    out = subprocess.run(
+        [ORACLE, "-batch", dbfile],
+        input=".mode csv\n.headers off\n" + sql.rstrip().rstrip(";") + ";",
+        capture_output=True, text=True, timeout=600)
+    if out.returncode != 0:
+        return None, out.stderr[:150]
+    def norm(s):
+        try:
+            return "%.3f" % float(s)
+        except (ValueError, TypeError):
+            return s
+    return [[norm(c) for c in r]
+            for r in csv.reader(io.StringIO(out.stdout))], None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="0.01")
+    ap.add_argument("--queries", default="1-99")
+    ap.add_argument("--chunk", type=int, default=12)
+    args = ap.parse_args()
+
+    datadir = f"/tmp/tpcds/sf{args.sf}"
+    dbfile = f"/tmp/tpcds/sf{args.sf}.duckdb"
+    if not os.path.isdir(datadir):
+        os.makedirs("/tmp/tpcds", exist_ok=True)
+        subprocess.run([ORACLE], input=(
+            f"CALL dsdgen(sf={args.sf}); EXPORT DATABASE '{datadir}' "
+            "(FORMAT csv, DELIMITER '|', HEADER false);"),
+            text=True, check=True, capture_output=True)
+    if not os.path.exists(dbfile):
+        subprocess.run([ORACLE, dbfile], input=f"CALL dsdgen(sf={args.sf});",
+                       text=True, check=True, capture_output=True)
+
+    lo, hi = (args.queries.split("-") + [args.queries])[:2]
+    queries = list(range(int(lo), int(hi) + 1))
+
+    mine = {}
+    for i in range(0, len(queries), args.chunk):
+        chunk = queries[i:i + args.chunk]
+        outfile = f"/tmp/tpcds_out_{i}.json"
+        code = CHILD % {"repo": REPO, "datadir": datadir,
+                        "queries": chunk, "outfile": outfile}
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            for q in chunk:
+                mine[q] = "ERROR chunk crashed: " + r.stderr[-150:]
+            continue
+        for k, v in json.load(open(outfile)).items():
+            mine[int(k)] = v
+        os.unlink(outfile)
+        sys.stderr.write(f"ran {i + len(chunk)}/{len(queries)}\n")
+
+    from ddb_tpu.bench.tpcds import query_text
+    ok, diff, err = [], [], {}
+    for q in queries:
+        m = mine.get(q)
+        if isinstance(m, str):
+            err[q] = m
+            continue
+        theirs, oerr = oracle_rows(query_text(q), dbfile)
+        if theirs is None:
+            err[q] = "oracle: " + oerr
+            continue
+        (ok if m == theirs else diff).append(q)
+
+    print(f"MATCH {len(ok)}/{len(queries)}: {ok}")
+    print(f"DIFF  {len(diff)}: {diff}")
+    for q in sorted(err):
+        print(f"ERR q{q}: {err[q][:120]}")
+    json.dump({"match": ok, "diff": diff,
+               "errors": {str(k): v for k, v in err.items()}},
+              open("/tmp/tpcds_report.json", "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
