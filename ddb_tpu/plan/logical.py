@@ -370,3 +370,23 @@ class Unnest(LogicalNode):
 
     def children(self):
         return [self.child]
+
+
+@dataclass
+class TopN(LogicalNode):
+    """ORDER BY + LIMIT fused (reference: src/optimizer/topn_optimizer.cpp,
+    operator/order/physical_top_n.cpp).  TPU design: sort ONLY the encoded
+    keys + row ids, then gather limit+offset rows per column — avoids
+    carrying every payload column through the sort."""
+    child: LogicalNode
+    keys: List[OrderKey]
+    limit: int
+    offset: int = 0
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]

@@ -25,7 +25,28 @@ from . import logical as L
 def optimize(plan: L.LogicalNode) -> L.LogicalNode:
     plan = push_filters(plan, [])
     plan = prune_get_columns(plan)
+    plan = fuse_topn(plan)
     return plan
+
+
+# max rows a TopN keeps; beyond this the full sort is just as good
+TOPN_MAX = 1 << 14
+
+
+def fuse_topn(node: L.LogicalNode) -> L.LogicalNode:
+    """Limit(Order(x)) -> TopN(x) (reference: topn_optimizer.cpp).  The
+    payload columns then skip the sort entirely (keys+rowid sort + small
+    gather, ops design in physical._exec_topn)."""
+    if isinstance(node, L.Limit) and isinstance(node.child, L.Order) \
+            and node.limit is not None \
+            and 0 < node.limit + node.offset <= TOPN_MAX:
+        inner = fuse_topn(node.child.child)
+        return L.TopN(inner, node.child.keys, node.limit, node.offset)
+    new = copy.copy(node)
+    for attr in ("child", "left", "right", "base", "recursive"):
+        if hasattr(new, attr):
+            setattr(new, attr, fuse_topn(getattr(node, attr)))
+    return new
 
 
 # ---------------------------------------------------------------------------

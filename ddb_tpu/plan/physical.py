@@ -1091,6 +1091,42 @@ def _exec_order(node: L.Order, ctx):
     return node.schema, _lazy(node, "order", kern, batch)
 
 
+def _exec_topn(node: L.TopN, ctx):
+    """Fused ORDER BY + LIMIT (reference: physical_top_n.cpp bounded heap).
+    TPU design: one sort over [validity, keys, rowid] ONLY (payloads stay
+    put), then a small static-shape gather of limit+offset rows per
+    column — O(sort(keys)) instead of O(sort(all columns))."""
+    schema, batch = _execute(node.child, ctx)
+    k = min(node.limit + node.offset, 1 << 14)
+
+    def kern(b):
+        cap = b.sel.shape[0]
+        key_ops = []
+        for key in node.keys:
+            d, n = evaluate(key.expr, b)
+            key_ops.extend(sortkey.encode_key(
+                d, n, key.expr.dtype, desc=key.desc,
+                nulls_last=key.nulls_last))
+        invalid = (~b.sel).astype(jnp.int32)
+        rowid = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+        out = lax.sort([invalid, *key_ops, rowid],
+                       num_keys=1 + len(key_ops), is_stable=True)
+        kk = min(k, cap)
+        rid = out[-1][:kk]
+        live = out[0][:kk] == 0
+        pos = lax.broadcasted_iota(jnp.int32, (kk,), 0)
+        live = live & (pos >= node.offset)
+        cols = []
+        for c in b.columns:
+            d = c.data[rid]
+            n = c.nulls[rid] if c.nulls is not None else None
+            h = c.hi[rid] if c.hi is not None else None
+            cols.append(Column(d, n, h))
+        return Batch(tuple(cols), live, live.astype(jnp.int32).sum())
+
+    return node.schema, _lazy(node, ("topn", k, node.offset), kern, batch)
+
+
 def _exec_limit(node: L.Limit, ctx):
     schema, batch = _execute(node.child, ctx)
     lim = node.limit if node.limit is not None else 1 << 60
@@ -1390,6 +1426,7 @@ _EXEC = {
     L.Limit: _exec_limit,
     L.Distinct: _exec_distinct,
     L.Union: _exec_union,
+    L.TopN: _exec_topn,
     L.Unnest: _exec_unnest,
     L.CTERef: _exec_cte_ref,
     L.RecursiveCTE: _exec_recursive_cte,

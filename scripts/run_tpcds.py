@@ -41,14 +41,25 @@ def norm(v):
     if isinstance(v, datetime.date): return v.isoformat()
     return str(v)
 
+import signal
+class _Timeout(Exception):
+    pass
+def _alarm(sig, frm):
+    raise _Timeout()
+signal.signal(signal.SIGALRM, _alarm)
 out = {}
 for q in %(queries)r:
+    signal.alarm(%(per_query)d)
     try:
         rows = con.sql(query_text(q)).fetchall()
         out[q] = [[norm(v) for v in r] for r in rows]
+    except _Timeout:
+        out[q] = "ERROR Timeout"
     except Exception as e:
         out[q] = "ERROR " + type(e).__name__ + ": " + str(e)[:120]
-json.dump(out, open(%(outfile)r, "w"))
+    finally:
+        signal.alarm(0)
+    json.dump(out, open(%(outfile)r, "w"))
 """
 
 
@@ -74,7 +85,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.01")
     ap.add_argument("--queries", default="1-99")
-    ap.add_argument("--chunk", type=int, default=12)
+    ap.add_argument("--chunk", type=int, default=6)
+    ap.add_argument("--per-query", type=int, default=150)
     args = ap.parse_args()
 
     datadir = f"/tmp/tpcds/sf{args.sf}"
@@ -92,22 +104,42 @@ def main():
     lo, hi = (args.queries.split("-") + [args.queries])[:2]
     queries = list(range(int(lo), int(hi) + 1))
 
+    os.makedirs("/tmp/tpcds_results", exist_ok=True)
     mine = {}
-    for i in range(0, len(queries), args.chunk):
-        chunk = queries[i:i + args.chunk]
+    todo = []
+    for q in queries:
+        cached = f"/tmp/tpcds_results/q{q}.json"
+        if os.path.exists(cached):
+            mine[q] = json.load(open(cached))
+        else:
+            todo.append(q)
+    for i in range(0, len(todo), args.chunk):
+        chunk = todo[i:i + args.chunk]
         outfile = f"/tmp/tpcds_out_{i}.json"
         code = CHILD % {"repo": REPO, "datadir": datadir,
-                        "queries": chunk, "outfile": outfile}
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=3600)
-        if r.returncode != 0:
-            for q in chunk:
-                mine[q] = "ERROR chunk crashed: " + r.stderr[-150:]
-            continue
-        for k, v in json.load(open(outfile)).items():
-            mine[int(k)] = v
-        os.unlink(outfile)
-        sys.stderr.write(f"ran {i + len(chunk)}/{len(queries)}\n")
+                        "queries": chunk, "outfile": outfile,
+                        "per_query": args.per_query}
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True,
+                timeout=args.per_query * len(chunk) + 600)
+        except subprocess.TimeoutExpired:
+            r = None
+        got = {}
+        if os.path.exists(outfile):
+            got = {int(k): v for k, v in json.load(open(outfile)).items()}
+            os.unlink(outfile)
+        for q in chunk:
+            v = got.get(q)
+            if v is None:
+                err_tail = (r.stderr[-150:] if r is not None
+                            and r.returncode != 0 else "chunk timeout")
+                v = "ERROR chunk: " + err_tail
+            mine[q] = v
+            json.dump(v, open(f"/tmp/tpcds_results/q{q}.json", "w"))
+        sys.stderr.write(f"ran {i + len(chunk)}/{len(todo)}\n")
+        sys.stderr.flush()
 
     from ddb_tpu.bench.tpcds import query_text
     ok, diff, err = [], [], {}

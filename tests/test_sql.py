@@ -407,3 +407,21 @@ def test_grouping_sets(gs_con):
         ORDER BY g NULLS LAST, h NULLS LAST""").fetchall()
     assert r == [('a', None, 30), ('b', None, 70), (None, 1, 40),
                  (None, 2, 60), (None, None, 100)]
+
+
+def test_topn_fusion():
+    """ORDER BY + LIMIT fuses to TopN (reference: topn_optimizer.cpp);
+    results identical to full sort + limit."""
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE t AS SELECT range AS a, range % 7 AS b,"
+          " range % 3 AS m FROM range(500)")
+    assert c.sql("SELECT a FROM t ORDER BY b DESC, a LIMIT 4").fetchall() \
+        == [(6,), (13,), (20,), (27,)]
+    assert c.sql("SELECT a FROM t ORDER BY a DESC LIMIT 3 OFFSET 2") \
+        .fetchall() == [(497,), (496,), (495,)]
+    # offset beyond row count
+    assert c.sql("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 499") \
+        .fetchall() == [(499,)]
+    plan = c.sql("EXPLAIN SELECT a FROM t ORDER BY a LIMIT 5").fetchall()
+    assert "TopN" in str(plan)
