@@ -157,6 +157,61 @@ def dispatch(e: ir.Func, batch, evaluate):
         d, n = evaluate(e.args[0], batch)
         _, m, _ = _civil_from_days(d)
         return ((m - 1) // 3 + 1).astype(jnp.int64), n
+    if name == "dayofyear":
+        d, n = evaluate(e.args[0], batch)
+        y, _, _ = _civil_from_days(d)
+        jan1 = _days_from_civil_dev(y, jnp.ones_like(y), jnp.ones_like(y))
+        return (d.astype(jnp.int64) - jan1 + 1), n
+    if name in ("week", "isoyear"):
+        # ISO week/year via the Thursday of the date's ISO week
+        d, n = evaluate(e.args[0], batch)
+        d64 = d.astype(jnp.int64)
+        dow = (d64 + 4) % 7                      # Sunday=0
+        isodow = jnp.where(dow == 0, 7, dow)
+        th = d64 - (isodow - 1) + 3
+        ty, _, _ = _civil_from_days(th.astype(jnp.int32))
+        jan1 = _days_from_civil_dev(ty, jnp.ones_like(ty),
+                                    jnp.ones_like(ty))
+        if name == "isoyear":
+            return ty.astype(jnp.int64), n
+        return ((th - jan1) // 7 + 1), n
+    if name == "yearweek":
+        d, n = evaluate(e.args[0], batch)
+        d64 = d.astype(jnp.int64)
+        dow = (d64 + 4) % 7
+        isodow = jnp.where(dow == 0, 7, dow)
+        th = d64 - (isodow - 1) + 3
+        ty, _, _ = _civil_from_days(th.astype(jnp.int32))
+        jan1 = _days_from_civil_dev(ty, jnp.ones_like(ty),
+                                    jnp.ones_like(ty))
+        return ty.astype(jnp.int64) * 100 + ((th - jan1) // 7 + 1), n
+    if name == "last_day":
+        d, n = evaluate(e.args[0], batch)
+        y, m, _ = _civil_from_days(d)
+        ny = jnp.where(m == 12, y + 1, y)
+        nm = jnp.where(m == 12, 1, m + 1)
+        first_next = _days_from_civil_dev(ny, nm, jnp.ones_like(nm))
+        return (first_next - 1).astype(jnp.int32), n
+    if name in ("century", "decade", "millennium"):
+        d, n = evaluate(e.args[0], batch)
+        y, _, _ = _civil_from_days(d)
+        y = y.astype(jnp.int64)
+        if name == "decade":
+            return y // 10, n
+        if name == "century":
+            return (y + 99) // 100, n
+        return (y + 999) // 1000, n
+    if name in ("epoch", "epoch_ms"):
+        d, n = evaluate(e.args[0], batch)
+        src = e.args[0].dtype
+        v = d.astype(jnp.int64)
+        if src.id == T.TypeId.DATE:
+            secs = v * 86400
+        elif src.id == T.TypeId.TIMESTAMP:
+            secs = v // 1_000_000
+        else:
+            secs = v
+        return (secs * 1000 if name == "epoch_ms" else secs), n
     raise NotImplementedError(f"scalar function {name}")
 
 

@@ -1768,10 +1768,39 @@ class Binder:
             if p not in ("year", "month"):
                 raise BindError(f"date_trunc part {p} unsupported")
             return ir.Func(f"date_trunc_{p}", [d], T.DATE)
-        if name in ("quarter", "dayofweek", "dow", "isodow"):
+        if name in ("quarter", "dayofweek", "dow", "isodow", "dayofmonth",
+                    "dayofyear", "doy", "week", "weekofyear", "isoyear",
+                    "century", "decade", "millennium", "epoch",
+                    "epoch_ms", "yearweek"):
             a = b(e.args[0])
-            nm = {"dow": "dayofweek"}.get(name, name)
-            return ir.Func(nm, [a], T.BIGINT)
+            nm = {"dow": "dayofweek", "dayofmonth": "day",
+                  "doy": "dayofyear", "weekofyear": "week"}.get(name, name)
+            out = ir.Func(nm, [a], T.BIGINT)
+            if nm == "epoch":      # duckdb: epoch() returns DOUBLE
+                return ir.Cast(out, T.DOUBLE)
+            return out
+        if name == "last_day":
+            a = b(e.args[0])
+            return ir.Func("last_day", [a], T.DATE)
+        if name in ("monthname", "dayname"):
+            a = b(e.args[0])
+            if name == "monthname":
+                names_ = ["January", "February", "March", "April", "May",
+                          "June", "July", "August", "September",
+                          "October", "November", "December"]
+                idx = ir.Arith("-", ir.Func("month", [a], T.BIGINT),
+                               ir.Const(1, T.BIGINT), T.BIGINT)
+            else:
+                names_ = ["Sunday", "Monday", "Tuesday", "Wednesday",
+                          "Thursday", "Friday", "Saturday"]
+                idx = ir.Func("dayofweek", [a], T.BIGINT)
+            nd = StringDictionary(np.unique(np.asarray(names_,
+                                                       dtype=object)))
+            table = np.array([nd.code_of(n) for n in names_],
+                             dtype=np.int32)
+            out = ir.DictLookup(idx, table, T.VARCHAR, name)
+            out.strdict = nd
+            return out
         # host-dictionary string functions
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
@@ -2102,15 +2131,18 @@ class Binder:
                 v = a.strdict.decode_one(v)
             const_args.append(v)
         fn = _STR_FUNCS[name]
-        if name in ("length", "char_length", "strlen"):
+        if name in _STR_INT_FUNCS:
             table = np.array([fn(str(v), *const_args)
                               for v in sd.values], dtype=np.int64)
             return ir.DictLookup(col, table, T.BIGINT, name)
-        if name in ("starts_with", "prefix", "contains", "suffix",
-                    "ends_with", "regexp_matches"):
+        if name in _STR_BOOL_FUNCS:
             table = np.array([bool(fn(str(v), *const_args))
                               for v in sd.values], dtype=bool)
             return ir.DictLookup(col, table, T.BOOLEAN, name)
+        if name in _STR_FLOAT_FUNCS:
+            table = np.array([fn(str(v), *const_args)
+                              for v in sd.values], dtype=np.float64)
+            return ir.DictLookup(col, table, T.DOUBLE, name)
         # string -> string: build output dictionary
         outs = [fn(str(v), *const_args) for v in sd.values]
         new_dict = StringDictionary(np.unique(np.asarray(outs, dtype=object)
@@ -2122,6 +2154,40 @@ class Binder:
         return out
 
 
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = set(a), set(b)
+    return len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+
+
+def _regexp_extract(s, p, group=0):
+    m = __import__("re").search(p, s)
+    if not m:
+        return ""
+    try:
+        return m.group(int(group))
+    except (IndexError, ValueError):
+        return ""
+
+
+def _split_part(s, sep, n):
+    parts = s.split(sep) if sep else [s]
+    n = int(n)
+    return parts[n - 1] if 1 <= n <= len(parts) else ""
+
+
 _STR_FUNCS = {
     "substring": lambda s, start, length=None:
         s[start - 1: start - 1 + length] if length is not None
@@ -2130,13 +2196,18 @@ _STR_FUNCS = {
         s[start - 1: start - 1 + length] if length is not None
         else s[start - 1:],
     "upper": lambda s: s.upper(),
+    "ucase": lambda s: s.upper(),
     "lower": lambda s: s.lower(),
+    "lcase": lambda s: s.lower(),
     "trim": lambda s: s.strip(),
     "ltrim": lambda s: s.lstrip(),
     "rtrim": lambda s: s.rstrip(),
     "length": lambda s: len(s),
     "char_length": lambda s: len(s),
+    "character_length": lambda s: len(s),
     "strlen": lambda s: len(s),
+    "bit_length": lambda s: 8 * len(s.encode()),
+    "octet_length": lambda s: len(s.encode()),
     "reverse": lambda s: s[::-1],
     "starts_with": lambda s, p: s.startswith(p),
     "prefix": lambda s, p: s.startswith(p),
@@ -2145,8 +2216,55 @@ _STR_FUNCS = {
     "contains": lambda s, p: p in s,
     "concat": lambda s, t: s + str(t),
     "regexp_matches": lambda s, p: bool(__import__("re").search(p, s)),
+    "regexp_full_match": lambda s, p:
+        bool(__import__("re").fullmatch(p, s)),
+    "regexp_replace": lambda s, p, r2:
+        __import__("re").sub(p, r2, s, count=1),
+    "regexp_extract": _regexp_extract,
     "replace": lambda s, a, b2: s.replace(a, b2),
+    # reference: extension/core_functions/scalar/string/*
+    "left": lambda s, n: s[:int(n)] if n >= 0 else s[:len(s) + int(n)],
+    "right": lambda s, n: (s[-int(n):] if n > 0 else
+                           s[min(-int(n), len(s)):]),
+    "lpad": lambda s, n, p=" ":
+        (p * n)[:max(int(n) - len(s), 0)] + s if len(s) < n else s[:int(n)],
+    "rpad": lambda s, n, p=" ":
+        s + (p * n)[:max(int(n) - len(s), 0)] if len(s) < n else s[:int(n)],
+    "repeat": lambda s, n: s * max(int(n), 0),
+    "ascii": lambda s: ord(s[0]) if s else 0,
+    "instr": lambda s, p: s.find(p) + 1,
+    "strpos": lambda s, p: s.find(p) + 1,
+    "position": lambda s, p: s.find(p) + 1,
+    "levenshtein": _levenshtein,
+    "editdist3": _levenshtein,
+    "damerau_levenshtein": _levenshtein,
+    "jaccard": _jaccard,
+    "split_part": _split_part,
+    "translate": lambda s, frm, to:
+        s.translate(str.maketrans(frm[:len(to)], to[:len(frm)])),
+    "initcap": lambda s: s[:1].upper() + s[1:].lower(),
+    "title": lambda s: s.title(),
+    "md5": lambda s:
+        __import__("hashlib").md5(s.encode()).hexdigest(),
+    "sha256": lambda s:
+        __import__("hashlib").sha256(s.encode()).hexdigest(),
+    "hash": lambda s:
+        int.from_bytes(__import__("hashlib").md5(
+            s.encode()).digest()[:8], "little") >> 1,
+    "nfc_normalize": lambda s:
+        __import__("unicodedata").normalize("NFC", s),
+    "strip_accents": lambda s: "".join(
+        c for c in __import__("unicodedata").normalize("NFD", s)
+        if not __import__("unicodedata").combining(c)),
 }
+
+_STR_INT_FUNCS = {"length", "char_length", "character_length", "strlen",
+                  "bit_length", "octet_length", "ascii", "instr",
+                  "strpos", "position", "levenshtein", "editdist3",
+                  "damerau_levenshtein", "hash"}
+_STR_BOOL_FUNCS = {"starts_with", "prefix", "contains", "suffix",
+                   "ends_with", "regexp_matches", "regexp_full_match"}
+_STR_FLOAT_FUNCS = {"jaccard"}
 
 
 # ---------------------------------------------------------------------------

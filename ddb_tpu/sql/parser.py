@@ -1037,6 +1037,20 @@ class Parser:
         if t.kind == "OP" and t.value == "*":
             self.next()
             return A.EStar()
+        if t.kind == "KW" and t.value in ("left", "right", "replace") \
+                and self.peek(1).kind == "OP" \
+                and self.peek(1).value == "(":
+            # keyword-named functions: left(s,n), right(s,n), replace(...)
+            self.next()
+            name = t.value
+            self.next()
+            args = []
+            if not self.at("OP", ")"):
+                args.append(self.expr())
+                while self.accept_op(","):
+                    args.append(self.expr())
+            self.expect_op(")")
+            return A.EFunc(name, args)
         if t.kind in ("IDENT", "KW"):
             name = self.ident()
             # function call?

@@ -425,3 +425,35 @@ def test_topn_fusion():
         .fetchall() == [(499,)]
     plan = c.sql("EXPLAIN SELECT a FROM t ORDER BY a LIMIT 5").fetchall()
     assert "TopN" in str(plan)
+
+
+def test_string_function_breadth(oracle_differential=None):
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE s (x VARCHAR)")
+    c.sql("INSERT INTO s VALUES ('Hello World'), ('foo')")
+    rows = c.sql(
+        "SELECT left(x,3), right(x,2), lpad(x,13,'*'), repeat(x,2),"
+        " ascii(x), strpos(x,'o'), levenshtein(x,'foo'),"
+        " split_part(x,' ',1), initcap(x) FROM s").fetchall()
+    assert rows[0] == ("Hel", "ld", "**Hello World",
+                       "Hello WorldHello World", 72, 5, 9, "Hello",
+                       "Hello world")
+    assert rows[1][6] == 0      # levenshtein(foo, foo)
+    (h,), = c.sql("SELECT md5('abc')").fetchall()
+    assert h == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_date_function_breadth():
+    import datetime
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE d (x DATE)")
+    c.sql("INSERT INTO d VALUES (DATE '1996-03-13'), (DATE '2000-01-01')")
+    rows = c.sql("SELECT dayofyear(x), week(x), isoyear(x), last_day(x),"
+                 " century(x), epoch(x), monthname(x), dayname(x)"
+                 " FROM d ORDER BY x").fetchall()
+    assert rows[0] == (73, 11, 1996, datetime.date(1996, 3, 31), 20,
+                       826675200.0, "March", "Wednesday")
+    # 2000-01-01 is ISO week 52 of 1999
+    assert rows[1][1] == 52 and rows[1][2] == 1999
