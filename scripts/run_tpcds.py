@@ -17,6 +17,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 ORACLE = os.environ.get("DDB_ORACLE", "/tmp/ddbbuild/duckdb")
 
 CHILD = r"""
@@ -72,13 +74,19 @@ def oracle_rows(sql: str, dbfile: str):
         capture_output=True, text=True, timeout=600)
     if out.returncode != 0:
         return None, out.stderr[:150]
-    def norm(s):
-        try:
-            return "%.3f" % float(s)
-        except (ValueError, TypeError):
-            return s
-    return [[norm(c) for c in r]
+    return [[cell_norm(c) for c in r]
             for r in csv.reader(io.StringIO(out.stdout))], None
+
+
+def cell_norm(s: str) -> str:
+    """Symmetric cell normalization for comparison: numbers to 3 decimal
+    places, NULL spellings to ''."""
+    if s in ("NULL", ""):
+        return ""
+    try:
+        return "%.3f" % float(s)
+    except (ValueError, TypeError):
+        return s
 
 
 def main():
@@ -148,6 +156,7 @@ def main():
         if isinstance(m, str):
             err[q] = m
             continue
+        m = [[cell_norm(c) for c in r] for r in m]
         theirs, oerr = oracle_rows(query_text(q), dbfile)
         if theirs is None:
             err[q] = "oracle: " + oerr
