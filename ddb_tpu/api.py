@@ -160,6 +160,10 @@ class Connection:
         self._txn_events = None          # CDC events buffered in txn
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
+        self._db_path: Optional[str] = None   # opened database file
+        self._wal = None                      # WriteAheadLog appender
+        self._txn_wal = None                  # records buffered in txn
+        self._replaying = False               # suppress logging in replay
 
     def use_mesh(self, mesh) -> "Connection":
         """Execute queries distributed over a jax.sharding.Mesh (tables
@@ -198,6 +202,58 @@ class Connection:
         from .storage.persist import load_database
         load_database(self.catalog, path)
         return self
+
+    def open_database(self, path: str) -> "Connection":
+        """Open `path` as THE durable database: load the last checkpoint,
+        replay its WAL, then log every later mutation (reference:
+        storage/storage_manager.cpp LoadDatabase + wal_replay.cpp)."""
+        from .storage.wal import (WriteAheadLog, apply_record,
+                                  replay_records)
+        self._db_path = path
+        if os.path.exists(path):
+            self.load(path)
+        self._replaying = True
+        try:
+            for rec in replay_records(path + ".wal"):
+                apply_record(self, rec)
+        finally:
+            self._replaying = False
+        self._wal = WriteAheadLog(path + ".wal")
+        return self
+
+    def checkpoint(self) -> None:
+        """Persist the full database and truncate the WAL (reference:
+        CheckpointManager::CreateCheckpoint, storage_manager.cpp:393)."""
+        if self._db_path is None:
+            return
+        self.save(self._db_path)
+        if self._wal is not None:
+            self._wal.truncate()
+
+    def close(self) -> None:
+        if self._wal is not None:
+            if self.config.get("checkpoint_on_shutdown"):
+                self.checkpoint()
+            self._wal.close()
+            self._wal = None
+
+    def __enter__(self) -> "Connection":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _wal_log(self, rec: dict) -> None:
+        if self._wal is None or self._replaying:
+            return
+        if self._txn_wal is not None:       # buffer until COMMIT
+            self._txn_wal.append(rec)
+            return
+        self._wal.append(rec)
+        self._wal.flush()
+        thr = self.config.get("wal_autocheckpoint")
+        if thr and self._wal.size() > int(thr):
+            self.checkpoint()
 
     # ---- ingest ----------------------------------------------------------
     def register(self, name: str, obj) -> "Connection":
@@ -319,12 +375,17 @@ class Connection:
             self.catalog.add_view(stmt.name, stmt.sql_text,
                                   or_replace=stmt.or_replace,
                                   column_aliases=stmt.column_aliases)
+            self._wal_log({"op": "create_view", "name": stmt.name,
+                           "sql": stmt.sql_text,
+                           "aliases": stmt.column_aliases})
             return None
         if isinstance(stmt, A.DropStmt):
             if stmt.kind == "view":
                 self.catalog.drop_view(stmt.name, if_exists=stmt.if_exists)
             else:
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
+            self._wal_log({"op": "drop", "kind": stmt.kind,
+                           "name": stmt.name})
             return None
         if isinstance(stmt, A.CreateTableAs):
             binder = Binder(self.catalog, context=self)
@@ -333,6 +394,22 @@ class Connection:
             schema, batch = physical.execute(plan)
             td = _result_to_table(stmt.name, schema, batch)
             self.catalog.add_table(td, or_replace=stmt.or_replace)
+            if self._wal is not None and not self._replaying:
+                import numpy as np
+                from .storage import dml
+                rows = dml.rows_as_python(
+                    td, np.ones(td.num_rows, dtype=bool))
+                from .storage.wal import encode_rows
+                self._wal_log({
+                    "op": "create_table", "name": td.name,
+                    "columns": [{"name": c.name, "type": c.dtype.id.name,
+                                 "width": c.dtype.width,
+                                 "scale": c.dtype.scale}
+                                for c in td.columns],
+                    "rows": encode_rows(rows)})
+            return None
+        if isinstance(stmt, A.CheckpointStmt):
+            self.checkpoint()
             return None
         if isinstance(stmt, A.CreateTable):
             return self._execute_create_table(stmt)
@@ -510,6 +587,11 @@ class Connection:
             td.columns.remove(col)
             td._device_batch = None
         self.catalog.bump()
+        self._wal_log({"op": "alter", "table": stmt.table,
+                       "action": stmt.action, "name": stmt.name,
+                       "new_name": stmt.new_name,
+                       "coltype": list(stmt.coltype)
+                       if stmt.coltype else None})
         return None
 
     @staticmethod
@@ -629,6 +711,12 @@ class Connection:
                   for c in stmt.columns]
         td = dml.empty_table(stmt.name.lower(), fields)
         self.catalog.add_table(td, or_replace=stmt.or_replace)
+        self._wal_log({"op": "create_table", "name": td.name,
+                       "columns": [{"name": c.name,
+                                    "type": c.dtype.id.name,
+                                    "width": c.dtype.width,
+                                    "scale": c.dtype.scale}
+                                   for c in td.columns]})
         return None
 
     def _emit_cdc(self, table, op, rows, old_rows=None):
@@ -659,6 +747,11 @@ class Connection:
             n = dml.insert_rows(td, rows, stmt.columns)
             self.catalog.bump()
             self._emit_cdc(td.name, "insert", rows)
+            if self._wal is not None and not self._replaying:
+                from .storage.wal import encode_rows
+                self._wal_log({"op": "insert", "table": td.name,
+                               "columns": stmt.columns,
+                               "rows": encode_rows(rows)})
             return None
         # INSERT ... SELECT
         binder = Binder(self.catalog, context=self)
@@ -667,11 +760,18 @@ class Connection:
         src = _result_to_table("__tmp", schema, batch)
         dml.append_table(td, src.columns)
         self.catalog.bump()
-        if self.cdc.enabled:
+        if self.cdc.enabled or (self._wal is not None
+                                and not self._replaying):
             import numpy as np
             mask = np.ones(src.num_rows, dtype=bool)
-            self._emit_cdc(td.name, "insert",
-                           dml.rows_as_python(src, mask))
+            rows = dml.rows_as_python(src, mask)
+            if self.cdc.enabled:
+                self._emit_cdc(td.name, "insert", rows)
+            if self._wal is not None and not self._replaying:
+                from .storage.wal import encode_rows
+                self._wal_log({"op": "insert", "table": td.name,
+                               "columns": None,
+                               "rows": encode_rows(rows)})
         return None
 
     def _bind_table_predicate(self, td, where):
@@ -694,6 +794,10 @@ class Connection:
         td = self.catalog.get_table(stmt.table)
         mask = self._bind_table_predicate(td, stmt.where)
         old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
+        if self._wal is not None and not self._replaying:
+            import numpy as np
+            self._wal_log({"op": "delete", "table": td.name,
+                           "idx": [int(i) for i in np.nonzero(mask)[0]]})
         dml.delete_rows(td, mask)
         self.catalog.bump()
         if old is not None:
@@ -735,6 +839,16 @@ class Connection:
         if old is not None:
             self._emit_cdc(td.name, "update",
                            dml.rows_as_python(td, mask), old)
+        if self._wal is not None and not self._replaying:
+            from .storage.wal import encode_rows
+            idx = np.nonzero(mask)[0]
+            cols = list(updates.keys())
+            positions = {c.name: j for j, c in enumerate(td.columns)}
+            full = dml.rows_as_python(td, mask)
+            rows = [[r[positions[c]] for c in cols] for r in full]
+            self._wal_log({"op": "update", "table": td.name,
+                           "idx": [int(i) for i in idx], "cols": cols,
+                           "rows": encode_rows(rows)})
         return None
 
     def _execute_transaction(self, stmt):
@@ -745,12 +859,25 @@ class Connection:
             self._txn_backup = {n: clone_table(t)
                                 for n, t in self.catalog.tables.items()}
             self._txn_events = []
+            if self._wal is not None:
+                self._txn_wal = []
         elif stmt.kind == "commit":
             if self._txn_backup is None:
                 raise RuntimeError("no transaction active")
             events = self._txn_events or []
+            wal_records = self._txn_wal or []
             self._txn_backup = None
             self._txn_events = None
+            self._txn_wal = None
+            if wal_records and self._wal is not None:
+                # append the whole commit, then one flush + at most one
+                # checkpoint (a mid-commit truncate would double-apply)
+                for rec in wal_records:
+                    self._wal.append(rec)
+                self._wal.flush()
+                thr = self.config.get("wal_autocheckpoint")
+                if thr and self._wal.size() > int(thr):
+                    self.checkpoint()
             hlc = self.clock.get_hlc_timestamp()
             for table, op, rows, old_rows in events:
                 self.cdc.emit(table, op, rows, old_rows, hlc=hlc)
@@ -761,6 +888,7 @@ class Connection:
             self.catalog.bump()          # invalidate cached plans
             self._txn_backup = None
             self._txn_events = None
+            self._txn_wal = None
         return None
 
     def _optimize(self, plan):
@@ -873,9 +1001,8 @@ class Cursor:
 def connect(database: Optional[str] = None) -> Connection:
     """Open a connection; pass a path to load a saved database file."""
     con = Connection()
-    if database is not None and database != ":memory:" \
-            and os.path.exists(database):
-        con.load(database)
+    if database is not None and database != ":memory:":
+        con.open_database(database)
     return con
 
 

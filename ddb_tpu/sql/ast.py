@@ -350,6 +350,13 @@ class AlterStmt:
 
 
 @dataclass
+class CheckpointStmt:
+    """CHECKPOINT / FORCE CHECKPOINT (reference: function/table/
+    checkpoint.cpp; storage_manager.cpp CreateCheckpoint)."""
+    force: bool = False
+
+
+@dataclass
 class AttachStmt:
     path: str
     name: Optional[str] = None        # defaults to file stem

@@ -155,6 +155,12 @@ class Parser:
             where = self.expr() if self.accept_kw("where") else None
             return A.UpdateStmt(name, assigns, where)
         t = self.peek()
+        if t.kind == "IDENT" and t.value in ("checkpoint", "force"):
+            force = t.value == "force"
+            self.next()
+            if force:
+                self.expect_word("checkpoint")
+            return A.CheckpointStmt(force)
         if t.kind == "IDENT" and t.value in ("begin", "commit",
                                              "rollback", "abort"):
             self.next()
