@@ -232,9 +232,27 @@ def _eval_dictlookup(e: ir.DictLookup, b: Batch):
     d, n = evaluate(e.child, b)
     table = jnp.asarray(e.table)
     if table.shape[0] == 0:      # empty dictionary (e.g. empty table)
-        return jnp.zeros(d.shape[0], dtype=table.dtype), n
+        nulls = n
+        if e.null_table is not None:
+            nulls = jnp.ones(d.shape[0], dtype=bool)
+        return jnp.zeros(d.shape[0], dtype=table.dtype), nulls
     idx = jnp.clip(d.astype(jnp.int32), 0, table.shape[0] - 1)
-    return table[idx], n
+    nulls = n
+    if e.null_table is not None:
+        nulls = _or_nulls(n, jnp.asarray(e.null_table)[idx])
+    return table[idx], nulls
+
+
+def _eval_dictlookup2(e: ir.DictLookup2, b: Batch):
+    ld, ln = evaluate(e.left, b)
+    rd, rn = evaluate(e.right, b)
+    table = jnp.asarray(e.table)
+    nulls = _or_nulls(ln, rn)
+    if table.shape[0] == 0:
+        return jnp.zeros(ld.shape[0], dtype=table.dtype), nulls
+    idx = ld.astype(jnp.int32) * e.right_card + rd.astype(jnp.int32)
+    idx = jnp.clip(idx, 0, table.shape[0] - 1)
+    return table[idx], nulls
 
 
 def _eval_func(e: ir.Func, b: Batch):
@@ -254,5 +272,6 @@ _EVAL = {
     ir.Case: _eval_case,
     ir.InList: _eval_inlist,
     ir.DictLookup: _eval_dictlookup,
+    ir.DictLookup2: _eval_dictlookup2,
     ir.Func: _eval_func,
 }

@@ -148,14 +148,32 @@ class InList(Expr):
 class DictLookup(Expr):
     """Gather from a host-computed per-code table (LIKE, prefix, regexp on
     dictionary-encoded strings).  table: numpy bool/int array indexed by the
-    child's dictionary code."""
+    child's dictionary code.  null_table (optional bool array) marks codes
+    whose result is SQL NULL (e.g. json_extract on a missing path)."""
     child: Expr
     table: Any                 # np.ndarray, one entry per dict code
     dtype: DataType
     label: str = "dict_lookup"
+    null_table: Any = None     # optional np.bool_ array, same length
 
     def children(self):
         return [self.child]
+
+
+@dataclass
+class DictLookup2(Expr):
+    """Gather from a host-computed pair table indexed by
+    (left_code * right_card + right_code) — two-dictionary functions like
+    concat(col, col).  Pair-table size is capped at bind time."""
+    left: Expr
+    right: Expr
+    table: Any                 # np.ndarray of left_card * right_card
+    right_card: int
+    dtype: DataType
+    label: str = "dict_lookup2"
+
+    def children(self):
+        return [self.left, self.right]
 
 
 @dataclass

@@ -1801,6 +1801,12 @@ class Binder:
             out = ir.DictLookup(idx, table, T.VARCHAR, name)
             out.strdict = nd
             return out
+        if name in ("concat", "concat_op", "concat_ws"):
+            return self._bind_concat(e, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        if name == "json_keys":
+            return self._bind_json_keys(e, scope, agg_ctx, group_map,
+                                        sub_replacements)
         # host-dictionary string functions
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
@@ -2131,26 +2137,166 @@ class Binder:
                 v = a.strdict.decode_one(v)
             const_args.append(v)
         fn = _STR_FUNCS[name]
+        raw = [fn(str(v), *const_args) for v in sd.values]
+        nulls = np.array([r is None for r in raw], dtype=bool)
+        null_table = nulls if nulls.any() else None
         if name in _STR_INT_FUNCS:
-            table = np.array([fn(str(v), *const_args)
-                              for v in sd.values], dtype=np.int64)
-            return ir.DictLookup(col, table, T.BIGINT, name)
+            table = np.array([0 if r is None else int(r) for r in raw],
+                             dtype=np.int64)
+            return ir.DictLookup(col, table, T.BIGINT, name,
+                                 null_table=null_table)
         if name in _STR_BOOL_FUNCS:
-            table = np.array([bool(fn(str(v), *const_args))
-                              for v in sd.values], dtype=bool)
-            return ir.DictLookup(col, table, T.BOOLEAN, name)
+            table = np.array([bool(r) for r in raw], dtype=bool)
+            return ir.DictLookup(col, table, T.BOOLEAN, name,
+                                 null_table=null_table)
         if name in _STR_FLOAT_FUNCS:
-            table = np.array([fn(str(v), *const_args)
-                              for v in sd.values], dtype=np.float64)
-            return ir.DictLookup(col, table, T.DOUBLE, name)
-        # string -> string: build output dictionary
-        outs = [fn(str(v), *const_args) for v in sd.values]
-        new_dict = StringDictionary(np.unique(np.asarray(outs, dtype=object)
-                                              .astype(str)))
-        table = np.array([new_dict.code_of(o) for o in outs],
-                         dtype=np.int32)
-        out = ir.DictLookup(col, table, T.VARCHAR, name)
+            table = np.array([np.nan if r is None else r for r in raw],
+                             dtype=np.float64)
+            return ir.DictLookup(col, table, T.DOUBLE, name,
+                                 null_table=null_table)
+        # string -> string: build output dictionary (None => SQL NULL)
+        return self._string_table(col, raw, name)
+
+    def _string_table(self, col: ir.Expr, outs, label: str) -> ir.Expr:
+        """DictLookup mapping col's dictionary codes to new strings;
+        None entries become SQL NULL via the lookup's null table."""
+        live = [o for o in outs if o is not None]
+        new_dict = StringDictionary(
+            np.unique(np.asarray(live, dtype=object).astype(str))
+            if live else np.array([], dtype=object))
+        table = np.array([0 if o is None else new_dict.code_of(o)
+                          for o in outs], dtype=np.int32)
+        nulls = np.array([o is None for o in outs], dtype=bool)
+        out = ir.DictLookup(col, table, T.VARCHAR, label,
+                            null_table=nulls if nulls.any() else None)
         out.strdict = new_dict
+        return out
+
+    def _const_text(self, c: ir.Const) -> str:
+        sd = getattr(c, "strdict", None)
+        if sd is not None:
+            return str(sd.decode_one(c.value))
+        if c.dtype.id == TypeId.BOOLEAN:
+            return "true" if c.value else "false"
+        return str(T.decode_value(c.value, c.dtype))
+
+    def _null_to_empty(self, col: ir.Expr) -> ir.Expr:
+        """Rewrite a VARCHAR expr so NULL rows read as '' (concat()'s
+        NULL-skipping semantics; reference: concat vs || operator,
+        extension/core_functions/scalar/string/concat.cpp)."""
+        sd = col.strdict
+        vals = [str(v) for v in sd.values]
+        ext = StringDictionary(np.unique(
+            np.asarray(vals + [""], dtype=object).astype(str)))
+        remap = np.array([ext.code_of(v) for v in vals], dtype=np.int32)
+        dl = ir.DictLookup(col, remap, T.VARCHAR, "null_to_empty")
+        dl.strdict = ext
+        empty = ir.Const(ext.code_of(""), T.VARCHAR)
+        empty.strdict = ext
+        out = ir.Func("ifnull", [dl, empty], T.VARCHAR)
+        out.strdict = ext
+        return out
+
+    _CONCAT_CAP = 1 << 22    # max pair-dictionary product per combine
+
+    def _bind_concat(self, e: A.EFunc, scope, agg_ctx, group_map,
+                     sub_replacements) -> ir.Expr:
+        """concat / || / concat_ws over dictionary-encoded strings.
+
+        Column arguments combine through per-code tables: one column =>
+        per-code string table; two columns => pair table indexed by
+        code1 * card2 + code2 (capped).  concat() treats NULL inputs as
+        '' (and never returns NULL); '||' propagates NULL.  concat_ws
+        with NULL column rows approximates DuckDB by treating them as ''
+        (separators are not elided per-row)."""
+        name = e.name
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        args = [b(a) for a in e.args]
+        sep = ""
+        if name == "concat_ws":
+            if len(args) < 2:
+                raise BindError("concat_ws needs separator + arguments")
+            s0 = args.pop(0)
+            if not isinstance(s0, ir.Const):
+                raise BindError("concat_ws separator must be constant")
+            sep = self._const_text(s0)
+        null_prop = name == "concat_op"
+        parts = []
+        for a in args:
+            if isinstance(a, ir.Const) and (
+                    a.value is None or a.dtype.id == TypeId.NULL):
+                if null_prop:
+                    return self._bind_literal(None)
+                continue
+            if isinstance(a, ir.Const):
+                parts.append(("const", self._const_text(a)))
+            elif a.dtype.id == TypeId.VARCHAR \
+                    and getattr(a, "strdict", None) is not None:
+                parts.append(("col", a if null_prop
+                              else self._null_to_empty(a)))
+            else:
+                raise BindError(
+                    f"concat: cannot stringify {a.dtype!r} argument")
+        if not parts:
+            return self._bind_literal("")
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = self._concat2(acc, p, sep)
+        if acc[0] == "const":
+            return self._bind_literal(acc[1])
+        return acc[1]
+
+    def _concat2(self, a, b2, sep: str):
+        if a[0] == "const" and b2[0] == "const":
+            return ("const", a[1] + sep + b2[1])
+        if a[0] == "const":
+            col = b2[1]
+            outs = [a[1] + sep + str(v) for v in col.strdict.values]
+            return ("col", self._string_table(col, outs, "concat"))
+        if b2[0] == "const":
+            col = a[1]
+            outs = [str(v) + sep + b2[1] for v in col.strdict.values]
+            return ("col", self._string_table(col, outs, "concat"))
+        l, r = a[1], b2[1]
+        lv = [str(v) for v in l.strdict.values]
+        rv = [str(v) for v in r.strdict.values]
+        if len(lv) * len(rv) > self._CONCAT_CAP:
+            raise BindError("concat: combined dictionary too large")
+        outs = [x + sep + y for x in lv for y in rv]
+        nd = StringDictionary(
+            np.unique(np.asarray(outs, dtype=object).astype(str))
+            if outs else np.array([], dtype=object))
+        table = np.array([nd.code_of(o) for o in outs], dtype=np.int32)
+        out = ir.DictLookup2(l, r, table, max(len(rv), 1), T.VARCHAR,
+                             "concat")
+        out.strdict = nd
+        return ("col", out)
+
+    def _bind_json_keys(self, e: A.EFunc, scope, agg_ctx, group_map,
+                        sub_replacements) -> ir.Expr:
+        """json_keys(j[, path]) -> LIST(VARCHAR) via per-code list store
+        (reference: extension/json json_keys)."""
+        from ..expr import jsonfuncs as J
+        from ..storage.lists import ListStore
+        col = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                             sub_replacements)
+        sd = getattr(col, "strdict", None)
+        if col.dtype.id != TypeId.VARCHAR or sd is None:
+            raise BindError("json_keys requires a VARCHAR argument")
+        path = "$"
+        if len(e.args) > 1:
+            p = self.bind_expr(e.args[1], scope, None, None,
+                               sub_replacements)
+            if not isinstance(p, ir.Const):
+                raise BindError("json_keys path must be constant")
+            psd = getattr(p, "strdict", None)
+            path = psd.decode_one(p.value) if psd is not None else p.value
+        outs = [J.json_keys(str(v), path) or [] for v in sd.values]
+        store = ListStore(outs)
+        out = ir.DictLookup(col, np.arange(len(outs), dtype=np.int32),
+                            T.LIST(T.VARCHAR), "json_keys")
+        out.strdict = store
         return out
 
 
@@ -2214,7 +2360,6 @@ _STR_FUNCS = {
     "ends_with": lambda s, p: s.endswith(p),
     "suffix": lambda s, p: s.endswith(p),
     "contains": lambda s, p: p in s,
-    "concat": lambda s, t: s + str(t),
     "regexp_matches": lambda s, p: bool(__import__("re").search(p, s)),
     "regexp_full_match": lambda s, p:
         bool(__import__("re").fullmatch(p, s)),
@@ -2258,12 +2403,34 @@ _STR_FUNCS = {
         if not __import__("unicodedata").combining(c)),
 }
 
+# JSON extension parity (reference: extension/json/json_functions/) —
+# host-evaluated over dictionary values, gathered on device.
+from ..expr import jsonfuncs as _J  # noqa: E402
+
+_STR_FUNCS.update({
+    "json_extract": _J.json_extract,
+    "json_extract_path": _J.json_extract,
+    "json_extract_string": _J.json_extract_string,
+    "json_extract_path_text": _J.json_extract_string,
+    "json_value": _J.json_value,
+    "json_type": _J.json_type,
+    "json_typeof": _J.json_type,
+    "json_structure": _J.json_structure,
+    "json_merge_patch": _J.json_merge_patch,
+    "to_json": _J.to_json,
+    "json_quote": _J.to_json,
+    "json_array_length": _J.json_array_length,
+    "json_valid": _J.json_valid,
+    "json_contains": _J.json_contains,
+})
+
 _STR_INT_FUNCS = {"length", "char_length", "character_length", "strlen",
                   "bit_length", "octet_length", "ascii", "instr",
                   "strpos", "position", "levenshtein", "editdist3",
-                  "damerau_levenshtein", "hash"}
+                  "damerau_levenshtein", "hash", "json_array_length"}
 _STR_BOOL_FUNCS = {"starts_with", "prefix", "contains", "suffix",
-                   "ends_with", "regexp_matches", "regexp_full_match"}
+                   "ends_with", "regexp_matches", "regexp_full_match",
+                   "json_valid", "json_contains"}
 _STR_FLOAT_FUNCS = {"jaccard"}
 
 

@@ -891,7 +891,9 @@ class Parser:
             elif self.accept_op("-"):
                 e = A.EBinary("-", e, self.expr_mul())
             elif self.accept_op("||"):
-                e = A.EFunc("concat", [e, self.expr_mul()])
+                # NULL-propagating concat (distinct from concat(), which
+                # skips NULLs — reference: concat_operator vs concat)
+                e = A.EFunc("concat_op", [e, self.expr_mul()])
             else:
                 return e
 
@@ -916,10 +918,17 @@ class Parser:
 
     def expr_postfix(self):
         e = self.expr_primary()
-        while self.accept_op("::"):
-            tn, w, s = self.typename()
-            e = A.ECast(e, tn, w, s)
-        return e
+        while True:
+            if self.accept_op("::"):
+                tn, w, s = self.typename()
+                e = A.ECast(e, tn, w, s)
+            elif self.accept_op("->"):
+                e = A.EFunc("json_extract", [e, self.expr_primary()])
+            elif self.accept_op("->>"):
+                e = A.EFunc("json_extract_string",
+                            [e, self.expr_primary()])
+            else:
+                return e
 
     def typename(self):
         t = self.peek()
