@@ -535,6 +535,28 @@ def dense_group_aggregate(gid: jax.Array, domain: int,
         elif p.kind == "any_value":
             idxs = jnp.stack([jnp.argmax(m) for m in live_masks])
             results.append((p.data[idxs], nn == 0))
+        elif p.kind in _VAR_KINDS:
+            d = p.data.astype(jnp.float64)
+            z = jnp.zeros((), jnp.float64)
+            s1 = jnp.stack([jnp.where(m, d, z).sum() for m in live_masks])
+            s2 = jnp.stack([jnp.where(m, d * d, z).sum()
+                            for m in live_masks])
+            v, bad = _finalize_var(p.kind, s1, s2, nn)
+            results.append((v, bad))
+        elif p.kind in _COVAR_KINDS:
+            x = p.data.astype(jnp.float64)
+            y = p.data2.astype(jnp.float64)
+            z = jnp.zeros((), jnp.float64)
+            sx = jnp.stack([jnp.where(m, x, z).sum() for m in live_masks])
+            sy = jnp.stack([jnp.where(m, y, z).sum() for m in live_masks])
+            sxy = jnp.stack([jnp.where(m, x * y, z).sum()
+                             for m in live_masks])
+            sxx = jnp.stack([jnp.where(m, x * x, z).sum()
+                             for m in live_masks])
+            syy = jnp.stack([jnp.where(m, y * y, z).sum()
+                             for m in live_masks])
+            v, bad = _finalize_covar(p.kind, sx, sy, sxy, sxx, syy, nn)
+            results.append((v, bad))
         else:
             raise NotImplementedError(p.kind)
     return results, counts

@@ -422,7 +422,13 @@ def _exec_aggregate(node: L.Aggregate, ctx):
 
     has_distinct = any(a.distinct and a.kind != "count_star"
                        for a in node.aggs)
-    sizes = None if has_distinct else _perfect_hash_domain(node)
+    _dense_kinds = {"count_star", "count", "sum", "sum_float", "avg",
+                    "sum_wide", "avg_wide", "min", "max", "any_value",
+                    "var_samp", "var_pop", "stddev_samp", "stddev_pop",
+                    "covar_samp", "covar_pop", "corr"}
+    dense_ok = all(a.kind in _dense_kinds for a in node.aggs)
+    sizes = None if (has_distinct or not dense_ok) \
+        else _perfect_hash_domain(node)
     if sizes is not None:
         strides = []
         acc = 1

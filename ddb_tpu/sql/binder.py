@@ -274,12 +274,25 @@ class Binder:
 
         having_bound = None
         order_prebound = {}
-        if has_aggs and has_windows:
-            raise BindError(
-                "window functions over aggregates not supported yet")
         if has_aggs:
+            # windows over aggregates evaluate AFTER grouping: their
+            # arguments/partition/order bind with the aggregate context and
+            # the Window node sits above the Aggregate (reference:
+            # window expressions bound post-aggregate in select binding)
+            win_ctx = WinCtx() if has_windows else None
             plan, bound_items, having_bound, order_prebound = \
-                self._bind_aggregate(stmt, items, plan, scope)
+                self._bind_aggregate(stmt, items, plan, scope, win_ctx)
+            if win_ctx is not None and win_ctx.fns:
+                if having_bound is not None:
+                    # HAVING filters groups BEFORE window evaluation
+                    plan = L.Filter(plan, having_bound)
+                    having_bound = None
+                base = len(plan.schema)
+                plan = L.Window(plan, win_ctx.fns)
+                bound_items = [_resolve_winrefs(b, base)
+                               for b in bound_items]
+                order_prebound = {k: _resolve_winrefs(v, base)
+                                  for k, v in order_prebound.items()}
         elif has_windows:
             win_ctx = WinCtx()
             bound_items = [self.bind_expr(e, scope, win_ctx=win_ctx)
@@ -1003,7 +1016,8 @@ class Binder:
                 return True
         return False
 
-    def _bind_aggregate(self, stmt: A.SelectStmt, items, plan, scope):
+    def _bind_aggregate(self, stmt: A.SelectStmt, items, plan, scope,
+                        win_ctx=None):
         # resolve group-by expressions (ordinals / aliases / exprs)
         group_asts: List[A.EExpr] = []
         for g in stmt.group_by:
@@ -1038,7 +1052,8 @@ class Binder:
         for e, alias in items:
             bound_items.append(self.bind_expr(e, scope, agg_ctx=agg_ctx,
                                               group_map=(group_asts,
-                                                         group_keys)))
+                                                         group_keys),
+                                              win_ctx=win_ctx))
         having_bound = None
         if stmt.having is not None:
             having_bound = self.bind_expr(stmt.having, scope,
@@ -1054,7 +1069,8 @@ class Binder:
                 try:
                     order_prebound[_ekey(it.expr)] = self.bind_expr(
                         it.expr, scope, agg_ctx=agg_ctx,
-                        group_map=(group_asts, group_keys))
+                        group_map=(group_asts, group_keys),
+                        win_ctx=win_ctx)
                 except BindError:
                     pass
 
@@ -1108,6 +1124,25 @@ class Binder:
             having_bound = _resolve_aggrefs(having_bound, base)
         order_prebound = {k: _resolve_aggrefs(v, base)
                           for k, v in order_prebound.items()}
+        if win_ctx is not None and win_ctx.fns:
+            # window specs bound with agg/group placeholders: rewrite them
+            # into ColRefs over the Aggregate output
+            def rw(x):
+                if x is None:
+                    return None
+                if has_grouping_fn:
+                    x = _resolve_grouprefs(
+                        x, ir.ColRef(ngroups, T.BIGINT, "__gmask")
+                        if add_mask else None, ngroups)
+                return _resolve_aggrefs(x, base)
+            import copy as _copy
+            for i, wf in enumerate(win_ctx.fns):
+                wf = _copy.copy(wf)
+                wf.arg = rw(wf.arg)
+                wf.partition = [rw(p) for p in wf.partition]
+                wf.order = [L.OrderKey(rw(k.expr), k.desc, k.nulls_last)
+                            for k in wf.order]
+                win_ctx.fns[i] = wf
         return agg, bound_items, having_bound, order_prebound
 
 
@@ -1223,7 +1258,7 @@ class Binder:
         if isinstance(e, A.EWindow):
             if win_ctx is None:
                 raise BindError("window function not allowed here")
-            return self._bind_window(e, scope, win_ctx)
+            return self._bind_window(e, scope, win_ctx, agg_ctx, group_map)
         # group expression matching (whole-subtree)
         if group_map is not None:
             gasts, gkeys = group_map
@@ -1291,9 +1326,13 @@ class Binder:
                 sd = getattr(child, "strdict", None)
                 codes = []
                 for item in e.items:
-                    if not isinstance(item, A.ELit):
-                        raise BindError("IN list must be literals")
-                    code = sd.code_of(item.value)
+                    be = b(item)
+                    if not isinstance(be, ir.Const):
+                        raise BindError("IN list must be constants")
+                    isd = getattr(be, "strdict", None)
+                    text = isd.decode_one(be.value) if isd is not None \
+                        else self._const_text(be)
+                    code = sd.code_of(text)
                     if code >= 0:
                         codes.append(code)
                 if not codes:
@@ -1303,7 +1342,9 @@ class Binder:
             for item in e.items:
                 be = b(item)
                 if not isinstance(be, ir.Const):
-                    raise BindError("IN list must be literals")
+                    raise BindError("IN list must be constants")
+                if be.dtype.id == TypeId.VARCHAR:
+                    be = self._const_varchar_as(be, child.dtype)
                 v = be.value
                 if child.dtype.id == TypeId.DECIMAL \
                         and be.dtype.id != TypeId.DECIMAL:
@@ -1424,6 +1465,15 @@ class Binder:
                                          ir.Const(n, T.INTEGER))
                 raise BindError(
                     "month intervals on non-constant dates unsupported")
+        # integer constant folding (IN (2000, 2000+1, ...), LIMIT n*2, ...)
+        if op in ("+", "-", "*") and isinstance(l, ir.Const) \
+                and isinstance(r, ir.Const) \
+                and l.value is not None and r.value is not None \
+                and l.dtype.is_integer and r.dtype.is_integer:
+            a, b2 = int(l.value), int(r.value)
+            v = a + b2 if op == "+" else (a - b2 if op == "-" else a * b2)
+            out = ir.bind_arith(op, l, r)
+            return ir.Const(v, out.dtype)
         return ir.bind_arith(op, l, r)
 
     def _bind_comparison(self, op, la, ra, scope, agg_ctx, group_map,
@@ -1433,9 +1483,40 @@ class Binder:
         l = b(la)
         r = b(ra)
         lt, rt = l.dtype, r.dtype
+        # VARCHAR literal vs typed (date/numeric) column: implicit cast of
+        # the literal (reference: cast_rules.cpp — VARCHAR casts to anything)
+        if lt.id == TypeId.VARCHAR and rt.id != TypeId.VARCHAR \
+                and isinstance(l, ir.Const):
+            l = self._const_varchar_as(l, rt)
+        elif rt.id == TypeId.VARCHAR and lt.id != TypeId.VARCHAR \
+                and isinstance(r, ir.Const):
+            r = self._const_varchar_as(r, lt)
+        lt, rt = l.dtype, r.dtype
         if lt.id == TypeId.VARCHAR or rt.id == TypeId.VARCHAR:
             return self._bind_string_comparison(op, l, r)
         return ir.bind_comparison(op, l, r)
+
+    def _const_varchar_as(self, c: ir.Const, tgt: T.DataType) -> ir.Expr:
+        """Reinterpret a VARCHAR constant as tgt's type (date '1998-01-01',
+        numeric '42', ...)."""
+        import decimal as _dec
+        text = self._const_text(c)
+        try:
+            if tgt.id in (TypeId.DATE, TypeId.TIMESTAMP):
+                return ir.Const(T.encode_literal(text, tgt), tgt)
+            if tgt.id == TypeId.DECIMAL:
+                return ir.Const(T.encode_literal(_dec.Decimal(text), tgt),
+                                tgt)
+            if tgt.is_integer:
+                return ir.Const(int(text), tgt)
+            if tgt.id in (TypeId.FLOAT, TypeId.DOUBLE):
+                return ir.Const(float(text), tgt)
+            if tgt.id == TypeId.BOOLEAN:
+                return ir.Const(text.lower() in ("true", "t", "1"), tgt)
+        except (ValueError, _dec.InvalidOperation):
+            raise BindError(
+                f"cannot cast literal {text!r} to {tgt!r}")
+        return c
 
     def _bind_string_comparison(self, op, l: ir.Expr, r: ir.Expr):
         ld = getattr(l, "strdict", None)
@@ -1813,13 +1894,17 @@ class Binder:
                                           group_map, sub_replacements)
         raise BindError(f"unknown function {name}")
 
-    def _bind_window(self, e: A.EWindow, scope, win_ctx: WinCtx) -> WinRef:
+    def _bind_window(self, e: A.EWindow, scope, win_ctx: WinCtx,
+                     agg_ctx=None, group_map=None) -> WinRef:
         fn = e.func
         name = fn.name
-        partition = [self.bind_expr(p, scope) for p in e.partition]
+        # with agg_ctx set (window over aggregate output) the window's
+        # inner expressions bind with aggregate/group placeholders
+        wb = lambda x: self.bind_expr(x, scope, agg_ctx, group_map)
+        partition = [wb(p) for p in e.partition]
         order = []
         for it in e.order:
-            oe = self.bind_expr(it.expr, scope)
+            oe = wb(it.expr)
             nl = it.nulls_last if it.nulls_last is not None \
                 else self._default_nulls_last()
             order.append(L.OrderKey(oe, it.desc, nl))
@@ -1843,7 +1928,7 @@ class Binder:
         else:
             if not fn.args:
                 raise BindError(f"window {name} requires an argument")
-            arg = self.bind_expr(fn.args[0], scope)
+            arg = wb(fn.args[0])
             if name in ("lag", "lead") and len(fn.args) > 1:
                 off = self.bind_expr(fn.args[1], scope)
                 if not isinstance(off, ir.Const):
