@@ -414,6 +414,20 @@ class Binder:
         rec = rec_binder.bind_select(rhs)
         if len(rec.schema) != len(base.schema):
             raise BindError("recursive CTE column count mismatch")
+        # the CTE's column types are fixed by the anchor (reference:
+        # bind_recursive_cte_node.cpp "result types ... are the types of
+        # the LHS"); the recursive term is cast to them.  A VARCHAR
+        # recursive column cannot be cast to a non-VARCHAR anchor type
+        # (DuckDB raises a ConversionError at runtime) — and silently
+        # unioning dictionary codes with numbers would corrupt results.
+        for bf, rf in zip(schema.fields, rec.schema.fields):
+            bv = bf.dtype.id == TypeId.VARCHAR
+            rv = rf.dtype.id == TypeId.VARCHAR
+            if bv != rv and rf.dtype.id != TypeId.NULL:
+                raise BindError(
+                    f"Conversion: recursive CTE column '{bf.name}' has "
+                    f"anchor type {bf.dtype} but recursive-term type "
+                    f"{rf.dtype}; cannot cast")
         return L.RecursiveCTE(base, rec, all_, cell, schema)
 
     # ------------------------------------------------------------------
