@@ -414,21 +414,156 @@ class Binder:
         rec = rec_binder.bind_select(rhs)
         if len(rec.schema) != len(base.schema):
             raise BindError("recursive CTE column count mismatch")
-        # the CTE's column types are fixed by the anchor (reference:
+        # The CTE's column types are fixed by the anchor (reference:
         # bind_recursive_cte_node.cpp "result types ... are the types of
-        # the LHS"); the recursive term is cast to them.  A VARCHAR
-        # recursive column cannot be cast to a non-VARCHAR anchor type
-        # (DuckDB raises a ConversionError at runtime) — and silently
-        # unioning dictionary codes with numbers would corrupt results.
+        # the LHS"), except that a NULL-typed anchor adopts the recursive
+        # term's type; the recursive term is cast to the result types.
+        #
+        # Dictionary hazard: our VARCHAR columns are int32 codes into
+        # bind-time-immutable dictionaries.  A recursive term that
+        # produces strings outside the anchor dictionary (concats, scans
+        # of other tables, numeric->varchar casts) yields codes in a
+        # DIFFERENT dictionary each iteration — raw code concatenation
+        # would silently corrupt results.  Those queries run through the
+        # bind-time host fixpoint (_bind_recursive_cte_host), which
+        # re-binds the recursive term per iteration against the current
+        # working dictionary.
+        out_fields = []
+        host_mode = False
+        need_cast = False
         for bf, rf in zip(schema.fields, rec.schema.fields):
-            bv = bf.dtype.id == TypeId.VARCHAR
-            rv = rf.dtype.id == TypeId.VARCHAR
-            if bv != rv and rf.dtype.id != TypeId.NULL:
+            bt, rt = bf.dtype, rf.dtype
+            f = bf
+            if bt.id == TypeId.NULL and rt.id != TypeId.NULL:
+                # the anchor fixes the type to SQLNULL; the reference
+                # fails the cast of the recursive term to it at runtime
+                # (test/sql/cte/recursive_cte_error.test) — we fail at
+                # bind time
                 raise BindError(
                     f"Conversion: recursive CTE column '{bf.name}' has "
-                    f"anchor type {bf.dtype} but recursive-term type "
-                    f"{rf.dtype}; cannot cast")
-        return L.RecursiveCTE(base, rec, all_, cell, schema)
+                    f"anchor type NULL but recursive-term type {rt}; "
+                    "cannot cast")
+            out_fields.append(f)
+            tt = f.dtype
+            if tt.id == TypeId.VARCHAR:
+                if rt.id == TypeId.VARCHAR:
+                    if rf.strdict is not f.strdict:
+                        host_mode = True
+                elif rt.id != TypeId.NULL:
+                    # numeric/temporal -> VARCHAR cast grows the dictionary
+                    host_mode = True
+            else:
+                if rt.id == TypeId.VARCHAR:
+                    raise BindError(
+                        f"Conversion: recursive CTE column '{bf.name}' "
+                        f"has anchor type {bt} but recursive-term type "
+                        f"{rt}; cannot cast VARCHAR to {bt}")
+                if rt != tt and rt.id != TypeId.NULL:
+                    need_cast = True
+        out_schema = Schema(tuple(out_fields))
+        if host_mode:
+            return self._bind_recursive_cte_host(
+                name, out_schema, base, rhs, all_, sub_ctes)
+        if need_cast:
+            base = self._cast_plan_to(base, out_schema)
+            rec = self._cast_plan_to(rec, out_schema)
+        return L.RecursiveCTE(base, rec, all_, cell, out_schema)
+
+    def _cast_plan_to(self, plan: L.LogicalNode,
+                      target: Schema) -> L.LogicalNode:
+        """Project `plan` so each column is cast to the target schema's
+        type (reference: CastLogicalOperatorToTypes in
+        src/planner/binder/query_node/bind_setop_node.cpp)."""
+        exprs, names = [], []
+        changed = False
+        for i, (f, tf) in enumerate(zip(plan.schema.fields,
+                                        target.fields)):
+            e = ir.ColRef(i, f.dtype, f.name, f.strdict)
+            tt = tf.dtype
+            if f.dtype != tt and tt.id != TypeId.VARCHAR:
+                if tt.id == TypeId.DECIMAL and f.dtype.is_numeric \
+                        and not f.dtype.id == TypeId.DOUBLE \
+                        and not f.dtype.id == TypeId.FLOAT:
+                    e = ir.promote(ir._as_decimal(e), tt)
+                else:
+                    e = ir.promote(e, tt)
+                changed = True
+            exprs.append(e)
+            names.append(tf.name)
+        if not changed:
+            return plan
+        return L.Project(plan, exprs, names)
+
+    def _bind_recursive_cte_host(self, name: str, schema: Schema,
+                                 base: L.LogicalNode, rhs, union_all: bool,
+                                 sub_ctes) -> L.LogicalNode:
+        """Bind-time host fixpoint for recursive CTEs whose string
+        dictionaries grow per iteration.
+
+        The reference executes the recursive half against a materialized
+        working table each iteration
+        (src/execution/operator/set/physical_recursive_cte.cpp); with
+        bind-time-immutable dictionaries the equivalent is to RE-BIND the
+        recursive term per iteration against a working TableData holding
+        the previous iteration's rows (strings re-encoded into a fresh
+        dictionary).  The final result is materialized into a TableData
+        whose merged dictionary the outer query binds against.  Plan-cache
+        safety: cached plans are keyed on catalog.version, which any
+        mutation bumps."""
+        from ..plan import physical
+        from ..storage.table import TableData, TableColumn
+
+        tfields = list(schema.fields)
+
+        def rows_of(pschema, batch):
+            sel = np.asarray(batch.sel)
+            cols = []
+            for tf, f, c in zip(tfields, pschema.fields, batch.columns):
+                d = np.asarray(c.data)[sel]
+                nu = (np.asarray(c.nulls)[sel] if c.nulls is not None
+                      else None)
+                cols.append(_host_coerce(d, nu, f, tf.dtype))
+            return list(zip(*cols)) if cols else []
+
+        bschema, bbatch = physical.execute(base)
+        rows = rows_of(bschema, bbatch)
+        seen = None
+        if not union_all:
+            seen = set()
+            rows = [r for r in rows
+                    if not (r in seen or seen.add(r))]
+        acc = list(rows)
+        working = rows
+        it = 0
+        while working:
+            it += 1
+            if it > physical._MAX_RECURSION:
+                raise RuntimeError(
+                    "recursive CTE exceeded max iteration count "
+                    f"({physical._MAX_RECURSION})")
+            td = _tabledata_from_rows("__rec_" + name, tfields, working)
+            cell = L.CTECell()
+            cell.batch = td.device_batch()
+            b = Binder(self.catalog, dict(sub_ctes), self.context)
+            b.ctes[name] = L.CTERef(name, td.schema, cell)
+            rplan = b.bind_select(rhs)
+            if len(rplan.schema) != len(tfields):
+                raise BindError("recursive CTE column count mismatch")
+            rschema, rbatch = physical.execute(rplan)
+            new = rows_of(rschema, rbatch)
+            if not union_all:
+                out = []
+                for r in new:
+                    if r not in seen:
+                        seen.add(r)
+                        out.append(r)
+                new = out
+            if not new:
+                break
+            acc.extend(new)
+            working = new
+        td = _tabledata_from_rows(name, tfields, acc)
+        return L.Get(td, list(range(len(tfields))))
 
     # ------------------------------------------------------------------
     # FROM
@@ -2688,3 +2823,90 @@ def _scope_of_plan(plan: L.LogicalNode, base_scope: Scope) -> Scope:
         fs = plan.schema.fields[-extra:]
         sc.add("__sub", Schema(tuple(fs)))
     return sc
+
+
+# ---------------------------------------------------------------------------
+# recursive-CTE host fixpoint helpers
+# ---------------------------------------------------------------------------
+
+def _host_stringify(raw, dtype: DataType, strdict) -> str:
+    """Physical value -> DuckDB cast-to-VARCHAR text (reference:
+    src/common/operator/string_cast.cpp)."""
+    if dtype.id == TypeId.BOOLEAN:
+        return "true" if raw else "false"
+    v = T.decode_value(raw, dtype, strdict)
+    return str(v)
+
+
+def _host_coerce(d: np.ndarray, nulls, f: Field, target: DataType) -> list:
+    """One materialized column -> python values coerced to the anchor
+    type (strings for VARCHAR targets, physical scalars otherwise)."""
+    st = f.dtype
+    n = len(d)
+    if nulls is None:
+        nulls = np.zeros(n, dtype=bool)
+    out = []
+    if target.id == TypeId.VARCHAR:
+        for i in range(n):
+            if nulls[i] or st.id == TypeId.NULL:
+                out.append(None)
+            elif st.id == TypeId.VARCHAR:
+                out.append(f.strdict.decode_one(int(d[i])))
+            else:
+                out.append(_host_stringify(d[i], st, f.strdict))
+        return out
+    for i in range(n):
+        if nulls[i] or st.id == TypeId.NULL:
+            out.append(None)
+            continue
+        v = d[i]
+        if st == target:
+            out.append(v.item() if hasattr(v, "item") else v)
+        elif target.id == TypeId.DECIMAL:
+            ss = st.scale if st.id == TypeId.DECIMAL else 0
+            iv = int(round(float(v) * 10 ** ss)) \
+                if st.id in (TypeId.FLOAT, TypeId.DOUBLE) else int(v)
+            if target.scale >= ss:
+                out.append(iv * 10 ** (target.scale - ss))
+            else:
+                q = 10 ** (ss - target.scale)
+                out.append((iv + (q // 2 if iv >= 0 else -(q // 2))) // q)
+        elif target.id in (TypeId.FLOAT, TypeId.DOUBLE):
+            if st.id == TypeId.DECIMAL:
+                out.append(float(v) / 10 ** st.scale)
+            else:
+                out.append(float(v))
+        elif target.id == TypeId.TIMESTAMP and st.id == TypeId.DATE:
+            out.append(int(v) * 86_400_000_000)
+        elif target.is_integer or target.id in (TypeId.DATE, TypeId.TIME,
+                                                TypeId.TIMESTAMP):
+            if st.id == TypeId.DECIMAL:
+                q = 10 ** st.scale
+                iv = int(v)
+                out.append((iv + (q // 2 if iv >= 0 else -(q // 2))) // q)
+            else:
+                out.append(int(round(float(v))))
+        elif target.id == TypeId.BOOLEAN:
+            out.append(bool(v))
+        else:
+            out.append(v.item() if hasattr(v, "item") else v)
+    return out
+
+
+def _tabledata_from_rows(name: str, tfields, rows):
+    """Build a TableData from host row tuples typed by tfields."""
+    from ..storage.table import TableColumn, TableData
+    cols = []
+    for j, f in enumerate(tfields):
+        vals = [r[j] for r in rows]
+        if f.dtype.id == TypeId.VARCHAR:
+            sd, codes, nulls = StringDictionary.encode(vals)
+            cols.append(TableColumn(f.name, f.dtype, codes,
+                                    nulls if nulls.any() else None, sd))
+        else:
+            nulls = np.array([v is None for v in vals], dtype=bool)
+            data = np.array([0 if v is None else v for v in vals],
+                            dtype=f.dtype.np_dtype)
+            cols.append(TableColumn(f.name, f.dtype, data,
+                                    nulls if nulls.any() else None))
+    return TableData(name, cols)

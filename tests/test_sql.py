@@ -260,6 +260,72 @@ def test_recursive_cte_in_outer_join(con):
     assert rows == [(1, 2), (2, 3), (3, 4), (4, 5)]
 
 
+def test_recursive_cte_varchar_concat(con):
+    """Recursive term grows the string dictionary each iteration
+    (path enumeration); codes must not be unioned raw across
+    dictionaries (reference: test/sql/cte/recursive_cte.test paths)."""
+    c2 = ddb_tpu.connect()
+    c2.register("tree", {"id": [1, 2, 3, 4, 5],
+                         "parent": [None, 1, 1, 2, 2],
+                         "name": ["r", "a", "b", "x", "y"]})
+    rows = c2.execute("""
+        WITH RECURSIVE paths(id, path) AS (
+            SELECT id, name FROM tree WHERE parent IS NULL
+            UNION ALL
+            SELECT t.id, p.path || '/' || t.name
+            FROM tree t JOIN paths p ON t.parent = p.id
+        ) SELECT path FROM paths ORDER BY path""").fetchall()
+    assert rows == [("r",), ("r/a",), ("r/a/x",), ("r/a/y",), ("r/b",)]
+
+
+def test_recursive_cte_varchar_union_distinct(con):
+    c2 = ddb_tpu.connect()
+    c2.register("e", {"s": ["ab", "bc"], "d": ["bc", "ab"]})
+    rows = c2.execute("""
+        WITH RECURSIVE w(x) AS (
+            SELECT 'ab'
+            UNION
+            SELECT e.d FROM w JOIN e ON w.x = e.s
+        ) SELECT x FROM w ORDER BY x""").fetchall()
+    assert rows == [("ab",), ("bc",)]
+
+
+def test_recursive_cte_numeric_to_varchar_anchor(con):
+    """VARCHAR anchor + numeric recursive term: DuckDB casts the
+    recursive term to the anchor type (bind_recursive_cte_node.cpp)."""
+    rows = con.execute("""
+        WITH RECURSIVE t(n, s) AS (
+            SELECT 1, 'x'
+            UNION ALL
+            SELECT n + 1, n * 10 FROM t WHERE n < 3
+        ) SELECT n, s FROM t ORDER BY n""").fetchall()
+    assert rows == [(1, "x"), (2, "10"), (3, "20")]
+
+
+def test_recursive_cte_numeric_width_cast(con):
+    """INT anchor + DOUBLE recursive term: recursive rows are cast to
+    the anchor type, not silently concatenated."""
+    rows = con.execute("""
+        WITH RECURSIVE t(n) AS (
+            SELECT 1
+            UNION ALL
+            SELECT n + 0.5 FROM t WHERE n < 3
+        ) SELECT n FROM t ORDER BY n""").fetchall()
+    vals = [r[0] for r in rows]
+    assert vals[0] == 1 and len(vals) >= 3
+    assert all(isinstance(v, int) for v in vals)
+
+
+def test_recursive_cte_varchar_to_int_still_errors(con):
+    import pytest as _pytest
+    from ddb_tpu.sql.binder import BindError
+    with _pytest.raises(BindError):
+        con.execute("""
+            WITH RECURSIVE t(n) AS (
+                SELECT 1 UNION ALL SELECT 'abc' FROM t WHERE n < 3
+            ) SELECT n FROM t""")
+
+
 # ---- range (inequality) joins (reference:
 # operator/join/physical_piecewise_merge_join.cpp, physical_iejoin.cpp) ----
 
