@@ -3,14 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: TPC-H Q1 aggregate throughput (rows/s) on the flagship fused
-filter + dense-group aggregate path, single chip.
+filter + dense-group aggregate Pallas kernel, single chip.
 
 Methodology: the axon tunnel adds ~24 ms per host round trip, so the
-kernel repeats K times inside one jit (cutoff varies per iteration to
-prevent loop hoisting) and the per-iteration time is (loop - baseline)/K.
+kernel repeats inside one jit (cutoff varies per iteration to prevent
+loop hoisting) at TWO repeat counts; per-iteration time is the slope
+(t_hi - t_lo) / (reps_hi - reps_lo), which cancels the round trip and
+any constant dispatch overhead exactly.
+
 vs_baseline = fraction of the HBM-bandwidth roofline (Q1 touches
-5x int64 + 3x int32 columns ~= 52 B/row; v5e HBM ~819 GB/s =>
-~15.7e9 rows/s speed of light).
+6x int32 columns = 24 B/row; v5e HBM ~819 GB/s => ~34.1e9 rows/s
+speed of light).  The reference publishes no absolute numbers
+(BASELINE.md); its CI gates are relative, so ours is roofline-relative.
 """
 
 import json
@@ -19,8 +23,20 @@ import time
 
 import numpy as np
 
+_HBM_BYTES_PER_S = 819e9
+_BYTES_PER_ROW = 6 * 4
 
-def _bench_pallas(n, reps):
+
+def _median_of(fn, k=3):
+    ts = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _bench_pallas(n, lo_reps, hi_reps):
     """Flagship: Pallas single-pass fused filter+aggregate
     (ddb_tpu/ops/pallas_agg.py).  Returns the result dict or raises."""
     import jax
@@ -31,7 +47,8 @@ def _bench_pallas(n, reps):
     from ddb_tpu.bench.tpch import synth_lineitem
     from ddb_tpu.ops import pallas_agg as P
 
-    n = (n // 1024) * 1024
+    tile = P._TILE_ROWS
+    n = (n // tile) * tile
     d = synth_lineitem(n, seed=0)
     args = (jnp.asarray(d["l_quantity"].astype(np.int32)),
             jnp.asarray(d["l_extendedprice"].astype(np.int32)),
@@ -41,28 +58,25 @@ def _bench_pallas(n, reps):
             jnp.asarray((d["l_returnflag"] * 2
                          + d["l_linestatus"]).astype(np.int32)))
 
-    def loop(*a):
-        def body(i, acc):
-            return acc + P.q1_fused_aggregate(
-                *a, 10471 - (i % 2), n_rows=n)
-        return lax.fori_loop(0, reps, body,
-                             jnp.zeros((P.GROUPS, P.PAYLOADS), jnp.int64))
+    def make_loop(reps):
+        def loop(*a):
+            def body(i, acc):
+                return acc + P.q1_fused_aggregate(
+                    *a, 10471 - (i % 2), n_rows=n)
+            return lax.fori_loop(0, reps, body,
+                                 jnp.zeros((P.GROUPS, P.PAYLOADS),
+                                           jnp.int64))
+        return jax.jit(loop)
 
-    jl = jax.jit(loop)
-    base = jax.jit(lambda x: x[0] + 1)
-    _ = np.asarray(jl(*args))
-    _ = np.asarray(base(args[0]))
-    t0 = time.perf_counter()
-    _ = np.asarray(base(args[0]))
-    rt = time.perf_counter() - t0
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(jl(*args))
-        times.append(time.perf_counter() - t0)
-    per = max((min(times) - rt) / reps, 1e-9)
+    jlo = make_loop(lo_reps)
+    jhi = make_loop(hi_reps)
+    _ = np.asarray(jlo(*args))          # compile + warm
+    _ = np.asarray(jhi(*args))
+    t_lo = _median_of(lambda: np.asarray(jlo(*args)))
+    t_hi = _median_of(lambda: np.asarray(jhi(*args)))
+    per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
     rows_per_sec = n / per
-    roofline = 819e9 / (6 * 4)      # 6 int32 columns
+    roofline = _HBM_BYTES_PER_S / _BYTES_PER_ROW
     return {
         "metric": "tpch_q1_sf1_agg_rows_per_sec",
         "value": round(rows_per_sec, 1),
@@ -80,18 +94,20 @@ def main():
     from ddb_tpu.bench.tpch import synth_lineitem
 
     n = int(os.environ.get("BENCH_ROWS", 6_001_215))
-    reps = int(os.environ.get("BENCH_REPS", 10))
+    lo_reps = int(os.environ.get("BENCH_REPS_LO", 10))
+    hi_reps = int(os.environ.get("BENCH_REPS_HI", 60))
 
     try:
-        res = _bench_pallas(n, reps)
+        res = _bench_pallas(n, lo_reps, hi_reps)
     except Exception:
         res = None
     if res is not None:
         print(json.dumps(res))
         return
 
+    # fallback: XLA masked-loop path (no Pallas), same metric
+    n = (n // 1024) * 1024
     d = synth_lineitem(n, seed=0)
-
     args = (jnp.asarray(d["l_quantity"]), jnp.asarray(d["l_extendedprice"]),
             jnp.asarray(d["l_discount"]), jnp.asarray(d["l_tax"]),
             jnp.asarray(d["l_shipdate"]), jnp.asarray(d["l_returnflag"]),
@@ -112,32 +128,22 @@ def main():
                 acc = acc + jnp.where(m, p, 0).sum()
         return acc
 
-    def repeat_kernel(*args):
-        def body(i, acc):
-            # vary the cutoff so the loop body is not hoisted
-            return acc + q1_once(jnp.int32(10471) - (i % 2), *args)
-        return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
+    def make_loop(reps):
+        def loop(*a):
+            def body(i, acc):
+                return acc + q1_once(jnp.int32(10471) - (i % 2), *a)
+            return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
+        return jax.jit(loop)
 
-    jloop = jax.jit(repeat_kernel)
-    baseline_fn = jax.jit(lambda x: x[0] + 1)
+    jlo, jhi = make_loop(lo_reps), make_loop(hi_reps)
+    _ = np.asarray(jlo(*args))
+    _ = np.asarray(jhi(*args))
+    t_lo = _median_of(lambda: np.asarray(jlo(*args)))
+    t_hi = _median_of(lambda: np.asarray(jhi(*args)))
+    per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
+    rows_per_sec = n / per
 
-    _ = np.asarray(jloop(*args))            # compile + warm
-    _ = np.asarray(baseline_fn(args[0]))
-
-    t0 = time.perf_counter()
-    _ = np.asarray(baseline_fn(args[0]))
-    rt = time.perf_counter() - t0           # tunnel round trip
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(jloop(*args))
-        times.append(time.perf_counter() - t0)
-    per_iter = max((min(times) - rt) / reps, 1e-9)
-    rows_per_sec = n / per_iter
-
-    bytes_per_row = 5 * 8 + 3 * 4
-    roofline = 819e9 / bytes_per_row
+    roofline = _HBM_BYTES_PER_S / (5 * 8 + 3 * 4)
     print(json.dumps({
         "metric": "tpch_q1_sf1_agg_rows_per_sec",
         "value": round(rows_per_sec, 1),

@@ -9,11 +9,21 @@ Design (see docs/PERF_NOTES.md):
   (disc_price ~2^36, charge ~2^40) are computed as LIMB PAIRS from int32
   inputs: ext = e_hi*2^16 + e_lo, so disc_price = (e_hi*m)*2^16 + e_lo*m
   with both factors int32-safe.
-* accumulators live in a VMEM scratch [GROUPS, PAYLOADS, 2, 8, 128] int32:
-  per-lane partial sums with a carry normalization every grid step
-  (lo keeps 20 bits, overflow spills into hi).  Exact up to ~3e6 grid
-  steps (~3e9 rows/chip) — beyond that a periodic host flush is needed.
+* v2 accumulation structure (the v1 kernel carry-normalized a 98K-element
+  accumulator every 1024-row tile — ~500 VPU ops/row of pure overhead):
+  - each grid step processes a (TS, 128) tile (TS sublanes, default 256
+    => 32768 rows);
+  - every payload is carried as one or two REDUCTION-SAFE int32 streams
+    (each stream value <= ~2^23 per row), reduced in-tile to (8, 128)
+    partials per group (sum over TS/8-row sublane chunks);
+  - partials accumulate into an int32 scratch acc32[G, S, 8, 128];
+  - every SPILL_EVERY steps acc32 spills its 16-bit limbs into int32
+    lo/hi accumulators and resets, so the hot loop never carries.
+  Exact for > 4e9 rows per launch.
 * the host recombines limbs/lanes in exact int64 (tiny arrays).
+
+Input contract: per-row bounds qty <= 2^20, disc/tax <= 2^10,
+0 <= ext < 2^31 (TPC-H SF100 fits: qty<=5000, ext<=~1.1e7 cents).
 
 Reference counterpart: the grouped-aggregate hot loop
 (src/execution/aggregate_hashtable.cpp) — here the "hash table" is a
@@ -30,13 +40,16 @@ import numpy as np
 
 GROUPS = 6
 PAYLOADS = 8        # qty, ext, disc, count, dpA, dpB, chA, chB
-_TILE_ROWS = 8 * 128
-_LO_BITS = 20
-_LO_MASK = (1 << _LO_BITS) - 1
+STREAMS = 11        # qty, e_hi, e_lo, disc, ones, dpA, dpB,
+                    # chA_h, chA_l, chB_h, chB_l
+_TS = 1024          # sublanes per grid step (rows/step = _TS * 128)
+_TILE_ROWS = _TS * 128
+# worst per-row stream bound: dpB = (ext & 0xFFFF) * (100 - disc)
+_WORST_STREAM = 65535 * 100
 
 
 def _kernel(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
-            cutoff_ref, out_ref, acc):
+            cutoff_ref, out_ref, acc32, lo, hi, *, ts, spill_every):
     from jax.experimental import pallas as pl
 
     step = pl.program_id(0)
@@ -44,7 +57,9 @@ def _kernel(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
 
     @pl.when(step == 0)
     def _init():
-        acc[...] = jnp.zeros_like(acc)
+        acc32[...] = jnp.zeros_like(acc32)
+        lo[...] = jnp.zeros_like(lo)
+        hi[...] = jnp.zeros_like(hi)
 
     qty = qty_ref[...]
     ext = ext_ref[...]
@@ -54,72 +69,99 @@ def _kernel(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
     gid = gid_ref[...]
     cutoff = cutoff_ref[0]
 
-    sel = ship <= cutoff
     m = 100 - disc
     n = 100 + tax
     e_hi = ext >> 16
     e_lo = ext & 0xFFFF
-    dpA = e_hi * m                # disc_price = dpA*2^16 + dpB
+    dpA = e_hi * m                  # disc_price = dpA*2^16 + dpB
     dpB = e_lo * m
-    chA = dpA * n                 # charge = chA*2^16 + chB
+    chA = dpA * n                   # charge = chA*2^16 + chB
     chB = dpB * n
     ones = jnp.ones_like(qty)
+    streams = jnp.stack((qty, e_hi, e_lo, disc, ones, dpA, dpB,
+                         chA >> 16, chA & 0xFFFF,
+                         chB >> 16, chB & 0xFFFF))   # (S, TS, 128)
 
-    payloads = jnp.stack((qty, ext, disc, ones, dpA, dpB, chA, chB))
-    masks = jnp.stack([sel & (gid == g) for g in range(GROUPS)])
-    # adds[g, p, 8, 128] = masked payload values for this tile
-    adds = jnp.where(masks[:, None, :, :], payloads[None, :, :, :],
-                     jnp.zeros((), jnp.int32))
-    cur = acc[...]
-    lo = cur[:, :, 0] + adds
-    hi = cur[:, :, 1] + (lo >> _LO_BITS)        # carry normalize
-    acc[...] = jnp.stack((lo & _LO_MASK, hi), axis=2)
+    cid = jnp.where(ship <= cutoff, gid, GROUPS)
+    chunk = ts // 8
+    cur = acc32[...]
+    parts = []
+    for g in range(GROUPS):
+        mask = (cid == g).astype(jnp.int32)
+        masked = streams * mask[None]
+        parts.append(masked.reshape(STREAMS, 8, chunk, 128).sum(axis=2))
+    acc32[...] = cur + jnp.stack(parts)
+
+    spill = ((step + 1) % spill_every == 0) | (step == nsteps - 1)
+
+    @pl.when(spill)
+    def _spill():
+        a = acc32[...]
+        lo[...] = lo[...] + (a & 0xFFFF)
+        hi[...] = hi[...] + (a >> 16)
+        acc32[...] = jnp.zeros_like(a)
 
     @pl.when(step == nsteps - 1)
     def _flush():
-        out_ref[...] = acc[...]
+        out_ref[0] = lo[...]
+        out_ref[1] = hi[...]
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret", "tile_sublanes"))
 def q1_fused_aggregate(qty, ext, disc, tax, ship, gid, cutoff, *, n_rows,
-                       interpret=False):
-    """All inputs int32 arrays of length n_rows (padded to 1024 multiple);
+                       interpret=False, tile_sublanes=None):
+    """All inputs int32 arrays of length n_rows (a multiple of 1024);
     gid in [0,6) (computed as rf*2+ls), padding rows must have
     ship > cutoff.  Returns int64 sums [GROUPS, PAYLOADS]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert n_rows % _TILE_ROWS == 0
-    steps = n_rows // _TILE_ROWS
+    assert n_rows % 1024 == 0
+    sublanes = n_rows // 128
+    ts = tile_sublanes or _TS
+    while sublanes % ts:
+        ts //= 2
+    steps = sublanes // ts
+    # spill acc32 into the lo/hi limbs before the worst-bounded stream
+    # (dpB) can overflow int32 in a per-lane-sublane chunk of ts//8 rows
+    spill_every = max(1, int((2 ** 31 - 1) // (_WORST_STREAM * (ts // 8))))
 
     def rs(x):
-        return x.reshape(steps * 8, 128)
+        return x.reshape(sublanes, 128)
 
-    block = pl.BlockSpec((8, 128), lambda i: (i, 0),
+    block = pl.BlockSpec((ts, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    acc_shape = (GROUPS, STREAMS, 8, 128)
     # the engine runs with x64 enabled; Mosaic must see a pure-i32 module
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, ts=ts, spill_every=spill_every),
             grid=(steps,),
             in_specs=[block] * 6 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(
-                (GROUPS, PAYLOADS, 2, 8, 128),
-                lambda i: (0, 0, 0, 0, 0),
+                (2,) + acc_shape, lambda i: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((GROUPS, PAYLOADS, 2, 8, 128),
-                                           jnp.int32),
-            scratch_shapes=[
-                pltpu.VMEM((GROUPS, PAYLOADS, 2, 8, 128), jnp.int32)],
+            out_shape=jax.ShapeDtypeStruct((2,) + acc_shape, jnp.int32),
+            scratch_shapes=[pltpu.VMEM(acc_shape, jnp.int32),
+                            pltpu.VMEM(acc_shape, jnp.int32),
+                            pltpu.VMEM(acc_shape, jnp.int32)],
             interpret=interpret,
         )(rs(qty), rs(ext), rs(disc), rs(tax), rs(ship), rs(gid),
           jnp.asarray([cutoff], dtype=jnp.int32))
 
-    # recombine limbs + lanes exactly (tiny)
-    lo = out[:, :, 0].astype(jnp.int64).sum(axis=(-1, -2))
-    hi = out[:, :, 1].astype(jnp.int64).sum(axis=(-1, -2))
-    return hi * (1 << _LO_BITS) + lo
+    # recombine limbs + lanes exactly (tiny): stream sums, then payloads
+    lo = out[0].astype(jnp.int64).sum(axis=(-1, -2))
+    hi = out[1].astype(jnp.int64).sum(axis=(-1, -2))
+    s = hi * (1 << 16) + lo                       # [GROUPS, STREAMS]
+    qty_s, ehi_s, elo_s, disc_s, ones_s, dpA_s, dpB_s = (
+        s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5], s[:, 6])
+    chA_s = s[:, 7] * (1 << 16) + s[:, 8]
+    chB_s = s[:, 9] * (1 << 16) + s[:, 10]
+    ext_s = ehi_s * (1 << 16) + elo_s
+    return jnp.stack((qty_s, ext_s, disc_s, ones_s, dpA_s, dpB_s,
+                      chA_s, chB_s), axis=1)
 
 
 def q1_results_from_sums(sums: np.ndarray):
