@@ -236,6 +236,8 @@ def _eval_dictlookup(e: ir.DictLookup, b: Batch):
         if e.null_table is not None:
             nulls = jnp.ones(d.shape[0], dtype=bool)
         return jnp.zeros(d.shape[0], dtype=table.dtype), nulls
+    if e.base:
+        d = d - e.base
     idx = jnp.clip(d.astype(jnp.int32), 0, table.shape[0] - 1)
     nulls = n
     if e.null_table is not None:

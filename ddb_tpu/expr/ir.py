@@ -155,6 +155,8 @@ class DictLookup(Expr):
     dtype: DataType
     label: str = "dict_lookup"
     null_table: Any = None     # optional np.bool_ array, same length
+    base: int = 0              # index = child_value - base (bounded-domain
+                               # tables, e.g. numeric -> varchar stringify)
 
     def children(self):
         return [self.child]

@@ -79,6 +79,7 @@ class ECast(EExpr):
     typename: str
     width: int = 0
     scale: int = 0
+    try_: bool = False          # TRY_CAST: unparsable values become NULL
 
 
 @dataclass

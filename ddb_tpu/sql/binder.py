@@ -37,6 +37,11 @@ class BindError(Exception):
     pass
 
 
+class ConversionError(BindError):
+    """String value cannot be cast to the target type (reference:
+    ConversionException, src/common/exception/conversion_exception.cpp)."""
+
+
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
              "variance", "median", "quantile", "quantile_cont",
@@ -218,6 +223,7 @@ class Binder:
         self.context = context   # owning Connection (table fns, config)
         self.params: Optional[list] = None   # prepared-statement values
         self._next_param = 0
+        self._plan_for_bounds = None   # plan whose zone maps bound casts
 
     # ------------------------------------------------------------------
     # statements
@@ -301,7 +307,11 @@ class Binder:
             plan = L.Window(plan, win_ctx.fns)
             bound_items = [_resolve_winrefs(b, base) for b in bound_items]
         else:
-            bound_items = [self.bind_expr(e, scope) for e, _ in items]
+            self._plan_for_bounds = plan
+            try:
+                bound_items = [self.bind_expr(e, scope) for e, _ in items]
+            finally:
+                self._plan_for_bounds = None
 
         names = []
         for i, (e, alias) in enumerate(items):
@@ -902,6 +912,7 @@ class Binder:
     def _bind_where(self, where: A.EExpr, plan, scope, outer_scope):
         conjs = ir_conjuncts_ast(where)
         preds: List[ir.Expr] = []
+        self._plan_for_bounds = plan
         for c in conjs:
             if isinstance(c, A.EExists) or (
                     isinstance(c, A.EUnary) and c.op == "not"
@@ -918,7 +929,9 @@ class Binder:
                 c2, plan = self._flatten_scalar_subs(c, plan, scope)
                 preds.append(c2)
                 continue
+            self._plan_for_bounds = plan
             preds.append(self.bind_expr(c, scope))
+        self._plan_for_bounds = None
         return plan, ir.make_and(preds)
 
     def _bind_subquery_corr(self, sub: A.SelectStmt, outer_scope: Scope):
@@ -1504,7 +1517,8 @@ class Binder:
             return self._bind_case(e, scope, agg_ctx, group_map,
                                    sub_replacements)
         if isinstance(e, A.ECast):
-            return self._bind_cast(b(e.child), e.typename, e.width, e.scale)
+            return self._bind_cast(b(e.child), e.typename, e.width,
+                                   e.scale, e.try_)
         if isinstance(e, A.EFunc):
             return self._bind_func(e, scope, agg_ctx, group_map,
                                    sub_replacements)
@@ -1817,7 +1831,8 @@ class Binder:
             out.strdict = sd
         return out
 
-    def _bind_cast(self, c: ir.Expr, typename: str, w: int, s: int):
+    def _bind_cast(self, c: ir.Expr, typename: str, w: int, s: int,
+                   try_: bool = False):
         # constant-fold casts of string literals (CAST('1998-09-02' AS date))
         if isinstance(c, ir.Const) and c.dtype.id == TypeId.VARCHAR \
                 and getattr(c, "strdict", None) is not None:
@@ -1832,15 +1847,15 @@ class Binder:
             elif typename in ("double", "float8", "real", "float"):
                 tgt = T.DOUBLE
             if tgt is not None:
-                import decimal as _dec
-                v = text
-                if tgt.id == TypeId.DECIMAL:
-                    v = _dec.Decimal(text)
-                elif tgt.is_integer:
-                    v = int(text)
-                elif tgt.id == TypeId.DOUBLE:
-                    v = float(text)
-                return ir.Const(T.encode_literal(v, tgt), tgt)
+                try:
+                    raw = _parse_text(text.strip(), tgt)
+                except (ValueError, decimal.InvalidOperation,
+                        OverflowError):
+                    if try_:
+                        return ir.Const(None, tgt)
+                    raise ConversionError(
+                        f"Could not convert string '{text}' to {tgt}")
+                return ir.Const(raw, tgt)
         tmap = {
             "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
             "bigint": T.BIGINT, "int8": T.BIGINT, "hugeint": T.HUGEINT,
@@ -1851,18 +1866,108 @@ class Binder:
             "varchar": T.VARCHAR, "text": T.VARCHAR, "string": T.VARCHAR,
         }
         if typename in ("decimal", "numeric"):
-            return ir.Cast(c, T.DECIMAL(w or 18, s))
-        if typename not in tmap:
+            tgt = T.DECIMAL(w or 18, s)
+        elif typename not in tmap:
             raise BindError(f"unknown type {typename}")
-        tgt = tmap[typename]
+        else:
+            tgt = tmap[typename]
         if tgt.id == TypeId.VARCHAR:
             return self._cast_to_varchar(c)
+        if c.dtype.id == TypeId.VARCHAR:
+            return self._cast_from_varchar(c, tgt, try_)
         return ir.Cast(c, tgt)
 
+    def _cast_from_varchar(self, c: ir.Expr, tgt: DataType,
+                           try_: bool) -> ir.Expr:
+        """VARCHAR -> typed cast as a bind-time per-code parse table
+        (reference: string casts, src/common/operator/cast_operators.cpp;
+        our dictionary encoding makes the cast one device gather).  CAST
+        raises ConversionError if any non-empty dictionary entry is
+        unparsable; TRY_CAST maps those codes to NULL."""
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("cast from varchar requires a dictionary")
+        n = len(sd.values)
+        out = np.zeros(n, dtype=tgt.np_dtype)
+        bad = np.zeros(n, dtype=bool)
+        first_bad = None
+        for i in range(n):
+            text = str(sd.values[i]).strip()
+            try:
+                out[i] = _parse_text(text, tgt)
+            except (ValueError, decimal.InvalidOperation, OverflowError):
+                bad[i] = True
+                # '' may be the placeholder for NULL rows; never a strict
+                # error (NULL rows stay NULL via the row null mask)
+                if first_bad is None and text != "":
+                    first_bad = text
+        if first_bad is not None and not try_:
+            raise ConversionError(
+                f"Could not convert string '{first_bad}' to {tgt}")
+        return ir.DictLookup(c, out, tgt, "str_cast",
+                             null_table=bad if bad.any() else None)
+
+    # largest enumerable value domain for a bind-time stringify table
+    _STRINGIFY_SPAN = 1 << 20
+
     def _cast_to_varchar(self, c: ir.Expr) -> ir.Expr:
-        if c.dtype.id == TypeId.VARCHAR:
+        """Typed -> VARCHAR cast.  TPU-native design: the result column
+        needs a dictionary, so the input's value domain must be
+        bind-time enumerable — constants fold, and bounded columns
+        (zone-map interval analysis, plan/bounds.py) get a stringify
+        table covering [lo, hi].  Unbounded doubles/timestamps are
+        unsupported (reference stringifies row-at-a-time,
+        src/common/operator/string_cast.cpp — no dictionary there)."""
+        t = c.dtype
+        if t.id == TypeId.VARCHAR:
             return c
-        raise BindError("cast to varchar supported only for varchar")
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                out = ir.Const(None, T.VARCHAR)
+                return out
+            text = _host_stringify(c.value, t, getattr(c, "strdict", None))
+            sd, codes, _ = StringDictionary.encode([text])
+            out = ir.Const(int(codes[0]), T.VARCHAR)
+            out.strdict = sd
+            return out
+        if t.id == TypeId.BOOLEAN:
+            tab = np.array([0, 1], dtype=np.int32)
+            dl = ir.DictLookup(ir.Cast(c, T.INTEGER), tab, T.VARCHAR,
+                               "stringify")
+            dl.strdict = StringDictionary(
+                np.array(["false", "true"]))
+            return dl
+        b = None
+        plan = getattr(self, "_plan_for_bounds", None)
+        if plan is not None and (t.is_integer or t.id in (
+                TypeId.DECIMAL, TypeId.DATE)):
+            from ..plan import bounds as PB
+            try:
+                b = PB.expr_bounds(c, PB.node_bounds(plan))
+            except Exception:
+                b = None
+        if b is None:
+            raise BindError(
+                f"cast {t} to varchar needs a bounded value domain "
+                "(supported: constants, bounded int/decimal/date columns)")
+        lo, hi = int(b[0]), int(b[1])
+        if hi - lo + 1 > self._STRINGIFY_SPAN:
+            raise BindError(
+                f"cast {t} to varchar: value span {hi - lo + 1} exceeds "
+                f"the {self._STRINGIFY_SPAN} stringify-table limit")
+        raw = np.arange(lo, hi + 1, dtype=np.int64)
+        if t.is_integer:
+            strs = raw.astype(str)
+        elif t.id == TypeId.DATE:
+            strs = np.datetime_as_string(
+                raw.astype("datetime64[D]"), unit="D")
+        else:
+            strs = np.array([_host_stringify(v, t, None) for v in raw])
+        uniq, inv = np.unique(strs.astype(str), return_inverse=True)
+        dl = ir.DictLookup(c, inv.astype(np.int32), T.VARCHAR,
+                           "stringify", base=lo)
+        dl.strdict = StringDictionary(uniq)
+        return dl
 
     def _bind_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                    sub_replacements) -> ir.Expr:
@@ -2823,6 +2928,45 @@ def _scope_of_plan(plan: L.LogicalNode, base_scope: Scope) -> Scope:
         fs = plan.schema.fields[-extra:]
         sc.add("__sub", Schema(tuple(fs)))
     return sc
+
+
+def _parse_text(text: str, tgt: DataType):
+    """Parse one string to the raw physical value of tgt (reference:
+    TryCast string parsers, src/common/operator/cast_operators.cpp).
+    Raises ValueError / decimal.InvalidOperation on unparsable input."""
+    import datetime
+    if tgt.id == TypeId.BOOLEAN:
+        low = text.lower()
+        if low in ("true", "t", "yes", "y", "1"):
+            return True
+        if low in ("false", "f", "no", "n", "0"):
+            return False
+        raise ValueError(text)
+    if tgt.is_integer:
+        try:
+            return int(text)
+        except ValueError:
+            # DuckDB rounds decimal strings half away from zero
+            d = decimal.Decimal(text)
+            return int(d.to_integral_value(
+                rounding=decimal.ROUND_HALF_UP))
+    if tgt.id == TypeId.DECIMAL:
+        d = decimal.Decimal(text).scaleb(tgt.scale)
+        return int(d.to_integral_value(rounding=decimal.ROUND_HALF_UP))
+    if tgt.id in (TypeId.FLOAT, TypeId.DOUBLE):
+        return float(text)
+    if tgt.id == TypeId.DATE:
+        d = datetime.date.fromisoformat(text)
+        return (d - datetime.date(1970, 1, 1)).days
+    if tgt.id == TypeId.TIMESTAMP:
+        dt = datetime.datetime.fromisoformat(text)
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((dt - epoch).total_seconds() * 1e6)
+    if tgt.id == TypeId.TIME:
+        tm = datetime.time.fromisoformat(text)
+        return ((tm.hour * 60 + tm.minute) * 60 + tm.second) * 1_000_000 \
+            + tm.microsecond
+    raise ValueError(f"unsupported cast target {tgt}")
 
 
 # ---------------------------------------------------------------------------

@@ -993,14 +993,14 @@ class Parser:
                 return A.ELit(None)
             if t.value == "case":
                 return self.case_expr()
-            if t.value == "cast":
+            if t.value in ("cast", "try_cast"):
                 self.next()
                 self.expect_op("(")
                 e = self.expr()
                 self.expect_kw("as")
                 tn, w, s = self.typename()
                 self.expect_op(")")
-                return A.ECast(e, tn, w, s)
+                return A.ECast(e, tn, w, s, t.value == "try_cast")
             if t.value == "exists":
                 self.next()
                 self.expect_op("(")
@@ -1066,6 +1066,15 @@ class Parser:
                     args.append(self.expr())
             self.expect_op(")")
             return A.EFunc(name, args)
+        if t.kind == "IDENT" and t.value == "try_cast" \
+                and self.peek(1).kind == "OP" and self.peek(1).value == "(":
+            self.next()
+            self.expect_op("(")
+            e = self.expr()
+            self.expect_kw("as")
+            tn, w, s = self.typename()
+            self.expect_op(")")
+            return A.ECast(e, tn, w, s, True)
         if t.kind in ("IDENT", "KW"):
             name = self.ident()
             # function call?

@@ -260,6 +260,43 @@ def test_recursive_cte_in_outer_join(con):
     assert rows == [(1, 2), (2, 3), (3, 4), (4, 5)]
 
 
+# ---- string casts (reference: src/common/operator/cast_operators.cpp,
+# string_cast.cpp) ----
+
+def test_cast_numeric_to_varchar(con):
+    c2 = ddb_tpu.connect()
+    c2.register("t", {"a": [1, 22, 333], "d": [7, 18993, 10957]})
+    assert c2.execute("SELECT CAST(a AS VARCHAR) FROM t").fetchall() == \
+        [("1",), ("22",), ("333",)]
+    assert c2.execute("SELECT a::VARCHAR || '!' FROM t").fetchall() == \
+        [("1!",), ("22!",), ("333!",)]
+    # lexicographic order of stringified ints: '1' < '22' < '333'
+    # but '22' > '100' would sort after — dictionary must be lex-sorted
+    c2.register("u", {"x": [100, 22, 3]})
+    assert c2.execute("SELECT x::VARCHAR FROM u ORDER BY x::VARCHAR"
+                      ).fetchall() == [("100",), ("22",), ("3",)]
+    assert c2.execute("SELECT CAST(DATE '2020-01-05' AS VARCHAR)"
+                      ).fetchall() == [("2020-01-05",)]
+
+
+def test_cast_varchar_to_numeric(con):
+    from ddb_tpu.sql.binder import ConversionError
+    c2 = ddb_tpu.connect()
+    c2.register("t", {"num": ["10", "20", "bad"],
+                      "d": ["2020-01-05", "2021-06-30", "1999-12-31"]})
+    with pytest.raises(ConversionError):
+        c2.execute("SELECT CAST(num AS INTEGER) FROM t").fetchall()
+    assert c2.execute("SELECT TRY_CAST(num AS INTEGER) FROM t"
+                      ).fetchall() == [(10,), (20,), (None,)]
+    rows = c2.execute("SELECT CAST(d AS DATE) FROM t").fetchall()
+    import datetime
+    assert rows[0][0] == datetime.date(2020, 1, 5)
+    assert c2.execute(
+        "SELECT TRY_CAST('1.7' AS INTEGER), TRY_CAST('x' AS INTEGER), "
+        "CAST('1.5' AS DECIMAL(4,2))").fetchall() == \
+        [(2, None, decimal.Decimal("1.50"))]
+
+
 def test_recursive_cte_varchar_concat(con):
     """Recursive term grows the string dictionary each iteration
     (path enumeration); codes must not be unioned raw across
