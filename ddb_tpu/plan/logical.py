@@ -172,6 +172,23 @@ class CrossProduct(LogicalNode):
 
 
 @dataclass
+class Positional(LogicalNode):
+    """POSITIONAL JOIN: row i pairs with row i; the shorter side is
+    NULL-padded (reference: physical_positional_join.cpp)."""
+    left: LogicalNode
+    right: LogicalNode
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = Schema(tuple(list(self.left.schema.fields)
+                                       + list(self.right.schema.fields)))
+
+    def children(self):
+        return [self.left, self.right]
+
+
+@dataclass
 class OrderKey:
     expr: ir.Expr
     desc: bool = False

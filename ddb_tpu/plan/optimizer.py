@@ -24,9 +24,89 @@ from . import logical as L
 
 def optimize(plan: L.LogicalNode) -> L.LogicalNode:
     plan = push_filters(plan, [])
+    plan = push_join_filters(plan)
     plan = prune_get_columns(plan)
+    plan = push_limits(plan)
     plan = fuse_topn(plan)
     return plan
+
+
+def push_limits(node: L.LogicalNode) -> L.LogicalNode:
+    """Limit(Project(x)) -> Project(Limit(x)) so fewer rows are projected
+    (reference: limit_pushdown.cpp).  Valid because our Project is pure
+    per-row expressions."""
+    if isinstance(node, L.Limit) and isinstance(node.child, L.Project) \
+            and node.limit is not None:
+        proj = node.child
+        inner = push_limits(L.Limit(proj.child, node.limit, node.offset))
+        return L.Project(inner, proj.exprs, proj.names, proj.schema)
+    new = copy.copy(node)
+    for attr in ("child", "left", "right", "base", "recursive"):
+        if hasattr(new, attr):
+            setattr(new, attr, push_limits(getattr(node, attr)))
+    return new
+
+
+def push_join_filters(node: L.LogicalNode) -> L.LogicalNode:
+    """Zone-map join-filter pushdown (reference:
+    join_filter_pushdown_optimizer.cpp builds runtime min/max filters from
+    the build side; our build-side min/max is already known at bind time
+    from column statistics, so the probe-side range filter is static).
+    For each equi-join condition whose build (right) side has provable
+    bounds, add lo<=key<=hi to the probe (left) side and vice versa for
+    join types where pre-filtering keeps semantics."""
+    from . import bounds as PB
+
+    if isinstance(node, L.Join) and node.conds:
+        left = push_join_filters(node.left)
+        right = push_join_filters(node.right)
+        jt = node.join_type
+        # filtering the probe side is safe unless its unmatched rows
+        # survive (left/full/anti/mark keep them)
+        filt_left = jt in ("inner", "right", "semi")
+        filt_right = jt in ("inner", "left", "semi", "anti", "mark")
+        lpreds, rpreds = [], []
+        try:
+            lb = PB.node_bounds(left)
+            rb = PB.node_bounds(right)
+            for c in node.conds:
+                lt = c.left.dtype
+                if not (lt.is_integer or lt.id in (
+                        TypeId.DECIMAL, TypeId.DATE, TypeId.VARCHAR)):
+                    continue
+                if filt_left:
+                    b = PB.expr_bounds(c.right, rb)
+                    sb = PB.expr_bounds(c.left, lb)
+                    if b is not None and (
+                            sb is None or sb[0] < b[0] or sb[1] > b[1]):
+                        lpreds.append(_range_pred(c.left, b))
+                if filt_right:
+                    b = PB.expr_bounds(c.left, lb)
+                    sb = PB.expr_bounds(c.right, rb)
+                    if b is not None and (
+                            sb is None or sb[0] < b[0] or sb[1] > b[1]):
+                        rpreds.append(_range_pred(c.right, b))
+        except Exception:
+            lpreds, rpreds = [], []
+        if lpreds:
+            left = push_filters(left, lpreds)
+        if rpreds:
+            right = push_filters(right, rpreds)
+        return L.Join(left, right, node.join_type, node.conds, node.extra,
+                      node.mark_name, node.range_cond, node.asof)
+    new = copy.copy(node)
+    for attr in ("child", "left", "right", "base", "recursive"):
+        if hasattr(new, attr):
+            setattr(new, attr, push_join_filters(getattr(node, attr)))
+    return new
+
+
+def _range_pred(key: ir.Expr, b) -> ir.Expr:
+    lo, hi = int(b[0]), int(b[1])
+    t = key.dtype
+    return ir.BoolOp("and", [
+        ir.Cmp(">=", key, ir.Const(lo, t)),
+        ir.Cmp("<=", key, ir.Const(hi, t))])
 
 
 # max rows a TopN keeps; beyond this the full sort is just as good

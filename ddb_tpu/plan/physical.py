@@ -1045,6 +1045,37 @@ def _exec_cross(node: L.CrossProduct, ctx):
     return node.schema, _lazy(node, ("cross", cap, nl, nr), kern, lb, rb)
 
 
+def _exec_positional(node: "L.Positional", ctx):
+    """Row-i-pairs-row-i join, shorter side NULL-padded (reference:
+    physical_positional_join.cpp)."""
+    ls, lbz = _execute(node.left, ctx)
+    rs, rbz = _execute(node.right, ctx)
+    statsz = _lazy(node, "stats",
+                   lambda lb, rb: _stack_counts(lb, rb), lbz, rbz)
+    lb, rb, st = _force(node, [lbz, rbz, statsz])
+    nl, nr = (int(x) for x in np.asarray(st))
+    lb = _concrete(node, _compact_lazy(node, lb, nl, tag="lcomp",
+                                       always=True))
+    rb = _concrete(node, _compact_lazy(node, rb, nr, tag="rcomp",
+                                       always=True))
+    n = max(nl, nr)
+    cap = bucket_capacity(max(n, 1))
+
+    def kern(lb, rb):
+        cols = []
+        for b, live in ((lb, nl), (rb, nr)):
+            for c in b.columns:
+                d = _pad(c.data, cap)
+                nn = _pad(c.nulls, cap) if c.nulls is not None \
+                    else jnp.zeros(cap, dtype=bool)
+                nn = nn | (lax.iota(jnp.int32, cap) >= live)
+                cols.append(Column(d, nn))
+        sel = lax.iota(jnp.int32, cap) < n
+        return Batch(tuple(cols), sel, jnp.int32(n))
+
+    return node.schema, _lazy(node, ("pos", cap, nl, nr), kern, lb, rb)
+
+
 def _pad(a, cap):
     pad = cap - a.shape[0]
     if pad <= 0:
@@ -1427,6 +1458,7 @@ _EXEC = {
     L.Aggregate: _exec_aggregate,
     L.Join: _exec_join,
     L.CrossProduct: _exec_cross,
+    L.Positional: _exec_positional,
     L.Order: _exec_order,
     L.Window: _exec_window,
     L.Limit: _exec_limit,

@@ -710,6 +710,10 @@ class Binder:
             combined.add(e.alias, e.schema)
         for e in rscope.entries:
             combined.add(e.alias, e.schema)
+        if ref.join_type == "positional":
+            # row-i-pairs-with-row-i join, shorter side NULL-padded
+            # (reference: physical_positional_join.cpp)
+            return L.Positional(lplan, rplan), combined
         if ref.join_type == "cross" or (ref.on is None and not ref.using):
             return L.CrossProduct(lplan, rplan), combined
 
@@ -777,7 +781,25 @@ class Binder:
                     keep.append(x)
             extras = keep
         extra = ir.make_and(extras) if extras else None
-        plan = L.Join(lplan, rplan, ref.join_type, conds, extra=extra)
+        jt = ref.join_type
+        if jt in ("right_semi", "right_anti"):
+            # emit matched/unmatched BUILD rows: swap sides so the
+            # preserved side is the probe (reference: JoinType::RIGHT_SEMI
+            # executed inside the hash join; ours mirrors to left semi)
+            rwidth = rscope.width
+            conds = [L.JoinCond(c.right, c.left) for c in conds]
+            if extra is not None:
+                cols = ir.referenced_columns(extra)
+                extra = ir.remap_columns(
+                    extra, {c: c + rwidth if c < lwidth else c - lwidth
+                            for c in cols})
+            plan = L.Join(rplan, lplan, jt[len("right_"):], conds,
+                          extra=extra)
+            return plan, rscope
+        plan = L.Join(lplan, rplan, jt, conds, extra=extra)
+        if jt in ("semi", "anti"):
+            # only the preserved (left) side's columns are visible
+            return plan, lscope
         return plan, combined
 
     def _bind_asof_join(self, ref: A.RJoin, lplan, rplan, lscope, rscope,

@@ -32,7 +32,7 @@ KEYWORDS = {
     "following", "unbounded", "current", "row", "update", "delete",
     "set", "primary", "key", "default", "recursive", "asof",
     "grouping", "rollup", "cube", "sample", "tablesample", "repeatable",
-    "percent",
+    "percent", "semi", "anti", "positional",
 }
 
 _TOKEN_RE = re.compile(r"""

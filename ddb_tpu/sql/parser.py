@@ -680,17 +680,36 @@ class Parser:
                 right = self.table_primary()
                 left = A.RJoin(left, right, "cross")
                 continue
+            if self.accept_kw("positional"):
+                self.expect_kw("join")
+                right = self.table_primary()
+                left = A.RJoin(left, right, "positional")
+                continue
             asof = bool(self.accept_kw("asof"))
             if asof or self.at_kw("join", "inner", "left", "right",
-                                  "full"):
+                                  "full", "semi", "anti"):
                 if self.accept_kw("inner"):
                     jt = "inner"
+                elif self.accept_kw("semi"):
+                    jt = "semi"
+                elif self.accept_kw("anti"):
+                    jt = "anti"
                 elif self.accept_kw("left"):
                     self.accept_kw("outer")
-                    jt = "left"
+                    if self.accept_kw("semi"):
+                        jt = "semi"
+                    elif self.accept_kw("anti"):
+                        jt = "anti"
+                    else:
+                        jt = "left"
                 elif self.accept_kw("right"):
                     self.accept_kw("outer")
-                    jt = "right"
+                    if self.accept_kw("semi"):
+                        jt = "right_semi"
+                    elif self.accept_kw("anti"):
+                        jt = "right_anti"
+                    else:
+                        jt = "right"
                 elif self.accept_kw("full"):
                     self.accept_kw("outer")
                     jt = "full"

@@ -260,6 +260,27 @@ def test_recursive_cte_in_outer_join(con):
     assert rows == [(1, 2), (2, 3), (3, 4), (4, 5)]
 
 
+# ---- explicit SEMI/ANTI/POSITIONAL join syntax (reference:
+# physical_positional_join.cpp; JoinType::SEMI/ANTI/RIGHT_SEMI/RIGHT_ANTI)
+
+def test_semi_anti_positional_join_syntax(con):
+    c2 = ddb_tpu.connect()
+    c2.register("a", {"k": [1, 2, 3, 4, 5], "v": [10, 20, 30, 40, 50]})
+    c2.register("b", {"k": [3, 4, 9], "w": [30, 40, 90]})
+    assert c2.execute("SELECT k, v FROM a SEMI JOIN b USING (k) "
+                      "ORDER BY k").fetchall() == [(3, 30), (4, 40)]
+    assert c2.execute("SELECT k FROM a ANTI JOIN b USING (k) ORDER BY k"
+                      ).fetchall() == [(1,), (2,), (5,)]
+    assert c2.execute("SELECT b.k, w FROM a RIGHT SEMI JOIN b "
+                      "ON a.k=b.k ORDER BY b.k").fetchall() == \
+        [(3, 30), (4, 40)]
+    assert c2.execute("SELECT b.k FROM a RIGHT ANTI JOIN b ON a.k=b.k"
+                      ).fetchall() == [(9,)]
+    assert c2.execute("SELECT * FROM a POSITIONAL JOIN b").fetchall() == [
+        (1, 10, 3, 30), (2, 20, 4, 40), (3, 30, 9, 90),
+        (4, 40, None, None), (5, 50, None, None)]
+
+
 # ---- string casts (reference: src/common/operator/cast_operators.cpp,
 # string_cast.cpp) ----
 
