@@ -17,6 +17,12 @@ import numpy as np
 from . import types as T
 from .batch import Batch, Schema
 from .catalog import Catalog, CatalogException
+
+
+class FatalError(Exception):
+    """Unrecoverable database error; the connection is invalidated
+    (reference: ValidChecker src/main/valid_checker.hpp, FatalException
+    semantics in src/common/exception.cpp)."""
 from .plan import logical as L
 from .plan import physical
 from .storage import table as storage
@@ -164,6 +170,9 @@ class Connection:
         self._wal = None                      # WriteAheadLog appender
         self._txn_wal = None                  # records buffered in txn
         self._replaying = False               # suppress logging in replay
+        from .secrets import SecretManager
+        self.secret_manager = SecretManager()
+        self._invalidated: Optional[str] = None   # fatal-error latch
 
     def use_mesh(self, mesh) -> "Connection":
         """Execute queries distributed over a jax.sharding.Mesh (tables
@@ -200,7 +209,14 @@ class Connection:
 
     def load(self, path: str) -> "Connection":
         from .storage.persist import load_database
-        load_database(self.catalog, path)
+        try:
+            load_database(self.catalog, path)
+        except IOError as e:
+            # unrecoverable storage error: latch the connection invalid
+            # (reference: ValidChecker, src/main/valid_checker.hpp —
+            # FatalException invalidates the database)
+            self._invalidated = str(e)
+            raise FatalError(str(e))
         return self
 
     def open_database(self, path: str) -> "Connection":
@@ -295,6 +311,9 @@ class Connection:
     def execute(self, sql: str, params=None) -> QueryResult:
         from .sql import parser as sqlparser
         from .sql.binder import Binder
+        if self._invalidated is not None:
+            raise FatalError("connection invalidated by a previous fatal "
+                             f"error: {self._invalidated}")
         stmts = sqlparser.parse(sql)
         if len(stmts) == 1 and params is None:
             stmts[0]._sql_text = sql     # plan-cache key
@@ -336,6 +355,23 @@ class Connection:
             if self.config.get("enable_profiling"):
                 from .profiler import QueryProfiler
                 ctx = physical.ExecutionContext(QueryProfiler())
+            elif self.config.get("enable_progress_bar"):
+                # host-driven analog of the reference's per-pipeline
+                # progress bar (main/query_progress.cpp): fraction of
+                # executed plan nodes, rendered on stderr
+                import sys as _sys
+
+                def _progress(done, total):
+                    pct = 100.0 * done / total
+                    width = 30
+                    filled = int(width * done / total)
+                    _sys.stderr.write(
+                        "\r[%s%s] %5.1f%%" % ("=" * filled,
+                                              " " * (width - filled), pct))
+                    if done >= total:
+                        _sys.stderr.write("\n")
+                    _sys.stderr.flush()
+                ctx = physical.ExecutionContext(progress=_progress)
             import time as _time
             t0 = _time.perf_counter()
             if self.mesh is not None:
@@ -359,7 +395,7 @@ class Connection:
             self.log.debug("query",
                            f"executed in "
                            f"{(_time.perf_counter()-t0)*1e3:.1f} ms")
-            if ctx is not None:
+            if ctx is not None and ctx.profiler is not None:
                 res.profile = ctx.profiler.render(plan)
             if self.config.get("enable_verification"):
                 self._verify_statement(stmt, unopt, res)
@@ -379,7 +415,22 @@ class Connection:
                            "sql": stmt.sql_text,
                            "aliases": stmt.column_aliases})
             return None
+        if isinstance(stmt, A.CreateSecret):
+            try:
+                self.secret_manager.create(
+                    stmt.name, stmt.pairs, stmt.persistent,
+                    stmt.or_replace, stmt.if_not_exists)
+            except ValueError as e:
+                raise CatalogException(str(e))
+            return None
         if isinstance(stmt, A.DropStmt):
+            if stmt.kind == "secret":
+                try:
+                    self.secret_manager.drop(stmt.name,
+                                             if_exists=stmt.if_exists)
+                except ValueError as e:
+                    raise CatalogException(str(e))
+                return None
             if stmt.kind == "view":
                 self.catalog.drop_view(stmt.name, if_exists=stmt.if_exists)
             else:

@@ -47,10 +47,17 @@ from . import logical as L
 
 
 class ExecutionContext:
-    """Per-query execution state (profiling hooks land here)."""
+    """Per-query execution state (profiling + progress hooks land here)."""
 
-    def __init__(self, profiler=None):
+    def __init__(self, profiler=None, progress=None):
         self.profiler = profiler
+        self.progress = progress       # callable(done_nodes, total_nodes)
+        self._total_nodes = 0
+        self._done_nodes = 0
+
+    def _report(self):
+        if self.progress is not None and self._total_nodes:
+            self.progress(self._done_nodes, self._total_nodes)
 
 
 # ---------------------------------------------------------------------------
@@ -225,15 +232,31 @@ def _joinable_int64(data, dtype) -> jnp.ndarray:
 # executor
 # ---------------------------------------------------------------------------
 
+def _count_nodes(node: L.LogicalNode) -> int:
+    return 1 + sum(_count_nodes(c) for c in node.children())
+
+
 def execute(node: L.LogicalNode, ctx: Optional[ExecutionContext] = None
             ) -> Tuple[Schema, Batch]:
     ctx = ctx or ExecutionContext()
+    if ctx.progress is not None:
+        ctx._total_nodes = _count_nodes(node)
+        ctx._done_nodes = 0
     schema, b = _execute(node, ctx)
-    return schema, _concrete(node, b)
+    b = _concrete(node, b)
+    if ctx.progress is not None:
+        ctx._done_nodes = ctx._total_nodes
+        ctx._report()
+    return schema, b
 
 
 def _execute(node: L.LogicalNode, ctx) -> Tuple[Schema, Union[Batch, Lazy]]:
     fn = _EXEC[type(node)]
+    if ctx.progress is not None:
+        schema, b = fn(node, ctx)
+        ctx._done_nodes += 1
+        ctx._report()
+        return schema, b
     if ctx.profiler is not None:
         # profiled runs break fusion per operator so per-op timing and
         # cardinality stay meaningful (same trade as the reference's

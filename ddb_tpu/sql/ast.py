@@ -246,9 +246,20 @@ class CreateTableAs:
 
 @dataclass
 class DropStmt:
-    kind: str                 # table | view
+    kind: str                 # table | view | secret
     name: str
     if_exists: bool = False
+
+
+@dataclass
+class CreateSecret:
+    """CREATE [PERSISTENT] SECRET name (TYPE t, key val, ...)
+    (reference: SecretManager, src/main/secret/secret_manager.hpp:88)."""
+    name: Optional[str]
+    pairs: dict
+    persistent: bool = False
+    or_replace: bool = False
+    if_not_exists: bool = False
 
 
 @dataclass

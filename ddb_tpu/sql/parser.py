@@ -198,9 +198,17 @@ class Parser:
             return A.CopyStmt(target, path, direction, fmt)
         if self.at_kw("drop"):
             self.next()
-            kind = "view" if self.accept_kw("view") else \
-                ("table" if self.accept_kw("table") else
-                 self.error("expected TABLE or VIEW"))
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value in ("secret", "persistent",
+                                              "temporary"):
+                if self.peek().value in ("persistent", "temporary"):
+                    self.next()
+                self.next()          # 'secret'
+                kind = "secret"
+            else:
+                kind = "view" if self.accept_kw("view") else \
+                    ("table" if self.accept_kw("table") else
+                     self.error("expected TABLE, VIEW or SECRET"))
             if_exists = False
             if self.accept_kw("if"):
                 self.expect_kw("exists")
@@ -399,6 +407,41 @@ class Parser:
         if self.accept_kw("or"):
             self.expect_kw("replace")
             or_replace = True
+        if self.peek().kind == "IDENT" \
+                and self.peek().value in ("secret", "persistent",
+                                          "temporary"):
+            persistent = False
+            if self.peek().value in ("persistent", "temporary"):
+                persistent = self.next().value == "persistent"
+            if not (self.peek().kind == "IDENT"
+                    and self.peek().value == "secret"):
+                self.error("expected SECRET")
+            self.next()
+            if_not_exists = False
+            if self.accept_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                if_not_exists = True
+            name = None
+            if not self.at("OP", "("):
+                name = self.ident()
+            self.expect_op("(")
+            pairs = {}
+            while True:
+                key = self.ident().lower()
+                t = self.peek()
+                if t.kind == "STR":
+                    val = self.next().value
+                elif t.kind == "NUM":
+                    val = self.next().value
+                else:
+                    val = self.ident()
+                pairs[key] = val
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return A.CreateSecret(name, pairs, persistent, or_replace,
+                                  if_not_exists)
         if self.accept_kw("view"):
             name = self.ident()
             cols = self._opt_column_alias_list()

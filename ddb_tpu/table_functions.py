@@ -59,6 +59,20 @@ def fn_duckdb_settings(ctx, args) -> TableData:
         _strcol("scope", [r[3] for r in rows])])
 
 
+def fn_duckdb_secrets(ctx, args) -> TableData:
+    """Redacted secret listing (reference: duckdb_secrets() in
+    src/function/table/system/duckdb_secrets.cpp)."""
+    secrets = ctx.secret_manager.list()
+    return TableData("duckdb_secrets", [
+        _strcol("name", [s.name for s in secrets]),
+        _strcol("type", [s.type for s in secrets]),
+        _strcol("provider", [s.provider for s in secrets]),
+        _strcol("persistent", ["true" if s.persistent else "false"
+                               for s in secrets]),
+        _strcol("scope", [",".join(s.scope) for s in secrets]),
+        _strcol("secret_string", [s.redacted() for s in secrets])])
+
+
 def fn_duckdb_views(ctx, args) -> TableData:
     names = sorted(ctx.catalog.views)
     sqls = [ctx.catalog.views[n][0] for n in names]
@@ -120,6 +134,7 @@ TABLE_FUNCTIONS: Dict[str, Callable] = {
     "duckdb_tables": fn_duckdb_tables,
     "duckdb_columns": fn_duckdb_columns,
     "duckdb_settings": fn_duckdb_settings,
+    "duckdb_secrets": fn_duckdb_secrets,
     "duckdb_views": fn_duckdb_views,
     "duckdb_snapshots": fn_duckdb_snapshots,
     "range": fn_range,

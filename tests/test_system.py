@@ -115,3 +115,63 @@ def test_read_csv_table_function(tmp_path):
     c = Connection()
     assert c.sql(f"SELECT * FROM read_csv('{p}') ORDER BY a").fetchall() \
         == [(1, 'x'), (2, 'y')]
+
+
+# ---- secrets (reference: src/main/secret/secret_manager.cpp) -------------
+
+def test_secret_manager():
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    con.execute("CREATE SECRET my_s3 (TYPE S3, KEY_ID 'AKIA123', "
+                "SECRET 'shh', REGION 'us-east-1')")
+    rows = con.execute(
+        "SELECT name, type, secret_string FROM duckdb_secrets()"
+    ).fetchall()
+    assert rows[0][0] == "my_s3" and rows[0][1] == "s3"
+    assert "shh" not in rows[0][2] and "redacted" in rows[0][2]
+    assert con.secret_manager.find_for_path("s3://b/k").name == "my_s3"
+    con.execute("DROP SECRET my_s3")
+    assert con.execute("SELECT count(*) FROM duckdb_secrets()"
+                       ).fetchall() == [(0,)]
+    import pytest
+    from ddb_tpu.catalog import CatalogException
+    with pytest.raises(CatalogException):
+        con.execute("DROP SECRET nope")
+    con.execute("DROP SECRET IF EXISTS nope")
+
+
+def test_progress_bar_callback():
+    import ddb_tpu
+    from ddb_tpu.plan import physical
+    from ddb_tpu.sql import parser
+    from ddb_tpu.sql.binder import Binder
+    con = ddb_tpu.connect()
+    con.register("t", {"a": [1, 2, 3]})
+    seen = []
+    plan = Binder(con.catalog, context=con).bind_select(
+        parser.parse("SELECT sum(a) FROM t")[0])
+    ctx = physical.ExecutionContext(
+        progress=lambda d, t: seen.append((d, t)))
+    physical.execute(plan, ctx)
+    assert seen and seen[-1][0] == seen[-1][1] > 0
+
+
+def test_valid_checker_invalidates_connection():
+    import ddb_tpu
+    import pytest
+    from ddb_tpu.api import FatalError
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.dtb")
+        con = ddb_tpu.connect()
+        con.register("t", {"a": [1]})
+        con.save(p)
+        with open(p, "r+b") as f:     # corrupt the payload
+            f.seek(os.path.getsize(p) - 9)
+            f.write(b"\xff" * 8)
+        c2 = ddb_tpu.connect()
+        with pytest.raises((FatalError, IOError)):
+            c2.load(p)
+        if c2._invalidated is not None:
+            with pytest.raises(FatalError):
+                c2.execute("SELECT 1")
