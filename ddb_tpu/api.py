@@ -19,10 +19,12 @@ from .batch import Batch, Schema
 from .catalog import Catalog, CatalogException
 
 
-class FatalError(Exception):
+class FatalError(IOError):
     """Unrecoverable database error; the connection is invalidated
     (reference: ValidChecker src/main/valid_checker.hpp, FatalException
-    semantics in src/common/exception.cpp)."""
+    semantics in src/common/exception.cpp).  Subclasses IOError because
+    every fatal path today wraps a storage-corruption IOError; callers
+    catching IOError keep working."""
 from .plan import logical as L
 from .plan import physical
 from .storage import table as storage

@@ -151,6 +151,9 @@ class RSubquery(TableRef):
     select: "SelectStmt"
     alias: str
     column_aliases: Optional[List[str]] = None
+    lateral: bool = False     # LATERAL (…): may reference columns of
+    # earlier FROM items (reference: LATERAL join binding,
+    # src/planner/binder/tableref/bind_joinref.cpp lateral handling)
 
 
 @dataclass

@@ -421,7 +421,18 @@ class Binder:
         cell = L.CTECell()
         rec_binder = Binder(self.catalog, sub_ctes, self.context)
         rec_binder.ctes[name] = L.CTERef(name, schema, cell)
-        rec = rec_binder.bind_select(rhs)
+        try:
+            rec = rec_binder.bind_select(rhs)
+        except BindError:
+            # The probe bind can fail for reasons that resolve once the
+            # working table is materialized (e.g. numeric->VARCHAR casts
+            # need concrete value bounds, string concats need a live
+            # dictionary).  The host fixpoint re-binds the recursive term
+            # per iteration against real data, so route there; genuine
+            # errors (unknown columns, bad types) re-raise on its first
+            # iteration bind.
+            return self._bind_recursive_cte_host(
+                name, schema, base, rhs, all_, sub_ctes)
         if len(rec.schema) != len(base.schema):
             raise BindError("recursive CTE column count mismatch")
         # The CTE's column types are fixed by the anchor (reference:
@@ -554,8 +565,10 @@ class Binder:
             td = _tabledata_from_rows("__rec_" + name, tfields, working)
             cell = L.CTECell()
             cell.batch = td.device_batch()
+            cell.table = td      # lets _bind_ref scan a real Get so
             b = Binder(self.catalog, dict(sub_ctes), self.context)
-            b.ctes[name] = L.CTERef(name, td.schema, cell)
+            b.ctes[name] = L.CTERef(name, td.schema, cell)   # zone maps
+            # bound casts (numeric->VARCHAR needs stats)
             rplan = b.bind_select(rhs)
             if len(rplan.schema) != len(tfields):
                 raise BindError("recursive CTE column count mismatch")
@@ -591,6 +604,9 @@ class Binder:
             return plan, sc
         plan, scope = self._bind_ref(refs[0])
         for r in refs[1:]:
+            if isinstance(r, A.RSubquery) and r.lateral:
+                plan, scope = self._bind_lateral(plan, scope, r, "inner")
+                continue
             rplan, rscope = self._bind_ref(r)
             plan = L.CrossProduct(plan, rplan)
             for e in rscope.entries:
@@ -610,6 +626,16 @@ class Binder:
                 if isinstance(cdef, L.CTERef):
                     # self-reference inside the recursive half: scan the
                     # working table (reference: LOGICAL_CTE_REF)
+                    td = getattr(cdef.cell, "table", None) \
+                        if cdef.cell is not None else None
+                    if td is not None:
+                        # host-fixpoint iteration: the working table is
+                        # materialized, so scan it as a real Get (stats
+                        # feed zone-map-bounded casts)
+                        plan = L.Get(td, list(range(len(td.schema))))
+                        sc = Scope()
+                        sc.add(alias, plan.schema)
+                        return plan, sc
                     sc = Scope()
                     sc.add(alias, cdef.schema)
                     return cdef, sc
@@ -703,6 +729,12 @@ class Binder:
 
     def _bind_join(self, ref: A.RJoin) -> Tuple[L.LogicalNode, Scope]:
         lplan, lscope = self._bind_ref(ref.left)
+        if isinstance(ref.right, A.RSubquery) and ref.right.lateral:
+            jt = "inner" if ref.join_type == "cross" else ref.join_type
+            if jt not in ("inner", "left"):
+                raise BindError("LATERAL supports INNER/CROSS/LEFT joins")
+            return self._bind_lateral(lplan, lscope, ref.right, jt,
+                                      on_ast=ref.on)
         rplan, rscope = self._bind_ref(ref.right)
         lwidth = lscope.width
         combined = Scope()
@@ -828,6 +860,204 @@ class Binder:
         plan = L.Join(lplan, rplan, ref.join_type, conds,
                       range_cond=range_cond, asof=True)
         return plan, combined
+
+    def _bind_lateral(self, lplan, lscope: Scope, ref: A.RSubquery,
+                      join_type: str, on_ast: Optional[A.EExpr] = None
+                      ) -> Tuple[L.LogicalNode, Scope]:
+        """LATERAL (subquery): the subquery references columns of the FROM
+        items to its left (reference: dependent-join planning + flattening,
+        src/planner/binder/tableref/bind_joinref.cpp and
+        src/planner/subquery/flatten_dependent_join.cpp).
+
+        TPU-native decorrelation (no per-outer-row re-execution): correlated
+        equality/inequality conjuncts become hash/range join conditions;
+        ungrouped correlated aggregates become a group-by over the inner
+        side joined back on the correlation keys."""
+        sub = ref.select
+        if sub.set_op is not None:
+            raise BindError("LATERAL set-operation subquery not supported")
+        if sub.limit is not None:
+            raise BindError("LATERAL subquery with LIMIT not supported")
+        sb, iplan, iscope, corr, corr_extra = \
+            self._bind_subquery_corr(sub, lscope)
+
+        # expand * over the inner scope
+        items: List[Tuple[A.EExpr, Optional[str]]] = []
+        for e, alias in sub.items:
+            if isinstance(e, A.EStar):
+                for se in iscope.entries:
+                    if e.prefix is not None and se.alias != e.prefix:
+                        continue
+                    for f in se.schema.fields:
+                        items.append((A.EIdent([se.alias, f.name]), f.name))
+            else:
+                items.append((e, alias))
+        names = []
+        for i, (e, alias) in enumerate(items):
+            if alias:
+                names.append(alias)
+            elif isinstance(e, A.EIdent):
+                names.append(e.parts[-1])
+            elif isinstance(e, A.EFunc):
+                names.append(e.name)
+            else:
+                names.append(f"col{i}")
+        if ref.column_aliases:
+            names[:len(ref.column_aliases)] = ref.column_aliases
+
+        has_agg = any(self._contains_agg(e) for e, _ in items)
+        lw = len(lplan.schema)
+        lrefs = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                 for i, f in enumerate(lplan.schema.fields)]
+
+        if has_agg:
+            # ungrouped correlated aggregate: GROUP BY the correlation keys
+            # and LEFT-join back (an ungrouped aggregate yields exactly one
+            # row per outer row, so the join is left-preserving; COUNT on
+            # unmatched outer rows coalesces to 0)
+            if sub.group_by:
+                raise BindError(
+                    "LATERAL aggregate subquery with GROUP BY unsupported")
+            if corr_extra:
+                raise BindError(
+                    "LATERAL aggregate with non-equality correlation")
+            agg_ctx = AggCtx()
+            bound_items = [sb.bind_expr(e, iscope, agg_ctx=agg_ctx)
+                           for e, _ in items]
+            groups = [ie for (_, ie) in corr]
+            agg = L.Aggregate(iplan, groups, agg_ctx.specs,
+                              [f"__g{i}" for i in range(len(groups))])
+            resolved = []
+            count_like = set()
+            for k, (b, (e, _)) in enumerate(zip(bound_items, items)):
+                r = _resolve_aggrefs(b, len(groups))
+                if isinstance(b, AggRef) \
+                        and agg_ctx.specs[b.index].kind in ("count",
+                                                            "count_star"):
+                    # unmatched outer rows read NULL from the left join;
+                    # COUNT over zero rows is 0, not NULL — coalesce the
+                    # POST-join column (reference: ungrouped count
+                    # semantics, flatten_dependent_join.cpp)
+                    count_like.add(k)
+                resolved.append(r)
+            aproj = L.Project(
+                agg,
+                [ir.ColRef(i, g.dtype, f"__g{i}",
+                           getattr(g, "strdict", None))
+                 for i, g in enumerate(groups)] + resolved,
+                [f"__g{i}" for i in range(len(groups))] + names)
+            conds = [L.JoinCond(
+                oe, ir.ColRef(i, ie.dtype, f"__g{i}",
+                              getattr(ie, "strdict", None)))
+                for i, (oe, ie) in enumerate(corr)]
+            if not conds:
+                one = ir.Const(1, T.INTEGER)
+                lplan = L.Project(lplan, lrefs + [one],
+                                  list(lplan.schema.names) + ["__k"])
+                aproj = L.Project(
+                    aproj, [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                            for i, f in enumerate(aproj.schema.fields)]
+                    + [one], list(aproj.schema.names) + ["__k"])
+                conds = [L.JoinCond(
+                    ir.ColRef(lw, T.INTEGER, "__k"),
+                    ir.ColRef(len(aproj.schema) - 1, T.INTEGER, "__k"))]
+            plan = L.Join(lplan, aproj, "left", conds)
+            # joined row: left cols [+__k] then aproj cols; values follow
+            # the group columns (corr) or start right after left+__k
+            voff = lw + (len(groups) if corr else 1)
+            out_exprs = list(lrefs)
+            for k, r in enumerate(resolved):
+                c = ir.ColRef(voff + k, r.dtype, names[k],
+                              getattr(r, "strdict", None))
+                if k in count_like:
+                    c = ir.Func("coalesce", [c, ir.Const(0, c.dtype)],
+                                c.dtype)
+                out_exprs.append(c)
+            out = L.Project(plan, out_exprs,
+                            list(lplan.schema.names)[:lw] + names)
+            out_scope = Scope()
+            for e_ in lscope.entries:
+                out_scope.add(e_.alias, e_.schema)
+            out_scope.add(ref.alias.lower(),
+                          Schema(tuple(out.schema.fields[lw:])))
+            return out, out_scope
+
+        # plain (non-aggregate) subquery: join left with the inner plan;
+        # correlated conjuncts drive the join, select items bind over the
+        # combined row so they may reference outer columns too
+        iw = len(iplan.schema)
+        irefs = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                 for i, f in enumerate(iplan.schema.fields)]
+        keys = [ie for (_, ie) in corr]
+        iproj = L.Project(iplan, irefs + keys,
+                          list(iplan.schema.names)
+                          + [f"__ck{i}" for i in range(len(keys))]) \
+            if keys else iplan
+        conds = [L.JoinCond(oe, ir.ColRef(iw + i, ie.dtype, f"__ck{i}",
+                                          getattr(ie, "strdict", None)))
+                 for i, (oe, ie) in enumerate(corr)]
+        extra_parts = []
+        for j, (op, oe, ie) in enumerate(corr_extra):
+            # corr_extra inner side must be re-bound over the joined row:
+            # shift inner column refs by lw
+            cols = ir.referenced_columns(ie)
+            ie2 = ir.remap_columns(ie, {c: c + lw for c in cols})
+            extra_parts.append(ir.Cmp(op, oe, ie2))
+        if conds:
+            plan = L.Join(lplan, iproj, join_type, conds,
+                          extra=ir.make_and(extra_parts)
+                          if extra_parts else None)
+        elif join_type == "left":
+            one = ir.Const(1, T.INTEGER)
+            lp = L.Project(lplan, lrefs + [one],
+                           list(lplan.schema.names) + ["__k"])
+            ipk = L.Project(iproj,
+                            [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                             for i, f in enumerate(iproj.schema.fields)]
+                            + [one], list(iproj.schema.names) + ["__k"])
+            # account for the extra __k column on the left side
+            shifted = []
+            for p in extra_parts:
+                cols = ir.referenced_columns(p)
+                shifted.append(ir.remap_columns(
+                    p, {c: (c + 1 if c >= lw else c) for c in cols}))
+            plan = L.Join(lp, ipk, "left",
+                          [L.JoinCond(ir.ColRef(lw, T.INTEGER, "__k"),
+                                      ir.ColRef(len(ipk.schema) - 1,
+                                                T.INTEGER, "__k"))],
+                          extra=ir.make_and(shifted) if shifted else None)
+            lw = lw + 1     # inner columns now start one later
+        else:
+            plan = L.CrossProduct(lplan, iproj)
+            if extra_parts:
+                plan = L.Filter(plan, ir.make_and(extra_parts))
+
+        comb = Scope()
+        for e_ in lscope.entries:
+            comb.add(e_.alias, e_.schema)
+        inner_start = lw
+        for e_ in iscope.entries:
+            # place inner entries at their joined-row positions
+            comb.entries.append(ScopeEntry(
+                e_.alias, e_.schema, inner_start + e_.start))
+        bound = [self.bind_expr(e, comb) for e, _ in items]
+        out_lrefs = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                     for i, f in enumerate(lplan.schema.fields)]
+        out = L.Project(plan, out_lrefs + bound,
+                        list(lplan.schema.names) + names)
+        out_scope = Scope()
+        for e_ in lscope.entries:
+            out_scope.add(e_.alias, e_.schema)
+        out_scope.add(ref.alias.lower(),
+                      Schema(tuple(out.schema.fields[len(lplan.schema):])))
+        if on_ast is not None and not (
+                isinstance(on_ast, A.ELit) and on_ast.value is True):
+            # ON references the subquery's OUTPUT columns; bind it over
+            # the projected row (post-join filter)
+            if join_type == "left":
+                raise BindError("LEFT JOIN LATERAL requires ON TRUE")
+            out = L.Filter(out, self.bind_expr(on_ast, out_scope))
+        return out, out_scope
 
     _FLIP_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
 

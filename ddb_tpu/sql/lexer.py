@@ -32,7 +32,7 @@ KEYWORDS = {
     "following", "unbounded", "current", "row", "update", "delete",
     "set", "primary", "key", "default", "recursive", "asof",
     "grouping", "rollup", "cube", "sample", "tablesample", "repeatable",
-    "percent", "semi", "anti", "positional",
+    "percent", "semi", "anti", "positional", "lateral",
 }
 
 _TOKEN_RE = re.compile(r"""

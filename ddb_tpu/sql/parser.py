@@ -776,6 +776,13 @@ class Parser:
             return left
 
     def table_primary(self) -> A.TableRef:
+        if self.accept_kw("lateral"):
+            # LATERAL (subquery) [AS] alias — the subquery may reference
+            # columns of FROM items to its left
+            ref = self.table_primary()
+            if isinstance(ref, A.RSubquery):
+                ref.lateral = True
+            return ref
         if self.accept_op("("):
             # parenthesized set expression as a table:
             # ((SELECT ...) EXCEPT (SELECT ...)) alias — try a full select

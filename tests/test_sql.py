@@ -581,3 +581,98 @@ def test_date_function_breadth():
                        826675200.0, "March", "Wednesday")
     # 2000-01-01 is ISO week 52 of 1999
     assert rows[1][1] == 52 and rows[1][2] == 1999
+
+
+# ---------------------------------------------------------------------------
+# LATERAL joins (reference: bind_joinref.cpp lateral handling +
+# flatten_dependent_join.cpp)
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def lateral_con():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE ll (id INTEGER, k INTEGER)")
+    c.sql("INSERT INTO ll VALUES (1, 10), (2, 20), (3, 30)")
+    c.sql("CREATE TABLE rr (k INTEGER, v INTEGER)")
+    c.sql("INSERT INTO rr VALUES (10, 100), (10, 101), (20, 200)")
+    return c
+
+
+def test_lateral_equality(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.v FROM ll, LATERAL"
+        " (SELECT v FROM rr WHERE rr.k = ll.k) t"
+        " ORDER BY id, t.v").fetchall()
+    assert rows == [(1, 100), (1, 101), (2, 200)]
+
+
+def test_lateral_outer_expr(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.s FROM ll, LATERAL"
+        " (SELECT v + ll.id AS s FROM rr WHERE rr.k = ll.k) t"
+        " ORDER BY id, s").fetchall()
+    assert rows == [(1, 101), (1, 102), (2, 202)]
+
+
+def test_left_join_lateral(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.v FROM ll LEFT JOIN LATERAL"
+        " (SELECT v FROM rr WHERE rr.k = ll.k) t ON TRUE"
+        " ORDER BY id, t.v").fetchall()
+    assert rows == [(1, 100), (1, 101), (2, 200), (3, None)]
+
+
+def test_lateral_aggregate(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.c, t.m FROM ll, LATERAL"
+        " (SELECT count(*) c, max(v) m FROM rr WHERE rr.k = ll.k) t"
+        " ORDER BY id").fetchall()
+    assert rows == [(1, 2, 101), (2, 1, 200), (3, 0, None)]
+
+
+def test_lateral_on_residual(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.v FROM ll JOIN LATERAL"
+        " (SELECT v FROM rr WHERE rr.k = ll.k) t ON t.v % 2 = 0"
+        " ORDER BY id").fetchall()
+    assert rows == [(1, 100), (2, 200)]
+
+
+def test_lateral_chained(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, a.x, b.y FROM ll,"
+        " LATERAL (SELECT id + 1 AS x) a,"
+        " LATERAL (SELECT a.x * 10 AS y) b ORDER BY id").fetchall()
+    assert rows == [(1, 2, 20), (2, 3, 30), (3, 4, 40)]
+
+
+def test_lateral_inequality(lateral_con):
+    rows = lateral_con.sql(
+        "SELECT id, t.v FROM ll, LATERAL"
+        " (SELECT v FROM rr WHERE rr.v > ll.k * 5) t"
+        " ORDER BY id, v").fetchall()
+    assert rows == [(1, 100), (1, 101), (1, 200), (2, 101), (2, 200),
+                    (3, 200)]
+
+
+def test_recursive_cte_growing_strings():
+    # recursive term makes NEW strings each iteration: routes through the
+    # bind-time host fixpoint with per-iteration dictionary rebind
+    from ddb_tpu import Connection
+    c = Connection()
+    rows = c.sql(
+        "WITH RECURSIVE t(p, n) AS ("
+        " SELECT 'a', 1 UNION ALL"
+        " SELECT p || '/' || CAST(n+1 AS VARCHAR), n+1 FROM t WHERE n < 4)"
+        " SELECT p, n FROM t ORDER BY n").fetchall()
+    assert rows == [("a", 1), ("a/2", 2), ("a/2/3", 3), ("a/2/3/4", 4)]
+
+
+def test_recursive_cte_numeric_to_varchar_anchor():
+    from ddb_tpu import Connection
+    c = Connection()
+    rows = c.sql(
+        "WITH RECURSIVE t(s) AS ("
+        " SELECT 'x' UNION ALL SELECT 1 FROM t WHERE s = 'x')"
+        " SELECT * FROM t ORDER BY s").fetchall()
+    assert rows == [("1",), ("x",)]
