@@ -104,11 +104,26 @@ class QueryResult:
             elif t.id == TypeId.TIMESTAMP:
                 arrays[f.name] = pa.array(d.astype("datetime64[us]"),
                                           mask=mask)
-            elif t.id == TypeId.LIST:
+            elif t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
+                          TypeId.BLOB):
                 vals = [None if (mask is not None and mask[i])
                         else f.strdict.decode_one(int(v))
                         for i, v in enumerate(d)]
-                arrays[f.name] = pa.array(vals)
+                if t.id == TypeId.MAP:
+                    # pa.array infers struct from dicts; build an explicit
+                    # map array (insertion order kept)
+                    pairs = [None if v is None else list(v.items())
+                             for v in vals]
+                    arrays[f.name] = pa.array(
+                        pairs, type=pa.map_(
+                            pa.array([k for v in pairs or [] if v
+                                      for k, _ in v]).type
+                            if any(pairs) else pa.string(),
+                            pa.array([x for v in pairs or [] if v
+                                      for _, x in v]).type
+                            if any(pairs) else pa.int64()))
+                else:
+                    arrays[f.name] = pa.array(vals)
             else:
                 arrays[f.name] = pa.array(d, mask=mask)
         return pa.table(arrays)

@@ -408,3 +408,22 @@ class UnpivotStmt:
 class EList(EExpr):
     """List literal [e1, e2, ...]."""
     items: List[EExpr] = field(default_factory=list)
+
+
+@dataclass
+class EStruct(EExpr):
+    """Struct literal {'a': e1, ...} / struct_pack(a := e1, ...)."""
+    fields: List = field(default_factory=list)   # [(name, EExpr), ...]
+
+
+@dataclass
+class EMap(EExpr):
+    """Map literal MAP {k1: v1, ...}."""
+    entries: List = field(default_factory=list)  # [(EExpr, EExpr), ...]
+
+
+@dataclass
+class EIndex(EExpr):
+    """Postfix subscript: list[i] (1-based), map[key], struct['field']."""
+    child: EExpr
+    index: EExpr

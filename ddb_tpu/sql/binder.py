@@ -1685,7 +1685,20 @@ class Binder:
             return sub_replacements[id(e)]
 
         if isinstance(e, A.EIdent):
-            return scope.resolve(e.parts)
+            try:
+                return scope.resolve(e.parts)
+            except BindError:
+                # struct field access: s.f / t.s.f resolves the prefix
+                # as a STRUCT column then extracts the trailing field
+                if len(e.parts) >= 2:
+                    try:
+                        base = scope.resolve(e.parts[:-1])
+                    except BindError:
+                        base = None
+                    if base is not None \
+                            and base.dtype.id == TypeId.STRUCT:
+                        return self._struct_extract(base, e.parts[-1])
+                raise
         if isinstance(e, A.EParam):
             if self.params is None:
                 raise BindError("query has parameters but none were "
@@ -1703,6 +1716,15 @@ class Binder:
         if isinstance(e, A.EList):
             return self._bind_list_literal(e, scope, agg_ctx, group_map,
                                            sub_replacements)
+        if isinstance(e, A.EStruct):
+            return self._bind_struct_literal(e, scope, agg_ctx, group_map,
+                                             sub_replacements)
+        if isinstance(e, A.EMap):
+            return self._bind_map_literal(e, scope, agg_ctx, group_map,
+                                          sub_replacements)
+        if isinstance(e, A.EIndex):
+            return self._bind_index(e, scope, agg_ctx, group_map,
+                                    sub_replacements)
         if isinstance(e, A.ETyped):
             return self._bind_typed_literal(e)
         if isinstance(e, A.EUnary):
@@ -2254,6 +2276,11 @@ class Binder:
                     "split"):
             return self._bind_string_split(e, scope, agg_ctx, group_map,
                                            sub_replacements)
+        if name in ("struct_extract", "element_at", "map_extract",
+                    "map_keys", "map_values", "map_contains",
+                    "list_extract", "list_element", "array_extract"):
+            return self._bind_nested_func(name, e, scope, agg_ctx,
+                                          group_map, sub_replacements)
         if name in ("array_length", "list_length", "len", "length",
                     "cardinality", "list_contains", "array_contains",
                     "list_has", "contains"):
@@ -2261,6 +2288,13 @@ class Binder:
             if a.dtype.id == TypeId.LIST:
                 return self._bind_list_func(name, a, e, scope, agg_ctx,
                                             group_map, sub_replacements)
+            if a.dtype.id == TypeId.MAP and name in ("cardinality",
+                                                     "len", "length"):
+                store = getattr(a, "strdict", None)
+                if store is None:
+                    raise BindError("map argument has no store")
+                return ir.DictLookup(a, store.lengths(), T.BIGINT,
+                                     "map_length")
             # fall through to the string/aliased handlers below
         if name in ("year", "month", "day"):
             a = b(e.args[0])
@@ -2686,6 +2720,203 @@ class Binder:
                             T.LIST(T.VARCHAR), "string_split")
         out.strdict = store
         return out
+
+    # ------------------------------------------------------------------
+    # nested types: STRUCT / MAP (store-backed, like LIST/VARCHAR —
+    # reference: LogicalType::STRUCT/MAP src/common/types.cpp, child
+    # vectors src/common/types/vector.cpp; TPU design keeps payloads
+    # host-side and compiles field access to per-store-id gather tables)
+    # ------------------------------------------------------------------
+    def _const_py(self, c: ir.Const):
+        """Constant -> python value (dictionary/store decoded)."""
+        if c.value is None:
+            return None
+        sd = getattr(c, "strdict", None)
+        if sd is not None:
+            return sd.decode_one(c.value)
+        return T.decode_value(c.value, c.dtype)
+
+    def _payload_expr(self, child: ir.Expr, vals: list, t, tag: str
+                      ) -> ir.Expr:
+        """Per-store-id gather: python payload values (indexed by the
+        child's store id) -> a typed DictLookup expression."""
+        nulls = np.array([v is None for v in vals], dtype=bool)
+        nt = nulls if nulls.any() else None
+        if t.id == TypeId.VARCHAR:
+            sd, codes, n2 = StringDictionary.encode(
+                ["" if v is None else str(v) for v in vals])
+            out = ir.DictLookup(child, codes.astype(np.int32), T.VARCHAR,
+                                tag, null_table=nt)
+            out.strdict = sd
+            return out
+        if t.id == TypeId.LIST:
+            from ..storage.lists import ListStore
+            store = ListStore([v if v is not None else [] for v in vals])
+            out = ir.DictLookup(child,
+                                np.arange(len(vals), dtype=np.int32),
+                                t, tag, null_table=nt)
+            out.strdict = store
+            return out
+        if t.id == TypeId.STRUCT:
+            from ..storage.nested import StructStore
+            names = [n for n, _ in (t.children or ())]
+            items = []
+            for v in vals:
+                if isinstance(v, dict):
+                    items.append(tuple(v.get(n) for n in names))
+                elif v is None:
+                    items.append(tuple(None for _ in names))
+                else:
+                    items.append(tuple(v))
+            store = StructStore(names, items)
+            out = ir.DictLookup(child,
+                                np.arange(len(vals), dtype=np.int32),
+                                t, tag, null_table=nt)
+            out.strdict = store
+            return out
+        if t.id == TypeId.MAP:
+            from ..storage.nested import MapStore
+            store = MapStore([
+                list(v.items()) if isinstance(v, dict)
+                else (list(v) if v is not None else []) for v in vals])
+            out = ir.DictLookup(child,
+                                np.arange(len(vals), dtype=np.int32),
+                                t, tag, null_table=nt)
+            out.strdict = store
+            return out
+        arr = np.zeros(len(vals), dtype=t.np_dtype)
+        for i, v in enumerate(vals):
+            if v is not None:
+                arr[i] = T.encode_literal(v, t)
+        return ir.DictLookup(child, arr, t, tag, null_table=nt)
+
+    def _struct_extract(self, base: ir.Expr, fname: str) -> ir.Expr:
+        store = getattr(base, "strdict", None)
+        if store is None:
+            raise BindError("struct value has no store")
+        fields = base.dtype.children or ()
+        for k, (n, t) in enumerate(fields):
+            if n.lower() == str(fname).lower():
+                return self._payload_expr(
+                    base, store.field_values(k), t, "struct_extract")
+        raise BindError(f"struct has no field '{fname}'")
+
+    def _bind_struct_literal(self, e: A.EStruct, scope, agg_ctx,
+                             group_map, sub_replacements) -> ir.Expr:
+        from ..storage.nested import StructStore
+        names, vals, ftypes = [], [], []
+        for fname, fe in e.fields:
+            c = self.bind_expr(fe, scope, agg_ctx, group_map,
+                               sub_replacements)
+            if not isinstance(c, ir.Const):
+                raise BindError("struct literals must contain constants")
+            names.append(fname)
+            vals.append(self._const_py(c))
+            ftypes.append((fname, c.dtype if c.dtype.id != TypeId.NULL
+                           else T.INTEGER))
+        out = ir.Const(0, T.STRUCT(ftypes))
+        out.strdict = StructStore(names, [tuple(vals)])
+        return out
+
+    def _bind_map_literal(self, e: A.EMap, scope, agg_ctx, group_map,
+                          sub_replacements) -> ir.Expr:
+        from ..storage.nested import MapStore
+        pairs, kt, vt = [], None, None
+        for ke, ve in e.entries:
+            kc = self.bind_expr(ke, scope, agg_ctx, group_map,
+                                sub_replacements)
+            vc = self.bind_expr(ve, scope, agg_ctx, group_map,
+                                sub_replacements)
+            if not isinstance(kc, ir.Const) or not isinstance(vc, ir.Const):
+                raise BindError("map literals must contain constants")
+            pairs.append((self._const_py(kc), self._const_py(vc)))
+            if kc.dtype.id != TypeId.NULL:
+                kt = kc.dtype if kt is None else ir.common_type(kt,
+                                                                kc.dtype)
+            if vc.dtype.id != TypeId.NULL:
+                vt = vc.dtype if vt is None else ir.common_type(vt,
+                                                                vc.dtype)
+        out = ir.Const(0, T.MAP(kt or T.INTEGER, vt or T.INTEGER))
+        out.strdict = MapStore([pairs])
+        return out
+
+    def _bind_index(self, e: A.EIndex, scope, agg_ctx, group_map,
+                    sub_replacements) -> ir.Expr:
+        c = self.bind_expr(e.child, scope, agg_ctx, group_map,
+                           sub_replacements)
+        ie = self.bind_expr(e.index, scope, agg_ctx, group_map,
+                            sub_replacements)
+        t = c.dtype
+        if t.id == TypeId.STRUCT:
+            if not isinstance(ie, ir.Const) \
+                    or ie.dtype.id != TypeId.VARCHAR:
+                raise BindError(
+                    "struct subscript must be a constant field name")
+            return self._struct_extract(c, self._const_py(ie))
+        if t.id == TypeId.MAP:
+            if not isinstance(ie, ir.Const):
+                raise BindError("map subscript must be constant")
+            key = self._const_py(ie)
+            store = getattr(c, "strdict", None)
+            if store is None:
+                raise BindError("map value has no store")
+            vals = [dict(store.items[i]).get(key)
+                    for i in range(len(store))]
+            return self._payload_expr(c, vals, t.child2, "map_extract")
+        if t.id == TypeId.LIST:
+            if not isinstance(ie, ir.Const) or not ie.dtype.is_integer:
+                raise BindError("list subscript must be a constant integer")
+            k = int(ie.value)
+            store = getattr(c, "strdict", None)
+            if store is None:
+                raise BindError("list value has no store")
+            vals = []
+            for it in store.items:
+                # 1-based; negative counts from the end (duckdb
+                # list_extract semantics, core_functions/scalar/list/)
+                idx = k - 1 if k > 0 else len(it) + k
+                vals.append(it[idx] if 0 <= idx < len(it) else None)
+            return self._payload_expr(c, vals, t.child or T.INTEGER,
+                                      "list_extract")
+        raise BindError(f"cannot subscript a value of type {t}")
+
+    def _bind_nested_func(self, name, e: A.EFunc, scope, agg_ctx,
+                          group_map, sub_replacements) -> ir.Expr:
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        a = b(e.args[0])
+        t = a.dtype
+        store = getattr(a, "strdict", None)
+        if name == "struct_extract":
+            if t.id != TypeId.STRUCT:
+                raise BindError("struct_extract requires a STRUCT")
+            fe = b(e.args[1])
+            if not isinstance(fe, ir.Const):
+                raise BindError("struct_extract field must be constant")
+            return self._struct_extract(a, self._const_py(fe))
+        if name in ("map_keys", "map_values"):
+            if t.id != TypeId.MAP or store is None:
+                raise BindError(f"{name} requires a MAP")
+            get = store.keys_of if name == "map_keys" else store.values_of
+            vals = [get(i) for i in range(len(store))]
+            et = t.child if name == "map_keys" else t.child2
+            return self._payload_expr(a, vals, T.LIST(et), name)
+        if name == "map_contains":
+            if t.id != TypeId.MAP or store is None:
+                raise BindError("map_contains requires a MAP")
+            kc = b(e.args[1])
+            if not isinstance(kc, ir.Const):
+                raise BindError("map_contains key must be constant")
+            key = self._const_py(kc)
+            tab = np.array([key in dict(store.items[i])
+                            for i in range(len(store))], dtype=bool)
+            return ir.DictLookup(a, tab, T.BOOLEAN, "map_contains")
+        if name in ("element_at", "map_extract", "list_extract",
+                    "list_element", "array_extract"):
+            return self._bind_index(
+                A.EIndex(e.args[0], e.args[1]), scope, agg_ctx,
+                group_map, sub_replacements)
+        raise BindError(f"unsupported nested function {name}")
 
     def _bind_list_func(self, name, a: ir.Expr, e: A.EFunc, scope,
                         agg_ctx, group_map, sub_replacements) -> ir.Expr:

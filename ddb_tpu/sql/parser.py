@@ -996,6 +996,20 @@ class Parser:
             elif self.accept_op("->>"):
                 e = A.EFunc("json_extract_string",
                             [e, self.expr_primary()])
+            elif self.at("OP", "["):
+                # subscript: list[i], map[key], struct['field']
+                self.next()
+                idx = self.expr()
+                self.expect_op("]")
+                e = A.EIndex(e, idx)
+            elif self.at("OP", ".") and not isinstance(e, A.EIdent) \
+                    and self.peek(1).kind in ("IDENT", "KW"):
+                # struct field access on a non-identifier expression:
+                # struct_pack(...).a, (expr).f  (identifier chains are
+                # handled inside expr_primary as EIdent parts)
+                self.next()
+                e = A.EFunc("struct_extract",
+                            [e, A.ELit(self.ident())])
             else:
                 return e
 
@@ -1016,8 +1030,69 @@ class Parser:
             self.expect_op(")")
         return name, w, s
 
+    def _struct_body(self) -> A.EStruct:
+        """{ 'name': expr, ... } (already past the opening brace)."""
+        fields = []
+        if not self.at("OP", "}"):
+            while True:
+                kt = self.next()
+                if kt.kind not in ("STR", "IDENT", "KW", "QID"):
+                    self.error("expected struct field name")
+                self.expect_op(":")
+                fields.append((kt.value, self.expr()))
+                if not self.accept_op(","):
+                    break
+        self.expect_op("}")
+        return A.EStruct(fields)
+
     def expr_primary(self):
         t = self.peek()
+        if t.kind == "OP" and t.value == "{":
+            self.next()
+            return self._struct_body()
+        if t.kind == "IDENT" and t.value.lower() == "map" \
+                and self.peek(1).kind == "OP" \
+                and self.peek(1).value == "{":
+            # MAP {k: v, ...}
+            self.next()
+            self.next()
+            entries = []
+            if not self.at("OP", "}"):
+                while True:
+                    k = self.expr()
+                    self.expect_op(":")
+                    entries.append((k, self.expr()))
+                    if not self.accept_op(","):
+                        break
+            self.expect_op("}")
+            return A.EMap(entries)
+        if t.kind in ("IDENT", "KW") \
+                and t.value.lower() in ("struct_pack", "row") \
+                and self.peek(1).kind == "OP" \
+                and self.peek(1).value == "(":
+            # struct_pack(a := e, ...) / row(e1, e2, ...)
+            is_row = t.value.lower() == "row"
+            self.next()
+            self.next()
+            fields = []
+            i = 0
+            if not self.at("OP", ")"):
+                while True:
+                    if self.peek().kind in ("IDENT", "QID") \
+                            and self.peek(1).kind == "OP" \
+                            and self.peek(1).value == ":=":
+                        fname = self.next().value
+                        self.next()
+                    else:
+                        if not is_row:
+                            self.error("struct_pack needs name := value")
+                        fname = f"v{i + 1}"
+                    fields.append((fname, self.expr()))
+                    i += 1
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            return A.EStruct(fields)
         if t.kind == "OP" and t.value == "[":
             # list literal [e1, e2, ...]
             self.next()

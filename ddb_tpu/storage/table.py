@@ -164,7 +164,75 @@ def _from_arrow_column(name: str, arr) -> TableColumn:
         return TableColumn(name, T.VARCHAR, codes, nulls, strdict=sd)
     if pa.types.is_dictionary(t):
         return _from_arrow_column(name, arr.cast(pa.string()))
+    # nested / var-len payloads: rows carry an int32 store id, payloads
+    # stay host-side (see storage/nested.py; reference: nested Vector
+    # child vectors, src/common/types/vector.cpp)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        from .lists import ListStore
+        py = arr.to_pylist()
+        store = ListStore([x if x is not None else [] for x in py])
+        ids = np.arange(len(py), dtype=np.int32)
+        return TableColumn(name, T.LIST(_arrow_logical_type(t.value_type)),
+                           ids, nulls, strdict=store)
+    if pa.types.is_struct(t):
+        from .nested import StructStore
+        fnames = [t.field(i).name for i in range(t.num_fields)]
+        py = arr.to_pylist()
+        items = [tuple((x or {}).get(fn) for fn in fnames) for x in py]
+        store = StructStore(fnames, items)
+        st = T.STRUCT((t.field(i).name,
+                       _arrow_logical_type(t.field(i).type))
+                      for i in range(t.num_fields))
+        ids = np.arange(len(py), dtype=np.int32)
+        return TableColumn(name, st, ids, nulls, strdict=store)
+    if pa.types.is_map(t):
+        from .nested import MapStore
+        py = arr.to_pylist()
+        store = MapStore([list(x) if x is not None else [] for x in py])
+        mt = T.MAP(_arrow_logical_type(t.key_type),
+                   _arrow_logical_type(t.item_type))
+        ids = np.arange(len(py), dtype=np.int32)
+        return TableColumn(name, mt, ids, nulls, strdict=store)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
+        from .nested import BlobStore
+        py = arr.to_pylist()
+        store = BlobStore([x if x is not None else b"" for x in py])
+        ids = np.arange(len(py), dtype=np.int32)
+        return TableColumn(name, T.BLOB, ids, nulls, strdict=store)
     raise TypeError(f"unsupported arrow type {t} for column {name}")
+
+
+def _arrow_logical_type(t) -> DataType:
+    """Arrow type -> our logical DataType (element types of nested
+    payloads; payload values stay python-side, so this is metadata)."""
+    import pyarrow as pa
+    if pa.types.is_boolean(t):
+        return T.BOOLEAN
+    if pa.types.is_integer(t):
+        wide = pa.types.is_int64(t) or pa.types.is_uint32(t) \
+            or pa.types.is_uint64(t)
+        return T.BIGINT if wide else T.INTEGER
+    if pa.types.is_floating(t):
+        return T.DOUBLE if pa.types.is_float64(t) else T.FLOAT
+    if pa.types.is_decimal(t):
+        return T.DECIMAL(min(t.precision, 38), t.scale)
+    if pa.types.is_date(t):
+        return T.DATE
+    if pa.types.is_timestamp(t):
+        return T.TIMESTAMP
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.LIST(_arrow_logical_type(t.value_type))
+    if pa.types.is_struct(t):
+        return T.STRUCT((t.field(i).name,
+                         _arrow_logical_type(t.field(i).type))
+                        for i in range(t.num_fields))
+    if pa.types.is_map(t):
+        return T.MAP(_arrow_logical_type(t.key_type),
+                     _arrow_logical_type(t.item_type))
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BLOB
+    return T.VARCHAR
 
 
 def from_pandas(name: str, df) -> TableData:

@@ -51,6 +51,10 @@ class TypeId(enum.Enum):
     VARCHAR = 14
     NULL = 15
     LIST = 16
+    STRUCT = 17
+    MAP = 18
+    BLOB = 19
+    UUID = 20
 
 
 _INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
@@ -62,7 +66,9 @@ class DataType:
     id: TypeId
     width: int = 0   # decimal precision
     scale: int = 0   # decimal scale
-    child: "DataType" = None   # LIST element type
+    child: "DataType" = None   # LIST element / MAP key type
+    child2: "DataType" = None  # MAP value type
+    children: tuple = None     # STRUCT fields: ((name, DataType), ...)
 
     # ---- constructors ----------------------------------------------------
     def __repr__(self) -> str:
@@ -70,6 +76,12 @@ class DataType:
             return f"DECIMAL({self.width},{self.scale})"
         if self.id == TypeId.LIST:
             return f"{self.child!r}[]"
+        if self.id == TypeId.STRUCT:
+            inner = ", ".join(f"{n} {t!r}" for n, t in
+                              (self.children or ()))
+            return f"STRUCT({inner})"
+        if self.id == TypeId.MAP:
+            return f"MAP({self.child!r}, {self.child2!r})"
         return self.id.name
 
     # ---- classification --------------------------------------------------
@@ -104,7 +116,8 @@ class DataType:
         return np.dtype(_PHYSICAL[self.id])
 
     def __hash__(self):
-        return hash((self.id, self.width, self.scale, self.child))
+        return hash((self.id, self.width, self.scale, self.child,
+                     self.child2, self.children))
 
 
 _PHYSICAL = {
@@ -124,6 +137,10 @@ _PHYSICAL = {
     TypeId.VARCHAR: np.int32,    # dictionary code
     TypeId.NULL: np.int32,
     TypeId.LIST: np.int32,       # list-store id (storage/lists.py)
+    TypeId.STRUCT: np.int32,     # struct-store id (storage/nested.py)
+    TypeId.MAP: np.int32,        # map-store id (storage/nested.py)
+    TypeId.BLOB: np.int32,       # blob-store id (dictionary of bytes)
+    TypeId.UUID: np.int32,       # dictionary code (like VARCHAR)
 }
 
 
@@ -132,6 +149,19 @@ def LIST(child: DataType) -> DataType:
     host-side (reference: LogicalType::LIST, src/common/types.cpp;
     var-size payloads have no device representation on TPU by design)."""
     return DataType(TypeId.LIST, child=child)
+
+
+def STRUCT(fields) -> DataType:
+    """Nested STRUCT type; rows hold struct-store ids (reference:
+    LogicalType::STRUCT, src/common/types.cpp).  fields: iterable of
+    (name, DataType)."""
+    return DataType(TypeId.STRUCT, children=tuple(
+        (str(n), t) for n, t in fields))
+
+
+def MAP(key: DataType, value: DataType) -> DataType:
+    """MAP type; rows hold map-store ids (reference: LogicalType::MAP)."""
+    return DataType(TypeId.MAP, child=key, child2=value)
 
 BOOLEAN = DataType(TypeId.BOOLEAN)
 TINYINT = DataType(TypeId.TINYINT)
@@ -147,6 +177,8 @@ TIMESTAMP = DataType(TypeId.TIMESTAMP)
 INTERVAL = DataType(TypeId.INTERVAL)
 VARCHAR = DataType(TypeId.VARCHAR)
 SQLNULL = DataType(TypeId.NULL)
+BLOB = DataType(TypeId.BLOB)
+UUID = DataType(TypeId.UUID)
 
 
 def DECIMAL(width: int, scale: int) -> DataType:
@@ -244,8 +276,9 @@ def decode_value(raw, t: DataType, strdict=None):
         if strdict is None:
             raise ValueError("VARCHAR column requires a dictionary")
         return strdict.decode_one(int(raw))
-    if t.id == TypeId.LIST:
+    if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.BLOB,
+                TypeId.UUID):
         if strdict is None:
-            raise ValueError("LIST column requires a list store")
+            raise ValueError(f"{t.id.name} column requires a store")
         return strdict.decode_one(int(raw))
     return int(raw)

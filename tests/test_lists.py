@@ -87,3 +87,85 @@ def test_unnest_empty_result():
 def test_list_arrow_export(con):
     at = con.sql("SELECT list(k) AS l FROM t").arrow()
     assert at.column("l").to_pylist() == [[1, 2, 3]]
+
+
+# ---------------------------------------------------------------------------
+# STRUCT / MAP (store-backed nested types; reference: LogicalType::STRUCT
+# and MAP, src/common/types.cpp, child vectors src/common/types/vector.cpp)
+# ---------------------------------------------------------------------------
+def test_struct_literal_and_access():
+    from ddb_tpu import Connection
+    c = Connection()
+    assert c.sql("SELECT {'a': 1, 'b': 'x'} AS s").fetchall() \
+        == [({"a": 1, "b": "x"},)]
+    assert c.sql("SELECT struct_pack(a := 1, b := 2).a").fetchall() \
+        == [(1,)]
+    assert c.sql("SELECT {'a': 1, 'b': 'x'}['b']").fetchall() == [("x",)]
+    assert c.sql("SELECT row(1, 'y') AS r").fetchall() \
+        == [({"v1": 1, "v2": "y"},)]
+
+
+def test_map_literal_and_access():
+    from ddb_tpu import Connection
+    c = Connection()
+    assert c.sql("SELECT MAP {'k1': 10, 'k2': 20}['k2']").fetchall() \
+        == [(20,)]
+    assert c.sql("SELECT cardinality(MAP {'a': 1})").fetchall() == [(1,)]
+    assert c.sql("SELECT map_keys(MAP {'a': 1, 'b': 2})").fetchall() \
+        == [(["a", "b"],)]
+    assert c.sql("SELECT map_values(MAP {'a': 1, 'b': 2})").fetchall() \
+        == [([1, 2],)]
+    assert c.sql("SELECT map_contains(MAP {'a': 1}, 'a'),"
+                 " map_contains(MAP {'a': 1}, 'z')").fetchall() \
+        == [(True, False)]
+
+
+def _nested_table():
+    import pyarrow as pa
+    return pa.table({
+        "id": [1, 2, 3],
+        "s": [{"x": 10, "y": "aa"}, {"x": 20, "y": "bb"}, None],
+        "l": [[1, 2], [], [3]],
+        "m": pa.array([[("a", 1)], [("b", 2), ("c", 3)], []],
+                      type=pa.map_(pa.string(), pa.int64())),
+    })
+
+
+def test_struct_column_access():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.register("t", _nested_table())
+    assert c.sql("SELECT id, s.x, s.y FROM t ORDER BY id").fetchall() \
+        == [(1, 10, "aa"), (2, 20, "bb"), (3, None, None)]
+    assert c.sql("SELECT id, s['x'] + 1 FROM t ORDER BY id").fetchall() \
+        == [(1, 11), (2, 21), (3, None)]
+    assert c.sql("SELECT id, struct_extract(s, 'y') FROM t"
+                 " WHERE s.x > 15").fetchall() == [(2, "bb")]
+    assert c.sql("SELECT sum(s.x) FROM t").fetchall() == [(30,)]
+    assert c.sql("SELECT s.x, count(*) FROM t GROUP BY s.x ORDER BY 1"
+                 ).fetchall() == [(10, 1), (20, 1), (None, 1)]
+
+
+def test_map_list_column_access():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.register("t", _nested_table())
+    assert c.sql("SELECT id, l[1], m['b'] FROM t ORDER BY id").fetchall() \
+        == [(1, 1, None), (2, None, 2), (3, 3, None)]
+    assert c.sql("SELECT id, l[-1] FROM t ORDER BY id").fetchall() \
+        == [(1, 2), (2, None), (3, 3)]
+
+
+def test_nested_arrow_parquet_roundtrip(tmp_path):
+    import pyarrow as pa
+    from ddb_tpu import Connection
+    c = Connection()
+    c.register("t", _nested_table())
+    at = c.sql("SELECT id, s, m FROM t ORDER BY id").arrow()
+    assert pa.types.is_struct(at.schema.field("s").type)
+    assert pa.types.is_map(at.schema.field("m").type)
+    p = str(tmp_path / "n.parquet")
+    c.sql(f"COPY (SELECT id, s, m FROM t) TO '{p}' (FORMAT parquet)")
+    c.sql(f"CREATE TABLE t2 AS SELECT * FROM read_parquet('{p}')")
+    assert c.sql("SELECT id, s.x, m['b'] FROM t2 ORDER BY id").fetchall() \
+        == [(1, 10, None), (2, 20, 2), (3, None, None)]
