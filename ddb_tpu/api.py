@@ -704,8 +704,16 @@ class Connection:
         if stmt.format == "parquet":
             at = pq.read_table(stmt.path)
         else:
-            at = pcsv.read_csv(stmt.path, convert_options=pcsv
-                               .ConvertOptions(strings_can_be_null=True))
+            # sniff dialect (delimiter/header) but coerce to the target
+            # table's declared column types
+            from .storage.csv_sniffer import read_csv_auto
+            names = [c.name for c in td.columns]
+            types = {c.name: repr(c.dtype) for c in td.columns}
+            opts = getattr(stmt, "options", None) or {}
+            at = read_csv_auto(stmt.path,
+                               delim=opts.get("delimiter"),
+                               header=opts.get("header"),
+                               names=names, types=types)
         src = storage_mod.from_arrow("__copy", at)
         dml.append_table(td, src.columns)
         self.catalog.bump()

@@ -168,6 +168,7 @@ class RFunction(TableRef):
     name: str
     args: List = field(default_factory=list)   # literal values
     alias: Optional[str] = None
+    kwargs: dict = field(default_factory=dict)  # named args (delim=..., …)
 
 
 @dataclass

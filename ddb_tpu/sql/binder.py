@@ -710,7 +710,12 @@ class Binder:
             if self.context is None:
                 raise BindError(
                     f"table function {ref.name} needs a connection")
-            td = fn(self.context, ref.args)
+            import inspect
+            if len(inspect.signature(fn).parameters) >= 3:
+                td = fn(self.context, ref.args,
+                        getattr(ref, "kwargs", None) or {})
+            else:
+                td = fn(self.context, ref.args)
             plan = L.Get(td, list(range(len(td.schema))))
             sc = Scope()
             sc.add((ref.alias or ref.name).lower(), plan.schema)

@@ -841,28 +841,44 @@ class Parser:
         if self.at("OP", "("):
             self.next()
             args = []
-            if not self.at("OP", ")"):
-                args.append(self.expr_primary())
-                while self.accept_op(","):
+            kwargs = {}
+
+            def _one():
+                if self.peek().kind in ("IDENT", "KW") \
+                        and self.peek(1).kind == "OP" \
+                        and self.peek(1).value in ("=", ":="):
+                    key = self.next().value.lower()
+                    self.next()
+                    kwargs[key] = self.expr_primary()
+                else:
                     args.append(self.expr_primary())
+
+            if not self.at("OP", ")"):
+                _one()
+                while self.accept_op(","):
+                    _one()
             self.expect_op(")")
             alias = None
             if self.accept_kw("as"):
                 alias = self.ident()
             elif self.peek().kind == "IDENT":
                 alias = self.next().value
-            vals = []
-            for a in args:
+
+            def _lit(a):
                 if isinstance(a, A.ELit):
-                    vals.append(a.value)
-                elif isinstance(a, A.ETyped):
-                    vals.append(a.text)
-                elif isinstance(a, A.EList):
-                    vals.append([x.value if isinstance(x, A.ELit)
-                                 else str(x) for x in a.items])
-                else:
-                    vals.append(str(a))
-            return A.RFunction(name, vals, alias)
+                    return a.value
+                if isinstance(a, A.ETyped):
+                    return a.text
+                if isinstance(a, A.EList):
+                    return [x.value if isinstance(x, A.ELit)
+                            else str(x) for x in a.items]
+                if isinstance(a, A.EStruct):
+                    return {n: _lit(v) for n, v in a.fields}
+                return str(a)
+
+            vals = [_lit(a) for a in args]
+            kw = {k: _lit(v) for k, v in kwargs.items()}
+            return A.RFunction(name, vals, alias, kwargs=kw)
         alias = None
         if self.accept_kw("as"):
             alias = self.ident()

@@ -374,10 +374,42 @@ def fn_repeat(ctx, args) -> TableData:
                     np.full(count, value))])
 
 
-def fn_read_csv(ctx, args) -> TableData:
+def fn_read_csv(ctx, args, kwargs=None) -> TableData:
+    """read_csv('f.csv'[, delim=..., header=..., columns={...}]):
+    dialect+schema sniffing then pyarrow bulk parse (reference: CSV
+    sniffer, src/execution/operator/csv_scanner/sniffer/)."""
     from .storage.table import from_arrow
-    import pyarrow.csv as pcsv
-    return from_arrow("read_csv", pcsv.read_csv(str(args[0])))
+    from .storage.csv_sniffer import read_csv_auto
+    kw = kwargs or {}
+    delim = kw.get("delim") or kw.get("sep") or kw.get("delimiter")
+    header = kw.get("header")
+    if isinstance(header, str):
+        header = header.lower() in ("true", "1", "yes")
+    names = kw.get("names")
+    types = kw.get("columns") if isinstance(kw.get("columns"), dict) \
+        else kw.get("types") if isinstance(kw.get("types"), dict) else None
+    if types and names is None and kw.get("columns"):
+        names = list(types.keys())
+    at = read_csv_auto(str(args[0]), delim=delim, header=header,
+                       names=names, types=types)
+    return from_arrow("read_csv", at)
+
+
+def fn_sniff_csv(ctx, args) -> TableData:
+    """sniff_csv('f.csv'): one row of detected dialect + schema
+    (reference: sniff_csv table function)."""
+    from .storage.csv_sniffer import sniff
+    sn = sniff(str(args[0]))
+    cols_sql = ", ".join(f"'{n}' '{t}'" for n, t in
+                         zip(sn.column_names, sn.column_types))
+    return TableData("sniff_csv", [
+        _strcol("delimiter", [sn.delimiter]),
+        _strcol("quote", [sn.quote]),
+        _strcol("escape", [sn.escape]),
+        TableColumn("has_header", T.BOOLEAN,
+                    np.array([sn.has_header])),
+        _strcol("columns", ["{" + cols_sql + "}"]),
+    ])
 
 
 def fn_read_parquet(ctx, args) -> TableData:
@@ -411,6 +443,7 @@ TABLE_FUNCTIONS.update({
     "repeat": fn_repeat,
     "read_csv": fn_read_csv,
     "read_csv_auto": fn_read_csv,
+    "sniff_csv": fn_sniff_csv,
     "read_parquet": fn_read_parquet,
 })
 

@@ -60,3 +60,53 @@ def test_window_rank_fns():
     assert rows[0][1] == 0.0 and rows[3][1] == 1.0
     assert rows[3][2] == 1.0 and abs(rows[2][2] - 0.75) < 1e-12
     assert [r[3] for r in rows] == [1, 1, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# CSV sniffer (reference: src/execution/operator/csv_scanner/sniffer/)
+# ---------------------------------------------------------------------------
+def test_sniffer_pipe_no_header(tmp_path):
+    import datetime
+    from ddb_tpu import Connection
+    p = str(tmp_path / "pipe.csv")
+    open(p, "w").write("1|foo|2020-01-01|1.5\n2|bar|2021-06-30|2.5\n")
+    c = Connection()
+    rows = c.sql(f"SELECT * FROM read_csv('{p}') ORDER BY 1").fetchall()
+    assert rows == [(1, "foo", datetime.date(2020, 1, 1), 1.5),
+                    (2, "bar", datetime.date(2021, 6, 30), 2.5)]
+    (d, q, e, h, cols), = c.sql(f"SELECT * FROM sniff_csv('{p}')").fetchall()
+    assert d == "|" and h is False and "DATE" in cols
+
+
+def test_sniffer_semicolon_header(tmp_path):
+    from ddb_tpu import Connection
+    p = str(tmp_path / "semi.csv")
+    open(p, "w").write("id;name;score\n1;alice;3.5\n2;bob;4.0\n")
+    c = Connection()
+    rows = c.sql(f"SELECT id, name, score FROM read_csv('{p}')"
+                 " ORDER BY id").fetchall()
+    assert rows == [(1, "alice", 3.5), (2, "bob", 4.0)]
+
+
+def test_read_csv_named_args(tmp_path):
+    from ddb_tpu import Connection
+    p = str(tmp_path / "t.tsv")
+    open(p, "w").write("a\tb\n10\t20\n30\t40\n")
+    c = Connection()
+    rows = c.sql(f"SELECT * FROM read_csv('{p}', delim='\t',"
+                 " header=true) ORDER BY 1").fetchall()
+    assert rows == [(10, 20), (30, 40)]
+
+
+def test_copy_from_sniffed_typed(tmp_path):
+    import datetime
+    from decimal import Decimal
+    from ddb_tpu import Connection
+    p = str(tmp_path / "pipe2.csv")
+    open(p, "w").write("1|foo|2020-01-01|1.50\n")
+    c = Connection()
+    c.sql("CREATE TABLE c1 (i INTEGER, s VARCHAR, d DATE,"
+          " v DECIMAL(12,2))")
+    c.sql(f"COPY c1 FROM '{p}'")
+    assert c.sql("SELECT * FROM c1").fetchall() == \
+        [(1, "foo", datetime.date(2020, 1, 1), Decimal("1.50"))]
