@@ -421,6 +421,9 @@ class Connection:
             return self._execute_explain(stmt)
         if isinstance(stmt, A.SetStmt):
             self.config.set(stmt.name, stmt.value)
+            if stmt.name.lower() == "memory_limit":
+                from .storage.buffer import MANAGER, parse_memory_limit
+                MANAGER.set_limit(parse_memory_limit(stmt.value))
             return None
         if isinstance(stmt, A.PragmaStmt):
             return self._execute_pragma(stmt)

@@ -41,7 +41,7 @@ def build_native(force: bool = False) -> str:
             os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
+        ["g++", "-O2", "-shared", "-fPIC", "-o", out, src, "-lz"],
         check=True, capture_output=True)
     return out
 
@@ -68,8 +68,69 @@ def _load_lib():
     lib.dtb_checksum.restype = ctypes.c_uint64
     lib.dtb_checksum.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.dtb_free.argtypes = [ctypes.c_void_p]
+    for fn in ("dtb_rle_compress", "dtb_zlib_compress"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                      ctypes.c_uint64]
+    for fn in ("dtb_rle_decompress", "dtb_zlib_decompress"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                      ctypes.c_uint64]
+    lib.dtb_delta_compress.restype = ctypes.c_int64
+    lib.dtb_delta_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_uint64]
+    lib.dtb_delta_decompress.restype = ctypes.c_int64
+    lib.dtb_delta_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_char_p, ctypes.c_uint64]
     _LIB = lib
     return lib
+
+
+# blob codecs (native/dtbfile.cpp; reference: src/storage/compression/)
+_RAW, _RLE, _DELTA, _ZLIB = 0, 1, 2, 3
+
+
+def _compress_blob(lib, data: bytes, kind: str, elem: int = 0):
+    """Pick a codec by payload kind, fall back to raw when it doesn't
+    shrink.  Returns (codec, payload)."""
+    if len(data) < 64:
+        return _RAW, data
+    cap = len(data) - 1        # only accept a strict win
+    buf = ctypes.create_string_buffer(cap)
+    if kind == "mask":
+        n = lib.dtb_rle_compress(data, len(data), buf, cap)
+        if n > 0:
+            return _RLE, buf.raw[:n]
+    elif kind == "ints" and elem in (4, 8):
+        n = lib.dtb_delta_compress(data, len(data), elem, buf, cap)
+        if n > 0:
+            return _DELTA, buf.raw[:n]
+    n = lib.dtb_zlib_compress(data, len(data), buf, cap)
+    if n > 0:
+        return _ZLIB, buf.raw[:n]
+    return _RAW, data
+
+
+def _decompress_blob(lib, codec: int, data: bytes, raw_len: int,
+                     elem: int = 0) -> bytes:
+    if codec == _RAW:
+        return data
+    buf = ctypes.create_string_buffer(raw_len)
+    if codec == _RLE:
+        n = lib.dtb_rle_decompress(data, len(data), buf, raw_len)
+    elif codec == _DELTA:
+        n = lib.dtb_delta_decompress(data, len(data), elem, buf, raw_len)
+    elif codec == _ZLIB:
+        n = lib.dtb_zlib_decompress(data, len(data), buf, raw_len)
+    else:
+        raise IOError(f"unknown blob codec {codec}")
+    if n != raw_len:
+        raise IOError("blob decompression failed (corrupt file)")
+    return buf.raw
 
 
 def _dict_blob(sd: StringDictionary) -> bytes:
@@ -100,12 +161,20 @@ def save_database(catalog, path: str) -> None:
     meta = {"tables": []}
     offset = [0]
 
-    def add_blob(data: bytes):
+    def add_blob(data: bytes, kind: str = "raw", elem: int = 0):
+        raw_len = len(data)
+        codec, payload = _compress_blob(lib, data, kind, elem)
         off = offset[0]
-        blobs.append(data)
-        offset[0] += len(data)
-        csum = lib.dtb_checksum(data, len(data)) if data else 0
-        return {"offset": off, "length": len(data), "checksum": csum}
+        blobs.append(payload)
+        offset[0] += len(payload)
+        csum = lib.dtb_checksum(payload, len(payload)) if payload else 0
+        m = {"offset": off, "length": len(payload), "checksum": csum}
+        if codec != _RAW:
+            m["codec"] = codec
+            m["raw_len"] = raw_len
+            if codec == _DELTA:
+                m["elem"] = elem
+        return m
 
     for name, td in sorted(catalog.tables.items()):
         tmeta = {"name": name, "num_rows": td.num_rows, "columns": []}
@@ -117,13 +186,15 @@ def save_database(catalog, path: str) -> None:
                 "scale": c.dtype.scale,
                 "dtype": str(c.data.dtype),
             }
-            cm["data"] = add_blob(np.ascontiguousarray(c.data).tobytes())
+            kind = "ints" if c.data.dtype.kind in "iu" else "raw"
+            cm["data"] = add_blob(np.ascontiguousarray(c.data).tobytes(),
+                                  kind, c.data.dtype.itemsize)
             if c.nulls is not None:
                 cm["nulls"] = add_blob(
-                    np.ascontiguousarray(c.nulls).tobytes())
+                    np.ascontiguousarray(c.nulls).tobytes(), "mask")
             if c.strdict is not None:
                 cm["dict_count"] = len(c.strdict)
-                cm["dict"] = add_blob(_dict_blob(c.strdict))
+                cm["dict"] = add_blob(_dict_blob(c.strdict), "text")
             tmeta["columns"].append(cm)
         meta["tables"].append(tmeta)
     meta["views"] = {n: list(v) for n, v in catalog.views.items()}
@@ -170,6 +241,10 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
         if lib.dtb_checksum(data, len(data)) != bm["checksum"] \
                 and bm["length"]:
             raise IOError("blob checksum mismatch (corrupt file)")
+        codec = bm.get("codec", _RAW)
+        if codec != _RAW:
+            data = _decompress_blob(lib, codec, data, bm["raw_len"],
+                                    bm.get("elem", 0))
         return data
 
     for tmeta in meta["tables"]:

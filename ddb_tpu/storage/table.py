@@ -72,11 +72,17 @@ class TableData:
 
     def device_batch(self, column_indices=None) -> Batch:
         """Full-table batch on device (cached).  column_indices selects a
-        projection; the cache holds the full batch and projections slice it."""
+        projection; the cache holds the full batch and projections slice it.
+        The buffer manager tracks bytes and LRU-evicts other tables' caches
+        when over budget (reference: src/storage/buffer_manager.cpp)."""
+        from .buffer import MANAGER
         if self._device_batch is None:
             arrays = [c.data for c in self.columns]
             nulls = [c.nulls for c in self.columns]
             self._device_batch = make_batch(arrays, nulls, self.num_rows)
+        nbytes = sum(c.data.nbytes + (c.nulls.nbytes if c.nulls is not None
+                                      else 0) for c in self.columns)
+        MANAGER.note_use(self, nbytes)
         b = self._device_batch
         if column_indices is None:
             return b
@@ -85,6 +91,8 @@ class TableData:
 
     def invalidate_cache(self):
         self._device_batch = None
+        from .buffer import MANAGER
+        MANAGER.drop(self)
 
 
 # ---------------------------------------------------------------------------

@@ -264,6 +264,11 @@ def fn_duckdb_memory(ctx, args) -> TableData:
         tags.append(str(d))
         used.append(int(stats.get("bytes_in_use", 0)))
         limit.append(int(stats.get("bytes_limit", 0)))
+    from .storage.buffer import MANAGER
+    st = MANAGER.stats()
+    tags.append("BUFFER_CACHE")
+    used.append(int(st["cached_bytes"]))
+    limit.append(int(st["limit_bytes"] or 0))
     return TableData("duckdb_memory", [
         _strcol("tag", tags),
         _intcol("memory_usage_bytes", used),

@@ -126,4 +126,129 @@ int dtb_read_blob(const char *path, uint64_t offset, uint64_t size,
 
 void dtb_free(void *p) { free(p); }
 
+// ---------------------------------------------------------------------
+// Lightweight column compression codecs (reference: the compression
+// function registry src/storage/compression/ — RLE, bitpacking, dictionary;
+// here: byte-RLE for masks, delta+zigzag varint for int lanes, deflate for
+// text payloads).  Codec ids: 0 raw, 1 byte-RLE, 2 delta-varint, 3 zlib.
+// All calls return the output length, or -1 when the output would exceed
+// dst_cap (callers then store raw).
+// ---------------------------------------------------------------------
+
+// codec 1: byte-level RLE, (run_len u8, byte) pairs.  Ideal for null
+// masks and constant regions; worst case 2x (caller falls back to raw).
+int64_t dtb_rle_compress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                         uint64_t dst_cap) {
+  uint64_t o = 0, i = 0;
+  while (i < len) {
+    uint8_t b = src[i];
+    uint64_t run = 1;
+    while (i + run < len && src[i + run] == b && run < 255) run++;
+    if (o + 2 > dst_cap) return -1;
+    dst[o++] = static_cast<uint8_t>(run);
+    dst[o++] = b;
+    i += run;
+  }
+  return static_cast<int64_t>(o);
+}
+
+int64_t dtb_rle_decompress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                           uint64_t raw_len) {
+  uint64_t o = 0, i = 0;
+  while (i + 2 <= len) {
+    uint8_t run = src[i], b = src[i + 1];
+    i += 2;
+    if (o + run > raw_len) return -1;
+    memset(dst + o, b, run);
+    o += run;
+  }
+  return o == raw_len ? static_cast<int64_t>(o) : -1;
+}
+
+// codec 2: per-lane delta + zigzag + LEB128 varint.  elem = 4 or 8.
+static inline uint64_t zigzag64(int64_t v) {
+  return (static_cast<uint64_t>(v) << 1) ^
+         static_cast<uint64_t>(v >> 63);
+}
+static inline int64_t unzigzag64(uint64_t v) {
+  return static_cast<int64_t>(v >> 1) ^ -static_cast<int64_t>(v & 1);
+}
+
+int64_t dtb_delta_compress(const uint8_t *src, uint64_t len, uint32_t elem,
+                           uint8_t *dst, uint64_t dst_cap) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t n = len / elem, o = 0;
+  int64_t prev = 0;
+  for (uint64_t i = 0; i < n; i++) {
+    int64_t v;
+    if (elem == 4) {
+      int32_t x;
+      memcpy(&x, src + i * 4, 4);
+      v = x;
+    } else {
+      memcpy(&v, src + i * 8, 8);
+    }
+    uint64_t z = zigzag64(v - prev);
+    prev = v;
+    while (z >= 0x80) {
+      if (o >= dst_cap) return -1;
+      dst[o++] = static_cast<uint8_t>(z) | 0x80;
+      z >>= 7;
+    }
+    if (o >= dst_cap) return -1;
+    dst[o++] = static_cast<uint8_t>(z);
+  }
+  return static_cast<int64_t>(o);
+}
+
+int64_t dtb_delta_decompress(const uint8_t *src, uint64_t len,
+                             uint32_t elem, uint8_t *dst,
+                             uint64_t raw_len) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t n = raw_len / elem, i = 0;
+  int64_t prev = 0;
+  for (uint64_t k = 0; k < n; k++) {
+    uint64_t z = 0;
+    int shift = 0;
+    while (true) {
+      if (i >= len || shift > 63) return -1;
+      uint8_t b = src[i++];
+      z |= static_cast<uint64_t>(b & 0x7F) << shift;
+      if (!(b & 0x80)) break;
+      shift += 7;
+    }
+    prev += unzigzag64(z);
+    if (elem == 4) {
+      int32_t x = static_cast<int32_t>(prev);
+      memcpy(dst + k * 4, &x, 4);
+    } else {
+      memcpy(dst + k * 8, &prev, 8);
+    }
+  }
+  return static_cast<int64_t>(n * elem);
+}
+
+}  // extern "C"
+
+// codec 3: deflate (zlib) for text/dictionary payloads
+#include <zlib.h>
+
+extern "C" {
+
+int64_t dtb_zlib_compress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                          uint64_t dst_cap) {
+  uLongf out = static_cast<uLongf>(dst_cap);
+  if (compress2(dst, &out, src, static_cast<uLong>(len), 6) != Z_OK)
+    return -1;
+  return static_cast<int64_t>(out);
+}
+
+int64_t dtb_zlib_decompress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                            uint64_t raw_len) {
+  uLongf out = static_cast<uLongf>(raw_len);
+  if (uncompress(dst, &out, src, static_cast<uLong>(len)) != Z_OK)
+    return -1;
+  return static_cast<int64_t>(out);
+}
+
 }  // extern "C"

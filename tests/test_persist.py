@@ -57,3 +57,62 @@ def test_missing_file():
     con = ddb_tpu.connect()
     with pytest.raises(IOError):
         con.load("/tmp/definitely_missing.dtb")
+
+
+def test_compressed_blobs_roundtrip(tmp_path):
+    # data blobs compress (delta-varint ints, RLE masks, zlib dicts) and
+    # decompress bit-exactly (native codecs, native/dtbfile.cpp;
+    # reference: src/storage/compression/)
+    import os
+    path = str(tmp_path / "c.dtb")
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE t (a INTEGER, b BIGINT, s VARCHAR)")
+    rows = ",".join(f"({i % 100},{i * 1000},'name{i % 50}')"
+                    for i in range(2000))
+    con.execute(f"INSERT INTO t VALUES {rows}")
+    con.save(path)
+    raw_bytes = 2000 * (4 + 8 + 4)
+    assert os.path.getsize(path) < raw_bytes // 2
+    con2 = ddb_tpu.connect()
+    con2.load(path)
+    assert con2.execute("SELECT count(*), sum(a), sum(b), min(s)"
+                        " FROM t").fetchall() \
+        == [(2000, 99000, 1999000000, "name0")]
+
+
+def test_buffer_manager_eviction():
+    from ddb_tpu.storage.buffer import BufferManager
+
+    class FakeTD:
+        def __init__(self):
+            self.dropped = 0
+
+        def invalidate_cache(self):
+            self.dropped += 1
+
+    bm = BufferManager(limit_bytes=100)
+    a, b, c = FakeTD(), FakeTD(), FakeTD()
+    bm.note_use(a, 60)
+    bm.note_use(b, 60)          # evicts a
+    assert a.dropped == 1 and bm.total_bytes == 60
+    bm.note_use(c, 200)         # over budget alone: keeps only c
+    assert b.dropped == 1
+    assert bm.stats()["cached_tables"] == 1
+
+
+def test_memory_limit_setting_evicts():
+    con = ddb_tpu.connect()
+    for i in range(3):
+        con.execute(f"CREATE TABLE m{i} (a INTEGER)")
+        rows = ",".join(f"({j})" for j in range(5000))
+        con.execute(f"INSERT INTO m{i} VALUES {rows}")
+    con.execute("SET memory_limit = '40KB'")
+    for i in range(3):
+        con.execute(f"SELECT sum(a) FROM m{i}").fetchall()
+    from ddb_tpu.storage.buffer import MANAGER
+    assert MANAGER.limit_bytes == 40000
+    assert MANAGER.total_bytes <= 40000
+    # correctness survives eviction (host copy is the backing store)
+    assert con.execute("SELECT sum(a) FROM m0").fetchall() \
+        == [(12497500,)]
+    MANAGER.set_limit(None)     # don't throttle later tests
