@@ -404,6 +404,9 @@ class Connection:
                 if ctx is None:     # profiling stays on the in-memory path
                     from .plan import tiled
                     tiled_res = tiled.execute_tiled(plan, self.config)
+                    if tiled_res is None:
+                        tiled_res = tiled.execute_tiled_topn(plan,
+                                                             self.config)
                 if tiled_res is not None:
                     schema, batch = tiled_res
                 else:

@@ -39,9 +39,31 @@ _UPPER = (L.Project, L.Order, L.Limit, L.Filter, L.Distinct)
 _LOWER = (L.Filter, L.Project)
 
 
+def _max_get_rows(node: L.LogicalNode) -> int:
+    """Largest base-table row count anywhere under `node`."""
+    if isinstance(node, L.Get):
+        return node.table.num_rows
+    best = 0
+    for attr in ("child", "left", "right", "base", "recursive"):
+        ch = getattr(node, attr, None)
+        if isinstance(ch, L.LogicalNode):
+            best = max(best, _max_get_rows(ch))
+    return best
+
+
+# join types whose probe rows aggregate independently per tile (build-side
+# unmatched rows of RIGHT/FULL joins would double-count across tiles)
+_STREAM_JOINS = ("inner", "left", "semi", "anti")
+
+
 def find_tiled_pipeline(plan: L.LogicalNode, threshold: int):
-    """Locate upper* -> Aggregate -> (Filter|Project)* -> Get(big table).
-    Returns (upper_chain, agg, lower_chain, get) or None."""
+    """Locate upper* -> Aggregate -> (Filter|Project|Join)* -> Get(big).
+
+    Joins stream when the BIG table feeds the probe (left) side and the
+    build side is small: each probe tile joins against the full build
+    input independently (reference: the external mode of
+    radix_partitioned_hashtable.cpp keeps the build resident and spills
+    probe partitions similarly).  Returns (upper, agg, lower, get)."""
     upper: List[L.LogicalNode] = []
     node = plan
     while isinstance(node, _UPPER):
@@ -55,9 +77,20 @@ def find_tiled_pipeline(plan: L.LogicalNode, threshold: int):
             return None
     lower: List[L.LogicalNode] = []
     node = agg.child
-    while isinstance(node, _LOWER):
-        lower.append(node)
-        node = node.child
+    while True:
+        if isinstance(node, _LOWER):
+            lower.append(node)
+            node = node.child
+            continue
+        if isinstance(node, L.Join) \
+                and node.join_type in _STREAM_JOINS \
+                and not getattr(node, "asof", False) \
+                and _max_get_rows(node.left) > threshold \
+                and _max_get_rows(node.right) <= threshold:
+            lower.append(node)
+            node = node.left
+            continue
+        break
     if not isinstance(node, L.Get):
         return None
     if node.table.num_rows <= threshold:
@@ -137,7 +170,10 @@ class _TiledPlan:
             node = L.Filter(node, ir.make_and(get.filters))
         for ln in reversed(lower):
             n2 = copy.copy(ln)
-            n2.child = node
+            if isinstance(ln, L.Join):
+                n2.left = node      # tile feeds the probe side
+            else:
+                n2.child = node
             object.__setattr__(n2, "_kern_cache", {})
             node = n2
         partials, merges, finals = _partial_specs(agg)
@@ -239,3 +275,116 @@ def _to_host(batch: Batch):
         nulls.append(np.asarray(c.nulls)[sel]
                      if c.nulls is not None else None)
     return data, nulls
+
+
+# ---------------------------------------------------------------------------
+# out-of-core TopN: Limit -> Order -> (Filter|Project)* -> Get(big)
+# (reference: external sort, src/common/sort/ + physical_top_n.cpp keeps a
+# bounded heap; the TPU shape is per-tile TopN kernels then a final TopN
+# over <= tiles*k candidate rows)
+# ---------------------------------------------------------------------------
+
+def find_tiled_topn(plan: L.LogicalNode, threshold: int):
+    node = plan
+    if not isinstance(node, L.Limit) or node.limit is None:
+        return None
+    limit = node
+    node = node.child
+    if not isinstance(node, L.Order):
+        return None
+    order = node
+    lower: List[L.LogicalNode] = []
+    node = order.child
+    while isinstance(node, _LOWER):
+        lower.append(node)
+        node = node.child
+    if not isinstance(node, L.Get):
+        return None
+    if node.table.num_rows <= threshold:
+        return None
+    k = limit.limit + limit.offset
+    if k >= node.table.num_rows:
+        return None
+    return limit, order, lower, node, k
+
+
+class _TiledTopN:
+    """Compiled-once artifacts for a tiled TopN pipeline."""
+
+    def __init__(self, limit: L.Limit, order: L.Order, lower, get,
+                 tile_rows: int, k: int):
+        self.get = get
+        self.tile_rows = tile_rows
+        self.cap = bucket_capacity(tile_rows)
+
+        self.cell = L.CTECell()
+        node: L.LogicalNode = L.CTERef("__tile", get.schema, self.cell)
+        if get.filters:
+            node = L.Filter(node, ir.make_and(get.filters))
+        for ln in reversed(lower):
+            n2 = copy.copy(ln)
+            n2.child = node
+            object.__setattr__(n2, "_kern_cache", {})
+            node = n2
+        # per-tile candidates: top (limit+offset) under the same keys
+        self.tile_plan = L.Limit(L.Order(node, order.keys), k, 0)
+        self.row_schema = self.tile_plan.schema
+
+        # final TopN over the concatenated candidates
+        self.final_cell = L.CTECell()
+        fnode: L.LogicalNode = L.CTERef("__cands", self.row_schema,
+                                        self.final_cell)
+        self.final_plan = L.Limit(L.Order(fnode, order.keys),
+                                  limit.limit, limit.offset)
+
+
+def execute_tiled_topn(plan: L.LogicalNode, config) -> Optional[
+        Tuple[Schema, Batch]]:
+    threshold = int(config.get("external_threshold_rows"))
+    found = find_tiled_topn(plan, threshold)
+    if found is None:
+        return None
+    limit, order, lower, get, k = found
+    tp = getattr(plan, "_tiled_topn", None)
+    if tp is None or tp.get is not get:
+        tp = _TiledTopN(limit, order, lower, get,
+                        int(config.get("tile_rows")), k)
+        plan._tiled_topn = tp
+
+    table = get.table
+    n = table.num_rows
+    cols = [table.columns[i] for i in get.column_indices]
+    cand_data: List[List[np.ndarray]] = None
+    cand_nulls: List[List[Optional[np.ndarray]]] = None
+    for lo in range(0, n, tp.tile_rows):
+        hi = min(lo + tp.tile_rows, n)
+        arrays = [c.data[lo:hi] for c in cols]
+        nulls = [c.nulls[lo:hi] if c.nulls is not None else None
+                 for c in cols]
+        tp.cell.batch = make_batch(arrays, nulls, count=hi - lo,
+                                   capacity=tp.cap)
+        _, cbatch = physical.execute(tp.tile_plan)
+        data, masks = _to_host(cbatch)
+        if cand_data is None:
+            cand_data = [[d] for d in data]
+            cand_nulls = [[m] for m in masks]
+        else:
+            for i, d in enumerate(data):
+                cand_data[i].append(d)
+                cand_nulls[i].append(masks[i])
+    tp.cell.batch = None
+
+    comb_data = [np.concatenate(ds) for ds in cand_data]
+    comb_nulls = []
+    for ds, ms in zip(cand_data, cand_nulls):
+        if any(m is not None for m in ms):
+            comb_nulls.append(np.concatenate(
+                [m if m is not None else np.zeros(len(d), dtype=bool)
+                 for d, m in zip(ds, ms)]))
+        else:
+            comb_nulls.append(None)
+    total = len(comb_data[0]) if comb_data else 0
+    tp.final_cell.batch = make_batch(comb_data, comb_nulls, count=total)
+    schema, batch = physical.execute(tp.final_plan)
+    tp.final_cell.batch = None
+    return schema, batch

@@ -69,3 +69,51 @@ def test_tiled_with_order_limit(big):
         "SELECT g, sum(v) AS s FROM big GROUP BY g ORDER BY s DESC "
         "LIMIT 3"))
     _assert_close(ref, got)
+
+
+def test_tiled_topn(big):
+    # out-of-core TopN: per-tile TopN kernels + final TopN over the
+    # candidates (reference: physical_top_n.cpp bounded heap +
+    # src/common/sort/ external sort)
+    ref, got = _run_both(big, (
+        "SELECT v, f, s FROM big WHERE g = 3 ORDER BY v DESC, f ASC "
+        "LIMIT 25"))
+    _assert_close(ref, got)
+
+
+def test_tiled_topn_offset(big):
+    ref, got = _run_both(big, (
+        "SELECT v, s FROM big ORDER BY v, s LIMIT 10 OFFSET 7"))
+    _assert_close(ref, got)
+
+
+def test_tiled_topn_strings(big):
+    ref, got = _run_both(big, (
+        "SELECT s, v FROM big ORDER BY s DESC, v DESC LIMIT 12"))
+    _assert_close(ref, got)
+
+
+@pytest.fixture(scope="module")
+def joined(big):
+    con = big
+    con.register("dim", {
+        "g": np.arange(7),
+        "label": np.array(["g0", "g1", "g2", "g3", "g4", "g5", "g6"]),
+        "w": np.arange(7) * 10,
+    })
+    return con
+
+
+def test_tiled_join_agg(joined):
+    # big probe side streams in tiles; small build side stays resident
+    ref, got = _run_both(joined, (
+        "SELECT d.label, count(*), sum(b.v + d.w) FROM big b, dim d "
+        "WHERE b.g = d.g AND b.v < 900 GROUP BY d.label ORDER BY d.label"))
+    _assert_close(ref, got)
+
+
+def test_tiled_semi_join_agg(joined):
+    ref, got = _run_both(joined, (
+        "SELECT count(*), sum(v) FROM big WHERE g IN "
+        "(SELECT g FROM dim WHERE w >= 30)"))
+    _assert_close(ref, got)
