@@ -721,9 +721,25 @@ class Connection:
                                header=opts.get("header"),
                                names=names, types=types)
         src = storage_mod.from_arrow("__copy", at)
+        n0 = td.num_rows
         dml.append_table(td, src.columns)
+        self._enforce_constraints(td, n0)
         self.catalog.bump()
         return None
+
+    def _enforce_constraints(self, td, n0: int) -> None:
+        """Post-append constraint check; rolls the append back on
+        violation (reference: physical_insert.cpp verifies via index
+        appends and reverts the local append on conflict)."""
+        from .storage import dml
+        if not getattr(td, "constraints", None) \
+                and not getattr(td, "not_null", None):
+            return
+        try:
+            dml.check_constraints(td)
+        except dml.ConstraintException:
+            dml.truncate_rows(td, n0)
+            raise
 
     # ---- statement verification -----------------------------------------
     def _verify_statement(self, stmt, unopt_plan, res: QueryResult):
@@ -792,13 +808,22 @@ class Connection:
                    resolve_typename(c.typename, c.width, c.scale))
                   for c in stmt.columns]
         td = dml.empty_table(stmt.name.lower(), fields)
+        td.constraints = [(k, [c.lower() for c in cols])
+                          for k, cols in getattr(stmt, "constraints", [])]
+        td.not_null = {c.name.lower() for c in stmt.columns if c.not_null}
+        for k, cols in td.constraints:
+            if k == "primary_key":     # PK implies NOT NULL (reference:
+                td.not_null.update(cols)  # bound pk adds NotNullConstraint)
         self.catalog.add_table(td, or_replace=stmt.or_replace)
         self._wal_log({"op": "create_table", "name": td.name,
                        "columns": [{"name": c.name,
                                     "type": c.dtype.id.name,
                                     "width": c.dtype.width,
                                     "scale": c.dtype.scale}
-                                   for c in td.columns]})
+                                   for c in td.columns],
+                       "constraints": [[k, list(c)]
+                                       for k, c in td.constraints],
+                       "not_null": sorted(td.not_null)})
         return None
 
     def _emit_cdc(self, table, op, rows, old_rows=None):
@@ -826,7 +851,9 @@ class Connection:
                     bound = b.bind_expr(e, sc)
                     row.append(_const_python_value(bound))
                 rows.append(row)
+            n0 = td.num_rows
             n = dml.insert_rows(td, rows, stmt.columns)
+            self._enforce_constraints(td, n0)
             self.catalog.bump()
             self._emit_cdc(td.name, "insert", rows)
             if self._wal is not None and not self._replaying:
@@ -840,7 +867,9 @@ class Connection:
         plan = self._optimize(binder.bind_select(stmt.select))
         schema, batch = physical.execute(plan)
         src = _result_to_table("__tmp", schema, batch)
+        n0 = td.num_rows
         dml.append_table(td, src.columns)
+        self._enforce_constraints(td, n0)
         self.catalog.bump()
         if self.cdc.enabled or (self._wal is not None
                                 and not self._replaying):
@@ -916,7 +945,22 @@ class Connection:
                 np.asarray(d)[:td.num_rows],
                 np.asarray(n)[:td.num_rows] if n is not None else None,
                 getattr(bound, "strdict", None))
+        backup = None
+        if getattr(td, "constraints", None) or getattr(td, "not_null",
+                                                       None):
+            backup = {c.name: (c.data, c.nulls, c.strdict)
+                      for c in td.columns if c.name in updates}
         dml.update_rows(td, mask, updates)
+        if backup is not None:
+            try:
+                dml.check_constraints(td)
+            except dml.ConstraintException:
+                for c in td.columns:
+                    if c.name in backup:
+                        c.data, c.nulls, c.strdict = backup[c.name]
+                        c.compute_stats()
+                td.invalidate_cache()
+                raise
         self.catalog.bump()
         if old is not None:
             self._emit_cdc(td.name, "update",

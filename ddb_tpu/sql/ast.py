@@ -273,6 +273,8 @@ class ColumnDef:
     width: int = 0
     scale: int = 0
     not_null: bool = False
+    primary_key: bool = False
+    unique: bool = False
 
 
 @dataclass
@@ -281,6 +283,8 @@ class CreateTable:
     columns: List[ColumnDef]
     or_replace: bool = False
     if_not_exists: bool = False
+    # table-level constraints: [("primary_key"|"unique", [col, ...]), ...]
+    constraints: List = field(default_factory=list)
 
 
 @dataclass

@@ -463,32 +463,60 @@ class Parser:
                                        or_replace)
             self.expect_op("(")
             cols = []
+            constraints = []
+
+            def _col_list():
+                self.expect_op("(")
+                out = [self.ident()]
+                while self.accept_op(","):
+                    out.append(self.ident())
+                self.expect_op(")")
+                return out
+
             while True:
-                cname = self.ident()
-                if cname == "primary" or self.at_kw("primary"):
-                    # PRIMARY KEY (...) table constraint: skip
-                    self.expect_kw("key") if cname == "primary" else None
-                    while not self.at("OP", ")"):
-                        self.next()
-                    break
-                tn, w, s = self.typename()
-                not_null = False
-                while True:
-                    if self.accept_kw("not"):
-                        self.expect_kw("null")
-                        not_null = True
-                    elif self.accept_kw("primary"):
-                        self.expect_kw("key")
-                        not_null = True
-                    elif self.accept_kw("default"):
-                        self.expr()
-                    else:
-                        break
-                cols.append(A.ColumnDef(cname, tn, w, s, not_null))
+                if self.at_kw("primary") or (
+                        self.peek().kind == "IDENT"
+                        and self.peek().value == "primary"):
+                    self.next()
+                    self.expect_kw("key")
+                    constraints.append(("primary_key", _col_list()))
+                elif self.peek().kind in ("IDENT", "KW") \
+                        and self.peek().value == "unique" \
+                        and self.peek(1).kind == "OP" \
+                        and self.peek(1).value == "(":
+                    self.next()
+                    constraints.append(("unique", _col_list()))
+                else:
+                    cname = self.ident()
+                    tn, w, s = self.typename()
+                    not_null = pk = uq = False
+                    while True:
+                        if self.accept_kw("not"):
+                            self.expect_kw("null")
+                            not_null = True
+                        elif self.accept_kw("primary"):
+                            self.expect_kw("key")
+                            not_null = pk = True
+                        elif self.peek().kind == "IDENT" \
+                                and self.peek().value == "unique":
+                            self.next()
+                            uq = True
+                        elif self.accept_kw("default"):
+                            self.expr()
+                        else:
+                            break
+                    cols.append(A.ColumnDef(cname, tn, w, s, not_null,
+                                            pk, uq))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
-            return A.CreateTable(name, cols, or_replace, if_not_exists)
+            for c in cols:
+                if c.primary_key:
+                    constraints.append(("primary_key", [c.name]))
+                if c.unique:
+                    constraints.append(("unique", [c.name]))
+            return A.CreateTable(name, cols, or_replace, if_not_exists,
+                                 constraints)
         self.error("expected VIEW or TABLE")
 
     def insert_stmt(self):

@@ -20,11 +20,69 @@ from .strings import StringDictionary
 from .table import ColumnStats, TableColumn, TableData
 
 
+class ConstraintException(Exception):
+    """PRIMARY KEY / UNIQUE / NOT NULL violation (reference:
+    ConstraintException, src/common/exception.cpp; enforced by ART index
+    inserts upstream — here by a vectorized sort + adjacent-equal scan,
+    src/execution/index/art/art.cpp:VerifyAppend analog)."""
+
+
+def check_constraints(td: TableData) -> None:
+    """Validate NOT NULL + PRIMARY KEY/UNIQUE over the FULL table.
+    Raises ConstraintException on the first violation."""
+    byname = {c.name: c for c in td.columns}
+    for cname in getattr(td, "not_null", ()):
+        c = byname.get(cname)
+        if c is not None and c.nulls is not None and c.nulls.any():
+            raise ConstraintException(
+                f"Constraint Error: NOT NULL constraint failed: "
+                f"{td.name}.{cname}")
+    for kind, colnames in getattr(td, "constraints", ()):
+        cols = [byname[n] for n in colnames if n in byname]
+        if not cols or td.num_rows < 2:
+            continue
+        keys = [c.data for c in cols]
+        # UNIQUE ignores rows with NULL keys (SQL: NULLs never conflict);
+        # PRIMARY KEY nulls are caught by the NOT NULL pass above
+        live = None
+        for c in cols:
+            if c.nulls is not None:
+                live = c.nulls if live is None else (live | c.nulls)
+        if live is not None:
+            keep = ~live
+            keys = [k[keep] for k in keys]
+            if len(keys[0]) < 2:
+                continue
+        order = np.lexsort(tuple(reversed(keys)))
+        dup = np.ones(len(order) - 1, dtype=bool)
+        for k in keys:
+            s = k[order]
+            dup &= s[1:] == s[:-1]
+        if dup.any():
+            raise ConstraintException(
+                f"Constraint Error: duplicate key violates "
+                f"{kind.replace('_', ' ')} constraint on {td.name}"
+                f"({', '.join(colnames)})")
+
+
+def truncate_rows(td: TableData, n: int) -> None:
+    """Roll an append back to the first n rows (constraint failure)."""
+    for col in td.columns:
+        col.data = col.data[:n]
+        if col.nulls is not None:
+            col.nulls = col.nulls[:n]
+        col.compute_stats()
+    td.invalidate_cache()
+
+
 def clone_table(td: TableData) -> TableData:
     """Shallow snapshot clone (arrays shared; mutations replace arrays)."""
     cols = [TableColumn(c.name, c.dtype, c.data, c.nulls, c.strdict,
                         c.stats) for c in td.columns]
-    return TableData(td.name, cols)
+    out = TableData(td.name, cols)
+    out.constraints = list(getattr(td, "constraints", []))
+    out.not_null = set(getattr(td, "not_null", ()))
+    return out
 
 
 def empty_table(name: str, fields) -> TableData:

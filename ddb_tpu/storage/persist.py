@@ -178,6 +178,11 @@ def save_database(catalog, path: str) -> None:
 
     for name, td in sorted(catalog.tables.items()):
         tmeta = {"name": name, "num_rows": td.num_rows, "columns": []}
+        if getattr(td, "constraints", None):
+            tmeta["constraints"] = [[k, list(c)]
+                                    for k, c in td.constraints]
+        if getattr(td, "not_null", None):
+            tmeta["not_null"] = sorted(td.not_null)
         for c in td.columns:
             cm = {
                 "name": c.name,
@@ -262,8 +267,13 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
                 sd = _dict_from_blob(read_blob(cm["dict"]),
                                      cm["dict_count"])
             cols.append(TableColumn(cm["name"], dt, data, nulls, sd))
-        catalog.add_table(TableData(prefix + tmeta["name"], cols),
-                          or_replace=True)
+        td = TableData(prefix + tmeta["name"], cols)
+        if tmeta.get("constraints"):
+            td.constraints = [(k, list(c))
+                              for k, c in tmeta["constraints"]]
+        if tmeta.get("not_null"):
+            td.not_null = set(tmeta["not_null"])
+        catalog.add_table(td, or_replace=True)
     for name, v in meta.get("views", {}).items():
         catalog.add_view(prefix + name, v[0], or_replace=True,
                          column_aliases=v[1])

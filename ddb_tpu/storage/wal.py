@@ -141,8 +141,13 @@ def apply_record(con, rec: dict) -> None:
         fields = [(c["name"],
                    DataType(TypeId[c["type"]], c["width"], c["scale"]))
                   for c in rec["columns"]]
-        cat.add_table(dml.empty_table(rec["name"], fields),
-                      or_replace=True)
+        td = dml.empty_table(rec["name"], fields)
+        if rec.get("constraints"):
+            td.constraints = [(k, list(c))
+                              for k, c in rec["constraints"]]
+        if rec.get("not_null"):
+            td.not_null = set(rec["not_null"])
+        cat.add_table(td, or_replace=True)
         if rec.get("rows"):
             dml.insert_rows(cat.get_table(rec["name"]),
                             decode_rows(rec["rows"]))

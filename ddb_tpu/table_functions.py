@@ -215,8 +215,24 @@ def fn_duckdb_prepared_statements(ctx, args) -> TableData:
 
 
 def fn_duckdb_constraints(ctx, args) -> TableData:
-    return TableData("duckdb_constraints", _emptycols(
-        "table_name", "constraint_type", "constraint_text"))
+    tnames, ctypes_, ctexts = [], [], []
+    for name, td in sorted(ctx.catalog.tables.items()):
+        for kind, cols in getattr(td, "constraints", ()):
+            tnames.append(name)
+            ctypes_.append(kind.replace("_", " ").upper())
+            ctexts.append(f"{kind.replace('_', ' ').upper()}"
+                          f"({', '.join(cols)})")
+        for cname in sorted(getattr(td, "not_null", ())):
+            tnames.append(name)
+            ctypes_.append("NOT NULL")
+            ctexts.append(f"NOT NULL({cname})")
+    if not tnames:
+        return TableData("duckdb_constraints", _emptycols(
+            "table_name", "constraint_type", "constraint_text"))
+    return TableData("duckdb_constraints", [
+        _strcol("table_name", tnames),
+        _strcol("constraint_type", ctypes_),
+        _strcol("constraint_text", ctexts)])
 
 
 def fn_duckdb_indexes(ctx, args) -> TableData:

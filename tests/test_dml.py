@@ -110,3 +110,67 @@ def test_hlc_external_advance():
     t1 = con.get_hlc_timestamp()
     con.set_hlc_timestamp(t1 + 10_000_000)
     assert con.get_hlc_timestamp() > t1 + 10_000_000
+
+
+# ---------------------------------------------------------------------------
+# constraint enforcement (reference: ConstraintException via ART verify,
+# src/execution/index/art/art.cpp; ours: vectorized lexsort adjacent-equal)
+# ---------------------------------------------------------------------------
+def test_primary_key_rejects_duplicates():
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    c = Connection()
+    c.sql("CREATE TABLE p (id INTEGER PRIMARY KEY, v VARCHAR)")
+    c.sql("INSERT INTO p VALUES (1, 'a'), (2, 'b')")
+    with pytest.raises(ConstraintException):
+        c.sql("INSERT INTO p VALUES (2, 'c')")
+    # failed insert rolled back
+    assert c.sql("SELECT count(*) FROM p").fetchall() == [(2,)]
+    with pytest.raises(ConstraintException):
+        c.sql("INSERT INTO p VALUES (NULL, 'd')")   # PK implies NOT NULL
+    with pytest.raises(ConstraintException):
+        c.sql("UPDATE p SET id = 1 WHERE id = 2")
+    assert c.sql("SELECT id FROM p ORDER BY id").fetchall() \
+        == [(1,), (2,)]
+
+
+def test_unique_allows_nulls():
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    c = Connection()
+    c.sql("CREATE TABLE u (a INTEGER, tag VARCHAR UNIQUE)")
+    c.sql("INSERT INTO u VALUES (1, 'x'), (2, NULL), (3, NULL)")
+    with pytest.raises(ConstraintException):
+        c.sql("INSERT INTO u VALUES (4, 'x')")
+    assert c.sql("SELECT count(*) FROM u").fetchall() == [(3,)]
+
+
+def test_composite_pk_and_introspection():
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    c = Connection()
+    c.sql("CREATE TABLE cp (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
+    c.sql("INSERT INTO cp VALUES (1, 1), (1, 2)")
+    with pytest.raises(ConstraintException):
+        c.sql("INSERT INTO cp SELECT 1, 2")
+    rows = c.sql("SELECT constraint_type FROM duckdb_constraints()"
+                 " WHERE table_name = 'cp'").fetchall()
+    assert ("PRIMARY KEY",) in rows
+
+
+def test_constraints_survive_save_load(tmp_path):
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    path = str(tmp_path / "k.dtb")
+    c = Connection()
+    c.sql("CREATE TABLE k (id INTEGER PRIMARY KEY)")
+    c.sql("INSERT INTO k VALUES (1)")
+    c.save(path)
+    c2 = Connection()
+    c2.load(path)
+    with pytest.raises(ConstraintException):
+        c2.sql("INSERT INTO k VALUES (1)")
