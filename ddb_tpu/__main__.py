@@ -37,13 +37,17 @@ def render_box(names, rows, max_rows=40):
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    try:
-        import readline  # noqa: F401
-    except ImportError:
-        pass
     import ddb_tpu
 
     con = ddb_tpu.connect(argv[0]) if argv else ddb_tpu.connect()
+    try:
+        import readline
+        from .autocomplete import make_readline_completer
+        readline.set_completer(make_readline_completer(lambda: con))
+        readline.set_completer_delims(" \t\n,();")
+        readline.parse_and_bind("tab: complete")
+    except ImportError:
+        pass
     db_path = argv[0] if argv else None
     timer = False
     print("ddb_tpu shell — TPU-native SQL engine.  "

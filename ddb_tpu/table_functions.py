@@ -416,6 +416,18 @@ def fn_read_csv(ctx, args, kwargs=None) -> TableData:
     return from_arrow("read_csv", at)
 
 
+def fn_sql_auto_complete(ctx, args) -> TableData:
+    """sql_auto_complete('SEL') -> (suggestion, suggestion_start)
+    (reference: extension/autocomplete/autocomplete_extension.cpp)."""
+    from .autocomplete import suggestions
+    prefix = str(args[0]) if args else ""
+    sugg = suggestions(ctx, prefix)[:20]
+    start = len(prefix) - len(prefix.split()[-1] if prefix.strip() else "")
+    return TableData("sql_auto_complete", [
+        _strcol("suggestion", [s for s, _ in sugg]),
+        _intcol("suggestion_start", [start] * len(sugg))])
+
+
 def fn_sniff_csv(ctx, args) -> TableData:
     """sniff_csv('f.csv'): one row of detected dialect + schema
     (reference: sniff_csv table function)."""
@@ -465,6 +477,7 @@ TABLE_FUNCTIONS.update({
     "read_csv": fn_read_csv,
     "read_csv_auto": fn_read_csv,
     "sniff_csv": fn_sniff_csv,
+    "sql_auto_complete": fn_sql_auto_complete,
     "read_parquet": fn_read_parquet,
 })
 

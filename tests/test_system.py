@@ -175,3 +175,16 @@ def test_valid_checker_invalidates_connection():
         if c2._invalidated is not None:
             with pytest.raises(FatalError):
                 c2.execute("SELECT 1")
+
+
+def test_sql_auto_complete():
+    # reference: extension/autocomplete/autocomplete_extension.cpp
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE customers (cust_id INTEGER)")
+    rows = con.execute("SELECT * FROM sql_auto_complete('SEL')").fetchall()
+    assert rows[0][0] == "SELECT"
+    rows = con.execute(
+        "SELECT suggestion FROM sql_auto_complete('SELECT * FROM cust')"
+    ).fetchall()
+    assert ("customers",) in rows
