@@ -456,10 +456,26 @@ class Connection:
                 return None
             if stmt.kind == "view":
                 self.catalog.drop_view(stmt.name, if_exists=stmt.if_exists)
+            elif stmt.kind == "type":
+                key = stmt.name.lower()
+                if key not in self.catalog.enums and not stmt.if_exists:
+                    raise CatalogException(
+                        f"type {stmt.name} does not exist")
+                self.catalog.enums.pop(key, None)
+                self.catalog.bump()
             else:
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
             self._wal_log({"op": "drop", "kind": stmt.kind,
                            "name": stmt.name})
+            return None
+        if isinstance(stmt, A.CreateType):
+            key = stmt.name.lower()
+            if key in self.catalog.enums and not stmt.or_replace:
+                raise CatalogException(f"type {stmt.name} already exists")
+            self.catalog.enums[key] = [str(v) for v in stmt.values]
+            self.catalog.bump()
+            self._wal_log({"op": "create_type", "name": key,
+                           "values": self.catalog.enums[key]})
             return None
         if isinstance(stmt, A.CreateTableAs):
             binder = Binder(self.catalog, context=self)
@@ -733,7 +749,8 @@ class Connection:
         appends and reverts the local append on conflict)."""
         from .storage import dml
         if not getattr(td, "constraints", None) \
-                and not getattr(td, "not_null", None):
+                and not getattr(td, "not_null", None) \
+                and not getattr(td, "enum_domains", None):
             return
         try:
             dml.check_constraints(td)
@@ -804,10 +821,28 @@ class Connection:
         from .storage import dml
         if stmt.if_not_exists and self.catalog.has_table(stmt.name):
             return None
-        fields = [(c.name.lower(),
-                   resolve_typename(c.typename, c.width, c.scale))
-                  for c in stmt.columns]
+        from .sql.binder import BindError
+        fields = []
+        enum_domains = {}
+        for c in stmt.columns:
+            cname = c.name.lower()
+            tn = c.typename.lower()
+            if tn in self.catalog.enums:
+                # ENUM column: VARCHAR storage restricted to the enum's
+                # value domain (reference: LogicalType::ENUM is a
+                # dictionary type, src/common/types.cpp; ordering here is
+                # lexicographic — sorted dictionaries are the engine
+                # invariant)
+                fields.append((cname, T.VARCHAR))
+                enum_domains[cname] = (tn, frozenset(
+                    self.catalog.enums[tn]))
+                continue
+            fields.append((cname,
+                           resolve_typename(c.typename, c.width,
+                                            c.scale)))
         td = dml.empty_table(stmt.name.lower(), fields)
+        if enum_domains:
+            td.enum_domains = enum_domains
         td.constraints = [(k, [c.lower() for c in cols])
                           for k, cols in getattr(stmt, "constraints", [])]
         td.not_null = {c.name.lower() for c in stmt.columns if c.not_null}
@@ -823,7 +858,9 @@ class Connection:
                                    for c in td.columns],
                        "constraints": [[k, list(c)]
                                        for k, c in td.constraints],
-                       "not_null": sorted(td.not_null)})
+                       "not_null": sorted(td.not_null),
+                       "enum_domains": {k: [v[0], sorted(v[1])]
+                                        for k, v in enum_domains.items()}})
         return None
 
     def _emit_cdc(self, table, op, rows, old_rows=None):
@@ -947,7 +984,8 @@ class Connection:
                 getattr(bound, "strdict", None))
         backup = None
         if getattr(td, "constraints", None) or getattr(td, "not_null",
-                                                       None):
+                                                       None) \
+                or getattr(td, "enum_domains", None):
             backup = {c.name: (c.data, c.nulls, c.strdict)
                       for c in td.columns if c.name in updates}
         dml.update_rows(td, mask, updates)

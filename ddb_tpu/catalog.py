@@ -21,6 +21,7 @@ class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableData] = {}
         self.views: Dict[str, str] = {}       # name -> (sql, col aliases)
+        self.enums: Dict[str, list] = {}      # ENUM type name -> values
         self.version = 0    # bumped on any change; invalidates plan cache
 
     def bump(self):

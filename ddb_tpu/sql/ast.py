@@ -249,8 +249,17 @@ class CreateTableAs:
 
 
 @dataclass
+class CreateType:
+    """CREATE TYPE name AS ENUM (...) (reference: enum logical type,
+    src/parser/parsed_data/create_type_info.hpp)."""
+    name: str
+    values: List[str]
+    or_replace: bool = False
+
+
+@dataclass
 class DropStmt:
-    kind: str                 # table | view | secret
+    kind: str                 # table | view | secret | type
     name: str
     if_exists: bool = False
 

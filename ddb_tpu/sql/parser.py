@@ -205,10 +205,14 @@ class Parser:
                     self.next()
                 self.next()          # 'secret'
                 kind = "secret"
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value == "type":
+                self.next()
+                kind = "type"
             else:
                 kind = "view" if self.accept_kw("view") else \
                     ("table" if self.accept_kw("table") else
-                     self.error("expected TABLE, VIEW or SECRET"))
+                     self.error("expected TABLE, VIEW, TYPE or SECRET"))
             if_exists = False
             if self.accept_kw("if"):
                 self.expect_kw("exists")
@@ -442,6 +446,23 @@ class Parser:
             self.expect_op(")")
             return A.CreateSecret(name, pairs, persistent, or_replace,
                                   if_not_exists)
+        if self.peek().kind == "IDENT" and self.peek().value == "type":
+            # CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')
+            self.next()
+            name = self.ident()
+            self.expect_kw("as")
+            if not (self.peek().kind == "IDENT"
+                    and self.peek().value == "enum"):
+                self.error("only ENUM types are supported")
+            self.next()
+            self.expect_op("(")
+            vals = []
+            if not self.at("OP", ")"):
+                vals.append(self.next().value)
+                while self.accept_op(","):
+                    vals.append(self.next().value)
+            self.expect_op(")")
+            return A.CreateType(name, vals, or_replace)
         if self.accept_kw("view"):
             name = self.ident()
             cols = self._opt_column_alias_list()

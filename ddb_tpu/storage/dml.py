@@ -37,6 +37,21 @@ def check_constraints(td: TableData) -> None:
             raise ConstraintException(
                 f"Constraint Error: NOT NULL constraint failed: "
                 f"{td.name}.{cname}")
+    for cname, (tname, allowed) in getattr(td, "enum_domains",
+                                           {}).items():
+        c = byname.get(cname)
+        if c is None or c.strdict is None or not len(c.data):
+            continue
+        # only codes actually referenced by live rows count (a rolled-back
+        # insert may leave orphan dictionary entries)
+        codes = c.data if c.nulls is None else c.data[~c.nulls]
+        live = {str(c.strdict.decode_one(int(k)))
+                for k in np.unique(codes)} - {""}
+        bad = live - set(allowed)
+        if bad:
+            raise ConstraintException(
+                f"Conversion Error: value '{sorted(bad)[0]}' is not a "
+                f"member of ENUM {tname}")
     for kind, colnames in getattr(td, "constraints", ()):
         cols = [byname[n] for n in colnames if n in byname]
         if not cols or td.num_rows < 2:
@@ -82,6 +97,7 @@ def clone_table(td: TableData) -> TableData:
     out = TableData(td.name, cols)
     out.constraints = list(getattr(td, "constraints", []))
     out.not_null = set(getattr(td, "not_null", ()))
+    out.enum_domains = dict(getattr(td, "enum_domains", {}))
     return out
 
 

@@ -183,6 +183,9 @@ def save_database(catalog, path: str) -> None:
                                     for k, c in td.constraints]
         if getattr(td, "not_null", None):
             tmeta["not_null"] = sorted(td.not_null)
+        if getattr(td, "enum_domains", None):
+            tmeta["enum_domains"] = {k: [v[0], sorted(v[1])]
+                                     for k, v in td.enum_domains.items()}
         for c in td.columns:
             cm = {
                 "name": c.name,
@@ -203,6 +206,8 @@ def save_database(catalog, path: str) -> None:
             tmeta["columns"].append(cm)
         meta["tables"].append(tmeta)
     meta["views"] = {n: list(v) for n, v in catalog.views.items()}
+    meta["enums"] = {n: list(v) for n, v in
+                     getattr(catalog, "enums", {}).items()}
 
     cat_json = json.dumps(meta).encode("utf-8")
     n = len(blobs)
@@ -273,7 +278,12 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
                               for k, c in tmeta["constraints"]]
         if tmeta.get("not_null"):
             td.not_null = set(tmeta["not_null"])
+        if tmeta.get("enum_domains"):
+            td.enum_domains = {k: (v[0], frozenset(v[1]))
+                               for k, v in tmeta["enum_domains"].items()}
         catalog.add_table(td, or_replace=True)
+    for name, v in meta.get("enums", {}).items():
+        catalog.enums[prefix + name] = list(v)
     for name, v in meta.get("views", {}).items():
         catalog.add_view(prefix + name, v[0], or_replace=True,
                          column_aliases=v[1])

@@ -147,10 +147,19 @@ def apply_record(con, rec: dict) -> None:
                               for k, c in rec["constraints"]]
         if rec.get("not_null"):
             td.not_null = set(rec["not_null"])
+        if rec.get("enum_domains"):
+            td.enum_domains = {k: (v[0], frozenset(v[1]))
+                               for k, v in rec["enum_domains"].items()}
         cat.add_table(td, or_replace=True)
         if rec.get("rows"):
             dml.insert_rows(cat.get_table(rec["name"]),
                             decode_rows(rec["rows"]))
+    elif op == "create_type":
+        cat.enums[rec["name"]] = list(rec["values"])
+        cat.bump()
+    elif op == "drop" and rec["kind"] == "type":
+        cat.enums.pop(rec["name"].lower(), None)
+        cat.bump()
     elif op == "create_view":
         cat.add_view(rec["name"], rec["sql"], or_replace=True,
                      column_aliases=rec.get("aliases"))

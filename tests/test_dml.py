@@ -174,3 +174,39 @@ def test_constraints_survive_save_load(tmp_path):
     c2.load(path)
     with pytest.raises(ConstraintException):
         c2.sql("INSERT INTO k VALUES (1)")
+
+
+def test_enum_type():
+    # CREATE TYPE ... AS ENUM (reference: create_type_info.hpp; enum is a
+    # dictionary type — ours: VARCHAR storage + insert-time domain check)
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    c = Connection()
+    c.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    c.sql("CREATE TABLE person (name VARCHAR, current_mood mood)")
+    c.sql("INSERT INTO person VALUES ('a', 'happy'), ('b', NULL)")
+    assert c.sql("SELECT name FROM person WHERE current_mood = 'happy'"
+                 ).fetchall() == [("a",)]
+    with pytest.raises(ConstraintException):
+        c.sql("INSERT INTO person VALUES ('d', 'angry')")
+    assert c.sql("SELECT count(*) FROM person").fetchall() == [(2,)]
+    c.sql("DROP TYPE mood")
+    with pytest.raises(Exception):
+        c.sql("CREATE TABLE p2 (m mood)")
+
+
+def test_enum_persists(tmp_path):
+    import pytest
+    from ddb_tpu import Connection
+    from ddb_tpu.storage.dml import ConstraintException
+    p = str(tmp_path / "e.dtb")
+    c = Connection()
+    c.sql("CREATE TYPE lvl AS ENUM ('lo', 'hi')")
+    c.sql("CREATE TABLE t (x lvl)")
+    c.sql("INSERT INTO t VALUES ('lo')")
+    c.save(p)
+    c2 = Connection()
+    c2.load(p)
+    with pytest.raises(ConstraintException):
+        c2.sql("INSERT INTO t VALUES ('mid')")
