@@ -422,6 +422,8 @@ class Connection:
             return res
         if isinstance(stmt, A.ExplainStmt):
             return self._execute_explain(stmt)
+        if isinstance(stmt, A.DescribeStmt):
+            return self._execute_describe(stmt)
         if isinstance(stmt, A.SetStmt):
             self.config.set(stmt.name, stmt.value)
             if stmt.name.lower() == "memory_limit":
@@ -776,6 +778,107 @@ class Connection:
         self.log.debug("verify", "unoptimized-plan cross-check ok")
 
     # ---- EXPLAIN / PRAGMA ------------------------------------------------
+    def _execute_describe(self, stmt):
+        """DESCRIBE: column name/type/null/key rows; SUMMARIZE: per-column
+        statistics (reference: DESCRIBE rewrite + shell SUMMARIZE —
+        min/max/approx_unique/avg/std/quartiles/count/null%)."""
+        from .storage.table import TableData
+        from .table_functions import _strcol
+        from .sql.binder import Binder
+
+        if stmt.select is not None and not stmt.summarize:
+            plan = Binder(self.catalog, context=self).bind_select(
+                stmt.select)
+            fields = list(plan.schema.fields)
+            nn, keys = set(), set()
+        else:
+            if stmt.select is not None:
+                plan = self._optimize(Binder(
+                    self.catalog, context=self).bind_select(stmt.select))
+                schema, batch = physical.execute(plan)
+                td = _result_to_table("__summarize", schema, batch)
+            else:
+                td = self.catalog.get_table(stmt.table)
+            fields = td.columns
+            nn = set(getattr(td, "not_null", ()))
+            keys = set()
+            for k, cols in getattr(td, "constraints", ()):
+                if k == "primary_key":
+                    keys.update(cols)
+
+        if not stmt.summarize:
+            names = [f.name for f in fields]
+            types_ = [repr(f.dtype) for f in fields]
+            nulls = ["NO" if f.name in nn else "YES" for f in fields]
+            key = ["PRI" if f.name in keys else None for f in fields]
+            out = TableData("describe", [
+                _strcol("column_name", names),
+                _strcol("column_type", types_),
+                _strcol("null", nulls),
+                _strcol("key", [k or "" for k in key]),
+                _strcol("default", [""] * len(names)),
+                _strcol("extra", [""] * len(names))])
+            return self._table_result(out)
+
+        cols = td.columns
+        n = td.num_rows
+        name_l, type_l, mn, mx, uniq, avg, std, q25, q50, q75, cnt, nulp \
+            = ([] for _ in range(12))
+
+        def s(v):
+            return "" if v is None else str(v)
+
+        for c in cols:
+            name_l.append(c.name)
+            type_l.append(repr(c.dtype))
+            live = c.data if c.nulls is None else c.data[~c.nulls]
+            k = len(live)
+            cnt.append(str(n))
+            nulp.append(f"{(100.0 * (n - k) / n) if n else 0.0:.2f}%")
+            if k == 0:
+                for lst in (mn, mx, uniq, avg, std, q25, q50, q75):
+                    lst.append("")
+                continue
+            uniq.append(str(int(len(np.unique(live)))))
+            if c.dtype.id == TypeId.VARCHAR and c.strdict is not None:
+                mn.append(s(c.strdict.decode_one(int(live.min()))))
+                mx.append(s(c.strdict.decode_one(int(live.max()))))
+                for lst in (avg, std, q25, q50, q75):
+                    lst.append("")
+                continue
+            mn.append(s(T.decode_value(live.min(), c.dtype, c.strdict)
+                        if c.dtype.id != TypeId.DOUBLE else live.min()))
+            mx.append(s(T.decode_value(live.max(), c.dtype, c.strdict)
+                        if c.dtype.id != TypeId.DOUBLE else live.max()))
+            if c.dtype.is_numeric:
+                f = live.astype(np.float64)
+                if c.dtype.id == TypeId.DECIMAL:
+                    f = f / T.decimal_scale_factor(c.dtype.scale)
+                avg.append(f"{f.mean():.6g}")
+                std.append(f"{f.std(ddof=1) if k > 1 else 0.0:.6g}")
+                q25.append(f"{np.quantile(f, 0.25):.6g}")
+                q50.append(f"{np.quantile(f, 0.50):.6g}")
+                q75.append(f"{np.quantile(f, 0.75):.6g}")
+            else:
+                for lst in (avg, std, q25, q50, q75):
+                    lst.append("")
+        out = TableData("summarize", [
+            _strcol("column_name", name_l),
+            _strcol("column_type", type_l),
+            _strcol("min", mn), _strcol("max", mx),
+            _strcol("approx_unique", uniq),
+            _strcol("avg", avg), _strcol("std", std),
+            _strcol("q25", q25), _strcol("q50", q50),
+            _strcol("q75", q75),
+            _strcol("count", cnt),
+            _strcol("null_percentage", nulp)])
+        return self._table_result(out)
+
+    def _table_result(self, td) -> "QueryResult":
+        plan = L.Get(td, list(range(len(td.columns))))
+        schema, batch = physical.execute(plan)
+        return QueryResult(schema, batch)
+
     def _execute_explain(self, stmt):
         from .plan.logical import explain as render_plan
         from .profiler import QueryProfiler

@@ -249,6 +249,16 @@ class CreateTableAs:
 
 
 @dataclass
+class DescribeStmt:
+    """DESCRIBE/SUMMARIZE table-or-query (reference: DESCRIBE pragma
+    rewrite, src/parser/statement/relation_statement.cpp + SUMMARIZE
+    rewrite in the shell)."""
+    table: Optional[str]
+    select: Optional["SelectStmt"]
+    summarize: bool = False
+
+
+@dataclass
 class CreateType:
     """CREATE TYPE name AS ENUM (...) (reference: enum logical type,
     src/parser/parsed_data/create_type_info.hpp)."""

@@ -98,6 +98,17 @@ class Parser:
     # ---- statements ------------------------------------------------------
     def statement(self):
         t = self.peek()
+        if t.kind == "IDENT" and t.value in ("describe", "summarize"):
+            # DESCRIBE/SUMMARIZE <table> | DESCRIBE/SUMMARIZE SELECT ...
+            kind = t.value
+            self.next()
+            if self.at_kw("select", "with"):
+                return A.DescribeStmt(None, self.select_stmt(),
+                                      summarize=(kind == "summarize"))
+            if self.accept_kw("table"):
+                pass
+            return A.DescribeStmt(self.ident(), None,
+                                  summarize=(kind == "summarize"))
         if t.kind == "IDENT" and t.value == "explain":
             self.next()
             analyze = False

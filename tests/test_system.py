@@ -188,3 +188,19 @@ def test_sql_auto_complete():
         "SELECT suggestion FROM sql_auto_complete('SELECT * FROM cust')"
     ).fetchall()
     assert ("customers",) in rows
+
+
+def test_describe_and_summarize():
+    # DESCRIBE rewrite + shell SUMMARIZE (reference: relation_statement)
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE dt (id INTEGER PRIMARY KEY, name VARCHAR)")
+    con.execute("INSERT INTO dt VALUES (1, 'a'), (2, NULL)")
+    rows = con.execute("DESCRIBE dt").fetchall()
+    assert rows[0][:4] == ("id", "INTEGER", "NO", "PRI")
+    assert rows[1][:3] == ("name", "VARCHAR", "YES")
+    s = con.execute("SUMMARIZE dt").fetchall()
+    assert s[0][0] == "id" and s[0][2] == "1" and s[0][3] == "2"
+    assert s[1][11] == "50.00%"
+    rows = con.execute("DESCRIBE SELECT id + 1 AS x FROM dt").fetchall()
+    assert rows[0][0] == "x"
