@@ -451,3 +451,10 @@ class EIndex(EExpr):
     """Postfix subscript: list[i] (1-based), map[key], struct['field']."""
     child: EExpr
     index: EExpr
+
+
+@dataclass
+class ECollate(EExpr):
+    """expr COLLATE name (nocase | noaccent | nocase.noaccent)."""
+    child: EExpr
+    collation: str

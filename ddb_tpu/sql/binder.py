@@ -1730,6 +1730,8 @@ class Binder:
         if isinstance(e, A.EIndex):
             return self._bind_index(e, scope, agg_ctx, group_map,
                                     sub_replacements)
+        if isinstance(e, A.ECollate):
+            return self._bind_collate(b(e.child), e.collation)
         if isinstance(e, A.ETyped):
             return self._bind_typed_literal(e)
         if isinstance(e, A.EUnary):
@@ -2732,6 +2734,48 @@ class Binder:
     # vectors src/common/types/vector.cpp; TPU design keeps payloads
     # host-side and compiles field access to per-store-id gather tables)
     # ------------------------------------------------------------------
+    def _bind_collate(self, c: ir.Expr, collation: str) -> ir.Expr:
+        """expr COLLATE name: recode into a collation-folded sorted
+        dictionary so equality AND ordering follow the collation
+        (reference: ICU collations, extension/icu/icu_collate.cpp +
+        PragmaCollations; ours folds at bind time — dictionary codes
+        stay the comparison domain on device)."""
+        parts = [p for p in collation.lower().split(".") if p]
+        bad = [p for p in parts if p not in ("nocase", "noaccent")]
+        if bad:
+            raise BindError(f"unknown collation {bad[0]}")
+        if c.dtype.id != TypeId.VARCHAR:
+            raise BindError("COLLATE requires a VARCHAR operand")
+
+        def fold(s: str) -> str:
+            if "noaccent" in parts:
+                import unicodedata
+                s = "".join(ch for ch in unicodedata.normalize("NFD", s)
+                            if not unicodedata.combining(ch))
+            if "nocase" in parts:
+                s = s.lower()
+            return s
+
+        sd = getattr(c, "strdict", None)
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return c
+            text = fold(sd.decode_one(c.value) if sd is not None
+                        else str(c.value))
+            sd2, codes, _ = StringDictionary.encode([text])
+            out = ir.Const(int(codes[0]), T.VARCHAR)
+            out.strdict = sd2
+            return out
+        if sd is None:
+            raise BindError("COLLATE operand has no dictionary")
+        folded = [fold(str(v)) for v in sd.values]
+        uniq, inv = np.unique(np.asarray(folded, dtype=object)
+                              .astype(str), return_inverse=True)
+        out = ir.DictLookup(c, inv.astype(np.int32), T.VARCHAR,
+                            f"collate_{'_'.join(parts)}")
+        out.strdict = StringDictionary(uniq)
+        return out
+
     def _const_py(self, c: ir.Const):
         """Constant -> python value (dictionary/store decoded)."""
         if c.value is None:

@@ -1078,6 +1078,15 @@ class Parser:
                 idx = self.expr()
                 self.expect_op("]")
                 e = A.EIndex(e, idx)
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value == "collate":
+                self.next()
+                coll = self.ident()
+                while self.at("OP", ".") \
+                        and self.peek(1).kind in ("IDENT", "KW"):
+                    self.next()
+                    coll += "." + self.ident()
+                e = A.ECollate(e, coll)
             elif self.at("OP", ".") and not isinstance(e, A.EIdent) \
                     and self.peek(1).kind in ("IDENT", "KW"):
                 # struct field access on a non-identifier expression:

@@ -676,3 +676,21 @@ def test_recursive_cte_numeric_to_varchar_anchor():
         " SELECT 'x' UNION ALL SELECT 1 FROM t WHERE s = 'x')"
         " SELECT * FROM t ORDER BY s").fetchall()
     assert rows == [("1",), ("x",)]
+
+
+def test_collate_nocase_noaccent():
+    # reference: ICU collations (extension/icu/icu_collate.cpp); ours
+    # folds the dictionary at bind time
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE cs (v VARCHAR)")
+    c.sql("INSERT INTO cs VALUES ('Apple'), ('banana'), ('CHERRY'),"
+          " ('äpfel')")
+    assert c.sql("SELECT v FROM cs WHERE v COLLATE NOCASE = 'apple'"
+                 ).fetchall() == [("Apple",)]
+    assert c.sql("SELECT v FROM cs WHERE v COLLATE NOACCENT = 'apfel'"
+                 ).fetchall() == [("äpfel",)]
+    assert c.sql("SELECT 'ABC' COLLATE NOCASE = 'abc'").fetchall() \
+        == [(True,)]
+    rows = c.sql("SELECT v FROM cs ORDER BY v COLLATE NOCASE").fetchall()
+    assert rows[0] == ("Apple",) and rows[1] == ("banana",)
