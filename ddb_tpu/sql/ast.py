@@ -64,6 +64,7 @@ class EWindow(EExpr):
     partition: List[EExpr] = field(default_factory=list)
     order: List["OrderItem"] = field(default_factory=list)
     frame: Optional[str] = None       # None => dialect default
+    ref: Optional[str] = None         # OVER window_name (WINDOW clause)
 
 
 @dataclass
@@ -223,6 +224,7 @@ class SelectStmt:
     grouping_sets: Optional[List[List[int]]] = None
     sample: Optional["SampleSpec"] = None     # USING SAMPLE
     having: Optional[EExpr] = None
+    qualify: Optional[EExpr] = None   # QUALIFY: filter on window output
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: int = 0

@@ -276,9 +276,12 @@ class Binder:
             or (stmt.having is not None
                 and self._contains_agg(stmt.having)) \
             or bool(stmt.group_by)
-        has_windows = any(_contains_window(e) for e, _ in items)
+        has_windows = any(_contains_window(e) for e, _ in items) \
+            or (stmt.qualify is not None
+                and _contains_window(stmt.qualify))
 
         having_bound = None
+        qualify_bound = None
         order_prebound = {}
         if has_aggs:
             # windows over aggregates evaluate AFTER grouping: their
@@ -286,26 +289,48 @@ class Binder:
             # the Window node sits above the Aggregate (reference:
             # window expressions bound post-aggregate in select binding)
             win_ctx = WinCtx() if has_windows else None
+            agg_items = list(items)
+            if stmt.qualify is not None and win_ctx is not None:
+                # bind QUALIFY as a hidden trailing item so it shares the
+                # aggregate + window binding context
+                agg_items.append((_subst_item_aliases(stmt.qualify,
+                                                      items),
+                                  "__qualify"))
             plan, bound_items, having_bound, order_prebound = \
-                self._bind_aggregate(stmt, items, plan, scope, win_ctx)
+                self._bind_aggregate(stmt, agg_items, plan, scope, win_ctx)
+            qexpr_hidden = None
+            if stmt.qualify is not None and win_ctx is not None:
+                qexpr_hidden = bound_items.pop()
             if win_ctx is not None and win_ctx.fns:
                 if having_bound is not None:
                     # HAVING filters groups BEFORE window evaluation
                     plan = L.Filter(plan, having_bound)
                     having_bound = None
+                qexpr = qexpr_hidden
                 base = len(plan.schema)
                 plan = L.Window(plan, win_ctx.fns)
                 bound_items = [_resolve_winrefs(b, base)
                                for b in bound_items]
                 order_prebound = {k: _resolve_winrefs(v, base)
                                   for k, v in order_prebound.items()}
+                if qexpr is not None:
+                    # QUALIFY filters AFTER window evaluation (reference:
+                    # bind_select_node.cpp qualify binding)
+                    plan = L.Filter(plan, _resolve_winrefs(qexpr, base))
         elif has_windows:
             win_ctx = WinCtx()
             bound_items = [self.bind_expr(e, scope, win_ctx=win_ctx)
                            for e, _ in items]
+            qexpr = None
+            if stmt.qualify is not None:
+                qexpr = self.bind_expr(
+                    _subst_item_aliases(stmt.qualify, items), scope,
+                    win_ctx=win_ctx)
             base = len(plan.schema)
             plan = L.Window(plan, win_ctx.fns)
             bound_items = [_resolve_winrefs(b, base) for b in bound_items]
+            if qexpr is not None:
+                plan = L.Filter(plan, _resolve_winrefs(qexpr, base))
         else:
             self._plan_for_bounds = plan
             try:
@@ -1748,7 +1773,7 @@ class Binder:
             if e.op in ("==", "!=", "<", "<=", ">", ">="):
                 return self._bind_comparison(e.op, e.left, e.right, scope,
                                              agg_ctx, group_map,
-                                             sub_replacements)
+                                             sub_replacements, win_ctx)
             return self._bind_arith(e.op, b(e.left), b(e.right))
         if isinstance(e, A.EBetween):
             lo = A.EBinary(">=", e.child, e.lo)
@@ -1921,9 +1946,9 @@ class Binder:
         return ir.bind_arith(op, l, r)
 
     def _bind_comparison(self, op, la, ra, scope, agg_ctx, group_map,
-                         sub_replacements) -> ir.Expr:
+                         sub_replacements, win_ctx=None) -> ir.Expr:
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
-                                     sub_replacements)
+                                     sub_replacements, win_ctx)
         l = b(la)
         r = b(ra)
         lt, rt = l.dtype, r.dtype
@@ -3362,6 +3387,26 @@ def _collect_scalar_subs(e: A.EExpr, out: List[A.ESub]):
         return
     for c in _ast_children(e):
         _collect_scalar_subs(c, out)
+
+
+
+def _subst_item_aliases(e, items):
+    """Replace bare identifiers matching a select-item alias with that
+    item's expression (QUALIFY may reference output aliases, reference:
+    bind_select_node.cpp qualify alias binding)."""
+    import copy as _copy
+    if isinstance(e, A.EIdent) and len(e.parts) == 1:
+        for ie, alias in items:
+            if alias and alias.lower() == e.parts[0].lower():
+                return _copy.deepcopy(ie)
+    for attr in ("child", "left", "right", "pattern", "lo", "hi",
+                 "index"):
+        if hasattr(e, attr) and isinstance(getattr(e, attr), A.EExpr):
+            setattr(e, attr, _subst_item_aliases(getattr(e, attr), items))
+    if hasattr(e, "args"):
+        e.args = [_subst_item_aliases(a, items)
+                  if isinstance(a, A.EExpr) else a for a in e.args]
+    return e
 
 
 def _contains_window(e: A.EExpr) -> bool:

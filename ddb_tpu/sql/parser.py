@@ -25,6 +25,12 @@ def parse(sql: str) -> List[object]:
     return stmts
 
 
+
+# identifiers that introduce a clause and therefore can never be an
+# implicit (AS-less) alias (duckdb treats them as unreserved keywords)
+_NON_ALIAS = {"qualify", "window", "lateral"}
+
+
 class Parser:
     def __init__(self, tokens: List[Token], text: str = ""):
         self.toks = tokens
@@ -648,7 +654,8 @@ class Parser:
             alias = None
             if self.accept_kw("as"):
                 alias = self.ident()
-            elif self.peek().kind == "IDENT":
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value not in _NON_ALIAS:
                 alias = self.next().value
             s.items.append((e, alias))
             if not self.accept_op(","):
@@ -674,6 +681,68 @@ class Parser:
                         break
         if self.accept_kw("having"):
             s.having = self.expr()
+        wdefs = {}
+        while True:
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "window":
+                # WINDOW w AS (PARTITION BY ... ORDER BY ... [frame]), ...
+                self.next()
+                while True:
+                    wname = self.ident().lower()
+                    self.expect_kw("as")
+                    self.expect_op("(")
+                    w = A.EWindow(None)
+                    if self.accept_kw("partition"):
+                        self.expect_kw("by")
+                        w.partition.append(self.expr())
+                        while self.accept_op(","):
+                            w.partition.append(self.expr())
+                    if self.accept_kw("order"):
+                        self.expect_kw("by")
+                        w.order = self.order_items()
+                    if self.at_kw("rows", "range"):
+                        frame_kind = self.next().value
+                        parts = [frame_kind]
+                        while not self.at("OP", ")"):
+                            parts.append(self.next().value)
+                        w.frame = " ".join(parts)
+                    self.expect_op(")")
+                    wdefs[wname] = w
+                    if not self.accept_op(","):
+                        break
+                continue
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value == "qualify":
+                self.next()
+                s.qualify = self.expr()
+                continue
+            break
+        if wdefs:
+            def resolve(e):
+                if isinstance(e, A.EWindow) and e.ref:
+                    d = wdefs.get(e.ref.lower())
+                    if d is None:
+                        self.error(f"unknown window {e.ref}")
+                    e.partition = list(d.partition)
+                    e.order = list(d.order)
+                    e.frame = d.frame
+                    e.ref = None
+                if hasattr(e, "__dataclass_fields__"):
+                    import dataclasses
+                    for f in dataclasses.fields(e):
+                        v = getattr(e, f.name)
+                        if isinstance(v, A.EExpr):
+                            resolve(v)
+                        elif isinstance(v, (list, tuple)):
+                            for x in v:
+                                if isinstance(x, A.EExpr):
+                                    resolve(x)
+                                elif isinstance(x, A.OrderItem):
+                                    resolve(x.expr)
+                return e
+            s.items = [(resolve(e), a) for e, a in s.items]
+            if s.qualify is not None:
+                s.qualify = resolve(s.qualify)
         if self.at_kw("order"):
             # leave for select_stmt when part of set-op; consume here
             self.next()
@@ -886,7 +955,8 @@ class Parser:
                 self.expect_op(")")
                 self.accept_kw("as")
                 alias = None
-                if self.peek().kind == "IDENT":
+                if self.peek().kind == "IDENT" \
+                        and self.peek().value not in _NON_ALIAS:
                     alias = self.next().value
                 cols = self._opt_column_alias_list()
                 return A.RValues(rows, alias, cols)
@@ -921,7 +991,8 @@ class Parser:
             alias = None
             if self.accept_kw("as"):
                 alias = self.ident()
-            elif self.peek().kind == "IDENT":
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value not in _NON_ALIAS:
                 alias = self.next().value
 
             def _lit(a):
@@ -942,7 +1013,8 @@ class Parser:
         alias = None
         if self.accept_kw("as"):
             alias = self.ident()
-        elif self.peek().kind == "IDENT":
+        elif self.peek().kind == "IDENT" \
+                and self.peek().value not in _NON_ALIAS:
             alias = self.next().value
         return A.RBase(name, alias)
 
@@ -1337,6 +1409,9 @@ class Parser:
 
     def window_suffix(self, fn: A.EFunc) -> A.EWindow:
         self.expect_kw("over")
+        if self.peek().kind == "IDENT" and not self.at("OP", "("):
+            # OVER window_name (resolved from the WINDOW clause)
+            return A.EWindow(fn, ref=self.ident())
         self.expect_op("(")
         w = A.EWindow(fn)
         if self.accept_kw("partition"):

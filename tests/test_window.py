@@ -113,3 +113,53 @@ def test_range_value_frame():
         "SELECT t, sum(v) OVER (ORDER BY t ROWS 2 PRECEDING) FROM wr "
         "WHERE g='a' ORDER BY t").fetchall()
     assert r == [(1, 10), (2, 30), (4, 60), (7, 90)]
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY + named WINDOW clause (reference: bind_select_node.cpp qualify
+# binding; WINDOW clause resolution in the parser transformer)
+# ---------------------------------------------------------------------------
+def test_qualify_basic():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE q (g VARCHAR, v INTEGER)")
+    c.sql("INSERT INTO q VALUES ('a',1),('a',3),('a',2),('b',5),('b',4)")
+    rows = c.sql(
+        "SELECT g, v FROM q QUALIFY row_number() OVER"
+        " (PARTITION BY g ORDER BY v DESC) = 1 ORDER BY g").fetchall()
+    assert rows == [("a", 3), ("b", 5)]
+
+
+def test_qualify_alias_reference():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE q2 (g VARCHAR, v INTEGER)")
+    c.sql("INSERT INTO q2 VALUES ('a',1),('a',3),('a',2),('b',5),('b',4)")
+    rows = c.sql(
+        "SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v) r FROM q2"
+        " QUALIFY r <= 2 ORDER BY g, v").fetchall()
+    assert rows == [("a", 1, 1), ("a", 2, 2), ("b", 4, 1), ("b", 5, 2)]
+
+
+def test_qualify_over_aggregate():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE q3 (g VARCHAR, v INTEGER)")
+    c.sql("INSERT INTO q3 VALUES ('a',1),('a',3),('b',5),('b',4)")
+    rows = c.sql(
+        "SELECT g, sum(v) s FROM q3 GROUP BY g"
+        " QUALIFY row_number() OVER (ORDER BY sum(v) DESC) = 1").fetchall()
+    assert rows == [("b", 9)]
+
+
+def test_named_window_clause():
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE q4 (g VARCHAR, v INTEGER)")
+    c.sql("INSERT INTO q4 VALUES ('a',1),('a',3),('a',2),('b',5)")
+    rows = c.sql(
+        "SELECT g, v, row_number() OVER win AS rn, sum(v) OVER win AS s"
+        " FROM q4 WINDOW win AS (PARTITION BY g ORDER BY v)"
+        " ORDER BY g, v").fetchall()
+    assert rows == [("a", 1, 1, 1), ("a", 2, 2, 3), ("a", 3, 3, 6),
+                    ("b", 5, 1, 5)]
