@@ -2315,7 +2315,13 @@ class Binder:
                                           group_map, sub_replacements)
         if name in ("array_length", "list_length", "len", "length",
                     "cardinality", "list_contains", "array_contains",
-                    "list_has", "contains"):
+                    "list_has", "contains", "list_sort", "array_sort",
+                    "list_reverse_sort", "list_reverse", "array_reverse",
+                    "list_distinct", "list_unique", "flatten",
+                    "list_sum", "list_min", "list_max", "list_avg",
+                    "list_median", "list_slice", "array_slice",
+                    "array_to_string", "list_position", "list_indexof",
+                    "array_position"):
             a = b(e.args[0])
             if a.dtype.id == TypeId.LIST:
                 return self._bind_list_func(name, a, e, scope, agg_ctx,
@@ -3003,6 +3009,97 @@ class Binder:
                     "cardinality"):
             return ir.DictLookup(a, store.lengths(), T.BIGINT,
                                  "list_length")
+        et = a.dtype.child or T.INTEGER
+        if name in ("list_sort", "array_sort", "list_reverse_sort",
+                    "list_reverse", "array_reverse", "list_distinct",
+                    "list_unique", "flatten"):
+            def xform(lst):
+                vals = [x for x in lst if x is not None]
+                if name in ("list_sort", "array_sort"):
+                    return sorted(vals) + [None] * (len(lst) - len(vals))
+                if name == "list_reverse_sort":
+                    return sorted(vals, reverse=True) \
+                        + [None] * (len(lst) - len(vals))
+                if name in ("list_reverse", "array_reverse"):
+                    return list(reversed(lst))
+                if name == "list_distinct":
+                    seen, out = set(), []
+                    for x in vals:
+                        if x not in seen:
+                            seen.add(x)
+                            out.append(x)
+                    return out
+                if name == "flatten":
+                    out = []
+                    for x in lst:
+                        if isinstance(x, list):
+                            out.extend(x)
+                    return out
+                return lst
+            if name == "list_unique":
+                tab = np.array([len({x for x in lst if x is not None})
+                                for lst in store.items], dtype=np.int64)
+                return ir.DictLookup(a, tab, T.BIGINT, "list_unique")
+            rt = T.LIST(et.child) if name == "flatten" \
+                and et.id == TypeId.LIST else T.LIST(et)
+            return self._payload_expr(
+                a, [xform(lst) for lst in store.items],
+                rt, name)
+        if name in ("list_sum", "list_min", "list_max", "list_avg",
+                    "list_median"):
+            red = {"list_sum": sum, "list_min": min, "list_max": max}
+            vals = []
+            for lst in store.items:
+                xs = [x for x in lst if x is not None]
+                if not xs:
+                    vals.append(None)
+                elif name == "list_avg":
+                    vals.append(float(sum(xs)) / len(xs))
+                elif name == "list_median":
+                    ss = sorted(xs)
+                    m = len(ss) // 2
+                    vals.append(float(ss[m]) if len(ss) % 2
+                                else (float(ss[m - 1]) + float(ss[m])) / 2)
+                else:
+                    vals.append(red[name](xs))
+            rt = T.DOUBLE if name in ("list_avg", "list_median") else et
+            return self._payload_expr(a, vals, rt, name)
+        if name in ("list_slice", "array_slice"):
+            lo = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                                sub_replacements)
+            hi = self.bind_expr(e.args[2], scope, agg_ctx, group_map,
+                                sub_replacements)
+            if not isinstance(lo, ir.Const) or not isinstance(hi, ir.Const):
+                raise BindError(f"{name}: bounds must be constant")
+            i0, i1 = int(lo.value), int(hi.value)
+            outs = []
+            for lst in store.items:
+                b0 = i0 - 1 if i0 > 0 else len(lst) + i0
+                b1 = i1 if i1 > 0 else len(lst) + i1 + 1
+                outs.append(lst[max(b0, 0):max(b1, 0)])
+            return self._payload_expr(a, outs, T.LIST(et), name)
+        if name in ("array_to_string", "list_aggr_string"):
+            sep = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                                 sub_replacements)
+            if not isinstance(sep, ir.Const):
+                raise BindError(f"{name}: separator must be constant")
+            sd = getattr(sep, "strdict", None)
+            sp = sd.decode_one(sep.value) if sd is not None \
+                else str(sep.value)
+            vals = [sp.join(str(x) for x in lst if x is not None)
+                    for lst in store.items]
+            return self._payload_expr(a, vals, T.VARCHAR, name)
+        if name in ("list_position", "list_indexof", "array_position"):
+            v = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                               sub_replacements)
+            if not isinstance(v, ir.Const):
+                raise BindError(f"{name}: needle must be constant")
+            sdv = getattr(v, "strdict", None)
+            needle = sdv.decode_one(v.value) if sdv is not None \
+                else T.decode_value(v.value, v.dtype)
+            vals = [lst.index(needle) + 1 if needle in lst else None
+                    for lst in store.items]
+            return self._payload_expr(a, vals, T.INTEGER, name)
         # list_contains(l, v)
         v = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
                            sub_replacements)

@@ -169,3 +169,24 @@ def test_nested_arrow_parquet_roundtrip(tmp_path):
     c.sql(f"CREATE TABLE t2 AS SELECT * FROM read_parquet('{p}')")
     assert c.sql("SELECT id, s.x, m['b'] FROM t2 ORDER BY id").fetchall() \
         == [(1, 10, None), (2, 20, 2), (3, None, None)]
+
+
+def test_list_function_breadth():
+    # reference: extension/core_functions/scalar/list/*
+    from ddb_tpu import Connection
+    c = Connection()
+    c.register("lt", {"l": [[3, 1, 2], [5], [], [2, None, 1]]})
+    assert c.sql("SELECT list_sort(l) FROM lt").fetchall()[0] \
+        == ([1, 2, 3],)
+    assert c.sql("SELECT list_distinct([1,2,2,3])").fetchall() \
+        == [([1, 2, 3],)]
+    assert c.sql("SELECT list_unique([1,2,2,3])").fetchall() == [(3,)]
+    assert c.sql("SELECT flatten([[1,2],[3]])").fetchall() \
+        == [([1, 2, 3],)]
+    assert c.sql("SELECT list_sum(l), list_min(l), list_avg(l) FROM lt"
+                 ).fetchall()[0] == (6, 1, 2.0)
+    assert c.sql("SELECT list_slice([1,2,3,4,5], 2, 4)").fetchall() \
+        == [([2, 3, 4],)]
+    assert c.sql("SELECT array_to_string([1,2,3], '-')").fetchall() \
+        == [("1-2-3",)]
+    assert c.sql("SELECT list_position([7,8,9], 8)").fetchall() == [(2,)]
