@@ -334,7 +334,15 @@ class Binder:
         else:
             self._plan_for_bounds = plan
             try:
-                bound_items = [self.bind_expr(e, scope) for e, _ in items]
+                bound_items = []
+                for e, _ in items:
+                    if _contains_mark_sub(e):
+                        # EXISTS/IN-subquery inside a select item: MARK
+                        # join columns feed the projection
+                        be, plan = self._flatten_marks(e, plan, scope)
+                    else:
+                        be = self.bind_expr(e, scope)
+                    bound_items.append(be)
             finally:
                 self._plan_for_bounds = None
 
@@ -1207,6 +1215,14 @@ class Binder:
             if isinstance(c, A.EIn) and c.subquery is not None:
                 plan = self._flatten_in(c, plan, scope)
                 continue
+            if _contains_mark_sub(c):
+                # EXISTS/IN under OR/NOT/CASE: MARK joins compute a
+                # boolean matched column per subquery (reference:
+                # mark joins from flatten_dependent_join.cpp /
+                # subquery planning in plan_subquery.cpp)
+                c2, plan = self._flatten_marks(c, plan, scope)
+                preds.append(c2)
+                continue
             if _contains_scalar_sub(c):
                 c2, plan = self._flatten_scalar_subs(c, plan, scope)
                 preds.append(c2)
@@ -1389,6 +1405,63 @@ class Binder:
                               getattr(ie, "strdict", None))))
         jt = "anti" if c.negated else "semi"
         return L.Join(plan, iproj, jt, conds)
+
+    def _flatten_marks(self, c: A.EExpr, plan, scope):
+        """Plan each EXISTS/IN-subquery inside predicate `c` as a MARK
+        join appending a boolean matched column, then bind `c` with those
+        columns substituted.  NOTE: 2-valued marks — NOT IN over a
+        subquery producing NULLs deviates from SQL 3-valued logic (the
+        top-level conjunct path handles that case; here NULLs are rare
+        OR-branch inputs)."""
+        subs: list = []
+        _collect_mark_subs(c, subs)
+        replacements: Dict[int, ir.Expr] = {}
+        for m in subs:
+            sub = m.subquery
+            neg = bool(getattr(m, "negated", False))
+            sb, iplan, iscope, corr, corr_extra = \
+                self._bind_subquery_corr(sub, scope)
+            if corr_extra:
+                raise BindError(
+                    "mark join with non-equality correlation unsupported")
+            keys = []
+            outer = []
+            if isinstance(m, A.EIn):
+                if len(sub.items) != 1:
+                    raise BindError("IN subquery must return one column")
+                item = sb.bind_expr(sub.items[0][0], iscope)
+                o0 = self.bind_expr(m.child, scope)
+                o2, i2 = self._align_join_keys(o0, item)
+                keys.append(i2)
+                outer.append(o2)
+            keys += [ie for (_, ie) in corr]
+            outer += [oe for (oe, _) in corr]
+            lw = len(plan.schema)
+            if not keys:
+                # uncorrelated EXISTS: constant-key mark join
+                one = ir.Const(1, T.INTEGER)
+                iproj = L.Project(iplan, [one], ["__k"])
+                plan = L.Project(
+                    plan,
+                    [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                     for i, f in enumerate(plan.schema.fields)] + [one],
+                    list(plan.schema.names) + ["__k"])
+                conds = [L.JoinCond(ir.ColRef(lw, T.INTEGER, "__k"),
+                                    ir.ColRef(0, T.INTEGER, "__k"))]
+            else:
+                iproj = L.Project(iplan, keys,
+                                  [f"__mk{i}" for i in range(len(keys))])
+                conds = [L.JoinCond(
+                    oe, ir.ColRef(i, ke.dtype, f"__mk{i}",
+                                  getattr(ke, "strdict", None)))
+                    for i, (oe, ke) in enumerate(zip(outer, keys))]
+            mname = f"__mark{len(replacements)}"
+            plan = L.Join(plan, iproj, "mark", conds, mark_name=mname)
+            col = ir.ColRef(len(plan.schema) - 1, T.BOOLEAN, mname)
+            replacements[id(m)] = ir.Not(col) if neg else col
+        bound = self.bind_expr(c, _scope_of_plan(plan, scope),
+                               sub_replacements=replacements)
+        return bound, plan
 
     def _flatten_scalar_subs(self, c: A.EExpr, plan, scope):
         """Replace each scalar subquery inside conjunct c with a column
@@ -1712,6 +1785,10 @@ class Binder:
                     return ir.ColRef(gi, bg.dtype, f"__g{gi}",
                                      getattr(bg, "strdict", None))
         if sub_replacements is not None and isinstance(e, A.ESub):
+            return sub_replacements[id(e)]
+        if sub_replacements is not None \
+                and isinstance(e, (A.EExists, A.EIn)) \
+                and id(e) in sub_replacements:
             return sub_replacements[id(e)]
 
         if isinstance(e, A.EIdent):
@@ -3484,6 +3561,25 @@ def _collect_scalar_subs(e: A.EExpr, out: List[A.ESub]):
         return
     for c in _ast_children(e):
         _collect_scalar_subs(c, out)
+
+
+def _contains_mark_sub(e: A.EExpr) -> bool:
+    """EXISTS / IN-subquery anywhere below the top level (inside OR,
+    CASE, NOT, ...) — planned as a MARK join."""
+    if isinstance(e, A.EExists):
+        return True
+    if isinstance(e, A.EIn) and e.subquery is not None:
+        return True
+    return any(_contains_mark_sub(c) for c in _ast_children(e))
+
+
+def _collect_mark_subs(e: A.EExpr, out: list):
+    if isinstance(e, A.EExists) or (isinstance(e, A.EIn)
+                                    and e.subquery is not None):
+        out.append(e)
+        return
+    for c in _ast_children(e):
+        _collect_mark_subs(c, out)
 
 
 

@@ -694,3 +694,31 @@ def test_collate_nocase_noaccent():
         == [(True,)]
     rows = c.sql("SELECT v FROM cs ORDER BY v COLLATE NOCASE").fetchall()
     assert rows[0] == ("Apple",) and rows[1] == ("banana",)
+
+
+def test_mark_join_exists_under_or():
+    # EXISTS/IN below the top level plan as MARK joins (reference:
+    # plan_subquery.cpp mark-join planning; TPC-DS q10/q35 shape)
+    from ddb_tpu import Connection
+    c = Connection()
+    c.sql("CREATE TABLE mc (id INTEGER)")
+    c.sql("INSERT INTO mc VALUES (1),(2),(3),(4)")
+    c.sql("CREATE TABLE ms (cid INTEGER)")
+    c.sql("INSERT INTO ms VALUES (1),(1),(3)")
+    c.sql("CREATE TABLE mw (cid INTEGER)")
+    c.sql("INSERT INTO mw VALUES (2)")
+    assert c.sql(
+        "SELECT id FROM mc WHERE EXISTS (SELECT 1 FROM ms WHERE"
+        " ms.cid = mc.id) OR EXISTS (SELECT 1 FROM mw WHERE"
+        " mw.cid = mc.id) ORDER BY id").fetchall() == [(1,), (2,), (3,)]
+    assert c.sql(
+        "SELECT id FROM mc WHERE id = 4 OR NOT EXISTS"
+        " (SELECT 1 FROM ms WHERE ms.cid = mc.id) ORDER BY id"
+    ).fetchall() == [(2,), (4,)]
+    assert c.sql(
+        "SELECT id, CASE WHEN EXISTS (SELECT 1 FROM ms WHERE"
+        " ms.cid = mc.id) THEN 'y' ELSE 'n' END FROM mc ORDER BY id"
+    ).fetchall() == [(1, "y"), (2, "n"), (3, "y"), (4, "n")]
+    assert c.sql("SELECT id, id IN (SELECT cid FROM ms) FROM mc"
+                 " ORDER BY id").fetchall() \
+        == [(1, True), (2, False), (3, True), (4, False)]
