@@ -58,7 +58,13 @@ def load_tpcds(con, directory: str, tables=None):
             path,
             read_options=pcsv.ReadOptions(column_names=names),
             parse_options=pcsv.ParseOptions(delimiter="|"),
-            convert_options=pcsv.ConvertOptions(column_types=ct))
+            convert_options=pcsv.ConvertOptions(
+                column_types=ct,
+                # the oracle's CSV export writes NULL as an unquoted
+                # empty field and empty string as "" — distinguish them
+                # (dsdgen data has real NULL ca_city etc.)
+                strings_can_be_null=True,
+                quoted_strings_can_be_null=False))
         con.catalog.add_table(storage.from_arrow(name, at),
                               or_replace=True)
         loaded.append(name)

@@ -246,7 +246,10 @@ def load_tbl(con, table: str, path: str):
         path,
         read_options=pcsv.ReadOptions(column_names=names),
         parse_options=pcsv.ParseOptions(delimiter="|"),
-        convert_options=pcsv.ConvertOptions(column_types=column_types))
+        convert_options=pcsv.ConvertOptions(
+            column_types=column_types,
+            strings_can_be_null=True,       # unquoted empty = NULL,
+            quoted_strings_can_be_null=False))  # "" = empty string
     con.catalog.add_table(storage.from_arrow(table, at), or_replace=True)
     return con
 
