@@ -463,6 +463,20 @@ class Connection:
                 if key not in self.catalog.enums and not stmt.if_exists:
                     raise CatalogException(
                         f"type {stmt.name} does not exist")
+                # dependency check: a table column still carries this enum
+                # domain (reference: dependency_manager.cpp — RESTRICT
+                # errors, CASCADE drops the dependent tables)
+                deps = [td for td in self.catalog.tables.values()
+                        if any(tn.lower() == key for (tn, _v) in
+                               getattr(td, "enum_domains", {}).values())]
+                if deps and not stmt.cascade:
+                    raise CatalogException(
+                        f"Dependency Error: Cannot drop entry "
+                        f"\"{stmt.name}\" because there are entries that "
+                        f"depend on it: table \"{deps[0].name}\". "
+                        f"Use DROP...CASCADE to drop all dependents.")
+                for td in deps:
+                    self.catalog.drop_table(td.name, if_exists=True)
                 self.catalog.enums.pop(key, None)
                 self.catalog.bump()
             else:

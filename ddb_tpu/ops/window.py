@@ -214,10 +214,13 @@ def compute_windows(part_ops: Sequence[jax.Array],
                                    else _bf_nulls(ob_rev, nn_s)))
             continue
 
-        # explicit ROWS / RANGE frame: sliding sums via prefix differences
+        # explicit ROWS / RANGE frame: sliding sums via prefix differences;
+        # sliding min/max via sparse-table range queries (scatter-free
+        # analog of the reference's window segment tree,
+        # src/function/window/window_segment_tree.cpp)
         if (s.rows_frame is not None or s.range_frame is not None) \
                 and s.kind in ("sum", "sum_float", "avg", "count",
-                               "count_star"):
+                               "count_star", "min", "max"):
             part_end = _seg_backfill_from_last(pb_rev, pos)
             if s.kind == "count_star":
                 v = valid_s.astype(jnp.int64)
@@ -246,6 +249,24 @@ def compute_windows(part_ops: Sequence[jax.Array],
             lo_i = jnp.clip(lo_i, 0, cap - 1).astype(jnp.int64)
             empty = hi_i < lo_i
             hi_i = jnp.maximum(hi_i, lo_i)
+
+            if s.kind in ("min", "max"):
+                is_min = s.kind == "min"
+                big = _extreme(data_s.dtype, s.kind)
+                v = jnp.where(notnull, data_s, big)
+                nnl = notnull.astype(jnp.int64)
+                if s.rows_frame == (None, 0):
+                    # running frame: a segmented scan suffices
+                    out = _seg_minmax_scan(pb, v, is_min)
+                    wcnt = _seg_sum_scan(pb, nnl)
+                else:
+                    out = _range_extrema(v, lo_i, hi_i, is_min)
+                    prefc = jnp.cumsum(nnl)
+                    wcnt = jnp.take(prefc, hi_i) \
+                        - (jnp.take(prefc, lo_i) - jnp.take(nnl, lo_i))
+                    wcnt = jnp.where(empty, 0, wcnt)
+                results_sorted.append((out, wcnt == 0))
+                continue
 
             def rng_sum(p, base):
                 hi_v = jnp.take(p, hi_i)
@@ -324,6 +345,33 @@ def compute_windows(part_ops: Sequence[jax.Array],
             i += 1
         out.append((d, n))
     return out
+
+
+def _range_extrema(v: jax.Array, lo: jax.Array, hi: jax.Array,
+                   is_min: bool) -> jax.Array:
+    """min/max of v[lo..hi] (inclusive, lo<=hi) per row via a sparse
+    table: O(n log n) build of power-of-two interval extrema, then two
+    gathers per row — scatter-free, data-independent shapes (the TPU
+    analog of the reference's window segment tree,
+    src/function/window/window_segment_tree.cpp)."""
+    op = jnp.minimum if is_min else jnp.maximum
+    n = v.shape[0]
+    ident = _extreme(v.dtype, "min" if is_min else "max")
+    levels = [v]
+    step = 1
+    while step < n:
+        prev = levels[-1]
+        pad = jnp.full((min(step, n),), ident, dtype=v.dtype)
+        levels.append(op(prev, jnp.concatenate([prev[step:], pad])))
+        step *= 2
+    table = jnp.stack(levels)            # (K, n)
+    width = (hi - lo + 1).astype(jnp.int64)
+    # level k = floor(log2(width)); two overlapping 2^k windows cover it
+    k = (jnp.int64(63) - lax.clz(width)).astype(jnp.int64)
+    flat = table.reshape(-1)
+    a = jnp.take(flat, k * n + lo)
+    b = jnp.take(flat, k * n + hi - (jnp.int64(1) << k) + 1)
+    return op(a, b)
 
 
 def _rank_in_partition(parts_s, count_mask, enc_vals, enc_thr,

@@ -138,6 +138,12 @@ class Join(LogicalNode):
     # the time inequality; each probe row matches at most the nearest
     # build row (reference: physical_asof_join.cpp)
     asof: bool = False
+    # 3-valued mark join: conds[0] is an IN-value condition (the rest are
+    # correlation equalities); the mark column is NULL where no match was
+    # found but the probe value is NULL (vs a non-empty build side) or a
+    # correlation-matching build row carries a NULL IN-value (reference:
+    # ScanStructure::NextMarkJoin NULL semantics, join_hashtable.cpp)
+    mark_in: bool = False
     schema: Schema = None
 
     def __post_init__(self):
@@ -311,6 +317,27 @@ class CTECell:
 
     def __init__(self):
         self.batch = None
+
+
+@dataclass
+class Materialize(LogicalNode):
+    """Execution barrier shared by multiple plan parents: the child runs
+    ONCE per query (per-context memo) and every referencing site reads the
+    same concrete result.  Used for CTEs referenced more than once, which
+    otherwise re-bind, re-compile, and re-execute per reference
+    (reference: materialized CTEs, operator/set/physical_cte.cpp).
+    The optimizer treats it as a leaf so plan rewrites cannot clone the
+    shared subtree apart."""
+    child: LogicalNode
+    name: str = ""
+    schema: Schema = None
+
+    def __post_init__(self):
+        if self.schema is None:
+            self.schema = self.child.schema
+
+    def children(self):
+        return [self.child]
 
 
 @dataclass

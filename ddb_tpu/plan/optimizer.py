@@ -23,6 +23,7 @@ from . import logical as L
 
 
 def optimize(plan: L.LogicalNode) -> L.LogicalNode:
+    _optimize_materialized(plan, set())
     plan = push_filters(plan, [])
     plan = push_join_filters(plan)
     plan = prune_get_columns(plan)
@@ -31,10 +32,30 @@ def optimize(plan: L.LogicalNode) -> L.LogicalNode:
     return plan
 
 
+def _optimize_materialized(node: L.LogicalNode, seen: set) -> None:
+    """Optimize each shared Materialize child exactly once, in place.
+    The rewriting passes below treat Materialize as a leaf (they rebuild
+    trees with copy.copy, which would clone a shared subtree apart and
+    re-introduce the duplicate compile/execute work Materialize exists
+    to remove)."""
+    if id(node) in seen:
+        return
+    seen.add(id(node))
+    if isinstance(node, L.Materialize):
+        if not getattr(node, "_opt_done", False):
+            node._opt_done = True
+            node.child = optimize(node.child)
+        return
+    for c in node.children():
+        _optimize_materialized(c, seen)
+
+
 def push_limits(node: L.LogicalNode) -> L.LogicalNode:
     """Limit(Project(x)) -> Project(Limit(x)) so fewer rows are projected
     (reference: limit_pushdown.cpp).  Valid because our Project is pure
     per-row expressions."""
+    if isinstance(node, L.Materialize):
+        return node
     if isinstance(node, L.Limit) and isinstance(node.child, L.Project) \
             and node.limit is not None:
         proj = node.child
@@ -57,6 +78,8 @@ def push_join_filters(node: L.LogicalNode) -> L.LogicalNode:
     join types where pre-filtering keeps semantics."""
     from . import bounds as PB
 
+    if isinstance(node, L.Materialize):
+        return node
     if isinstance(node, L.Join) and node.conds:
         left = push_join_filters(node.left)
         right = push_join_filters(node.right)
@@ -93,7 +116,8 @@ def push_join_filters(node: L.LogicalNode) -> L.LogicalNode:
         if rpreds:
             right = push_filters(right, rpreds)
         return L.Join(left, right, node.join_type, node.conds, node.extra,
-                      node.mark_name, node.range_cond, node.asof)
+                      node.mark_name, node.range_cond, node.asof,
+                      node.mark_in)
     new = copy.copy(node)
     for attr in ("child", "left", "right", "base", "recursive"):
         if hasattr(new, attr):
@@ -117,6 +141,8 @@ def fuse_topn(node: L.LogicalNode) -> L.LogicalNode:
     """Limit(Order(x)) -> TopN(x) (reference: topn_optimizer.cpp).  The
     payload columns then skip the sort entirely (keys+rowid sort + small
     gather, ops design in physical._exec_topn)."""
+    if isinstance(node, L.Materialize):
+        return node
     if isinstance(node, L.Limit) and isinstance(node.child, L.Order) \
             and node.limit is not None \
             and 0 < node.limit + node.offset <= TOPN_MAX:
@@ -144,6 +170,9 @@ def _wrap(plan: L.LogicalNode, preds: List[ir.Expr]) -> L.LogicalNode:
 
 def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
                  ) -> L.LogicalNode:
+    if isinstance(node, L.Materialize):
+        return _wrap(node, preds)    # shared barrier: keep identity
+
     if isinstance(node, L.Filter):
         return push_filters(node.child,
                             preds + ir.conjuncts(node.predicate))
@@ -179,7 +208,8 @@ def push_filters(node: L.LogicalNode, preds: List[ir.Expr]
         left = push_filters(node.left, lpreds)
         right = push_filters(node.right, rpreds)
         nj = L.Join(left, right, node.join_type, node.conds, node.extra,
-                    node.mark_name, node.range_cond, node.asof)
+                    node.mark_name, node.range_cond, node.asof,
+                    node.mark_in)
         return _wrap(nj, stay)
 
     if isinstance(node, L.Order):
@@ -634,6 +664,8 @@ def prune_get_columns(node: L.LogicalNode,
     `needed` = set of output column indices required from this node
     (None => all).  Round-1 scope: prunes Gets below
     Project/Filter/Join/Aggregate chains."""
+    if isinstance(node, L.Materialize):
+        return node
     if isinstance(node, L.Get):
         used = set(needed) if needed is not None else set(
             range(len(node.schema)))
@@ -660,6 +692,8 @@ def prune_get_columns(node: L.LogicalNode,
 
 def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
     """Recursive pruning: computes needed sets per operator."""
+    if isinstance(node, L.Materialize):
+        return node
     if isinstance(node, L.Project):
         used = set()
         for e in node.exprs:

@@ -54,6 +54,8 @@ class ExecutionContext:
         self.progress = progress       # callable(done_nodes, total_nodes)
         self._total_nodes = 0
         self._done_nodes = 0
+        # per-query results of shared Materialize nodes (CTE reuse)
+        self.memo = {}
 
     def _report(self):
         if self.progress is not None and self._total_nodes:
@@ -774,6 +776,53 @@ def _densify_keys(lds, l_live, rds, r_live):
     return out[:nl], out[nl:]
 
 
+def _mark_nulls(node: L.Join, lb: Batch, rb: Batch, has):
+    """NULL mask for a 3-valued IN mark column (node.mark_in).
+
+    mark is NULL where no match AND (a correlation-matching build row has
+    a NULL IN-value, OR the probe IN-value is NULL and some build row
+    matches the correlation keys).  Uncorrelated joins reduce both
+    conditions to scalars (build-has-null / build-nonempty).
+    Reference: ScanStructure::NextMarkJoin, join_hashtable.cpp."""
+    _, lnull = evaluate(node.conds[0].left, lb)
+    _, rnull = evaluate(node.conds[0].right, rb)
+    cap_l = lb.sel.shape[0]
+    probe_null = lnull if lnull is not None \
+        else jnp.zeros(cap_l, dtype=bool)
+    build_live = rb.sel
+    corr = node.conds[1:]
+    if not corr:
+        nonempty = jnp.any(build_live)
+        if rnull is not None:
+            hasnull = jnp.any(build_live & rnull)
+        else:
+            hasnull = jnp.zeros((), dtype=bool)
+        return ~has & ((probe_null & nonempty) | hasnull)
+    # correlated: does any build row match the correlation keys at all
+    # (n_any), and does one of those carry a NULL IN-value (n_null)?
+    lds, lns = _key_arrays(corr, lb, "left")
+    rds, rns = _key_arrays(corr, rb, "right")
+    l_live = _combine_live(lb.sel, lns)
+    r_live = _combine_live(build_live, rns)
+    if len(lds) == 1:
+        lk, rk = lds[0], rds[0]
+    else:
+        lk, rk = _densify_keys(lds, l_live, rds, r_live)
+        l_live = l_live & (lk >= 0)
+        r_live = r_live & (rk >= 0)
+    bt_any = join_ops.build(rk, None, r_live)
+    _, cnt_any = join_ops.probe_ranges(bt_any, lk, None, l_live)
+    n_any = cnt_any > 0
+    if rnull is not None:
+        r_live_null = r_live & rnull
+        bt_n = join_ops.build(rk, None, r_live_null)
+        _, cnt_n = join_ops.probe_ranges(bt_n, lk, None, l_live)
+        n_null = cnt_n > 0
+    else:
+        n_null = jnp.zeros(cap_l, dtype=bool)
+    return ~has & (n_null | (probe_null & n_any))
+
+
 def _exec_join(node: L.Join, ctx):
     lschema, lbz = _execute(node.left, ctx)
     rschema, rbz = _execute(node.right, ctx)
@@ -839,7 +888,7 @@ def _exec_join(node: L.Join, ctx):
 
     if jt in ("semi", "anti", "mark") and node.extra is None:
         # fully fused — no host decision needed at all
-        def kern(lb, pr):
+        def kern(lb, rb, pr):
             _, _, cnt = pr
             has = cnt > 0
             if jt == "semi":
@@ -848,10 +897,12 @@ def _exec_join(node: L.Join, ctx):
             if jt == "anti":
                 m = lb.sel & ~has
                 return Batch(lb.columns, m, m.astype(jnp.int32).sum())
-            cols = lb.columns + (Column(has, None),)
+            mnull = _mark_nulls(node, lb, rb, has) \
+                if (node.mark_in and node.conds) else None
+            cols = lb.columns + (Column(has, mnull),)
             return Batch(cols, lb.sel, lb.count)
 
-        return node.schema, _lazy(node, "semi", kern, lbz, probe)
+        return node.schema, _lazy(node, "semi", kern, lbz, rbz, probe)
 
     # breaker: ONE fused stage for both children + probe, ONE stats fetch
     def join_stats(lb, rb, pr):
@@ -911,7 +962,9 @@ def _exec_join(node: L.Join, ctx):
             if jt == "anti":
                 msel = lb.sel & ~matched
                 return Batch(lb.columns, msel, msel.astype(jnp.int32).sum())
-            cols2 = lb.columns + (Column(matched, None),)
+            mnull = _mark_nulls(node, lb, rb, matched) \
+                if (node.mark_in and node.conds) else None
+            cols2 = lb.columns + (Column(matched, mnull),)
             return Batch(cols2, lb.sel, lb.count)
 
         return node.schema, _lazy(node, ("semi_extra", out_cap, cap_l),
@@ -1474,8 +1527,22 @@ def _exec_recursive_cte(node: L.RecursiveCTE, ctx):
     return schema, _concat_batches(node, parts, ns)
 
 
+def _exec_materialize(node: "L.Materialize", ctx):
+    """Shared CTE barrier: compute the child once per query, memoize the
+    CONCRETE batch so every referencing site reuses both the compilation
+    and the result (reference: materialized CTE execution,
+    operator/set/physical_cte.cpp)."""
+    hit = ctx.memo.get(id(node))
+    if hit is None:
+        schema, b = _execute(node.child, ctx)
+        hit = (node.schema, _concrete(node.child, b))
+        ctx.memo[id(node)] = hit
+    return hit
+
+
 _EXEC = {
     L.Get: _exec_get,
+    L.Materialize: _exec_materialize,
     L.Filter: _exec_filter,
     L.Project: _exec_project,
     L.Aggregate: _exec_aggregate,

@@ -274,6 +274,7 @@ class DropStmt:
     kind: str                 # table | view | secret | type
     name: str
     if_exists: bool = False
+    cascade: bool = False     # DROP ... CASCADE drops dependents too
 
 
 @dataclass

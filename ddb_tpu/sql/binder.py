@@ -232,6 +232,12 @@ class Binder:
                     outer_scope: Optional[Scope] = None) -> L.LogicalNode:
         for cdef in stmt.ctes:
             self.ctes[cdef.name.lower()] = cdef
+            if not hasattr(cdef, "_nrefs"):
+                # static reference count over the registering statement:
+                # CTEs used more than once bind+execute once behind a
+                # Materialize barrier (reference: materialized-CTE
+                # decision in binder/query_node/bind_cte_node.cpp)
+                cdef._nrefs = _count_cte_refs(stmt, cdef)
 
         if stmt.set_op is not None:
             return self._bind_setop(stmt)
@@ -279,6 +285,11 @@ class Binder:
         has_windows = any(_contains_window(e) for e, _ in items) \
             or (stmt.qualify is not None
                 and _contains_window(stmt.qualify))
+        if stmt.qualify is not None and not has_windows:
+            # reference: QUALIFY without a window function is a binder
+            # error (src/planner/binder/query_node/bind_select_node.cpp)
+            raise BindError(
+                "QUALIFY clause requires at least one window function")
 
         having_bound = None
         qualify_bound = None
@@ -340,6 +351,15 @@ class Binder:
                         # EXISTS/IN-subquery inside a select item: MARK
                         # join columns feed the projection
                         be, plan = self._flatten_marks(e, plan, scope)
+                    elif _contains_scalar_sub(e):
+                        # uncorrelated scalar subs evaluate eagerly in
+                        # bind_expr; correlated ones decorrelate into
+                        # joined columns like WHERE conjuncts do
+                        try:
+                            be = self.bind_expr(e, scope)
+                        except BindError:
+                            be, plan = self._flatten_scalar_subs(
+                                e, plan, scope)
                     else:
                         be = self.bind_expr(e, scope)
                     bound_items.append(be)
@@ -678,11 +698,24 @@ class Binder:
                         and sub.set_op is not None \
                         and _references_cte(sub.set_op[1], name):
                     plan = self._bind_recursive_cte(cdef)
+                elif getattr(cdef, "_bound_plan", None) is not None \
+                        and cdef._bound_plan[0] == self.catalog.version:
+                    plan = cdef._bound_plan[1]
                 else:
                     sub_binder = Binder(self.catalog,
                                         {k: v for k, v in self.ctes.items()
                                          if k != name}, self.context)
                     plan = sub_binder.bind_select(sub)
+                    if getattr(cdef, "_nrefs", 1) > 1:
+                        # multiply-referenced CTE: share ONE materialized
+                        # plan across all reference sites (re-bound if the
+                        # catalog changed under a reused AST)
+                        plan = L.Materialize(plan, name)
+                        try:
+                            cdef._bound_plan = (self.catalog.version,
+                                                plan)
+                        except Exception:
+                            pass
                 sc = Scope()
                 schema = plan.schema.rename(cols) if cols else plan.schema
                 sc.add(alias, schema)
@@ -1382,8 +1415,9 @@ class Binder:
             outer = self.bind_expr(c.child, scope)
             o2, i2 = self._align_join_keys(
                 outer, ir.ColRef(0, f0.dtype, f0.name, f0.strdict))
-            jt = "anti" if c.negated else "semi"
-            return L.Join(plan, full, jt, [L.JoinCond(o2, i2)])
+            if c.negated:
+                return self._notin_mark(plan, full, [L.JoinCond(o2, i2)])
+            return L.Join(plan, full, "semi", [L.JoinCond(o2, i2)])
         sb, iplan, iscope, corr, corr_extra = \
             self._bind_subquery_corr(c.subquery, scope)
         if corr_extra:
@@ -1403,16 +1437,34 @@ class Binder:
             conds.append(L.JoinCond(
                 oe, ir.ColRef(i + 1, ie.dtype, f"__ck{i+1}",
                               getattr(ie, "strdict", None))))
-        jt = "anti" if c.negated else "semi"
-        return L.Join(plan, iproj, jt, conds)
+        if c.negated:
+            return self._notin_mark(plan, iproj, conds)
+        return L.Join(plan, iproj, "semi", conds)
+
+    def _notin_mark(self, plan, inner, conds):
+        """NOT IN needs SQL 3-valued semantics: plan a mark join and keep
+        only rows whose mark is exactly FALSE (NULL marks — probe NULL vs
+        non-empty build, or NULL in the build values — are filtered, and
+        the whole result is empty when the build side contains NULL).
+        Reference: subquery planning lowers NOT IN to mark join + NOT
+        filter (src/planner/subquery/flatten_dependent_join.cpp)."""
+        lw = len(plan.schema)
+        j = L.Join(plan, inner, "mark", conds, mark_name="__notin",
+                   mark_in=True)
+        filt = L.Filter(j, ir.Not(ir.ColRef(lw, T.BOOLEAN, "__notin")))
+        return L.Project(
+            filt,
+            [ir.ColRef(i, f.dtype, f.name, f.strdict)
+             for i, f in enumerate(plan.schema.fields)],
+            list(plan.schema.names))
 
     def _flatten_marks(self, c: A.EExpr, plan, scope):
         """Plan each EXISTS/IN-subquery inside predicate `c` as a MARK
         join appending a boolean matched column, then bind `c` with those
-        columns substituted.  NOTE: 2-valued marks — NOT IN over a
-        subquery producing NULLs deviates from SQL 3-valued logic (the
-        top-level conjunct path handles that case; here NULLs are rare
-        OR-branch inputs)."""
+        columns substituted.  IN marks are 3-valued (mark_in=True: the
+        executor emits NULL where no match but the probe value is NULL or
+        a correlation-matching build row has a NULL IN-value, matching
+        the reference's NextMarkJoin semantics)."""
         subs: list = []
         _collect_mark_subs(c, subs)
         replacements: Dict[int, ir.Expr] = {}
@@ -1456,12 +1508,26 @@ class Binder:
                                   getattr(ke, "strdict", None)))
                     for i, (oe, ke) in enumerate(zip(outer, keys))]
             mname = f"__mark{len(replacements)}"
-            plan = L.Join(plan, iproj, "mark", conds, mark_name=mname)
+            plan = L.Join(plan, iproj, "mark", conds, mark_name=mname,
+                          mark_in=isinstance(m, A.EIn))
             col = ir.ColRef(len(plan.schema) - 1, T.BOOLEAN, mname)
             replacements[id(m)] = ir.Not(col) if neg else col
         bound = self.bind_expr(c, _scope_of_plan(plan, scope),
                                sub_replacements=replacements)
         return bound, plan
+
+    @staticmethod
+    def _count_fix(vcol, raw_item, agg_ctx):
+        """Unmatched outer rows read NULL through the decorrelating left
+        join, but COUNT over zero rows is 0 — coalesce when the subquery
+        item is a bare count aggregate (reference: count handling in
+        flatten_dependent_join.cpp)."""
+        if isinstance(raw_item, AggRef) \
+                and agg_ctx.specs[raw_item.index].kind in ("count",
+                                                           "count_star"):
+            return ir.Func("coalesce", [vcol, ir.Const(0, vcol.dtype)],
+                           vcol.dtype)
+        return vcol
 
     def _flatten_scalar_subs(self, c: A.EExpr, plan, scope):
         """Replace each scalar subquery inside conjunct c with a column
@@ -1483,13 +1549,13 @@ class Binder:
                     raise BindError(
                         "correlated scalar subquery must be an aggregate")
                 agg_ctx = AggCtx()
-                bound_item = sb.bind_expr(item_ast, iscope,
-                                          agg_ctx=agg_ctx)
+                item_bound_raw = sb.bind_expr(item_ast, iscope,
+                                              agg_ctx=agg_ctx)
                 groups = [ie for (_, ie) in corr]
                 agg = L.Aggregate(iplan, groups, agg_ctx.specs,
                                   [f"__g{i}" for i in range(len(groups))])
                 # resolve AggRefs in bound_item over agg output
-                bound_item = _resolve_aggrefs(bound_item, len(groups))
+                bound_item = _resolve_aggrefs(item_bound_raw, len(groups))
                 aproj = L.Project(
                     agg,
                     [ir.ColRef(i, g.dtype, f"__g{i}",
@@ -1500,14 +1566,12 @@ class Binder:
                     oe, ir.ColRef(i, ie.dtype, f"__g{i}",
                                   getattr(ie, "strdict", None)))
                     for i, (oe, ie) in enumerate(corr)]
-                old_width = len(plan.schema)
                 plan = L.Join(plan, aproj, "left", conds)
-                vcol = ir.ColRef(old_width + len(groups) + 0 +
-                                 0, bound_item.dtype, "__v")
                 # value column is last in join output
                 vcol = ir.ColRef(len(plan.schema) - 1, bound_item.dtype,
                                  "__v")
-                replacements[id(s)] = vcol
+                replacements[id(s)] = self._count_fix(
+                    vcol, item_bound_raw, agg_ctx)
             else:
                 # uncorrelated: full subquery plan (may itself aggregate)
                 splan = Binder(self.catalog, self.ctes, self.context).bind_select(
@@ -1578,18 +1642,21 @@ class Binder:
                                           group_map=(group_asts,
                                                      group_keys))
 
-        # ORDER BY expressions with aggregates not in the SELECT list
-        # pre-bind here so their specs make it into the Aggregate node
+        # ORDER BY expressions not in the SELECT list (aggregates, group
+        # keys, grouping()-functions, CASE over them) pre-bind here so
+        # their specs make it into the Aggregate node; select-list aliases
+        # fail to bind and resolve later by name instead
         order_prebound = {}
         for it in stmt.order_by:
-            if self._contains_agg(it.expr):
-                try:
-                    order_prebound[_ekey(it.expr)] = self.bind_expr(
-                        it.expr, scope, agg_ctx=agg_ctx,
-                        group_map=(group_asts, group_keys),
-                        win_ctx=win_ctx)
-                except BindError:
-                    pass
+            if isinstance(it.expr, A.ELit):
+                continue
+            try:
+                order_prebound[_ekey(it.expr)] = self.bind_expr(
+                    it.expr, scope, agg_ctx=agg_ctx,
+                    group_map=(group_asts, group_keys),
+                    win_ctx=win_ctx)
+            except BindError:
+                pass
 
         gnames = [f"__g{i}" for i in range(len(bound_groups))]
         ngroups = len(bound_groups)
@@ -2633,7 +2700,8 @@ class Binder:
         if kind == "range" and a.strip() == "unbounded preceding" \
                 and b2.strip() == "current row":
             return None          # the dialect default
-        if fn_name not in ("sum", "avg", "count", "count_star"):
+        if fn_name not in ("sum", "avg", "count", "count_star",
+                           "min", "max"):
             raise BindError(f"{kind.upper()} frame unsupported for "
                             f"{fn_name}")
 
@@ -3541,12 +3609,92 @@ def _ast_equal(a: A.EExpr, b: A.EExpr) -> bool:
     return repr(a) == repr(b)
 
 
+def _walk_ast_objects(obj, seen=None):
+    """Generic deep walk over AST dataclasses (lists/tuples/fields)."""
+    if seen is None:
+        seen = set()
+    if isinstance(obj, (list, tuple)):
+        for x in obj:
+            yield from _walk_ast_objects(x, seen)
+        return
+    if not hasattr(obj, "__dataclass_fields__") or id(obj) in seen:
+        return
+    seen.add(id(obj))
+    yield obj
+    for f in obj.__dataclass_fields__:
+        yield from _walk_ast_objects(getattr(obj, f, None), seen)
+
+
+def _count_cte_refs(stmt: A.SelectStmt, cdef: "A.CTEDef") -> int:
+    """How many FROM references in `stmt` (including subqueries and other
+    CTE bodies, excluding the CTE's own definition) name this CTE."""
+    name = cdef.name.lower()
+    skip = set()
+    for o in _walk_ast_objects(getattr(cdef, "select", None)):
+        skip.add(id(o))
+    n = 0
+    for o in _walk_ast_objects(stmt):
+        if id(o) in skip:
+            continue
+        if isinstance(o, A.RBase) and o.name.lower() == name:
+            n += 1
+    return n
+
+
 def ir_conjuncts_ast(e: Optional[A.EExpr]) -> List[A.EExpr]:
     if e is None:
         return []
     if isinstance(e, A.EBinary) and e.op == "and":
         return ir_conjuncts_ast(e.left) + ir_conjuncts_ast(e.right)
+    f = _factor_or(e)
+    if f is not None:
+        return ir_conjuncts_ast(f)
     return [e]
+
+
+def _or_branches(e: A.EExpr) -> List[A.EExpr]:
+    if isinstance(e, A.EBinary) and e.op == "or":
+        return _or_branches(e.left) + _or_branches(e.right)
+    return [e]
+
+
+def _factor_or(e: A.EExpr) -> Optional[A.EExpr]:
+    """(A AND X) OR (A AND Y) -> A AND (X OR Y): factor conjuncts common
+    to every OR branch (reference: expression rewriter common-subexpression
+    rules, src/optimizer/rule/).  Crucial for correlated subqueries whose
+    correlation equality repeats under an OR (TPC-DS q41)."""
+    if not (isinstance(e, A.EBinary) and e.op == "or"):
+        return None
+    branches = [ir_conjuncts_ast(b) for b in _or_branches(e)]
+    if len(branches) < 2:
+        return None
+    common = [c for c in branches[0]
+              if all(any(_ast_equal(c, d) for d in b)
+                     for b in branches[1:])]
+    if not common:
+        return None
+    rests = []
+    for b in branches:
+        rest = [c for c in b
+                if not any(_ast_equal(c, cc) for cc in common)]
+        if not rest:
+            # one branch reduces to the common part alone: the OR of the
+            # remainders is vacuously true, the whole expr = AND(common)
+            rests = None
+            break
+        r = rest[0]
+        for c in rest[1:]:
+            r = A.EBinary("and", r, c)
+        rests.append(r)
+    out = None
+    for c in common:
+        out = c if out is None else A.EBinary("and", out, c)
+    if rests is not None:
+        disj = rests[0]
+        for r in rests[1:]:
+            disj = A.EBinary("or", disj, r)
+        out = A.EBinary("and", out, disj)
+    return out
 
 
 def _contains_scalar_sub(e: A.EExpr) -> bool:

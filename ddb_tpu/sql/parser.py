@@ -234,7 +234,12 @@ class Parser:
             if self.accept_kw("if"):
                 self.expect_kw("exists")
                 if_exists = True
-            return A.DropStmt(kind, self.ident(), if_exists)
+            nm = self.ident()
+            cascade = False
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value in ("cascade", "restrict"):
+                cascade = self.next().value == "cascade"
+            return A.DropStmt(kind, nm, if_exists, cascade)
         if t.kind == "IDENT" and t.value == "pivot":
             return self.pivot_stmt()
         if t.kind == "IDENT" and t.value == "unpivot":

@@ -12,22 +12,40 @@ reference's block files).
 from __future__ import annotations
 
 import re
+import threading
 from collections import OrderedDict
 from typing import Optional
 
 
 def parse_memory_limit(text) -> Optional[int]:
-    """'1GB' / '512MB' / '80% of HBM' / int -> bytes (None = unlimited)."""
+    """'1GB' / '512MB' / '80%' / int -> bytes (None = unlimited).
+
+    Percentages resolve against total system memory like the reference
+    (src/main/settings: memory_limit accepts e.g. '80%'); unparseable
+    values raise instead of silently disabling the cap."""
     if text is None:
         return None
     if isinstance(text, (int, float)):
         return int(text)
     s = str(text).strip().lower()
-    if "%" in s or s in ("", "none", "unlimited", "-1"):
+    if s in ("", "none", "unlimited", "-1"):
         return None
+    m = re.match(r"^([\d.]+)\s*%$", s)
+    if m:
+        pct = float(m.group(1))
+        if not 0 < pct <= 100:
+            raise ValueError(
+                f"memory_limit percentage out of range: '{text}'")
+        import os
+        try:
+            total = (os.sysconf("SC_PAGE_SIZE")
+                     * os.sysconf("SC_PHYS_PAGES"))
+        except (ValueError, OSError, AttributeError):
+            total = 16 * 1024**3
+        return int(total * pct / 100.0)
     m = re.match(r"^([\d.]+)\s*(b|kb|kib|mb|mib|gb|gib|tb|tib)?$", s)
     if not m:
-        return None
+        raise ValueError(f"could not parse memory_limit value: '{text}'")
     v = float(m.group(1))
     unit = m.group(2) or "b"
     mult = {"b": 1, "kb": 1000, "kib": 1024, "mb": 1000**2,
@@ -45,27 +63,34 @@ class BufferManager:
         self._entries: "OrderedDict[int, tuple]" = OrderedDict()
         self.total_bytes = 0
         self.evictions = 0
+        # threaded readers touch device_batch concurrently (concurrentloop
+        # analog); guard the LRU map + byte accounting.  RLock: eviction
+        # calls td.invalidate_cache() which re-enters via drop().
+        self._lock = threading.RLock()
 
     def set_limit(self, limit_bytes: Optional[int]):
-        self.limit_bytes = limit_bytes
-        self._evict_to_fit(pinned=None)
+        with self._lock:
+            self.limit_bytes = limit_bytes
+            self._evict_to_fit(pinned=None)
 
     def note_use(self, td, nbytes: int):
         """Record that `td`'s device batch (nbytes) is live and was just
         used; evict others to fit the budget."""
         key = id(td)
-        if key in self._entries:
-            _, old = self._entries.pop(key)
-            self.total_bytes -= old
-        self._entries[key] = (td, nbytes)
-        self.total_bytes += nbytes
-        self._evict_to_fit(pinned=key)
+        with self._lock:
+            if key in self._entries:
+                _, old = self._entries.pop(key)
+                self.total_bytes -= old
+            self._entries[key] = (td, nbytes)
+            self.total_bytes += nbytes
+            self._evict_to_fit(pinned=key)
 
     def drop(self, td):
         key = id(td)
-        if key in self._entries:
-            _, old = self._entries.pop(key)
-            self.total_bytes -= old
+        with self._lock:
+            if key in self._entries:
+                _, old = self._entries.pop(key)
+                self.total_bytes -= old
 
     def _evict_to_fit(self, pinned):
         if self.limit_bytes is None:

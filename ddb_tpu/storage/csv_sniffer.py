@@ -161,14 +161,10 @@ def sniff(path: str, sample_bytes: int = _SAMPLE_BYTES) -> SniffResult:
         body_typed = any(t not in ("VARCHAR", "NULL") for t in body_types)
         if head_str and body_typed:
             has_header = True
-        elif head_str and all(t in ("VARCHAR", "NULL")
-                              for t in body_types):
-            # all-string file: header iff first-row values are unique and
-            # look like identifiers
-            vals = [v.strip() for v in rows[0]]
-            has_header = (len(set(vals)) == len(vals)
-                          and all(re.match(r"^[A-Za-z_][\w ]*$", v)
-                                  for v in vals if v))
+        # all-VARCHAR files default to headerless: with no type signal
+        # there is no evidence the first row is special (reference sniffer
+        # only declares a header when first-row types disagree with the
+        # body: csv_scanner/sniffer/header_detection.cpp)
     types = col_types(rows[1:] if has_header else rows)
     types = [t if t != "NULL" else "VARCHAR" for t in types]
     if has_header:

@@ -43,10 +43,12 @@ def check_constraints(td: TableData) -> None:
         if c is None or c.strdict is None or not len(c.data):
             continue
         # only codes actually referenced by live rows count (a rolled-back
-        # insert may leave orphan dictionary entries)
+        # insert may leave orphan dictionary entries); NULL rows are
+        # excluded via the mask, but '' is a value like any other and
+        # must be a declared member (reference rejects any non-member)
         codes = c.data if c.nulls is None else c.data[~c.nulls]
         live = {str(c.strdict.decode_one(int(k)))
-                for k in np.unique(codes)} - {""}
+                for k in np.unique(codes)}
         bad = live - set(allowed)
         if bad:
             raise ConstraintException(

@@ -94,7 +94,7 @@ def main():
     ap.add_argument("--sf", default="0.01")
     ap.add_argument("--queries", default="1-99")
     ap.add_argument("--chunk", type=int, default=6)
-    ap.add_argument("--per-query", type=int, default=150)
+    ap.add_argument("--per-query", type=int, default=300)
     args = ap.parse_args()
 
     datadir = f"/tmp/tpcds/sf{args.sf}"

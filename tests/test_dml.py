@@ -191,9 +191,21 @@ def test_enum_type():
     with pytest.raises(ConstraintException):
         c.sql("INSERT INTO person VALUES ('d', 'angry')")
     assert c.sql("SELECT count(*) FROM person").fetchall() == [(2,)]
+    from ddb_tpu.catalog import CatalogException
+    with pytest.raises(CatalogException):
+        # person.current_mood still depends on the type (reference:
+        # dependency_manager.cpp RESTRICT semantics)
+        c.sql("DROP TYPE mood")
+    c.sql("DROP TABLE person")
     c.sql("DROP TYPE mood")
     with pytest.raises(Exception):
         c.sql("CREATE TABLE p2 (m mood)")
+    # CASCADE drops dependent tables with the type
+    c.sql("CREATE TYPE mood AS ENUM ('sad', 'ok')")
+    c.sql("CREATE TABLE p3 (m mood)")
+    c.sql("DROP TYPE mood CASCADE")
+    with pytest.raises(Exception):
+        c.sql("SELECT * FROM p3")
 
 
 def test_enum_persists(tmp_path):
