@@ -347,6 +347,11 @@ class Connection:
     def cursor(self) -> "Cursor":
         return Cursor(self)
 
+    def appender(self, table: str) -> "Appender":
+        """Bulk row ingest with buffered flushes (reference:
+        src/main/appender.cpp — BaseAppender::AppendRow / Flush)."""
+        return Appender(self, table)
+
     def _execute_statement(self, stmt, params=None) -> Optional[QueryResult]:
         from .sql import ast as A
         from .sql.binder import Binder
@@ -1277,6 +1282,68 @@ class Cursor:
 
     def close(self):
         self._res = None
+
+
+class Appender:
+    """Buffered bulk-ingest appender (reference: src/main/appender.cpp —
+    rows accumulate client-side and flush in batches, bypassing the SQL
+    front-end; constraints, CDC, and WAL apply at flush)."""
+
+    FLUSH_COUNT = 204800   # reference default chunk budget scale
+
+    def __init__(self, con: "Connection", table: str):
+        self._con = con
+        self._table = table
+        self._ncols = len(con.catalog.get_table(table).columns)
+        self._rows: list = []
+        self._cur: list = []
+
+    def append(self, value) -> "Appender":
+        self._cur.append(value)
+        return self
+
+    def end_row(self) -> "Appender":
+        if len(self._cur) != self._ncols:
+            raise ValueError(
+                f"appender row has {len(self._cur)} values, table "
+                f"{self._table} has {self._ncols} columns")
+        self._rows.append(self._cur)
+        self._cur = []
+        if len(self._rows) >= self.FLUSH_COUNT:
+            self.flush()
+        return self
+
+    def append_row(self, *values) -> "Appender":
+        for v in values:
+            self.append(v)
+        return self.end_row()
+
+    def flush(self) -> None:
+        if not self._rows:
+            return
+        rows, self._rows = self._rows, []
+        con = self._con
+        from .storage import dml
+        td = con.catalog.get_table(self._table)
+        n0 = td.num_rows
+        dml.insert_rows(td, rows, None)
+        con._enforce_constraints(td, n0)
+        con.catalog.bump()
+        con._emit_cdc(td.name, "insert", rows)
+        if con._wal is not None and not con._replaying:
+            from .storage.wal import encode_rows
+            con._wal_log({"op": "insert", "table": td.name,
+                          "columns": None, "rows": encode_rows(rows)})
+
+    def close(self) -> None:
+        self.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.flush()
 
 
 def connect(database: Optional[str] = None) -> Connection:

@@ -1,0 +1,124 @@
+"""Bridge between the C ABI (native/capi.c) and the Python engine.
+
+The C layer embeds CPython and calls ONLY the functions in this module
+(stable internal surface); the public C surface mirrors the reference's
+C API (reference: src/include/duckdb.h, impl src/main/capi/*.cpp).
+
+Everything returned to C is pre-lowered to C-friendly shapes: ints,
+floats, UTF-8 bytes, and flat lists — no engine objects cross the
+boundary except opaque handles.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+# the host environment may force-register a remote TPU backend that
+# overrides JAX_PLATFORMS from the env; the config update below must land
+# before the first jax.devices() call to make CPU selection stick
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+from .types import TypeId
+
+# ddb_type enum values — MUST match native/include/ddb_tpu_c.h
+_TYPE_CODES = {
+    TypeId.BOOLEAN: 1,
+    TypeId.TINYINT: 2,
+    TypeId.SMALLINT: 3,
+    TypeId.INTEGER: 4,
+    TypeId.BIGINT: 5,
+    TypeId.HUGEINT: 6,
+    TypeId.FLOAT: 7,
+    TypeId.DOUBLE: 8,
+    TypeId.DECIMAL: 9,
+    TypeId.VARCHAR: 10,
+    TypeId.BLOB: 11,
+    TypeId.DATE: 12,
+    TypeId.TIME: 13,
+    TypeId.TIMESTAMP: 14,
+    TypeId.INTERVAL: 15,
+    TypeId.LIST: 16,
+    TypeId.STRUCT: 17,
+    TypeId.MAP: 18,
+    TypeId.UUID: 19,
+}
+
+
+def open_database(path: Optional[str]):
+    """Returns an opaque database handle (the connect factory args)."""
+    return {"path": path if path not in (None, "", ":memory:") else None}
+
+
+def connect(db) -> object:
+    from .api import Connection
+    con = Connection()
+    if db["path"]:
+        con.open_database(db["path"])   # creates WAL-backed DB if absent
+    return con
+
+
+def query(con, sql: str):
+    """Execute sql; returns (names, type_codes, columns) where columns is
+    a list of per-column value lists (None for NULL, values lowered to
+    int/float/bytes/bool)."""
+    res = con.execute(sql)
+    if res is None:
+        return ([], [], [])
+    rows = res.fetchall()
+    names = [str(n) for n in res.column_names]
+    codes = [_TYPE_CODES.get(t.id, 0) for t in res.column_types]
+    ncols = len(names)
+    columns: List[list] = [[] for _ in range(ncols)]
+    for r in rows:
+        for j in range(ncols):
+            columns[j].append(_lower(r[j]))
+    return (names, codes, columns)
+
+
+def _lower(v):
+    if v is None or isinstance(v, (bool, int, float)):
+        return v
+    if isinstance(v, bytes):
+        return v
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def execute_params(con, sql: str, params: list):
+    return query_with(con, sql, params)
+
+
+def query_with(con, sql: str, params: list):
+    res = con.execute(sql, params if params else None)
+    if res is None:
+        return ([], [], [])
+    rows = res.fetchall()
+    names = [str(n) for n in res.column_names]
+    codes = [_TYPE_CODES.get(t.id, 0) for t in res.column_types]
+    ncols = len(names)
+    columns: List[list] = [[] for _ in range(ncols)]
+    for r in rows:
+        for j in range(ncols):
+            columns[j].append(_lower(r[j]))
+    return (names, codes, columns)
+
+
+def appender_create(con, table: str):
+    return con.appender(table)
+
+
+def appender_rows(app, rows: List[Tuple]):
+    for r in rows:
+        app.append_row(*r)
+
+
+def appender_flush(app):
+    app.flush()

@@ -6,11 +6,12 @@ JoinHashTable partitioned builds): thread-local radix partitions become
 per-chip shards, and the shared-memory partition handoff becomes an ICI
 `all_to_all` inside shard_map.
 
-Protocol (fixed shapes, branch-free):
+Protocol (fixed shapes, branch-free, scatter-free):
   1. per shard: pid = high-bits(hash64(key)) % n_shards
-  2. stable sort local rows by pid; per-pid slot index = running offset
-  3. scatter rows into a [n_shards, cap] send buffer (overflow rows drop
-     into a sticky overflow counter the caller must check / retry larger)
+  2. stable sort local rows by pid carrying every payload array
+  3. slice the per-partition contiguous runs into a [n_shards, cap] send
+     buffer (rows beyond cap raise an overflow counter the caller checks
+     and retries with a larger cap)
   4. lax.all_to_all over the mesh axis -> [n_shards, cap] receive buffer
   5. flatten + validity mask -> local partition of the repartitioned data
 
@@ -52,28 +53,23 @@ def all_to_all_exchange(arrays: Sequence[jax.Array], valid: jax.Array,
     n = valid.shape[0]
     big = jnp.int32(n_shards)
     p = jnp.where(valid, pid, big)
-    # stable sort by pid so rows of one partition are contiguous
-    rowid = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    sp, srow = lax.sort([p, rowid], num_keys=1, is_stable=True)
-    # slot within partition = position - start(partition)
-    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
-    is_start = jnp.concatenate([jnp.ones(1, dtype=bool),
-                                sp[1:] != sp[:-1]])
-    start_pos = jnp.where(is_start, pos, 0)
-    start_of_run = lax.associative_scan(jnp.maximum, start_pos)
-    slot = pos - start_of_run
-    ok = (sp < big) & (slot < cap)
-    overflow = ((sp < big) & (slot >= cap)).astype(jnp.int32).sum()
-    dest = jnp.where(ok, sp * cap + slot, n_shards * cap)  # drop slot
+    # stable sort by pid CARRYING the payload arrays (PERF_NOTES rule 2:
+    # sort operands move linearly, no permutation gather); the send
+    # buffer is then per-partition contiguous SLICES of the sorted
+    # arrays — no scatter (rule 1), one near-contiguous gather
+    sorted_ops = lax.sort([p, *arrays], num_keys=1, is_stable=True)
+    sp, sorted_arrays = sorted_ops[0], sorted_ops[1:]
+    counts = jnp.stack([(sp == q).astype(jnp.int32).sum()
+                        for q in range(n_shards)])          # [n_shards]
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    overflow = jnp.maximum(counts - cap, 0).sum()
+    slot = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
+    idx = jnp.clip(starts[:, None] + slot, 0, n - 1)        # [ns, cap]
+    send_valid = slot < jnp.minimum(counts, cap)[:, None]
 
-    out_arrays = []
-    for a in arrays:
-        buf = jnp.zeros(n_shards * cap + 1, dtype=a.dtype)
-        buf = buf.at[dest].set(a[srow], mode="drop")
-        out_arrays.append(buf[:-1].reshape(n_shards, cap))
-    vbuf = jnp.zeros(n_shards * cap + 1, dtype=bool)
-    vbuf = vbuf.at[dest].set(ok, mode="drop")
-    send_valid = vbuf[:-1].reshape(n_shards, cap)
+    out_arrays = [a_s[idx.reshape(-1)].reshape(n_shards, cap)
+                  for a_s in sorted_arrays]
 
     # the exchange: block j of the send buffer goes to shard j
     recv = [lax.all_to_all(a, AXIS, split_axis=0, concat_axis=0,

@@ -113,6 +113,10 @@ def _exec(node: L.LogicalNode, ctx: DistContext):
         return _exec_aggregate(node, ctx)
     if isinstance(node, L.Join):
         return _exec_join(node, ctx)
+    if isinstance(node, L.Order):
+        return _exec_order(node, ctx)
+    if isinstance(node, L.Distinct):
+        return _exec_distinct(node, ctx)
     # everything else: gather and run the single-device executor
     return _exec_gathered(node, ctx)
 
@@ -304,15 +308,21 @@ def _exec_aggregate(node: L.Aggregate, ctx: DistContext):
                                                    overflow[None])
 
     flat, spec_in = _flatten_batch(b)
-    fn = shard_map(kern, mesh=ctx.mesh,
-                   in_specs=tuple(P(AXIS) for _ in flat),
-                   out_specs=P(AXIS))
-    outs = jax.jit(fn)(*flat)
-    overflow = int(jnp.sum(outs[-1]))
-    if overflow > 0:
+    for attempt in range(5):
+        # kern reads ex_cap late-bound: each retry re-traces with the
+        # doubled capacity (skew backstop the module docstring promises)
+        fn = shard_map(kern, mesh=ctx.mesh,
+                       in_specs=tuple(P(AXIS) for _ in flat),
+                       out_specs=P(AXIS))
+        outs = jax.jit(fn)(*flat)
+        overflow = int(jnp.sum(outs[-1]))
+        if overflow == 0:
+            break
+        ex_cap = bucket_capacity(ex_cap * 2)
+    else:
         raise RuntimeError(
-            f"aggregate exchange overflow ({overflow} rows): raise "
-            "exchange capacity (skew)")
+            f"aggregate exchange overflow ({overflow} rows) after "
+            "retries")
     gsel = outs[-2].reshape(-1)
     arrays = [o.reshape(o.shape[0] * o.shape[1], *o.shape[2:])
               for o in outs[:-2]]
@@ -366,9 +376,23 @@ def _exec_ungrouped(node, ctx, b, ps):
 # ---------------------------------------------------------------------------
 
 def _exec_join(node: L.Join, ctx: DistContext):
-    if node.join_type not in ("inner", "semi", "anti"):
+    """Distributed equi-join: hash co-partition BOTH sides on the join
+    keys (ICI all_to_all), then each shard resolves its partition locally
+    — including outer/mark semantics, which are shard-local facts once
+    equal keys are co-located (reference: partitioned hash join,
+    physical_hash_join.cpp:542-600 per-partition finalize).
+
+    Covers inner/left/right/full/semi/anti/mark, multi-condition keys
+    (combined hash + local key densify), and residual `extra` predicates.
+    Falls back to gather for range/asof joins and correlated mark-NULL
+    tracking (needs a second co-partitioning on different keys)."""
+    jt = node.join_type
+    if jt not in ("inner", "left", "right", "full", "semi", "anti",
+                  "mark"):
         return _exec_gathered(node, ctx)
-    if len(node.conds) != 1 or node.extra is not None:
+    if not node.conds or node.range_cond is not None or node.asof:
+        return _exec_gathered(node, ctx)
+    if jt == "mark" and node.mark_in and len(node.conds) > 1:
         return _exec_gathered(node, ctx)
 
     ls, lb = _exec(node.left, ctx)
@@ -381,62 +405,29 @@ def _exec_join(node: L.Join, ctx: DistContext):
     ex_cap = max(ex_cap, 256)
     out_cap = bucket_capacity(max(lcap_per * 2, 256))
 
-    cond = node.conds[0]
-
-    def kern(*arrs):
-        nl = len(lb.columns) * 2 + 1
-        lb2, _ = _unflatten_batch(arrs[:_flat_len(lb)], lb)
-        rb2, _ = _unflatten_batch(arrs[_flat_len(lb):], rb)
-        ld, ln = evaluate(cond.left, lb2)
-        rd, rn = evaluate(cond.right, rb2)
-        lk = physical._joinable_int64(ld, cond.left.dtype)
-        rk = physical._joinable_int64(rd, cond.right.dtype)
-        l_live = lb2.sel if ln is None else (lb2.sel & ~ln)
-        r_live = rb2.sel if rn is None else (rb2.sel & ~rn)
-
-        lflat = _batch_arrays(lb2)
-        rflat = _batch_arrays(rb2)
-        (elk, *elrest), elsel, lof = exchange_by_key(
-            lk, [lk] + lflat, l_live, n_shards, ex_cap)
-        (erk, *errest), ersel, rof = exchange_by_key(
-            rk, [rk] + rflat, r_live, n_shards, ex_cap)
-
-        bt = join_ops.build(erk, None, ersel)
-        lo, cnt = join_ops.probe_ranges(bt, elk, None, elsel)
-        if node.join_type in ("semi", "anti"):
-            has = cnt > 0
-            m = elsel & (has if node.join_type == "semi" else ~has)
-            outs = [a for a in elrest] + [m]
-            return tuple(x[None] for x in outs) + ((lof + rof)[None],)
-        pi, bpos, valid = join_ops.expand(lo, cnt, out_cap)
-        brow = bt.srow[bpos]
-        outs = []
-        for a in elrest:
-            outs.append(a[pi])
-        for a in errest:
-            outs.append(a[brow])
-        outs.append(valid)
-        return tuple(x[None] for x in outs) + ((lof + rof)[None],)
-
     lflat, _ = _flatten_batch(lb)
     rflat, _ = _flatten_batch(rb)
-    fn = shard_map(kern, mesh=ctx.mesh,
-                   in_specs=tuple(P(AXIS) for _ in (lflat + rflat)),
-                   out_specs=P(AXIS))
-    outs = jax.jit(fn)(*(lflat + rflat))
-    overflow = int(jnp.sum(outs[-1]))
-    if overflow > 0:
-        raise RuntimeError(
-            f"join exchange overflow ({overflow} rows): raise capacity")
+    for attempt in range(5):
+        outs = _join_attempt(node, ctx, lb, rb, lflat, rflat,
+                             ex_cap, out_cap)
+        overflow = int(jnp.sum(outs[-1]))
+        if overflow == 0:
+            break
+        # skew/expansion backstop: double capacities and recompile
+        # (reference: dynamic radix-bit repartitioning,
+        # join_hashtable.hpp:375-428)
+        ex_cap *= 2
+        out_cap *= 4
+    else:
+        raise RuntimeError("join exchange overflow after retries")
+
     arrays = [o.reshape(-1) for o in outs[:-1]]
     sel = arrays[-1]
     arrays = arrays[:-1]
-
     cols = []
     i = 0
-    src_cols = list(lb.columns) + (list(rb.columns)
-                                   if node.join_type == "inner" else [])
-    for c in src_cols:
+    nsrc = len(node.schema.fields)
+    for k in range(nsrc):
         d = arrays[i]
         i += 1
         nn = arrays[i] != 0
@@ -444,6 +435,301 @@ def _exec_join(node: L.Join, ctx: DistContext):
         cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
     return node.schema, Batch(tuple(cols), sel,
                               sel.astype(jnp.int32).sum())
+
+
+def _join_attempt(node: L.Join, ctx: DistContext, lb, rb, lflat, rflat,
+                  ex_cap: int, out_cap: int):
+    jt = node.join_type
+    n_shards = ctx.n
+    from ..ops import hashing
+
+    def kern(*arrs):
+        lb2, _ = _unflatten_batch(arrs[:_flat_len(lb)], lb)
+        rb2, _ = _unflatten_batch(arrs[_flat_len(lb):], rb)
+        lks, lns, rks, rns = [], [], [], []
+        for c in node.conds:
+            ld, ln = evaluate(c.left, lb2)
+            rd, rn = evaluate(c.right, rb2)
+            lks.append(physical._joinable_int64(ld, c.left.dtype))
+            rks.append(physical._joinable_int64(rd, c.right.dtype))
+            lns.append(ln)
+            rns.append(rn)
+
+        def pid_of(keys):
+            h = jnp.zeros(keys[0].shape[0], dtype=jnp.uint64)
+            for k in keys:
+                h = hashing.hash_combine(h, k)
+            return (h >> jnp.uint64(33)).astype(jnp.int32) % n_shards
+
+        def nullflags(ns, cap):
+            return [(x if x is not None else jnp.zeros(cap, bool))
+                    .astype(jnp.int8) for x in ns]
+
+        # exchange with valid = sel (NOT live): rows with NULL keys must
+        # survive for outer/anti/mark semantics; they carry their null
+        # flags and simply never match locally
+        from .exchange import all_to_all_exchange
+        lpack = lks + nullflags(lns, lb2.sel.shape[0]) \
+            + _batch_arrays(lb2)
+        rpack = rks + nullflags(rns, rb2.sel.shape[0]) \
+            + _batch_arrays(rb2)
+        el, elsel, lof = all_to_all_exchange(
+            lpack, lb2.sel, pid_of(lks), n_shards, ex_cap)
+        er, ersel, rof = all_to_all_exchange(
+            rpack, rb2.sel, pid_of(rks), n_shards, ex_cap)
+        nc = len(node.conds)
+        elks, elns = list(el[:nc]), [x != 0 for x in el[nc:2 * nc]]
+        elrest = list(el[2 * nc:])
+        erks, erns = list(er[:nc]), [x != 0 for x in er[nc:2 * nc]]
+        errest = list(er[2 * nc:])
+
+        l_live = elsel
+        for x in elns:
+            l_live = l_live & ~x
+        r_live = ersel
+        for x in erns:
+            r_live = r_live & ~x
+        if nc == 1:
+            lk2, rk2 = elks[0], erks[0]
+        else:
+            lk2, rk2 = physical._densify_keys(elks, l_live, erks,
+                                              r_live)
+            l_live = l_live & (lk2 >= 0)
+            r_live = r_live & (rk2 >= 0)
+
+        bt = join_ops.build(rk2, None, r_live)
+        lo, cnt = join_ops.probe_ranges(bt, lk2, None, l_live)
+        cap_l = elsel.shape[0]
+        cap_r = ersel.shape[0]
+        overflow = (lof + rof).astype(jnp.int64)
+
+        if jt in ("semi", "anti", "mark") and node.extra is None:
+            has = cnt > 0
+            if jt == "mark":
+                if node.mark_in:
+                    # global build facts for SQL 3-valued IN marks
+                    in_null = erns[0] if erns else jnp.zeros(cap_r, bool)
+                    hasnull = lax.psum(
+                        (ersel & in_null).astype(jnp.int32).sum(), AXIS)
+                    nonempty = lax.psum(
+                        ersel.astype(jnp.int32).sum(), AXIS)
+                    pnull = elns[0] if elns else jnp.zeros(cap_l, bool)
+                    mnull = ~has & ((pnull & (nonempty > 0))
+                                    | (hasnull > 0))
+                else:
+                    mnull = jnp.zeros(cap_l, bool)
+                outs = elrest + [has, mnull.astype(jnp.int8), elsel]
+                return tuple(x[None] for x in outs) + (overflow[None],)
+            m = elsel & (has if jt == "semi" else ~has)
+            outs = elrest + [m]
+            return tuple(x[None] for x in outs) + (overflow[None],)
+
+        total = cnt.astype(jnp.int64).sum()
+        overflow = overflow + jnp.maximum(total - out_cap, 0)
+        pi, bpos, valid = join_ops.expand(lo, cnt, out_cap)
+        brow = bt.srow[bpos]
+
+        if node.extra is not None:
+            # residual predicate over expanded pairs (reference:
+            # non-equality conditions in ScanStructure::Next)
+            pair_cols = []
+            i = 0
+            for c in lb.columns:
+                d = elrest[i][pi]
+                i += 1
+                nn = elrest[i][pi] != 0
+                i += 1
+                pair_cols.append(Column(d, nn))
+            i = 0
+            for c in rb.columns:
+                d = errest[i][brow]
+                i += 1
+                nn = errest[i][brow] != 0
+                i += 1
+                pair_cols.append(Column(d, nn))
+            pairs = Batch(tuple(pair_cols), valid,
+                          valid.astype(jnp.int32).sum())
+            valid = valid & select_mask(node.extra, pairs)
+            if jt in ("semi", "anti", "mark"):
+                tgt = jnp.where(valid, pi, cap_l)
+                matched = jnp.zeros(cap_l + 1, jnp.int32) \
+                    .at[tgt].max(1, mode="drop")[:cap_l] > 0
+                if jt == "mark":
+                    outs = elrest + [matched,
+                                     jnp.zeros(cap_l, jnp.int8), elsel]
+                    return tuple(x[None] for x in outs) \
+                        + (overflow[None],)
+                m = elsel & (matched if jt == "semi" else ~matched)
+                outs = elrest + [m]
+                return tuple(x[None] for x in outs) + (overflow[None],)
+            p_t = jnp.where(valid, pi, cap_l)
+            probe_matched = jnp.zeros(cap_l + 1, jnp.int32) \
+                .at[p_t].max(1, mode="drop")[:cap_l] > 0
+            b_t = jnp.where(valid, brow, cap_r)
+            build_matched = jnp.zeros(cap_r + 1, jnp.int32) \
+                .at[b_t].max(1, mode="drop")[:cap_r] > 0
+        else:
+            probe_matched = cnt > 0
+            build_matched = join_ops.matched_build_mask(bt, lo, cnt,
+                                                        cap_r)
+
+        ext_l = cap_l if jt in ("left", "full") else 0
+        ext_r = cap_r if jt in ("right", "full") else 0
+
+        lo_valid = elsel & ~probe_matched if ext_l else None
+        ro_valid = ersel & ~build_matched if ext_r else None
+
+        outs = []
+        # left columns: [matches][left-outer][right-outer(null)]
+        i = 0
+        for c in lb.columns:
+            parts_d = [elrest[i][pi]]
+            parts_n = [(elrest[i + 1][pi] != 0) | ~valid]
+            if ext_l:
+                parts_d.append(elrest[i])
+                parts_n.append(elrest[i + 1] != 0)
+            if ext_r:
+                parts_d.append(jnp.zeros(cap_r, elrest[i].dtype))
+                parts_n.append(jnp.ones(cap_r, bool))
+            outs.append(jnp.concatenate(parts_d))
+            outs.append(jnp.concatenate(parts_n).astype(jnp.int8))
+            i += 2
+        i = 0
+        for c in rb.columns:
+            parts_d = [errest[i][brow]]
+            parts_n = [(errest[i + 1][brow] != 0) | ~valid]
+            if ext_l:
+                parts_d.append(jnp.zeros(cap_l, errest[i].dtype))
+                parts_n.append(jnp.ones(cap_l, bool))
+            if ext_r:
+                parts_d.append(errest[i])
+                parts_n.append(errest[i + 1] != 0)
+            outs.append(jnp.concatenate(parts_d))
+            outs.append(jnp.concatenate(parts_n).astype(jnp.int8))
+            i += 2
+        sel_parts = [valid]
+        if ext_l:
+            sel_parts.append(lo_valid)
+        if ext_r:
+            sel_parts.append(ro_valid)
+        outs.append(jnp.concatenate(sel_parts))
+        return tuple(x[None] for x in outs) + (overflow[None],)
+
+    fn = shard_map(kern, mesh=ctx.mesh,
+                   in_specs=tuple(P(AXIS) for _ in (lflat + rflat)),
+                   out_specs=P(AXIS))
+    return jax.jit(fn)(*(lflat + rflat))
+
+
+# ---------------------------------------------------------------------------
+# distributed sort (sample-based range partition + local sort)
+# ---------------------------------------------------------------------------
+
+def _exec_order(node: L.Order, ctx: DistContext):
+    """Distributed ORDER BY: sample the first sort key to pick range
+    boundaries (identical on every shard via all_gather), route rows to
+    their range owner over ICI, then one local carry-everything sort per
+    shard.  Rows with equal first-key values are co-located, so the
+    shard-major concatenation is globally sorted (the parallel analog of
+    the reference's sorted-run merge, common/sorting/sorted_run_merger.hpp)."""
+    schema, b = _exec(node.child, ctx)
+    n_shards = ctx.n
+    cap_per = max(b.capacity // n_shards, 1)
+    ex_cap = bucket_capacity(max(cap_per * 2, 256))
+    flat, _ = _flatten_batch(b)
+    for attempt in range(5):
+        outs = _order_attempt(node, ctx, b, flat, ex_cap)
+        overflow = int(jnp.sum(outs[-1]))
+        if overflow == 0:
+            break
+        ex_cap *= 2   # range skew backstop: double and recompile
+    else:
+        raise RuntimeError("order exchange overflow after retries")
+    arrays = [o.reshape(-1) for o in outs[:-1]]
+    sel = arrays[-1]
+    cols = []
+    i = 0
+    for c in b.columns:
+        d = arrays[i]
+        i += 1
+        nn = arrays[i] != 0
+        i += 1
+        cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
+    return node.schema, Batch(tuple(cols), sel,
+                              sel.astype(jnp.int32).sum())
+
+
+def _order_attempt(node: L.Order, ctx: DistContext, b, flat,
+                   ex_cap: int):
+    n_shards = ctx.n
+    n_samples = 64
+
+    def kern(*arrs):
+        bb, _ = _unflatten_batch(arrs, b)
+        n_local = bb.sel.shape[0]
+        key_ops = []
+        for k in node.keys:
+            d, nmask = evaluate(k.expr, bb)
+            key_ops.extend(sortkey.encode_key(
+                d, nmask, k.expr.dtype, desc=k.desc,
+                nulls_last=k.nulls_last))
+        k0 = node.keys[0]
+        d0, n0 = evaluate(k0.expr, bb)
+        pops = sortkey.encode_key(d0, n0, k0.expr.dtype, desc=k0.desc,
+                                  nulls_last=k0.nulls_last)
+        p0 = pops[0].astype(jnp.int64)
+        p1 = (pops[1].astype(jnp.int64) if len(pops) > 1
+              else jnp.zeros(n_local, jnp.int64))
+        big = jnp.iinfo(jnp.int64).max
+        live = bb.sel
+        s0, s1 = lax.sort([jnp.where(live, p0, big),
+                           jnp.where(live, p1, big)], num_keys=2)
+        stride = max(n_local // n_samples, 1)
+        samp0 = s0[::stride][:n_samples]
+        samp1 = s1[::stride][:n_samples]
+        g0 = lax.all_gather(samp0, AXIS).reshape(-1)
+        g1 = lax.all_gather(samp1, AXIS).reshape(-1)
+        gs0, gs1 = lax.sort([g0, g1], num_keys=2)
+        total = g0.shape[0]
+        bidx = (jnp.arange(1, n_shards) * total) // n_shards
+        b0 = gs0[bidx]
+        b1 = gs1[bidx]
+        # shard = #boundaries strictly below the row's (p0, p1): equal
+        # first-key rows land on one shard, making ties local
+        ge = (p0[:, None] > b0[None, :]) \
+            | ((p0[:, None] == b0[None, :]) & (p1[:, None] >= b1[None, :]))
+        pid = ge.astype(jnp.int32).sum(axis=1)
+
+        from .exchange import all_to_all_exchange
+        pack = list(key_ops) + _batch_arrays(bb)
+        ex, exsel, ov = all_to_all_exchange(pack, bb.sel, pid, n_shards,
+                                            ex_cap)
+        nko = len(key_ops)
+        eops = list(ex[:nko])
+        erest = list(ex[nko:])
+        invalid = (~exsel).astype(jnp.int32)
+        out = lax.sort([invalid, *eops, *erest], num_keys=1 + nko,
+                       is_stable=True)
+        sel2 = out[0] == 0
+        rest = out[1 + nko:]
+        outs = list(rest) + [sel2]
+        return tuple(x[None] for x in outs) \
+            + (ov.astype(jnp.int64)[None],)
+
+    fn = shard_map(kern, mesh=ctx.mesh,
+                   in_specs=tuple(P(AXIS) for _ in flat),
+                   out_specs=P(AXIS))
+    return jax.jit(fn)(*flat)
+
+
+def _exec_distinct(node: L.Distinct, ctx: DistContext):
+    """DISTINCT = grouped aggregate over every column with no payloads
+    (reference: distinct lowers to aggregate, physical_plan_generator)."""
+    groups = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+              for i, f in enumerate(node.child.schema.fields)]
+    agg = L.Aggregate(node.child, groups, [],
+                      list(node.child.schema.names), node.schema)
+    return _exec_aggregate(agg, ctx)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,541 @@
+/* ddb_tpu C API implementation.
+ *
+ * Hosts the ddb_tpu engine (jax/XLA) in an embedded CPython interpreter
+ * and exposes the duckdb.h-shaped stable ABI declared in
+ * include/ddb_tpu_c.h (reference: src/main/capi/ *.cpp backing
+ * src/include/duckdb.h).  All engine calls go through the narrow bridge
+ * module ddb_tpu.capi_bridge; results are materialized into C-side
+ * column arrays at query time so value accessors are plain reads.
+ *
+ * Thread-safety: every entry point takes the GIL; the engine connection
+ * itself follows the Python API's locking.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <stdlib.h>
+#include <string.h>
+
+#include "include/ddb_tpu_c.h"
+
+/* ------------------------------------------------------------------ */
+
+struct ddb_database_t {
+    PyObject *handle;          /* bridge.open_database(...) result */
+};
+
+struct ddb_connection_t {
+    PyObject *con;             /* ddb_tpu Connection */
+    char *last_error;
+};
+
+typedef struct {
+    int is_null;
+    int64_t i;
+    double d;
+    char *s;                   /* owned UTF-8 copy (VARCHAR-likes) */
+} ddb_cell;
+
+struct ddb_result_t {
+    size_t ncols, nrows;
+    char **names;
+    ddb_type *types;
+    ddb_cell **cols;           /* [col][row] */
+};
+
+struct ddb_prepared_t {
+    struct ddb_connection_t *con;
+    char *sql;
+    size_t nparams;
+    PyObject *params;          /* list, pre-sized */
+};
+
+struct ddb_appender_t {
+    struct ddb_connection_t *con;
+    PyObject *app;             /* ddb_tpu Appender */
+    PyObject *row;             /* list being built */
+    PyObject *rows;            /* buffered rows */
+};
+
+static PyObject *g_bridge = NULL;
+
+/* ------------------------------------------------------------------ */
+
+static void set_error(struct ddb_connection_t *con, const char *msg) {
+    if (!con) return;
+    free(con->last_error);
+    con->last_error = msg ? strdup(msg) : NULL;
+}
+
+static void set_py_error(struct ddb_connection_t *con) {
+    PyObject *type, *value, *tb;
+    PyErr_Fetch(&type, &value, &tb);
+    PyErr_NormalizeException(&type, &value, &tb);
+    if (value) {
+        PyObject *s = PyObject_Str(value);
+        if (s) {
+            const char *msg = PyUnicode_AsUTF8(s);
+            set_error(con, msg ? msg : "unknown python error");
+            Py_DECREF(s);
+        }
+    } else {
+        set_error(con, "unknown python error");
+    }
+    Py_XDECREF(type);
+    Py_XDECREF(value);
+    Py_XDECREF(tb);
+}
+
+static int ensure_bridge(void) {
+    if (g_bridge) return 0;
+    if (!Py_IsInitialized()) {
+        /* verification/default path runs the engine on host CPU; set
+         * DDB_CAPI_PLATFORM to override (e.g. leave jax free to pick
+         * the TPU). */
+        const char *plat = getenv("DDB_CAPI_PLATFORM");
+        setenv("JAX_PLATFORMS", plat ? plat : "cpu", 1);
+        Py_InitializeEx(0);
+        /* drop the GIL so other C threads can enter via PyGILState */
+        PyEval_SaveThread();
+    }
+    PyGILState_STATE st = PyGILState_Ensure();
+    /* the platform override must land before the engine package first
+     * touches jax devices (a site hook may force a remote backend) */
+    PyRun_SimpleString(
+        "import os\n"
+        "_p = os.environ.get('JAX_PLATFORMS', '').strip()\n"
+        "if _p:\n"
+        "    import jax\n"
+        "    jax.config.update('jax_platforms', _p)\n");
+    PyObject *mod = PyImport_ImportModule("ddb_tpu.capi_bridge");
+    if (!mod) {
+        PyErr_Print();
+        PyGILState_Release(st);
+        return -1;
+    }
+    g_bridge = mod;
+    PyGILState_Release(st);
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+
+ddb_state ddb_open(const char *path, ddb_database *out_db) {
+    if (!out_db) return DDB_ERROR;
+    *out_db = NULL;
+    if (ensure_bridge() != 0) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *h = PyObject_CallMethod(g_bridge, "open_database", "z",
+                                      path);
+    if (!h) {
+        PyErr_Print();
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    struct ddb_database_t *db = calloc(1, sizeof(*db));
+    db->handle = h;
+    PyGILState_Release(st);
+    *out_db = db;
+    return DDB_SUCCESS;
+}
+
+void ddb_close(ddb_database *db) {
+    if (!db || !*db) return;
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_XDECREF((*db)->handle);
+    PyGILState_Release(st);
+    free(*db);
+    *db = NULL;
+}
+
+ddb_state ddb_connect(ddb_database db, ddb_connection *out_con) {
+    if (!db || !out_con) return DDB_ERROR;
+    *out_con = NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *con = PyObject_CallMethod(g_bridge, "connect", "O",
+                                        db->handle);
+    if (!con) {
+        PyErr_Print();
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    struct ddb_connection_t *c = calloc(1, sizeof(*c));
+    c->con = con;
+    PyGILState_Release(st);
+    *out_con = c;
+    return DDB_SUCCESS;
+}
+
+void ddb_disconnect(ddb_connection *con) {
+    if (!con || !*con) return;
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_XDECREF((*con)->con);
+    PyGILState_Release(st);
+    free((*con)->last_error);
+    free(*con);
+    *con = NULL;
+}
+
+const char *ddb_error_message(ddb_connection con) {
+    return con && con->last_error ? con->last_error : "";
+}
+
+/* ------------------------------------------------------------------ */
+
+static struct ddb_result_t *materialize(PyObject *triple,
+                                        struct ddb_connection_t *con) {
+    /* triple = (names, type_codes, columns) from the bridge */
+    PyObject *names = PyTuple_GetItem(triple, 0);
+    PyObject *codes = PyTuple_GetItem(triple, 1);
+    PyObject *cols = PyTuple_GetItem(triple, 2);
+    if (!names || !codes || !cols) {
+        set_error(con, "malformed bridge result");
+        return NULL;
+    }
+    size_t ncols = (size_t)PyList_Size(names);
+    size_t nrows = ncols ? (size_t)PyList_Size(PyList_GetItem(cols, 0))
+                         : 0;
+    struct ddb_result_t *r = calloc(1, sizeof(*r));
+    r->ncols = ncols;
+    r->nrows = nrows;
+    r->names = calloc(ncols ? ncols : 1, sizeof(char *));
+    r->types = calloc(ncols ? ncols : 1, sizeof(ddb_type));
+    r->cols = calloc(ncols ? ncols : 1, sizeof(ddb_cell *));
+    for (size_t j = 0; j < ncols; j++) {
+        const char *nm = PyUnicode_AsUTF8(PyList_GetItem(names, j));
+        r->names[j] = strdup(nm ? nm : "");
+        r->types[j] =
+            (ddb_type)PyLong_AsLong(PyList_GetItem(codes, j));
+        r->cols[j] = calloc(nrows ? nrows : 1, sizeof(ddb_cell));
+        PyObject *col = PyList_GetItem(cols, j);
+        for (size_t i = 0; i < nrows; i++) {
+            PyObject *v = PyList_GetItem(col, i);
+            ddb_cell *cell = &r->cols[j][i];
+            if (v == Py_None) {
+                cell->is_null = 1;
+            } else if (PyBool_Check(v)) {
+                cell->i = (v == Py_True);
+                cell->d = (double)cell->i;
+            } else if (PyLong_Check(v)) {
+                cell->i = PyLong_AsLongLong(v);
+                cell->d = (double)cell->i;
+            } else if (PyFloat_Check(v)) {
+                cell->d = PyFloat_AsDouble(v);
+                cell->i = (int64_t)cell->d;
+            } else if (PyBytes_Check(v)) {
+                cell->s = strdup(PyBytes_AsString(v));
+            } else {
+                const char *s = PyUnicode_AsUTF8(v);
+                cell->s = strdup(s ? s : "");
+            }
+            if (PyErr_Occurred()) PyErr_Clear();
+        }
+    }
+    return r;
+}
+
+ddb_state ddb_query(ddb_connection con, const char *sql,
+                    ddb_result *out_result) {
+    if (!con || !sql) return DDB_ERROR;
+    if (out_result) *out_result = NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *triple = PyObject_CallMethod(g_bridge, "query", "Os",
+                                           con->con, sql);
+    if (!triple) {
+        set_py_error(con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    set_error(con, NULL);
+    if (out_result) {
+        *out_result = materialize(triple, con);
+        if (!*out_result) {
+            Py_DECREF(triple);
+            PyGILState_Release(st);
+            return DDB_ERROR;
+        }
+    }
+    Py_DECREF(triple);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}
+
+void ddb_destroy_result(ddb_result *res) {
+    if (!res || !*res) return;
+    struct ddb_result_t *r = *res;
+    for (size_t j = 0; j < r->ncols; j++) {
+        for (size_t i = 0; i < r->nrows; i++) free(r->cols[j][i].s);
+        free(r->cols[j]);
+        free(r->names[j]);
+    }
+    free(r->cols);
+    free(r->names);
+    free(r->types);
+    free(r);
+    *res = NULL;
+}
+
+size_t ddb_column_count(ddb_result res) { return res ? res->ncols : 0; }
+size_t ddb_row_count(ddb_result res) { return res ? res->nrows : 0; }
+
+const char *ddb_column_name(ddb_result res, size_t col) {
+    return (res && col < res->ncols) ? res->names[col] : NULL;
+}
+
+ddb_type ddb_column_type(ddb_result res, size_t col) {
+    return (res && col < res->ncols) ? res->types[col]
+                                     : DDB_TYPE_INVALID;
+}
+
+static const ddb_cell *cell_at(ddb_result res, size_t col, size_t row) {
+    if (!res || col >= res->ncols || row >= res->nrows) return NULL;
+    return &res->cols[col][row];
+}
+
+bool ddb_value_is_null(ddb_result res, size_t col, size_t row) {
+    const ddb_cell *c = cell_at(res, col, row);
+    return c ? c->is_null != 0 : true;
+}
+
+bool ddb_value_boolean(ddb_result res, size_t col, size_t row) {
+    const ddb_cell *c = cell_at(res, col, row);
+    return c && !c->is_null && c->i != 0;
+}
+
+int64_t ddb_value_int64(ddb_result res, size_t col, size_t row) {
+    const ddb_cell *c = cell_at(res, col, row);
+    if (!c || c->is_null) return 0;
+    if (c->s) return strtoll(c->s, NULL, 10);
+    return c->i;
+}
+
+double ddb_value_double(ddb_result res, size_t col, size_t row) {
+    const ddb_cell *c = cell_at(res, col, row);
+    if (!c || c->is_null) return 0.0;
+    if (c->s) return strtod(c->s, NULL);
+    return c->d;
+}
+
+const char *ddb_value_varchar(ddb_result res, size_t col, size_t row) {
+    const ddb_cell *c = cell_at(res, col, row);
+    if (!c || c->is_null) return NULL;
+    if (c->s) return c->s;
+    /* lazily render numerics; cache on the cell so the pointer stays
+     * valid until destroy */
+    char buf[64];
+    ddb_cell *w = (ddb_cell *)c;
+    if (res->types[col] == DDB_TYPE_DOUBLE
+        || res->types[col] == DDB_TYPE_FLOAT
+        || res->types[col] == DDB_TYPE_DECIMAL) {
+        snprintf(buf, sizeof buf, "%g", c->d);
+    } else {
+        snprintf(buf, sizeof buf, "%lld", (long long)c->i);
+    }
+    w->s = strdup(buf);
+    return w->s;
+}
+
+/* ------------------------------------------------------------------ */
+
+ddb_state ddb_prepare(ddb_connection con, const char *sql,
+                      ddb_prepared *out_prepared) {
+    if (!con || !sql || !out_prepared) return DDB_ERROR;
+    size_t nparams = 0;
+    for (const char *p = sql; *p; p++)
+        if (*p == '?') nparams++;
+    struct ddb_prepared_t *s = calloc(1, sizeof(*s));
+    s->con = con;
+    s->sql = strdup(sql);
+    s->nparams = nparams;
+    PyGILState_STATE st = PyGILState_Ensure();
+    s->params = PyList_New((Py_ssize_t)nparams);
+    for (size_t i = 0; i < nparams; i++) {
+        Py_INCREF(Py_None);
+        PyList_SET_ITEM(s->params, (Py_ssize_t)i, Py_None);
+    }
+    PyGILState_Release(st);
+    *out_prepared = s;
+    return DDB_SUCCESS;
+}
+
+void ddb_destroy_prepare(ddb_prepared *stmt) {
+    if (!stmt || !*stmt) return;
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_XDECREF((*stmt)->params);
+    PyGILState_Release(st);
+    free((*stmt)->sql);
+    free(*stmt);
+    *stmt = NULL;
+}
+
+static ddb_state bind_obj(ddb_prepared stmt, size_t idx, PyObject *v) {
+    /* takes ownership of v; param_idx is 1-based like the reference */
+    if (!stmt || idx < 1 || idx > stmt->nparams) {
+        Py_XDECREF(v);
+        return DDB_ERROR;
+    }
+    PyList_SetItem(stmt->params, (Py_ssize_t)(idx - 1), v);
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_bind_int64(ddb_prepared stmt, size_t i, int64_t v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = bind_obj(stmt, i, PyLong_FromLongLong(v));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_bind_double(ddb_prepared stmt, size_t i, double v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = bind_obj(stmt, i, PyFloat_FromDouble(v));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_bind_varchar(ddb_prepared stmt, size_t i, const char *v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = bind_obj(stmt, i, PyUnicode_FromString(v ? v : ""));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_bind_null(ddb_prepared stmt, size_t i) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_INCREF(Py_None);
+    ddb_state r = bind_obj(stmt, i, Py_None);
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_execute_prepared(ddb_prepared stmt, ddb_result *out) {
+    if (!stmt) return DDB_ERROR;
+    if (out) *out = NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *triple = PyObject_CallMethod(
+        g_bridge, "query_with", "OsO", stmt->con->con, stmt->sql,
+        stmt->params);
+    if (!triple) {
+        set_py_error(stmt->con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    set_error(stmt->con, NULL);
+    if (out) *out = materialize(triple, stmt->con);
+    Py_DECREF(triple);
+    PyGILState_Release(st);
+    return (out && !*out) ? DDB_ERROR : DDB_SUCCESS;
+}
+
+/* ------------------------------------------------------------------ */
+
+ddb_state ddb_appender_create(ddb_connection con, const char *schema,
+                              const char *table, ddb_appender *out) {
+    (void)schema;   /* single-schema engine: 'main' */
+    if (!con || !table || !out) return DDB_ERROR;
+    *out = NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *app = PyObject_CallMethod(g_bridge, "appender_create",
+                                        "Os", con->con, table);
+    if (!app) {
+        set_py_error(con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    struct ddb_appender_t *a = calloc(1, sizeof(*a));
+    a->con = con;
+    a->app = app;
+    a->row = PyList_New(0);
+    a->rows = PyList_New(0);
+    PyGILState_Release(st);
+    *out = a;
+    return DDB_SUCCESS;
+}
+
+static ddb_state append_obj(ddb_appender app, PyObject *v) {
+    if (!app || !v) {
+        Py_XDECREF(v);
+        return DDB_ERROR;
+    }
+    PyList_Append(app->row, v);
+    Py_DECREF(v);
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_append_int64(ddb_appender app, int64_t v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = append_obj(app, PyLong_FromLongLong(v));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_append_double(ddb_appender app, double v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = append_obj(app, PyFloat_FromDouble(v));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_append_varchar(ddb_appender app, const char *v) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    ddb_state r = append_obj(app, PyUnicode_FromString(v ? v : ""));
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_append_null(ddb_appender app) {
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_INCREF(Py_None);
+    ddb_state r = append_obj(app, Py_None);
+    PyGILState_Release(st);
+    return r;
+}
+
+ddb_state ddb_appender_end_row(ddb_appender app) {
+    if (!app) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *tup = PyList_AsTuple(app->row);
+    PyList_Append(app->rows, tup);
+    Py_DECREF(tup);
+    Py_DECREF(app->row);
+    app->row = PyList_New(0);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_appender_flush(ddb_appender app) {
+    if (!app) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *r = PyObject_CallMethod(g_bridge, "appender_rows", "OO",
+                                      app->app, app->rows);
+    if (!r) {
+        set_py_error(app->con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    Py_DECREF(r);
+    Py_DECREF(app->rows);
+    app->rows = PyList_New(0);
+    r = PyObject_CallMethod(g_bridge, "appender_flush", "O", app->app);
+    if (!r) {
+        set_py_error(app->con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_appender_destroy(ddb_appender *app) {
+    if (!app || !*app) return DDB_ERROR;
+    ddb_state r = ddb_appender_flush(*app);
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_XDECREF((*app)->app);
+    Py_XDECREF((*app)->row);
+    Py_XDECREF((*app)->rows);
+    PyGILState_Release(st);
+    free(*app);
+    *app = NULL;
+    return r;
+}

@@ -1,0 +1,79 @@
+/* C API smoke test: create a table, insert (SQL + appender + prepared),
+ * query, and read typed results — the capability bar of the reference's
+ * C API examples (reference: examples in src/include/duckdb.h docs). */
+#include <assert.h>
+#include <stdio.h>
+#include <string.h>
+
+#include "include/ddb_tpu_c.h"
+
+#define CHECK(x) do { if ((x) != DDB_SUCCESS) {                       \
+        fprintf(stderr, "FAILED at %s:%d\n", __FILE__, __LINE__);     \
+        return 1; } } while (0)
+
+int main(void) {
+    ddb_database db;
+    ddb_connection con;
+    ddb_result res;
+
+    CHECK(ddb_open(NULL, &db));
+    CHECK(ddb_connect(db, &con));
+
+    CHECK(ddb_query(con, "CREATE TABLE t (id INTEGER, name VARCHAR,"
+                         " score DOUBLE)", NULL));
+    CHECK(ddb_query(con, "INSERT INTO t VALUES (1, 'alice', 3.5),"
+                         " (2, 'bob', NULL)", NULL));
+
+    /* appender bulk ingest */
+    ddb_appender app;
+    CHECK(ddb_appender_create(con, "main", "t", &app));
+    for (int i = 3; i <= 6; i++) {
+        CHECK(ddb_append_int64(app, i));
+        CHECK(ddb_append_varchar(app, i % 2 ? "odd" : "even"));
+        CHECK(ddb_append_double(app, i * 1.5));
+        CHECK(ddb_appender_end_row(app));
+    }
+    CHECK(ddb_appender_destroy(&app));
+
+    /* prepared statement */
+    ddb_prepared ps;
+    CHECK(ddb_prepare(con, "SELECT name, score FROM t WHERE id = ?",
+                      &ps));
+    CHECK(ddb_bind_int64(ps, 1, 4));
+    CHECK(ddb_execute_prepared(ps, &res));
+    assert(ddb_row_count(res) == 1);
+    assert(strcmp(ddb_value_varchar(res, 0, 0), "even") == 0);
+    assert(ddb_value_double(res, 1, 0) == 6.0);
+    ddb_destroy_result(&res);
+    ddb_destroy_prepare(&ps);
+
+    /* aggregate query with typed reads + NULL */
+    CHECK(ddb_query(con, "SELECT count(*) c, sum(score) s,"
+                         " max(name) m FROM t", &res));
+    assert(ddb_column_count(res) == 3);
+    assert(ddb_row_count(res) == 1);
+    assert(strcmp(ddb_column_name(res, 0), "c") == 0);
+    assert(ddb_value_int64(res, 0, 0) == 6);
+    assert(ddb_value_double(res, 1, 0) == 3.5 + 4.5 + 6.0 + 7.5 + 9.0);
+    assert(strcmp(ddb_value_varchar(res, 2, 0), "odd") == 0);
+    ddb_destroy_result(&res);
+
+    CHECK(ddb_query(con, "SELECT score FROM t WHERE id = 2", &res));
+    assert(ddb_value_is_null(res, 0, 0));
+    ddb_destroy_result(&res);
+
+    /* error surfaces as message, not crash */
+    if (ddb_query(con, "SELECT * FROM nope", &res) == DDB_SUCCESS) {
+        fprintf(stderr, "expected error for missing table\n");
+        return 1;
+    }
+    if (strlen(ddb_error_message(con)) == 0) {
+        fprintf(stderr, "expected non-empty error message\n");
+        return 1;
+    }
+
+    ddb_disconnect(&con);
+    ddb_close(&db);
+    printf("capi smoke: OK\n");
+    return 0;
+}

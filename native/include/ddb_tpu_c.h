@@ -1,0 +1,126 @@
+/* ddb_tpu C API — the stable C ABI of the TPU-native engine.
+ *
+ * Shape and naming follow the reference's C API so clients can switch
+ * with minimal changes (reference: src/include/duckdb.h — duckdb_open /
+ * duckdb_connect / duckdb_query / duckdb_value_* / appender /
+ * prepared-statement surface; impl src/main/capi/).  This is an original
+ * implementation: the engine behind it is the ddb_tpu jax/XLA query
+ * engine hosted in an embedded CPython interpreter (native/capi.c).
+ */
+#ifndef DDB_TPU_C_H
+#define DDB_TPU_C_H
+
+#include <stdbool.h>
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef enum {
+    DDB_SUCCESS = 0,
+    DDB_ERROR = 1,
+} ddb_state;
+
+typedef enum {
+    DDB_TYPE_INVALID = 0,
+    DDB_TYPE_BOOLEAN,
+    DDB_TYPE_TINYINT,
+    DDB_TYPE_SMALLINT,
+    DDB_TYPE_INTEGER,
+    DDB_TYPE_BIGINT,
+    DDB_TYPE_HUGEINT,
+    DDB_TYPE_FLOAT,
+    DDB_TYPE_DOUBLE,
+    DDB_TYPE_DECIMAL,
+    DDB_TYPE_VARCHAR,
+    DDB_TYPE_BLOB,
+    DDB_TYPE_DATE,
+    DDB_TYPE_TIME,
+    DDB_TYPE_TIMESTAMP,
+    DDB_TYPE_INTERVAL,
+    DDB_TYPE_LIST,
+    DDB_TYPE_STRUCT,
+    DDB_TYPE_MAP,
+    DDB_TYPE_UUID,
+    DDB_TYPE_ENUM,
+} ddb_type;
+
+typedef struct ddb_database_t *ddb_database;
+typedef struct ddb_connection_t *ddb_connection;
+typedef struct ddb_result_t *ddb_result;
+typedef struct ddb_prepared_t *ddb_prepared;
+typedef struct ddb_appender_t *ddb_appender;
+
+/* ------------------------------------------------------------------ *
+ * database / connection lifecycle (reference: duckdb_open :duckdb.h)  *
+ * ------------------------------------------------------------------ */
+
+/* path == NULL or ":memory:" opens an in-memory database.  The first
+ * open initializes the embedded interpreter + engine (slow: jax import);
+ * subsequent opens are cheap. */
+ddb_state ddb_open(const char *path, ddb_database *out_db);
+void ddb_close(ddb_database *db);
+
+ddb_state ddb_connect(ddb_database db, ddb_connection *out_con);
+void ddb_disconnect(ddb_connection *con);
+
+/* last error message for a connection (valid until next call) */
+const char *ddb_error_message(ddb_connection con);
+
+/* ------------------------------------------------------------------ *
+ * querying (reference: duckdb_query / duckdb_value_*)                 *
+ * ------------------------------------------------------------------ */
+
+ddb_state ddb_query(ddb_connection con, const char *sql,
+                    ddb_result *out_result);
+void ddb_destroy_result(ddb_result *res);
+
+size_t ddb_column_count(ddb_result res);
+size_t ddb_row_count(ddb_result res);
+const char *ddb_column_name(ddb_result res, size_t col);
+ddb_type ddb_column_type(ddb_result res, size_t col);
+
+bool ddb_value_is_null(ddb_result res, size_t col, size_t row);
+bool ddb_value_boolean(ddb_result res, size_t col, size_t row);
+int64_t ddb_value_int64(ddb_result res, size_t col, size_t row);
+double ddb_value_double(ddb_result res, size_t col, size_t row);
+/* returned string is owned by the result; valid until destroy */
+const char *ddb_value_varchar(ddb_result res, size_t col, size_t row);
+
+/* ------------------------------------------------------------------ *
+ * prepared statements (reference: duckdb_prepare / duckdb_bind_*)     *
+ * ------------------------------------------------------------------ */
+
+ddb_state ddb_prepare(ddb_connection con, const char *sql,
+                      ddb_prepared *out_prepared);
+void ddb_destroy_prepare(ddb_prepared *stmt);
+
+ddb_state ddb_bind_int64(ddb_prepared stmt, size_t param_idx, int64_t v);
+ddb_state ddb_bind_double(ddb_prepared stmt, size_t param_idx, double v);
+ddb_state ddb_bind_varchar(ddb_prepared stmt, size_t param_idx,
+                           const char *v);
+ddb_state ddb_bind_null(ddb_prepared stmt, size_t param_idx);
+ddb_state ddb_execute_prepared(ddb_prepared stmt, ddb_result *out_result);
+
+/* ------------------------------------------------------------------ *
+ * appender: bulk row ingest (reference: duckdb_appender_create)       *
+ * ------------------------------------------------------------------ */
+
+ddb_state ddb_appender_create(ddb_connection con, const char *schema,
+                              const char *table, ddb_appender *out);
+ddb_state ddb_append_int64(ddb_appender app, int64_t v);
+ddb_state ddb_append_double(ddb_appender app, double v);
+ddb_state ddb_append_varchar(ddb_appender app, const char *v);
+ddb_state ddb_append_null(ddb_appender app);
+ddb_state ddb_appender_end_row(ddb_appender app);
+/* push buffered rows into the table */
+ddb_state ddb_appender_flush(ddb_appender app);
+ddb_state ddb_appender_destroy(ddb_appender *app);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* DDB_TPU_C_H */

@@ -66,6 +66,7 @@ def main():
         m = (a > (24 + i % 2)) & (b < 900) & (c != 3)
         return m.astype(jnp.int64).sum()
 
+    print("bench: filter...", file=sys.stderr, flush=True)
     t = bench_loop(filter_step, 20, a, b, c)
     results["filter"] = {
         "rows_per_sec": n / t,
@@ -81,6 +82,7 @@ def main():
         out = lax.sort([k + i, rid], num_keys=1)
         return out[1][0].astype(jnp.int64)
 
+    print("bench: sort...", file=sys.stderr, flush=True)
     t = bench_loop(sort_step, 5, k, rid)
     # sort roofline: log2(n) passes over (8+4)B/row (merge-network model)
     passes = int(np.ceil(np.log2(n)))
@@ -108,6 +110,7 @@ def main():
         lo, cnt = join_ops.probe_ranges(bt, pk + (i % 2), None, psel)
         return cnt.astype(jnp.int64).sum()
 
+    print("bench: join...", file=sys.stderr, flush=True)
     t = bench_loop(join_step, 5, bk, bsel, pk, psel)
     results["join_probe"] = {
         "rows_per_sec": n / t,
@@ -127,6 +130,7 @@ def main():
     def agg_step(i, *args):
         return P.q1_fused_aggregate(*args, 10471 - (i % 2), n_rows=n).sum()
 
+    print("bench: aggregate...", file=sys.stderr, flush=True)
     t = bench_loop(agg_step, 10, qty, ext, dc, tx, sd, gid)
     results["aggregate"] = {
         "rows_per_sec": n / t,

@@ -99,3 +99,109 @@ def test_dist_order_fallback(con, mesh):
                     "SELECT g, sum(v) AS sv FROM fact GROUP BY g "
                     "ORDER BY sv DESC LIMIT 3")
     assert d == s
+
+
+# ---- round-3 coverage: outer/mark/multi-cond joins, order, distinct -----
+
+@pytest.fixture(scope="module")
+def ncon():
+    """Tables with NULL join keys to exercise outer/mark semantics."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    k = rng.integers(0, 120, n).astype(float)
+    k[rng.random(n) < 0.1] = np.nan   # -> NULL via register
+    c = ddb_tpu.connect()
+    c.register("lf", {
+        "k": [None if np.isnan(x) else int(x) for x in k],
+        "g": rng.integers(0, 6, n),
+        "v": rng.integers(1, 50, n)})
+    rk = list(range(0, 90)) + [None, None]
+    c.register("rt", {
+        "k": rk,
+        "w": list(rng.integers(1, 9, len(rk)))})
+    return c
+
+
+def test_dist_left_join(ncon, mesh):
+    d, s = run_both(ncon, mesh,
+                    "SELECT lf.k, v, w FROM lf LEFT JOIN rt "
+                    "ON lf.k = rt.k")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_right_join(ncon, mesh):
+    d, s = run_both(ncon, mesh,
+                    "SELECT lf.k, v, rt.k, w FROM lf RIGHT JOIN rt "
+                    "ON lf.k = rt.k")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_full_join(ncon, mesh):
+    d, s = run_both(ncon, mesh,
+                    "SELECT lf.k, v, rt.k, w FROM lf FULL JOIN rt "
+                    "ON lf.k = rt.k")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_anti_join_nulls(ncon, mesh):
+    d, s = run_both(ncon, mesh,
+                    "SELECT count(*) FROM lf WHERE NOT EXISTS "
+                    "(SELECT 1 FROM rt WHERE rt.k = lf.k)")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_mark_join_not_in(ncon, mesh):
+    # 3-valued NOT IN over a build side containing NULLs
+    d, s = run_both(ncon, mesh,
+                    "SELECT count(*) FROM lf WHERE k NOT IN "
+                    "(SELECT k FROM rt WHERE k < 40)")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_multi_cond_join(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT fact.k, v, w FROM fact JOIN dim "
+                    "ON fact.k = dim.k AND fact.g = dim.w")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_join_residual(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT fact.k, v, w FROM fact JOIN dim "
+                    "ON fact.k = dim.k AND v > w * 3")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_order_distributed(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT k, g, v FROM fact ORDER BY v DESC, k, g")
+    assert d == s
+
+
+def test_dist_order_nulls(ncon, mesh):
+    d, s = run_both(ncon, mesh,
+                    "SELECT k, v FROM lf ORDER BY k NULLS FIRST, v")
+    assert d == s
+
+
+def test_dist_distinct(con, mesh):
+    d, s = run_both(con, mesh, "SELECT DISTINCT g FROM fact")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_no_gather_for_joins_order(con, ncon, mesh, monkeypatch):
+    """The battery above must run WITHOUT the gathered fallback for
+    joins and order (VERDICT round-3 criterion)."""
+    from ddb_tpu.parallel import executor as ex
+    calls = []
+    orig = ex._exec_gathered
+
+    def spy(node, ctx):
+        calls.append(type(node).__name__)
+        return orig(node, ctx)
+
+    monkeypatch.setattr(ex, "_exec_gathered", spy)
+    run_both(con, mesh,
+             "SELECT fact.k, v, w FROM fact LEFT JOIN dim "
+             "ON fact.k = dim.k ORDER BY v, fact.k, w")
+    assert "Join" not in calls and "Order" not in calls
