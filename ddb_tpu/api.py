@@ -484,10 +484,61 @@ class Connection:
                     self.catalog.drop_table(td.name, if_exists=True)
                 self.catalog.enums.pop(key, None)
                 self.catalog.bump()
+            elif stmt.kind == "index":
+                key = stmt.name.lower()
+                owner = next(
+                    (t for t in self.catalog.tables.values()
+                     if key in getattr(t, "indexes", {})), None)
+                if owner is None:
+                    if not stmt.if_exists:
+                        raise CatalogException(
+                            f"index {stmt.name} does not exist")
+                else:
+                    ix = owner.indexes.pop(key)
+                    if ix.unique:
+                        owner.constraints = [
+                            (k, cs) for (k, cs)
+                            in getattr(owner, "constraints", ())
+                            if not (k == "unique"
+                                    and cs == list(ix.columns))]
+                    self.catalog.bump()
             else:
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
             self._wal_log({"op": "drop", "kind": stmt.kind,
                            "name": stmt.name})
+            return None
+        if isinstance(stmt, A.CreateIndex):
+            from .storage.index import SortedIndex
+            td = self.catalog.get_table(stmt.table)
+            key = stmt.name.lower()
+            for t in self.catalog.tables.values():
+                if key in getattr(t, "indexes", {}):
+                    if stmt.if_not_exists:
+                        return None
+                    raise CatalogException(
+                        f"index {stmt.name} already exists")
+            byname = {c.name.lower() for c in td.columns}
+            for cn in stmt.columns:
+                if cn.lower() not in byname:
+                    raise CatalogException(
+                        f"column {cn} does not exist in {stmt.table}")
+            ix = SortedIndex(key, [c.lower() for c in stmt.columns],
+                             unique=stmt.unique)
+            ix.refresh(td)
+            if stmt.unique and ix.has_internal_duplicates():
+                from .storage.dml import ConstraintException
+                raise ConstraintException(
+                    f"Constraint Error: duplicate key violates UNIQUE "
+                    f"index {stmt.name}")
+            td.indexes[key] = ix
+            if stmt.unique:
+                td.constraints = list(getattr(td, "constraints", ())) \
+                    + [("unique", [c.lower() for c in stmt.columns])]
+            self.catalog.bump()
+            self._wal_log({"op": "create_index", "name": key,
+                           "table": td.name,
+                           "columns": [c.lower() for c in stmt.columns],
+                           "unique": stmt.unique})
             return None
         if isinstance(stmt, A.CreateType):
             key = stmt.name.lower()

@@ -271,8 +271,70 @@ def _execute(node: L.LogicalNode, ctx) -> Tuple[Schema, Union[Batch, Lazy]]:
     return fn(node, ctx)
 
 
+def _index_scan_rows(node: L.Get):
+    """Row ids from a point-lookup index when the scan filters pin an
+    index's key columns with constants AND the match is selective —
+    the TPU analog of the reference's index-scan plan choice
+    (table_scan.cpp TryScanIndex).  Returns None to use the full scan."""
+    td = node.table
+    if not getattr(td, "indexes", None) or not node.filters:
+        return None
+    eqs, los, his = {}, {}, {}
+    indexed_cols = {c.lower() for ix in td.indexes.values()
+                    for c in ix.columns}
+    dummy = Batch((), jnp.ones(1, dtype=bool), jnp.int32(1))
+    for f in node.filters:
+        if not (isinstance(f, ir.Cmp) and isinstance(f.left, ir.ColRef)
+                and not ir.referenced_columns(f.right)):
+            continue
+        try:
+            col = td.columns[node.column_indices[f.left.index]]
+        except (IndexError, TypeError):
+            return None
+        cname = col.name.lower()
+        if cname not in indexed_cols:
+            continue
+        try:
+            d, nmask = evaluate(f.right, dummy)
+            if nmask is not None and bool(np.asarray(nmask)[0]):
+                continue
+            v = np.asarray(d)[0].astype(col.data.dtype)
+        except Exception:
+            continue
+        if f.op == "==":
+            eqs[cname] = v
+        elif f.op in ("<", "<="):
+            his[cname] = (v, f.op == "<")
+        elif f.op in (">", ">="):
+            los[cname] = (v, f.op == ">")
+    for ix in td.indexes.values():
+        cols = [c.lower() for c in ix.columns]
+        rows = None
+        if cols and all(c in eqs for c in cols):
+            rows = ix.lookup_eq(td, [eqs[c] for c in cols])
+        elif len(cols) == 1 and (cols[0] in los or cols[0] in his):
+            lo = los.get(cols[0])
+            hi = his.get(cols[0])
+            rows = ix.lookup_range(
+                td, lo[0] if lo else None, hi[0] if hi else None,
+                lo_strict=bool(lo and lo[1]),
+                hi_strict=bool(hi and hi[1]))
+        if rows is None:
+            continue
+        # selective enough to beat the full-column device pass?
+        if len(rows) * 4 <= td.num_rows or len(rows) <= 4096:
+            return np.sort(rows)
+    return None
+
+
 def _exec_get(node: L.Get, ctx):
-    batch = node.table.device_batch(node.column_indices)
+    rows = _index_scan_rows(node)
+    if rows is not None:
+        # filters still apply below: the index pre-selects, the residual
+        # mask keeps exactness (other conjuncts, boundary semantics)
+        batch = node.table.device_batch_rows(node.column_indices, rows)
+    else:
+        batch = node.table.device_batch(node.column_indices)
     if node.filters:
         pred = ir.make_and(node.filters)
 

@@ -270,6 +270,15 @@ class CreateType:
 
 
 @dataclass
+class CreateIndex:
+    name: str
+    table: str
+    columns: List[str]
+    unique: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class DropStmt:
     kind: str                 # table | view | secret | type
     name: str

@@ -1651,8 +1651,11 @@ class Binder:
             if isinstance(it.expr, A.ELit):
                 continue
             try:
+                # select-item aliases may appear INSIDE the expression
+                # (e.g. ORDER BY CASE WHEN lochierarchy = 0 THEN ... END)
+                e = _subst_item_aliases(it.expr, items)
                 order_prebound[_ekey(it.expr)] = self.bind_expr(
-                    it.expr, scope, agg_ctx=agg_ctx,
+                    e, scope, agg_ctx=agg_ctx,
                     group_map=(group_asts, group_keys),
                     win_ctx=win_ctx)
             except BindError:

@@ -226,6 +226,10 @@ class Parser:
                     and self.peek().value == "type":
                 self.next()
                 kind = "type"
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value == "index":
+                self.next()
+                kind = "index"
             else:
                 kind = "view" if self.accept_kw("view") else \
                     ("table" if self.accept_kw("table") else
@@ -485,6 +489,31 @@ class Parser:
                     vals.append(self.next().value)
             self.expect_op(")")
             return A.CreateType(name, vals, or_replace)
+        if (self.peek().kind == "IDENT"
+                and self.peek().value in ("index", "unique")
+                and (self.peek().value == "index"
+                     or (self.peek(1).kind == "IDENT"
+                         and self.peek(1).value == "index"))):
+            # CREATE [UNIQUE] INDEX name ON table (col, ...)
+            unique = self.peek().value == "unique"
+            if unique:
+                self.next()
+            self.next()   # index
+            if_not_exists = False
+            if self.accept_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                if_not_exists = True
+            name = self.ident()
+            self.expect_kw("on")
+            table = self.ident()
+            self.expect_op("(")
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+            return A.CreateIndex(name, table, cols, unique,
+                                 if_not_exists)
         if self.accept_kw("view"):
             name = self.ident()
             cols = self._opt_column_alias_list()

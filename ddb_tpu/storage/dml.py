@@ -58,24 +58,19 @@ def check_constraints(td: TableData) -> None:
         cols = [byname[n] for n in colnames if n in byname]
         if not cols or td.num_rows < 2:
             continue
-        keys = [c.data for c in cols]
         # UNIQUE ignores rows with NULL keys (SQL: NULLs never conflict);
-        # PRIMARY KEY nulls are caught by the NOT NULL pass above
-        live = None
-        for c in cols:
-            if c.nulls is not None:
-                live = c.nulls if live is None else (live | c.nulls)
-        if live is not None:
-            keep = ~live
-            keys = [k[keep] for k in keys]
-            if len(keys[0]) < 2:
-                continue
-        order = np.lexsort(tuple(reversed(keys)))
-        dup = np.ones(len(order) - 1, dtype=bool)
-        for k in keys:
-            s = k[order]
-            dup &= s[1:] == s[:-1]
-        if dup.any():
+        # PRIMARY KEY nulls are caught by the NOT NULL pass above.
+        # Enforcement rides the point-lookup index: pure appends merge
+        # the new block incrementally instead of re-sorting the table
+        # (reference: ART VerifyAppend, src/execution/index/art/art.cpp)
+        from .index import SortedIndex
+        iname = "__uniq_" + "_".join(c.lower() for c in colnames)
+        ix = td.indexes.get(iname)
+        if ix is None:
+            ix = SortedIndex(iname, list(colnames), unique=True)
+            td.indexes[iname] = ix
+        ix.refresh(td)
+        if ix.has_internal_duplicates():
             raise ConstraintException(
                 f"Constraint Error: duplicate key violates "
                 f"{kind.replace('_', ' ')} constraint on {td.name}"
@@ -89,6 +84,7 @@ def truncate_rows(td: TableData, n: int) -> None:
         if col.nulls is not None:
             col.nulls = col.nulls[:n]
         col.compute_stats()
+    td.note_mutation("truncate")
     td.invalidate_cache()
 
 
@@ -100,6 +96,9 @@ def clone_table(td: TableData) -> TableData:
     out.constraints = list(getattr(td, "constraints", []))
     out.not_null = set(getattr(td, "not_null", ()))
     out.enum_domains = dict(getattr(td, "enum_domains", {}))
+    from .index import SortedIndex
+    out.indexes = {k: SortedIndex(v.name, list(v.columns), v.unique)
+                   for k, v in getattr(td, "indexes", {}).items()}
     return out
 
 
@@ -165,6 +164,7 @@ def insert_rows(td: TableData, rows: List[Sequence],
                 np.zeros(len(col.data) - n, dtype=bool)
             col.nulls = np.concatenate([old_n, nulls])
         col.compute_stats()
+    td.note_mutation("insert")
     td.invalidate_cache()
     return n
 
@@ -196,6 +196,7 @@ def delete_rows(td: TableData, mask: np.ndarray) -> int:
         if col.nulls is not None:
             col.nulls = col.nulls[keep]
         col.compute_stats()
+    td.note_mutation("delete")
     td.invalidate_cache()
     return int(mask.sum())
 
@@ -231,6 +232,7 @@ def update_rows(td: TableData, mask: np.ndarray,
             old_n[mask] = vnulls[mask] if vnulls is not None else False
             col.nulls = old_n if old_n.any() else None
         col.compute_stats()
+    td.note_mutation("update")
     td.invalidate_cache()
     return int(mask.sum())
 

@@ -186,6 +186,14 @@ def save_database(catalog, path: str) -> None:
         if getattr(td, "enum_domains", None):
             tmeta["enum_domains"] = {k: [v[0], sorted(v[1])]
                                      for k, v in td.enum_domains.items()}
+        user_ix = [ix for ix in getattr(td, "indexes", {}).values()
+                   if not ix.name.startswith("__")]
+        if user_ix:
+            # definitions only: sorted-key state rebuilds lazily on first
+            # probe (reference persists ART pages; our build is one
+            # vectorized lexsort, cheap relative to load)
+            tmeta["indexes"] = [[ix.name, list(ix.columns), ix.unique]
+                                for ix in user_ix]
         for c in td.columns:
             cm = {
                 "name": c.name,
@@ -281,6 +289,10 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
         if tmeta.get("enum_domains"):
             td.enum_domains = {k: (v[0], frozenset(v[1]))
                                for k, v in tmeta["enum_domains"].items()}
+        if tmeta.get("indexes"):
+            from .index import SortedIndex
+            for nm, ixcols, uniq in tmeta["indexes"]:
+                td.indexes[nm] = SortedIndex(nm, list(ixcols), uniq)
         catalog.add_table(td, or_replace=True)
     for name, v in meta.get("enums", {}).items():
         catalog.enums[prefix + name] = list(v)

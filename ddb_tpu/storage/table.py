@@ -57,9 +57,32 @@ class TableData:
         self.name = name
         self.columns = columns
         self._device_batch: Optional[Batch] = None
+        # mutation stamp + last mutation kind drive lazy index refresh
+        # (storage/index.py: pure appends merge incrementally)
+        self.version = 0
+        self.last_op: Optional[str] = None
+        self.indexes: Dict[str, Any] = {}     # name -> SortedIndex
         for c in columns:
             if c.stats.min is None and not c.stats.has_nulls:
                 c.compute_stats()
+
+    def note_mutation(self, op: str):
+        self.version += 1
+        self.last_op = op
+
+    def find_index(self, columns) -> Optional[Any]:
+        """An index whose key columns equal `columns`, else one whose
+        key is a superset starting with them (a (a,b) index serves
+        equality lookups on (a,b); exact matches win)."""
+        want = [c.lower() for c in columns]
+        prefix_hit = None
+        for ix in self.indexes.values():
+            have = [c.lower() for c in ix.columns]
+            if have == want:
+                return ix
+            if prefix_hit is None and have[:len(want)] == want:
+                prefix_hit = ix
+        return prefix_hit
 
     @property
     def num_rows(self) -> int:
@@ -88,6 +111,17 @@ class TableData:
             return b
         return Batch(tuple(b.columns[i] for i in column_indices),
                      b.sel, b.count)
+
+    def device_batch_rows(self, column_indices, rows: np.ndarray) -> Batch:
+        """Small batch of specific row ids (index point lookups): a host
+        gather of O(k) rows feeds the device instead of the whole table
+        (reference: index scan fallback in table_scan.cpp:77-250)."""
+        cols = self.columns if column_indices is None else \
+            [self.columns[i] for i in column_indices]
+        arrays = [c.data[rows] for c in cols]
+        nulls = [c.nulls[rows] if c.nulls is not None else None
+                 for c in cols]
+        return make_batch(arrays, nulls, len(rows))
 
     def invalidate_cache(self):
         self._device_batch = None

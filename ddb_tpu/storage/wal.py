@@ -163,9 +163,28 @@ def apply_record(con, rec: dict) -> None:
     elif op == "create_view":
         cat.add_view(rec["name"], rec["sql"], or_replace=True,
                      column_aliases=rec.get("aliases"))
+    elif op == "create_index":
+        from .index import SortedIndex
+        td = cat.get_table(rec["table"])
+        td.indexes[rec["name"]] = SortedIndex(
+            rec["name"], list(rec["columns"]), rec["unique"])
+        if rec["unique"]:
+            td.constraints = list(getattr(td, "constraints", ())) \
+                + [("unique", list(rec["columns"]))]
+        cat.bump()
     elif op == "drop":
         if rec["kind"] == "view":
             cat.drop_view(rec["name"], if_exists=True)
+        elif rec["kind"] == "index":
+            key = rec["name"].lower()
+            for t in cat.tables.values():
+                ix = getattr(t, "indexes", {}).pop(key, None)
+                if ix is not None and ix.unique:
+                    t.constraints = [
+                        (k, cs) for (k, cs)
+                        in getattr(t, "constraints", ())
+                        if not (k == "unique" and cs == list(ix.columns))]
+            cat.bump()
         else:
             cat.drop_table(rec["name"], if_exists=True)
     elif op == "insert":

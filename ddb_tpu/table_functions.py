@@ -236,8 +236,23 @@ def fn_duckdb_constraints(ctx, args) -> TableData:
 
 
 def fn_duckdb_indexes(ctx, args) -> TableData:
-    return TableData("duckdb_indexes", _emptycols(
-        "index_name", "table_name", "sql"))
+    """User + constraint-backing indexes (reference:
+    src/function/table/system/duckdb_indexes.cpp)."""
+    names, tables, uniqs, sqls = [], [], [], []
+    for tname, td in sorted(ctx.catalog.tables.items()):
+        for ix in getattr(td, "indexes", {}).values():
+            names.append(ix.name)
+            tables.append(tname)
+            uniqs.append(ix.unique)
+            cols = ", ".join(ix.columns)
+            sqls.append(
+                f"CREATE {'UNIQUE ' if ix.unique else ''}INDEX "
+                f"{ix.name} ON {tname}({cols})")
+    return TableData("duckdb_indexes", [
+        _strcol("index_name", names), _strcol("table_name", tables),
+        TableColumn("is_unique", T.BOOLEAN,
+                    np.asarray(uniqs, dtype=bool)),
+        _strcol("sql", sqls)])
 
 
 def fn_duckdb_sequences(ctx, args) -> TableData:
