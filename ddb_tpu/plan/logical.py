@@ -253,6 +253,9 @@ class Limit(LogicalNode):
     child: LogicalNode
     limit: Optional[int]
     offset: int = 0
+    # LIMIT n%: keep floor(count*percent/100) rows (reference:
+    # physical_limit_percent.cpp)
+    percent: Optional[float] = None
     schema: Schema = None
 
     def __post_init__(self):

@@ -59,7 +59,8 @@ def push_limits(node: L.LogicalNode) -> L.LogicalNode:
     if isinstance(node, L.Limit) and isinstance(node.child, L.Project) \
             and node.limit is not None:
         proj = node.child
-        inner = push_limits(L.Limit(proj.child, node.limit, node.offset))
+        inner = push_limits(L.Limit(proj.child, node.limit, node.offset,
+                                    node.percent))
         return L.Project(inner, proj.exprs, proj.names, proj.schema)
     new = copy.copy(node)
     for attr in ("child", "left", "right", "base", "recursive"):

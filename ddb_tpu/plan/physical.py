@@ -1307,7 +1307,14 @@ def _exec_limit(node: L.Limit, ctx):
     lim = node.limit if node.limit is not None else 1 << 60
 
     def kern(b):
-        m = order_ops.limit_mask(b.sel, node.offset, lim)
+        if node.percent is not None:
+            # LIMIT n%: floor(count * pct / 100) rows (reference:
+            # physical_limit_percent.cpp)
+            klim = jnp.floor(b.count.astype(jnp.float64)
+                             * node.percent / 100.0).astype(jnp.int64)
+        else:
+            klim = lim
+        m = order_ops.limit_mask(b.sel, node.offset, klim)
         return Batch(b.columns, m, m.astype(jnp.int32).sum())
 
     return node.schema, _lazy(node, "limit", kern, batch)

@@ -170,6 +170,7 @@ class RFunction(TableRef):
     args: List = field(default_factory=list)   # literal values
     alias: Optional[str] = None
     kwargs: dict = field(default_factory=dict)  # named args (delim=..., …)
+    column_aliases: Optional[List[str]] = None  # t(a, b) renames
 
 
 @dataclass
@@ -201,7 +202,7 @@ class RJoin(TableRef):
 @dataclass
 class OrderItem:
     expr: EExpr
-    desc: bool = False
+    desc: Optional[bool] = None         # None => default_order setting
     nulls_last: Optional[bool] = None   # None => dialect default
 
 
@@ -220,6 +221,7 @@ class SelectStmt:
     from_refs: List[TableRef] = field(default_factory=list)
     where: Optional[EExpr] = None
     group_by: List[EExpr] = field(default_factory=list)
+    group_by_all: bool = False     # GROUP BY ALL: every non-agg item
     # GROUPING SETS/ROLLUP/CUBE: index lists into group_by; None = plain
     grouping_sets: Optional[List[List[int]]] = None
     sample: Optional["SampleSpec"] = None     # USING SAMPLE
@@ -228,6 +230,9 @@ class SelectStmt:
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: int = 0
+    limit_expr: Optional[EExpr] = None       # non-literal LIMIT
+    offset_expr: Optional[EExpr] = None      # non-literal OFFSET
+    limit_percent: Optional[EExpr] = None    # LIMIT n% / n PERCENT
     ctes: List[Tuple[str, "SelectStmt"]] = field(default_factory=list)
     # set operation: this node represents `set_left <op> <rhs>`;
     # items/from_refs are unused when set_op is present

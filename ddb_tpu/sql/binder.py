@@ -278,10 +278,16 @@ class Binder:
                 unnest_idx = i
                 items[i] = (e.args[0], alias or "unnest")
 
+        if getattr(stmt, "group_by_all", False) and not stmt.group_by:
+            # GROUP BY ALL: every select item without an aggregate
+            # (reference: group-by-all expansion, bind_group_by_node)
+            stmt.group_by = [e for (e, _a) in items
+                             if not self._contains_agg(e)]
         has_aggs = any(self._contains_agg(e) for e, _ in items) \
             or (stmt.having is not None
                 and self._contains_agg(stmt.having)) \
-            or bool(stmt.group_by)
+            or bool(stmt.group_by) \
+            or getattr(stmt, "group_by_all", False)
         has_windows = any(_contains_window(e) for e, _ in items) \
             or (stmt.qualify is not None
                 and _contains_window(stmt.qualify))
@@ -413,9 +419,61 @@ class Binder:
             else:
                 plan = L.Order(plan, keys)
 
-        if stmt.limit is not None or stmt.offset:
-            plan = L.Limit(plan, stmt.limit, stmt.offset)
+        plan = self._apply_limit(plan, stmt)
         return plan
+
+    def _apply_limit(self, plan, stmt):
+        """Lower LIMIT/OFFSET incl. constant-foldable expressions,
+        parameters, scalar subqueries, and n% (reference:
+        bound_limit_node + physical_limit_percent)."""
+        limit, offset = stmt.limit, stmt.offset
+        if limit is not None and limit < 0:
+            raise BindError("LIMIT cannot be negative")
+        if offset and offset < 0:
+            raise BindError("OFFSET cannot be negative")
+        pct = None
+        if getattr(stmt, "limit_expr", None) is not None:
+            v = self._const_limit(stmt.limit_expr, "LIMIT")
+            limit = None if v is None else int(v)
+            if limit is not None and limit < 0:
+                raise BindError("LIMIT value out of range")
+        if getattr(stmt, "offset_expr", None) is not None:
+            v = self._const_limit(stmt.offset_expr, "OFFSET")
+            offset = 0 if v is None else int(v)
+            if offset < 0:
+                raise BindError("OFFSET value out of range")
+        if getattr(stmt, "limit_percent", None) is not None:
+            v = self._const_limit(stmt.limit_percent, "LIMIT")
+            pct = float(v) if v is not None else 100.0
+            if pct < 0:
+                raise BindError("LIMIT percent value out of range")
+        if limit is None and not offset and pct is None:
+            return plan
+        return L.Limit(plan, limit, int(offset or 0), pct)
+
+    def _const_limit(self, e, clause):
+        try:
+            bound = self.bind_expr(e, Scope())
+        except BindError:
+            raise BindError(
+                f"Binder Error: Referenced column not found in "
+                f"{clause} clause (non-constant {clause})")
+        if ir.referenced_columns(bound):
+            raise BindError(
+                f"Binder Error: Referenced column not found in "
+                f"{clause} clause")
+        from ..batch import Batch
+        from ..expr.compile import evaluate
+        import jax.numpy as jnp
+        d, nmask = evaluate(bound, Batch((), jnp.ones(1, dtype=bool),
+                                         jnp.int32(1)))
+        if nmask is not None and bool(np.asarray(nmask)[0]):
+            return None
+        v = np.asarray(d)[0].item()
+        from ..types import TypeId as _TID
+        if bound.dtype.id == _TID.DECIMAL:
+            v = v / (10 ** bound.dtype.scale)
+        return v
 
     def _bind_setop(self, stmt: A.SelectStmt) -> L.LogicalNode:
         op, rhs, all_ = stmt.set_op
@@ -443,7 +501,7 @@ class Binder:
         else:
             raise BindError(f"set op {op}")
         out = plan
-        if stmt.order_by or stmt.limit is not None:
+        if stmt.order_by:
             # ORDER BY binds over the output schema; aliases from EITHER
             # side of the set operation resolve positionally
             alt_names = [f.name for f in right.schema.fields]
@@ -453,8 +511,7 @@ class Binder:
                     it, out.schema, alt_names))
             if keys:
                 out = L.Order(out, keys)
-            if stmt.limit is not None or stmt.offset:
-                out = L.Limit(out, stmt.limit, stmt.offset)
+        out = self._apply_limit(out, stmt)
         return out
 
     def _bind_recursive_cte(self, cdef: A.CTEDef) -> L.LogicalNode:
@@ -784,7 +841,10 @@ class Binder:
                 td = fn(self.context, ref.args)
             plan = L.Get(td, list(range(len(td.schema))))
             sc = Scope()
-            sc.add((ref.alias or ref.name).lower(), plan.schema)
+            schema = plan.schema
+            if getattr(ref, "column_aliases", None):
+                schema = schema.rename(ref.column_aliases)
+            sc.add((ref.alias or ref.name).lower(), schema)
             return plan, sc
         if isinstance(ref, A.RSubquery):
             plan = Binder(self.catalog, self.ctes, self.context).bind_select(ref.select)
@@ -1733,6 +1793,20 @@ class Binder:
         return agg, bound_items, having_bound, order_prebound
 
 
+    def _default_desc(self) -> bool:
+        if self.context is not None:
+            try:
+                return str(self.context.config.get(
+                    "default_order")).lower() in ("desc", "descending")
+            except Exception:
+                pass
+        return False
+
+    def _desc(self, it) -> bool:
+        """Resolve an OrderItem's direction against the default_order
+        setting (reference: PRAGMA default_order)."""
+        return self._default_desc() if it.desc is None else it.desc
+
     def _default_nulls_last(self) -> bool:
         if self.context is not None:
             try:
@@ -1794,7 +1868,7 @@ class Binder:
                 f = out_schema.field(idx)
                 keys.append(L.OrderKey(
                     ir.ColRef(idx, f.dtype, f.name, f.strdict),
-                    it.desc, nl))
+                    self._desc(it), nl))
                 continue
             if _ekey(e) in prebound:
                 be = prebound[_ekey(e)]
@@ -1807,7 +1881,8 @@ class Binder:
             hidden.append((be, f"__sort{len(hidden)}"))
             keys.append(L.OrderKey(
                 ir.ColRef(hidx, be.dtype, f"__sort{len(hidden)-1}",
-                          getattr(be, "strdict", None)), it.desc, nl))
+                          getattr(be, "strdict", None)),
+                self._desc(it), nl))
         return keys, hidden
 
     def _order_key_over_schema(self, it: A.OrderItem, schema: Schema,
@@ -1830,7 +1905,7 @@ class Binder:
             raise BindError("unsupported ORDER BY in set operation")
         f = schema.field(idx)
         return L.OrderKey(ir.ColRef(idx, f.dtype, f.name, f.strdict),
-                          it.desc, it.nulls_last
+                          self._desc(it), it.nulls_last
                           if it.nulls_last is not None
                           else self._default_nulls_last())
 
@@ -2632,7 +2707,7 @@ class Binder:
             oe = wb(it.expr)
             nl = it.nulls_last if it.nulls_last is not None \
                 else self._default_nulls_last()
-            order.append(L.OrderKey(oe, it.desc, nl))
+            order.append(L.OrderKey(oe, self._desc(it), nl))
         arg = None
         offset = 1
         if name in ("row_number", "rank", "dense_rank"):

@@ -651,20 +651,31 @@ class Parser:
             # the whole set operation
             if rhs.order_by:
                 node.order_by, rhs.order_by = rhs.order_by, []
-            if rhs.limit is not None or rhs.offset:
+            if rhs.limit is not None or rhs.offset \
+                    or rhs.limit_expr is not None \
+                    or rhs.offset_expr is not None \
+                    or rhs.limit_percent is not None:
                 node.limit, node.offset = rhs.limit, rhs.offset
+                node.limit_expr = rhs.limit_expr
+                node.offset_expr = rhs.offset_expr
+                node.limit_percent = rhs.limit_percent
                 rhs.limit, rhs.offset = None, 0
+                rhs.limit_expr = rhs.offset_expr = None
+                rhs.limit_percent = None
             stmt = node
         # trailing ORDER BY / LIMIT apply to the set-op result
         if self.at_kw("order"):
             tgt = stmt
             self.next()
             self.expect_kw("by")
-            tgt.order_by = self.order_items()
+            if self.at_kw("all"):
+                tgt.order_by = self._order_all(stmt)
+            else:
+                tgt.order_by = self.order_items()
         if self.accept_kw("limit"):
-            stmt.limit = int(self.next().value)
+            self._parse_limit_clause(stmt)
         if self.accept_kw("offset"):
-            stmt.offset = int(self.next().value)
+            self._parse_offset_clause(stmt)
         return stmt
 
     def _set_operand(self) -> A.SelectStmt:
@@ -705,8 +716,9 @@ class Parser:
             s.sample = self._sample_spec()
         if self.accept_kw("group"):
             self.expect_kw("by")
-            self.accept_kw("all")
-            if self.at_kw("grouping", "rollup", "cube"):
+            if self.accept_kw("all"):
+                s.group_by_all = True
+            elif self.at_kw("grouping", "rollup", "cube"):
                 self._grouping_sets(s)
             else:
                 while True:
@@ -781,12 +793,70 @@ class Parser:
             # leave for select_stmt when part of set-op; consume here
             self.next()
             self.expect_kw("by")
-            s.order_by = self.order_items()
+            if self.at_kw("all"):
+                s.order_by = self._order_all(s)
+            else:
+                s.order_by = self.order_items()
         if self.accept_kw("limit"):
-            s.limit = int(self.next().value)
+            self._parse_limit_clause(s)
         if self.accept_kw("offset"):
-            s.offset = int(self.next().value)
+            self._parse_offset_clause(s)
         return s
+
+    def _parse_limit_clause(self, s):
+        """LIMIT <expr> [% | PERCENT] — constants fold at bind time;
+        subqueries/parameters/percent supported (reference:
+        transform_limit + physical_limit_percent)."""
+        self._limit_pct = True
+        try:
+            e = self.expr()
+        finally:
+            self._limit_pct = False
+        if isinstance(e, A.EUnary) and e.op == "-" \
+                and isinstance(e.child, A.ELit) \
+                and isinstance(e.child.value, int):
+            e = A.ELit(-e.child.value)
+        if self.accept_op("%") or self.accept_word("percent"):
+            s.limit_percent = e
+        elif isinstance(e, A.ELit) and isinstance(e.value, int) \
+                and not isinstance(e.value, bool):
+            s.limit = e.value
+        else:
+            s.limit_expr = e
+
+    def _parse_offset_clause(self, s):
+        e = self.expr()
+        if isinstance(e, A.EUnary) and e.op == "-" \
+                and isinstance(e.child, A.ELit) \
+                and isinstance(e.child.value, int):
+            e = A.ELit(-e.child.value)
+        if isinstance(e, A.ELit) and isinstance(e.value, int) \
+                and not isinstance(e.value, bool):
+            s.offset = e.value
+        else:
+            s.offset_expr = e
+
+    def _order_all(self, s):
+        """ORDER BY ALL: every select item, left to right (reference:
+        order-by-all binding, bind_order.cpp)."""
+        self.next()   # 'all'
+        desc = None
+        if self.accept_kw("desc"):
+            desc = True
+        elif self.accept_kw("asc"):
+            desc = False
+        nl = None
+        if self.accept_kw("nulls"):
+            if self.accept_kw("first"):
+                nl = False
+            else:
+                self.expect_kw("last")
+                nl = True
+        core = s
+        while core.set_left is not None:
+            core = core.set_left
+        return [A.OrderItem(A.ELit(i + 1), desc, nl)
+                for i in range(len(core.items))]
 
     def order_items(self):
         items = []
@@ -795,8 +865,8 @@ class Parser:
             it = A.OrderItem(e)
             if self.accept_kw("desc"):
                 it.desc = True
-            else:
-                self.accept_kw("asc")
+            elif self.accept_kw("asc"):
+                it.desc = False
             if self.accept_kw("nulls"):
                 if self.accept_kw("first"):
                     it.nulls_last = False
@@ -1013,9 +1083,9 @@ class Parser:
                         and self.peek(1).value in ("=", ":="):
                     key = self.next().value.lower()
                     self.next()
-                    kwargs[key] = self.expr_primary()
+                    kwargs[key] = self.expr()
                 else:
-                    args.append(self.expr_primary())
+                    args.append(self.expr())
 
             if not self.at("OP", ")"):
                 _one()
@@ -1028,12 +1098,16 @@ class Parser:
             elif self.peek().kind == "IDENT" \
                     and self.peek().value not in _NON_ALIAS:
                 alias = self.next().value
+            fcols = self._opt_column_alias_list()
 
             def _lit(a):
                 if isinstance(a, A.ELit):
                     return a.value
                 if isinstance(a, A.ETyped):
                     return a.text
+                if isinstance(a, A.EUnary) and a.op == "-" \
+                        and isinstance(a.child, A.ELit):
+                    return -a.child.value
                 if isinstance(a, A.EList):
                     return [x.value if isinstance(x, A.ELit)
                             else str(x) for x in a.items]
@@ -1043,7 +1117,8 @@ class Parser:
 
             vals = [_lit(a) for a in args]
             kw = {k: _lit(v) for k, v in kwargs.items()}
-            return A.RFunction(name, vals, alias, kwargs=kw)
+            return A.RFunction(name, vals, alias, kwargs=kw,
+                               column_aliases=fcols)
         alias = None
         if self.accept_kw("as"):
             alias = self.ident()
@@ -1155,7 +1230,18 @@ class Parser:
                 e = A.EBinary("*", e, self.expr_unary())
             elif self.accept_op("/"):
                 e = A.EBinary("/", e, self.expr_unary())
-            elif self.accept_op("%"):
+            elif self.at("OP", "%"):
+                if getattr(self, "_limit_pct", False):
+                    nxt = self.peek(1)
+                    if nxt.kind == "EOF" \
+                            or (nxt.kind == "OP"
+                                and nxt.value in (";", ")")) \
+                            or (nxt.kind == "KW"
+                                and nxt.value in ("offset", "order",
+                                                  "union", "except",
+                                                  "intersect")):
+                        return e   # LIMIT n %: percent marker, not modulo
+                self.next()
                 e = A.EBinary("%", e, self.expr_unary())
             else:
                 return e

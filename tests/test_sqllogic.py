@@ -1,7 +1,8 @@
 """Run reference sqllogictest files directly against the engine
 (reference test strategy, SURVEY.md section 4; runner in
-ddb_tpu/testing/sqllogic.py).  The allowlist holds files that pass fully
-today and grows round over round."""
+ddb_tpu/testing/sqllogic.py).  The allowlist file holds files that pass
+fully today; scripts/triage_sqllogic.py regenerates/extends it by
+sweeping whole reference test directories."""
 
 import os
 
@@ -11,28 +12,18 @@ import ddb_tpu
 from ddb_tpu.testing.sqllogic import run_file
 
 REF = "/root/reference"
+HERE = os.path.dirname(__file__)
 
-ALLOWLIST = [
-    "test/sql/join/inner/test_join.test",
-    "test/sql/aggregate/group/test_group_null.test",
-    "test/sql/types/null/test_null_aggr.test",
-    "test/sql/join/inner/join_cross_product.test",
-    "test/sql/join/inner/not_between_is_null.test",
-    "test/sql/join/inner/test_eq_ineq_join.test",
-    "test/sql/join/inner/test_range_join.test",
-    "test/sql/aggregate/group/test_group_by_error.test",
-    "test/sql/aggregate/group/test_group_by_large_string.test",
-    "test/sql/aggregate/group/test_group_by_multi_column.test",
-    "test/sql/order/negative_offset.test",
-    "test/sql/select/test_select_into.test",
-    "test/sql/select/test_select_locking.test",
-    "test/sql/update/null_update_merge.test",
-    "test/sql/update/null_update_merge_transaction.test",
-    "test/sql/delete/test_delete.test",
-    "test/sql/insert/insert_rollback.test",
-    "test/sql/cte/insert_cte_bug_3417.test",
-    "test/sql/cte/recursive_cte_error.test",
-]
+
+def _allowlist():
+    path = os.path.join(HERE, "sqllogic_allowlist.txt")
+    if not os.path.exists(path):
+        return []
+    return [ln.strip() for ln in open(path)
+            if ln.strip() and not ln.startswith("#")]
+
+
+ALLOWLIST = _allowlist()
 
 pytestmark = pytest.mark.skipif(not os.path.exists(REF),
                                 reason="reference tree unavailable")
