@@ -52,6 +52,11 @@ def _values_equal(mine, ref: str) -> bool:
             return True
         if math.isnan(mine) and math.isnan(r):
             return True
+        # absolute tolerance for catastrophic-cancellation noise around
+        # zero (e.g. corr()^2 of uncorrelated data: 0.0 vs 2.7e-33 —
+        # both are "zero" computed in different summation orders)
+        if abs(mine - r) < 1e-20:
+            return True
         denom = max(abs(mine), abs(r), 1e-300)
         return abs(mine - r) / denom < 1e-10
     if isinstance(mine, datetime.datetime):

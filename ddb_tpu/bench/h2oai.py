@@ -22,14 +22,20 @@ QUERIES = {
        "FROM x_group GROUP BY id4",
     5: "SELECT id6, sum(v1) AS v1, sum(v2) AS v2, sum(v3) AS v3 "
        "FROM x_group GROUP BY id6",
+    6: "SELECT id4, id5, quantile_cont(v3, 0.5) AS median_v3, "
+       "stddev(v3) AS sd_v3 FROM x_group GROUP BY id4, id5",
     7: "SELECT id3, max(v1)-min(v2) AS range_v1_v2 FROM x_group "
        "GROUP BY id3",
+    8: "SELECT id6, v3 AS largest2_v3 FROM (SELECT id6, v3, "
+       "row_number() OVER (PARTITION BY id6 ORDER BY v3 DESC) AS "
+       "order_v3 FROM x_group WHERE v3 IS NOT NULL) sub_query "
+       "WHERE order_v3 <= 2",
+    9: "SELECT id2, id4, pow(corr(v1, v2), 2) AS r2 FROM x_group "
+       "GROUP BY id2, id4",
     10: "SELECT id1, id2, id3, id4, id5, id6, sum(v3) AS v3, "
         "count(*) AS count FROM x_group "
         "GROUP BY id1, id2, id3, id4, id5, id6",
 }
-
-# q6 (median), q8 (window top-2), q9 (corr) need functions landing later.
 
 
 def generate(n: int, k: int = 100, na_pct: int = 0, seed: int = 108):

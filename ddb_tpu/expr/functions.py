@@ -146,6 +146,37 @@ def dispatch(e: ir.Func, batch, evaluate):
         import jax
         days = _days_from_civil_dev(y, m, jnp.ones_like(m))
         return days.astype(jnp.int32), n
+    if name == "date_trunc_week":
+        # ISO week starts Monday; 1970-01-01 was a Thursday
+        d, n = evaluate(e.args[0], batch)
+        dd = d.astype(jnp.int64)
+        return (dd - ((dd + 3) % 7)).astype(d.dtype), n
+    if name == "ts_date":
+        # TIMESTAMP (micros) -> DATE (days), floor division
+        d, n = evaluate(e.args[0], batch)
+        return jnp.floor_divide(d.astype(jnp.int64),
+                                86_400_000_000).astype(jnp.int32), n
+    if name == "ts_trunc":
+        # truncate TIMESTAMP micros to the granularity in e.extra
+        d, n = evaluate(e.args[0], batch)
+        us = jnp.int64(e.extra)
+        dd = d.astype(jnp.int64)
+        return dd - (dd % us), n
+    if name in ("ts_minute", "ts_hour", "ts_second", "ts_millisecond",
+                "ts_microsecond"):
+        d, n = evaluate(e.args[0], batch)
+        dd = d.astype(jnp.int64)
+        us_in_day = dd % 86_400_000_000
+        if name == "ts_hour":
+            return us_in_day // 3_600_000_000, n
+        if name == "ts_minute":
+            return (us_in_day // 60_000_000) % 60, n
+        if name == "ts_second":
+            return (us_in_day // 1_000_000) % 60, n
+        if name == "ts_millisecond":
+            # duckdb: seconds+ms field, i.e. ms within the minute
+            return (us_in_day % 60_000_000) // 1_000, n
+        return us_in_day % 60_000_000, n
     if name in ("dayofweek", "isodow"):
         d, n = evaluate(e.args[0], batch)
         # 1970-01-01 was a Thursday (dow 4 with Sunday=0)

@@ -102,8 +102,11 @@ def _finalize_covar(kind, sx, sy, sxy, sxx, syy, cnt):
     vx = jnp.maximum(sxx / n - mx * mx, 0.0)
     vy = jnp.maximum(syy / n - my * my, 0.0)
     denom = jnp.sqrt(vx * vy)
-    return cov_p / jnp.where(denom == 0, 1.0, denom), \
-        (cnt <= 1) | (denom == 0)
+    # corr over a constant/singleton group is NaN like the reference
+    # (CorrOperation::Finalize: 0-variance => 0/0; our one-pass covar
+    # keeps cancellation noise, so force the NaN on zero variance);
+    # NULL only for the empty group
+    return jnp.where(denom == 0, jnp.nan, cov_p / denom), cnt == 0
 
 
 # ---------------------------------------------------------------------------

@@ -2558,7 +2558,13 @@ class Binder:
             # fall through to the string/aliased handlers below
         if name in ("year", "month", "day"):
             a = b(e.args[0])
+            if a.dtype.id == TypeId.TIMESTAMP:
+                a = ir.Func("ts_date", [a], T.DATE)
             return ir.Func(name, [a], T.BIGINT)
+        if name in ("minute", "hour", "second", "millisecond",
+                    "microsecond"):
+            a = b(e.args[0])
+            return ir.Func(f"ts_{name}", [a], T.BIGINT)
         if name == "date_part":
             part = e.args[0]
             if not isinstance(part, A.ELit):
@@ -2646,9 +2652,28 @@ class Binder:
                 raise BindError("date_trunc needs a constant part")
             d = b(e.args[1])
             p = part.value.lower()
-            if p not in ("year", "month"):
+            is_ts = d.dtype.id == TypeId.TIMESTAMP
+            if p in ("second", "minute", "hour"):
+                if not is_ts:
+                    return d   # truncating a DATE below day = identity
+                us = {"second": 1_000_000, "minute": 60_000_000,
+                      "hour": 3_600_000_000}[p]
+                out = ir.Func("ts_trunc", [d], T.TIMESTAMP)
+                out.extra = us
+                return out
+            if p not in ("day", "week", "month", "year"):
                 raise BindError(f"date_trunc part {p} unsupported")
-            return ir.Func(f"date_trunc_{p}", [d], T.DATE)
+            if is_ts:
+                days = ir.Func("ts_date", [d], T.DATE)
+            else:
+                days = d
+            if p == "day":
+                out = days
+            else:
+                out = ir.Func(f"date_trunc_{p}", [days], T.DATE)
+            if is_ts:
+                out = ir.Cast(out, T.TIMESTAMP, src=T.DATE)
+            return out
         if name in ("quarter", "dayofweek", "dow", "isodow", "dayofmonth",
                     "dayofyear", "doy", "week", "weekofyear", "isoyear",
                     "century", "decade", "millennium", "epoch",

@@ -33,10 +33,19 @@ def test_clickbench(setup, q):
     con, init = setup
     sql = cb.QUERIES[q]
     # top-N with count ties is nondeterministic across engines: make the
-    # comparison deterministic by adding the group key as a tiebreaker
-    if "LIMIT" in sql and "ORDER BY" in sql:
-        head, tail = sql.rsplit(" LIMIT ", 1)
-        sql_cmp = head + ", 1, 2 LIMIT " + tail
+    # comparison deterministic by ordering on ALL output columns after
+    # the original keys (and by adding an order to LIMIT-only queries)
+    if "LIMIT" in sql:
+        head, tail = sql.rsplit("LIMIT", 1)
+        head = head.strip()
+        k = len(con.execute(f"SELECT * FROM ({head}) __t LIMIT 0"
+                            ).column_names)
+        ords = ", ".join(str(i + 1) for i in range(k))
+        if "ORDER BY" in sql:
+            sql_cmp = f"{head}, {ords} LIMIT {tail}"
+        else:
+            sql_cmp = (f"SELECT * FROM ({head}) __t ORDER BY {ords} "
+                       f"LIMIT {tail}")
     else:
         sql_cmp = sql
     rows = con.execute(sql_cmp).fetchall()

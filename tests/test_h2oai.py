@@ -34,12 +34,32 @@ def setup():
 def test_h2oai_groupby(setup, q):
     con, init = setup
     sql = h2oai.QUERIES[q]
-    order_cols = sql.split("GROUP BY")[1].strip()
+    if "GROUP BY" in sql:
+        order_cols = sql.split("GROUP BY")[1].strip()
+    else:
+        order_cols = "id6, largest2_v3"       # q8 window top-2
     osql = f"SELECT * FROM ({sql}) t ORDER BY {order_cols}"
     rows = con.execute(osql).fetchall()
     ref = oracle.query(osql, init)
     ok, msg = compare_result(rows, ref)
     assert ok, f"h2oai q{q}: {msg}"
+
+
+def test_h2oai_na_variant(setup):
+    """NA variant: 5%% NULL v1 (h2oai G1 na_pct spec)."""
+    cols = h2oai.generate(30_000, k=50, na_pct=5, seed=12)
+    con = ddb_tpu.connect()
+    h2oai.register(con, cols)
+    csv_path = "/tmp/h2oai_na.csv"
+    h2oai.write_csv(cols, csv_path)
+    init = (f"CREATE TABLE x_group AS SELECT * FROM "
+            f"read_csv_auto('{csv_path}');")
+    sql = ("SELECT id1, sum(v1) AS v1, count(v1) AS n, count(*) AS c "
+           "FROM x_group GROUP BY id1 ORDER BY id1")
+    rows = con.execute(sql).fetchall()
+    ref = oracle.query(sql, init)
+    ok, msg = compare_result(rows, ref)
+    assert ok, msg
 
 
 def test_h2oai_skewed_keys(setup):
