@@ -165,11 +165,30 @@ def _decode_column(f, d, n):
     return out
 
 
-class Connection:
+class TransactionException(Exception):
+    """Commit-time conflict: the transaction was rolled back
+    (reference: TransactionException, src/common/exception.cpp)."""
+
+
+class Database:
+    """Shared database instance: catalog + write lock.  Multiple
+    Connections attach to one Database for inter-connection concurrency
+    with snapshot-isolated transactions (reference: DatabaseInstance,
+    src/main/database.cpp + DuckTransactionManager,
+    src/transaction/duck_transaction_manager.hpp:33)."""
+
     def __init__(self):
+        import threading
+        self.catalog = Catalog()
+        self.lock = threading.RLock()
+
+
+class Connection:
+    def __init__(self, database: Optional["Database"] = None):
         from .replication import (ChangeDataCapture, SnapshotManager,
                                   TimestampManager)
-        self.catalog = Catalog()
+        self._db = database if database is not None else Database()
+        self.catalog = self._db.catalog
         self._plan_cache: Dict[str, Any] = {}
         from .config import Config
         from .logging_ import LogManager
@@ -179,13 +198,12 @@ class Connection:
         self.config = Config()
         self.log = LogManager()
         self.mesh = None          # set via use_mesh() for SPMD execution
-        self._txn_backup = None          # catalog tables at BEGIN
+        self._txn_ops = None             # logical ops buffered in txn
         self._txn_events = None          # CDC events buffered in txn
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
         self._db_path: Optional[str] = None   # opened database file
         self._wal = None                      # WriteAheadLog appender
-        self._txn_wal = None                  # records buffered in txn
         self._replaying = False               # suppress logging in replay
         from .secrets import SecretManager
         self.secret_manager = SecretManager()
@@ -276,11 +294,20 @@ class Connection:
     def __exit__(self, *exc) -> None:
         self.close()
 
+    @property
+    def _wal_active(self) -> bool:
+        """Should mutations build logical records?  True with a WAL
+        file OR inside a transaction (ops replay at commit)."""
+        return (self._wal is not None or self._txn_ops is not None) \
+            and not self._replaying
+
     def _wal_log(self, rec: dict) -> None:
-        if self._wal is None or self._replaying:
+        if self._replaying:
             return
-        if self._txn_wal is not None:       # buffer until COMMIT
-            self._txn_wal.append(rec)
+        if self._txn_ops is not None:       # buffer until COMMIT
+            self._txn_ops.append(rec)
+            return
+        if self._wal is None:
             return
         self._wal.append(rec)
         self._wal.flush()
@@ -346,6 +373,12 @@ class Connection:
 
     def cursor(self) -> "Cursor":
         return Cursor(self)
+
+    def duplicate(self) -> "Connection":
+        """A new Connection on the SAME database (reference:
+        Connection objects sharing one DatabaseInstance; python client
+        cursor() semantics)."""
+        return Connection(self._db)
 
     def appender(self, table: str) -> "Appender":
         """Bulk row ingest with buffered flushes (reference:
@@ -556,7 +589,7 @@ class Connection:
             schema, batch = physical.execute(plan)
             td = _result_to_table(stmt.name, schema, batch)
             self.catalog.add_table(td, or_replace=stmt.or_replace)
-            if self._wal is not None and not self._replaying:
+            if self._wal_active:
                 import numpy as np
                 from .storage import dml
                 rows = dml.rows_as_python(
@@ -1066,7 +1099,7 @@ class Connection:
             self._enforce_constraints(td, n0)
             self.catalog.bump()
             self._emit_cdc(td.name, "insert", rows)
-            if self._wal is not None and not self._replaying:
+            if self._wal_active:
                 from .storage.wal import encode_rows
                 self._wal_log({"op": "insert", "table": td.name,
                                "columns": stmt.columns,
@@ -1081,14 +1114,13 @@ class Connection:
         dml.append_table(td, src.columns)
         self._enforce_constraints(td, n0)
         self.catalog.bump()
-        if self.cdc.enabled or (self._wal is not None
-                                and not self._replaying):
+        if self.cdc.enabled or self._wal_active:
             import numpy as np
             mask = np.ones(src.num_rows, dtype=bool)
             rows = dml.rows_as_python(src, mask)
             if self.cdc.enabled:
                 self._emit_cdc(td.name, "insert", rows)
-            if self._wal is not None and not self._replaying:
+            if self._wal_active:
                 from .storage.wal import encode_rows
                 self._wal_log({"op": "insert", "table": td.name,
                                "columns": None,
@@ -1115,7 +1147,7 @@ class Connection:
         td = self.catalog.get_table(stmt.table)
         mask = self._bind_table_predicate(td, stmt.where)
         old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
-        if self._wal is not None and not self._replaying:
+        if self._wal_active:
             import numpy as np
             self._wal_log({"op": "delete", "table": td.name,
                            "idx": [int(i) for i in np.nonzero(mask)[0]]})
@@ -1176,7 +1208,7 @@ class Connection:
         if old is not None:
             self._emit_cdc(td.name, "update",
                            dml.rows_as_python(td, mask), old)
-        if self._wal is not None and not self._replaying:
+        if self._wal_active:
             from .storage.wal import encode_rows
             idx = np.nonzero(mask)[0]
             cols = list(updates.keys())
@@ -1189,27 +1221,48 @@ class Connection:
         return None
 
     def _execute_transaction(self, stmt):
+        """Snapshot-isolated transactions over the shared Database
+        (reference: DuckTransactionManager — start/commit timestamps,
+        undo-buffer replay at commit, src/transaction/).
+
+        BEGIN switches this connection onto a PRIVATE snapshot catalog
+        (shallow table clones: column arrays are copy-on-write, so the
+        clone is O(#columns)); writes mutate only the snapshot while
+        their logical ops buffer.  COMMIT re-applies the buffered ops to
+        a clone of the CURRENT shared catalog under the database lock —
+        concurrent appends from other transactions merge (like the
+        reference's optimistic appends); constraint conflicts abort the
+        whole commit atomically.  ROLLBACK just discards the snapshot."""
         from .storage.dml import clone_table
         if stmt.kind == "begin":
-            if self._txn_backup is not None:
+            if self._txn_ops is not None:
                 raise RuntimeError("transaction already active")
-            self._txn_backup = {n: clone_table(t)
-                                for n, t in self.catalog.tables.items()}
+            snap = Catalog()
+            with self._db.lock:
+                snap.tables = {n: clone_table(t)
+                               for n, t in
+                               self._db.catalog.tables.items()}
+                snap.views = dict(self._db.catalog.views)
+                snap.enums = dict(self._db.catalog.enums)
+            snap.bump()
+            self.catalog = snap
+            self._txn_ops = []
             self._txn_events = []
-            if self._wal is not None:
-                self._txn_wal = []
         elif stmt.kind == "commit":
-            if self._txn_backup is None:
+            if self._txn_ops is None:
                 raise RuntimeError("no transaction active")
+            ops = self._txn_ops
             events = self._txn_events or []
-            wal_records = self._txn_wal or []
-            self._txn_backup = None
+            self._txn_ops = None
             self._txn_events = None
-            self._txn_wal = None
-            if wal_records and self._wal is not None:
+            try:
+                self._commit_ops(ops)
+            finally:
+                self.catalog = self._db.catalog
+            if ops and self._wal is not None:
                 # append the whole commit, then one flush + at most one
                 # checkpoint (a mid-commit truncate would double-apply)
-                for rec in wal_records:
+                for rec in ops:
                     self._wal.append(rec)
                 self._wal.flush()
                 thr = self.config.get("wal_autocheckpoint")
@@ -1219,14 +1272,53 @@ class Connection:
             for table, op, rows, old_rows in events:
                 self.cdc.emit(table, op, rows, old_rows, hlc=hlc)
         elif stmt.kind == "rollback":
-            if self._txn_backup is None:
+            if self._txn_ops is None:
                 raise RuntimeError("no transaction active")
-            self.catalog.tables = self._txn_backup
-            self.catalog.bump()          # invalidate cached plans
-            self._txn_backup = None
+            self.catalog = self._db.catalog
+            self._txn_ops = None
             self._txn_events = None
-            self._txn_wal = None
         return None
+
+    def _commit_ops(self, ops) -> None:
+        """Atomically re-apply a transaction's logical ops to the shared
+        catalog (clone -> replay -> swap under the database lock)."""
+        from .storage import dml
+        from .storage.wal import apply_record
+        if not ops:
+            return
+        with self._db.lock:
+            shared = self._db.catalog
+            work = Catalog()
+            work.tables = {n: dml.clone_table(t)
+                           for n, t in shared.tables.items()}
+            work.views = dict(shared.views)
+            work.enums = dict(shared.enums)
+            self.catalog = work
+            was_replaying = self._replaying
+            self._replaying = True
+            try:
+                for rec in ops:
+                    if rec.get("op") == "insert":
+                        td = work.get_table(rec["table"])
+                        n0 = td.num_rows
+                        from .storage.wal import decode_rows
+                        dml.insert_rows(td, decode_rows(rec["rows"]),
+                                        rec.get("columns"))
+                        self._enforce_constraints(td, n0)
+                    else:
+                        apply_record(self, rec)
+            except Exception as e:
+                self.catalog = shared
+                raise TransactionException(
+                    f"transaction conflict on commit, rolled back: "
+                    f"{e}") from e
+            finally:
+                self._replaying = was_replaying
+            shared.tables = work.tables
+            shared.views = work.views
+            shared.enums = work.enums
+            shared.bump()
+            self.catalog = shared
 
     def _optimize(self, plan):
         from .plan import optimizer
@@ -1381,7 +1473,7 @@ class Appender:
         con._enforce_constraints(td, n0)
         con.catalog.bump()
         con._emit_cdc(td.name, "insert", rows)
-        if con._wal is not None and not con._replaying:
+        if con._wal_active:
             from .storage.wal import encode_rows
             con._wal_log({"op": "insert", "table": td.name,
                           "columns": None, "rows": encode_rows(rows)})

@@ -17,6 +17,9 @@ class CatalogException(Exception):
     pass
 
 
+_VERSION_COUNTER = [0]
+
+
 class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableData] = {}
@@ -25,7 +28,11 @@ class Catalog:
         self.version = 0    # bumped on any change; invalidates plan cache
 
     def bump(self):
-        self.version += 1
+        # globally unique versions: a transaction's private catalog and
+        # the shared catalog must never collide on a plan-cache key
+        # (plans embed TableData references)
+        _VERSION_COUNTER[0] += 1
+        self.version = _VERSION_COUNTER[0]
 
     def add_table(self, table: TableData, or_replace: bool = False):
         key = table.name.lower()

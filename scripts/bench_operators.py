@@ -99,10 +99,6 @@ def main():
     pk = jnp.asarray(rng.integers(0, nb, n).astype(np.int64))
     psel = jnp.asarray(np.ones(n, dtype=bool))
 
-    def join_step(i, bk, bsel, pk, psel):
-        bt = join_ops.build(bk + (i % 2), bsel)
-        lo, cnt = join_ops.probe_ranges(bt, pk + (i % 2), None, psel)
-        return cnt.astype(jnp.int64).sum()
 
     # build() takes (key, key_null, sel)
     def join_step(i, bk, bsel, pk, psel):  # noqa: F811
