@@ -165,6 +165,117 @@ def _decode_column(f, d, n):
     return out
 
 
+class StreamQueryResult:
+    """Chunked result streaming (reference: StreamQueryResult,
+    src/main/stream_query_result.cpp over main/buffered_data/).
+
+    Streaming pipelines — Project/Filter chains over a base table, with
+    an optional LIMIT/OFFSET — execute tile-by-tile through ONE reused
+    compiled kernel (CTERef mailbox, same mechanism as the out-of-core
+    executor) and never materialize the full result; early LIMIT exits
+    stop scanning.  Any other plan silently falls back to materialized
+    execution behind the same interface."""
+
+    TILE_ROWS = 1 << 16
+
+    def __init__(self, plan: "L.LogicalNode"):
+        import copy as _copy
+        from .expr import ir as _ir
+        self.schema = plan.schema
+        self._iter = None
+        self._res = None
+        limit, offset = None, 0
+        node = plan
+        if isinstance(node, L.Limit) and node.percent is None:
+            limit, offset = node.limit, node.offset
+            node = node.child
+        chain = []
+        while isinstance(node, (L.Project, L.Filter)):
+            chain.append(node)
+            node = node.child
+        if isinstance(node, L.Get):
+            get = node
+            self._limit, self._offset = limit, offset
+            self._get = get
+            cell = L.CTECell()
+            tnode: L.LogicalNode = L.CTERef("__stream", get.schema, cell)
+            if get.filters:
+                tnode = L.Filter(tnode, _ir.make_and(get.filters))
+            for ln in reversed(chain):
+                n2 = _copy.copy(ln)
+                n2.child = tnode
+                object.__setattr__(n2, "_kern_cache", {})
+                tnode = n2
+            self._cell = cell
+            self._tile_plan = tnode
+        else:
+            self._res = QueryResult(*physical.execute(plan))
+
+    # ---- iteration ----------------------------------------------------
+    def _rows_iter(self):
+        if self._res is not None:
+            yield from self._res.fetchall()
+            return
+        from .batch import bucket_capacity, make_batch
+        get = self._get
+        table = get.table
+        n = table.num_rows
+        cols = [table.columns[i] for i in get.column_indices]
+        cap = bucket_capacity(min(self.TILE_ROWS, max(n, 1)))
+        remaining_skip = self._offset or 0
+        remaining = self._limit if self._limit is not None else None
+        for lo in range(0, n, self.TILE_ROWS):
+            hi = min(lo + self.TILE_ROWS, n)
+            arrays = [c.data[lo:hi] for c in cols]
+            nulls = [c.nulls[lo:hi] if c.nulls is not None else None
+                     for c in cols]
+            self._cell.batch = make_batch(arrays, nulls, count=hi - lo,
+                                          capacity=cap)
+            schema, b = physical.execute(self._tile_plan)
+            rows = QueryResult(schema, b).fetchall()
+            self._cell.batch = None
+            if remaining_skip:
+                if remaining_skip >= len(rows):
+                    remaining_skip -= len(rows)
+                    continue
+                rows = rows[remaining_skip:]
+                remaining_skip = 0
+            if remaining is not None:
+                rows = rows[:remaining]
+                remaining -= len(rows)
+            yield from rows
+            if remaining == 0:
+                return   # early exit: later tiles never scan
+
+    def __iter__(self):
+        if self._iter is None:
+            self._iter = self._rows_iter()
+        return self._iter
+
+    def fetchone(self):
+        try:
+            return next(iter(self))
+        except StopIteration:
+            return None
+
+    def fetchmany(self, k: int = 1024) -> List[tuple]:
+        out = []
+        it = iter(self)
+        for _ in range(k):
+            try:
+                out.append(next(it))
+            except StopIteration:
+                break
+        return out
+
+    def fetchall(self) -> List[tuple]:
+        return list(iter(self))
+
+    @property
+    def column_names(self):
+        return self.schema.names
+
+
 class TransactionException(Exception):
     """Commit-time conflict: the transaction was rolled back
     (reference: TransactionException, src/common/exception.cpp)."""
@@ -373,6 +484,19 @@ class Connection:
 
     def cursor(self) -> "Cursor":
         return Cursor(self)
+
+    def stream(self, sql: str) -> "StreamQueryResult":
+        """Execute a SELECT with chunked result streaming (reference:
+        PendingQueryResult/StreamQueryResult surface)."""
+        from .sql import ast as A
+        from .sql import parser as sqlparser
+        from .sql.binder import Binder
+        stmts = sqlparser.parse(sql)
+        if len(stmts) != 1 or not isinstance(stmts[0], A.SelectStmt):
+            raise ValueError("stream() takes exactly one SELECT")
+        plan = self._optimize(
+            Binder(self.catalog, context=self).bind_select(stmts[0]))
+        return StreamQueryResult(plan)
 
     def duplicate(self) -> "Connection":
         """A new Connection on the SAME database (reference:
