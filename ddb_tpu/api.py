@@ -569,6 +569,9 @@ class Connection:
                     if tiled_res is None:
                         tiled_res = tiled.execute_tiled_topn(plan,
                                                              self.config)
+                    if tiled_res is None:
+                        tiled_res = tiled.execute_tiled_sort(
+                            plan, self.config)
                 if tiled_res is not None:
                     schema, batch = tiled_res
                 else:

@@ -388,3 +388,207 @@ def execute_tiled_topn(plan: L.LogicalNode, config) -> Optional[
     schema, batch = physical.execute(tp.final_plan)
     tp.final_cell.batch = None
     return schema, batch
+
+
+# ---------------------------------------------------------------------------
+# external full sort (reference: sorted-run spill + k-way merge,
+# src/common/sorting/sorted_run.cpp + sorted_run_merger.hpp:22)
+# ---------------------------------------------------------------------------
+
+def find_tiled_sort(plan: L.LogicalNode, threshold: int):
+    """Match [Project]* Order [Filter/Project]* Get over a big table."""
+    upper: List[L.LogicalNode] = []
+    node = plan
+    while isinstance(node, L.Project):
+        upper.append(node)
+        node = node.child
+    if not isinstance(node, L.Order):
+        return None
+    order = node
+    lower: List[L.LogicalNode] = []
+    node = order.child
+    while isinstance(node, _LOWER):
+        lower.append(node)
+        node = node.child
+    if not isinstance(node, L.Get):
+        return None
+    if node.table.num_rows <= threshold:
+        return None
+    return upper, order, lower, node
+
+
+def _np_orderable(d: np.ndarray, dtype) -> np.ndarray:
+    """Host port of ops/sortkey._orderable (same total order)."""
+    if d.dtype == np.float32:
+        bits = d.view(np.int32)
+        return np.where(bits < 0, bits ^ np.int32(2**31 - 1), bits)
+    if d.dtype == np.float64:
+        bits = d.view(np.int64)
+        return np.where(bits < 0, bits ^ np.int64(2**63 - 1), bits)
+    if d.dtype == np.bool_:
+        return d.astype(np.int32)
+    return d
+
+
+def _host_sort_perm(keys, order: L.Order) -> np.ndarray:
+    """Stable permutation sorting host key columns per the ORDER BY spec
+    (the merge phase of the external sort: device produced the runs,
+    the host — our spill tier — merges)."""
+    ops = []
+    for (d, nmask), k in zip(keys, order.keys):
+        v = _np_orderable(np.asarray(d), k.expr.dtype)
+        if k.desc:
+            v = ~v if v.dtype.kind in "iu" else -v
+        if nmask is not None:
+            nullkey = np.where(nmask,
+                               np.int32(1 if k.nulls_last else 0),
+                               np.int32(0 if k.nulls_last else 1))
+            v = np.where(nmask, np.zeros_like(v), v)
+            ops.append(nullkey)
+            ops.append(v)
+        else:
+            ops.append(v)
+    return np.lexsort(tuple(reversed(ops)))
+
+
+class _TiledSort:
+    """Compiled-once artifacts for an external full sort."""
+
+    def __init__(self, upper, order: L.Order, lower, get,
+                 tile_rows: int):
+        self.get = get
+        self.order = order
+        self.tile_rows = tile_rows
+        self.cap = bucket_capacity(tile_rows)
+
+        # per-tile plan: lower ops + a projection emitting the ORDER BY
+        # key columns FOLLOWED by every payload column
+        self.cell = L.CTECell()
+        node: L.LogicalNode = L.CTERef("__tile", get.schema, self.cell)
+        if get.filters:
+            node = L.Filter(node, ir.make_and(get.filters))
+        for ln in reversed(lower):
+            n2 = copy.copy(ln)
+            n2.child = node
+            object.__setattr__(n2, "_kern_cache", {})
+            node = n2
+        base = node.schema
+        key_exprs = [k.expr for k in order.keys]
+        pay_exprs = [ir.ColRef(i, f.dtype, f.name, f.strdict)
+                     for i, f in enumerate(base.fields)]
+        names = [f"__k{i}" for i in range(len(key_exprs))] \
+            + list(base.names)
+        self.nkeys = len(key_exprs)
+        self.tile_plan = L.Project(node, key_exprs + pay_exprs, names)
+        self.out_schema = base
+
+        # upper projections re-run tile-wise over the sorted rows
+        self.final_cell = L.CTECell()
+        fnode: L.LogicalNode = L.CTERef("__sorted", base,
+                                        self.final_cell)
+        for un in reversed(upper):
+            n2 = copy.copy(un)
+            n2.child = fnode
+            object.__setattr__(n2, "_kern_cache", {})
+            fnode = n2
+        self.final_plan = fnode
+
+
+def execute_tiled_sort(plan: L.LogicalNode, config) -> Optional[
+        Tuple[Schema, Batch]]:
+    """Out-of-core ORDER BY: device scans/filters tiles and emits key +
+    payload columns; the host holds the runs and merges (np.lexsort over
+    the encoded keys); upper projections re-run tile-wise.  The full
+    table never materializes in device memory."""
+    threshold = int(config.get("external_threshold_rows"))
+    found = find_tiled_sort(plan, threshold)
+    if found is None:
+        return None
+    upper, order, lower, get = found
+    tp = getattr(plan, "_tiled_sort", None)
+    if tp is None or tp.get is not get:
+        tp = _TiledSort(upper, order, lower, get,
+                        int(config.get("tile_rows")))
+        plan._tiled_sort = tp
+
+    table = get.table
+    n = table.num_rows
+    cols = [table.columns[i] for i in get.column_indices]
+    runs_data: List[List[np.ndarray]] = None
+    runs_nulls: List[List[Optional[np.ndarray]]] = None
+    for lo in range(0, n, tp.tile_rows):
+        hi = min(lo + tp.tile_rows, n)
+        arrays = [c.data[lo:hi] for c in cols]
+        nulls = [c.nulls[lo:hi] if c.nulls is not None else None
+                 for c in cols]
+        tp.cell.batch = make_batch(arrays, nulls, count=hi - lo,
+                                   capacity=tp.cap)
+        _, tbatch = physical.execute(tp.tile_plan)
+        data, masks = _to_host(tbatch)
+        if runs_data is None:
+            runs_data = [[d] for d in data]
+            runs_nulls = [[m] for m in masks]
+        else:
+            for i, d in enumerate(data):
+                runs_data[i].append(d)
+                runs_nulls[i].append(masks[i])
+    tp.cell.batch = None
+    if runs_data is None:
+        return None
+
+    comb = [np.concatenate(ds) for ds in runs_data]
+    combn = []
+    for ds, ms in zip(runs_data, runs_nulls):
+        if any(m is not None for m in ms):
+            combn.append(np.concatenate(
+                [m if m is not None else np.zeros(len(d), dtype=bool)
+                 for d, m in zip(ds, ms)]))
+        else:
+            combn.append(None)
+    nk = tp.nkeys
+    perm = _host_sort_perm(list(zip(comb[:nk], combn[:nk])), tp.order)
+    sorted_data = [d[perm] for d in comb[nk:]]
+    sorted_nulls = [m[perm] if m is not None else None
+                    for m in combn[nk:]]
+    total = len(perm)
+
+    if not upper:
+        from ..batch import Column
+        cols_out = tuple(Column(d, m)
+                         for d, m in zip(sorted_data, sorted_nulls))
+        sel = np.ones(total, dtype=bool)
+        return tp.out_schema, Batch(cols_out, sel, total)
+
+    # upper projections tile-wise (keeps device residency bounded)
+    out_data: List[List[np.ndarray]] = None
+    out_nulls: List[List[Optional[np.ndarray]]] = None
+    fschema = tp.final_plan.schema
+    for lo in range(0, total, tp.tile_rows):
+        hi = min(lo + tp.tile_rows, total)
+        tp.final_cell.batch = make_batch(
+            [d[lo:hi] for d in sorted_data],
+            [m[lo:hi] if m is not None else None for m in sorted_nulls],
+            count=hi - lo, capacity=tp.cap)
+        _, fb = physical.execute(tp.final_plan)
+        data, masks = _to_host(fb)
+        if out_data is None:
+            out_data = [[d] for d in data]
+            out_nulls = [[m] for m in masks]
+        else:
+            for i, d in enumerate(data):
+                out_data[i].append(d)
+                out_nulls[i].append(masks[i])
+    tp.final_cell.batch = None
+    from ..batch import Column
+    cols_out = []
+    for ds, ms in zip(out_data, out_nulls):
+        d = np.concatenate(ds)
+        m = None
+        if any(x is not None for x in ms):
+            m = np.concatenate(
+                [x if x is not None else np.zeros(len(dd), dtype=bool)
+                 for dd, x in zip(ds, ms)])
+        cols_out.append(Column(d, m))
+    sel = np.ones(len(cols_out[0].data) if cols_out else 0, dtype=bool)
+    return fschema, Batch(tuple(cols_out), sel,
+                          len(cols_out[0].data) if cols_out else 0)
