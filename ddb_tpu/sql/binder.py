@@ -66,6 +66,12 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     tn = typename.lower()
     if tn in ("decimal", "numeric"):
         return T.DECIMAL(width or 18, scale)
+    if tn.startswith("union<") and tn.endswith(">"):
+        members = []
+        for part in tn[6:-1].split(","):
+            mn, mt, mw, ms = part.split(":")
+            members.append((mn, resolve_typename(mt, int(mw), int(ms))))
+        return T.UNION(members)
     if tn not in _TYPE_MAP:
         raise BindError(f"unknown type {typename}")
     return _TYPE_MAP[tn]
@@ -1950,6 +1956,9 @@ class Binder:
                     if base is not None \
                             and base.dtype.id == TypeId.STRUCT:
                         return self._struct_extract(base, e.parts[-1])
+                    if base is not None \
+                            and base.dtype.id == TypeId.UNION:
+                        return self._union_extract(base, e.parts[-1])
                 raise
         if isinstance(e, A.EParam):
             if self.params is None:
@@ -2530,6 +2539,33 @@ class Binder:
                     "split"):
             return self._bind_string_split(e, scope, agg_ctx, group_map,
                                            sub_replacements)
+        if name == "union_value":
+            # union_value(tag := expr): single-member union constant
+            # (reference: union_value scalar, union_type.cpp)
+            from ..storage.nested import UnionStore
+            tag = e.args[0].value
+            bound = b(e.args[1])
+            if not isinstance(bound, ir.Const):
+                raise BindError("union_value requires a constant")
+            store = UnionStore([str(tag)],
+                               [(0, self._const_py(bound))])
+            out = ir.Const(0, T.UNION([(str(tag), bound.dtype)]))
+            out.strdict = store
+            return out
+        if name == "union_tag":
+            u = b(e.args[0])
+            if u.dtype.id != TypeId.UNION:
+                raise BindError("union_tag needs a UNION value")
+            store = getattr(u, "strdict", None)
+            vals = [store.tag_of(i) for i in range(len(store))]
+            return self._payload_expr(u, vals, T.VARCHAR, "union_tag")
+        if name == "union_extract":
+            u = b(e.args[0])
+            if u.dtype.id != TypeId.UNION:
+                raise BindError("union_extract needs a UNION value")
+            member = e.args[1].value if isinstance(e.args[1], A.ELit) \
+                else str(e.args[1])
+            return self._union_extract(u, member)
         if name in ("struct_extract", "element_at", "map_extract",
                     "map_keys", "map_values", "map_contains",
                     "list_extract", "list_element", "array_extract"):
@@ -3117,6 +3153,18 @@ class Binder:
             if v is not None:
                 arr[i] = T.encode_literal(v, t)
         return ir.DictLookup(child, arr, t, tag, null_table=nt)
+
+    def _union_extract(self, base: ir.Expr, member: str) -> ir.Expr:
+        """Member value when the tag matches, else NULL (reference:
+        union_extract, src/common/types/union_type.cpp)."""
+        store = getattr(base, "strdict", None)
+        if store is None:
+            raise BindError("union value has no store")
+        for k, (n, t) in enumerate(base.dtype.children or ()):
+            if n.lower() == str(member).lower():
+                return self._payload_expr(
+                    base, store.member_values(k), t, "union_extract")
+        raise BindError(f"union has no member '{member}'")
 
     def _struct_extract(self, base: ir.Expr, fname: str) -> ir.Expr:
         store = getattr(base, "strdict", None)

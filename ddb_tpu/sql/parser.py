@@ -1299,6 +1299,19 @@ class Parser:
         if name in ("double", "timestamp") and self.peek().kind in (
                 "IDENT", "KW") and self.peek().value == "precision":
             self.next()
+        if name == "union" and self.at("OP", "("):
+            # UNION(a INT, b VARCHAR) — members encoded into the name,
+            # decoded by resolve_typename (reference: union logical type)
+            self.next()
+            parts = []
+            while True:
+                mn = self.ident()
+                mt, mw, ms = self.typename()
+                parts.append(f"{mn}:{mt}:{mw}:{ms}")
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return "union<" + ",".join(parts) + ">", 0, 0
         w = s = 0
         if self.accept_op("("):
             w = int(self.next().value)
@@ -1509,6 +1522,16 @@ class Parser:
                     return fn
                 distinct = bool(self.accept_kw("distinct"))
                 args = []
+                if name == "union_value" and not self.at("OP", ")"):
+                    # union_value(tag := expr)
+                    tag = self.ident()
+                    if not self.accept_op(":="):
+                        self.expect_op(":")
+                        self.expect_op("=")
+                    args = [A.ELit(tag), self.expr()]
+                    self.expect_op(")")
+                    fn = A.EFunc(name, args)
+                    return fn
                 if not self.at("OP", ")"):
                     args.append(self.expr())
                     while self.accept_op(","):

@@ -107,10 +107,40 @@ def empty_table(name: str, fields) -> TableData:
     cols = []
     for cname, dt in fields:
         data = np.zeros(0, dtype=dt.np_dtype)
-        sd = StringDictionary(np.array([], dtype=object).astype(str)) \
-            if dt.id == TypeId.VARCHAR else None
+        if dt.id == TypeId.VARCHAR:
+            sd = StringDictionary(np.array([], dtype=object).astype(str))
+        elif dt.id == TypeId.UNION:
+            from .nested import UnionStore
+            sd = UnionStore([nm for nm, _t in (dt.children or ())])
+        else:
+            sd = None
         cols.append(TableColumn(cname, dt, data, None, sd))
     return TableData(name, cols)
+
+
+def _union_member_of(members, v) -> int:
+    """Implicit member selection for a python value inserted into a
+    UNION column (reference: union implicit cast resolution,
+    src/function/cast/union_casts.cpp)."""
+    def pri(k, t):
+        tid = t.id
+        if isinstance(v, bool):
+            return 0 if tid == TypeId.BOOLEAN else 9
+        if isinstance(v, int):
+            return 0 if t.is_integer else \
+                (1 if tid in (TypeId.FLOAT, TypeId.DOUBLE,
+                              TypeId.DECIMAL) else 9)
+        if isinstance(v, float):
+            return 0 if tid in (TypeId.FLOAT, TypeId.DOUBLE) else 9
+        if isinstance(v, str):
+            return 0 if tid == TypeId.VARCHAR else 9
+        return 5
+    best, bestp = 0, 99
+    for k, (n, t) in enumerate(members):
+        p = pri(k, t)
+        if p < bestp:
+            best, bestp = k, p
+    return best
 
 
 def _encode_values(col: TableColumn, values: Sequence):
@@ -120,6 +150,16 @@ def _encode_values(col: TableColumn, values: Sequence):
     plus a translate table for existing codes."""
     n = len(values)
     nulls = np.array([v is None for v in values], dtype=bool)
+    if col.dtype.id == TypeId.UNION:
+        store = col.strdict
+        members = col.dtype.children or ()
+        codes = np.zeros(n, dtype=np.int32)
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            k = _union_member_of(members, v)
+            codes[i] = store.add(k, v)
+        return codes, nulls, None
     if col.dtype.id == TypeId.VARCHAR:
         new_strs = np.unique(np.array(
             [("" if v is None else str(v)) for v in values], dtype=object)

@@ -68,6 +68,34 @@ class MapStore:
         return len(self.items)
 
 
+class UnionStore:
+    """Tagged-union payloads: (member_index, python value) per id
+    (reference: union vectors hold a tag + per-member child vectors,
+    src/common/types/union_type.cpp — here host-side like the other
+    nested stores)."""
+
+    def __init__(self, tags: Sequence[str], items: Sequence[tuple] = ()):
+        self.tags = list(tags)
+        self.items: list = list(items)    # [(tag_idx, value)]
+
+    def add(self, tag_idx: int, value) -> int:
+        self.items.append((int(tag_idx), value))
+        return len(self.items) - 1
+
+    def decode_one(self, i: int):
+        return self.items[i][1]
+
+    def tag_of(self, i: int) -> str:
+        return self.tags[self.items[i][0]]
+
+    def member_values(self, k: int) -> list:
+        """Value when the tag matches member k, else None."""
+        return [v if ti == k else None for ti, v in self.items]
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+
 class BlobStore:
     """Dictionary of byte strings (BLOB payloads); id = index."""
 

@@ -55,6 +55,7 @@ class TypeId(enum.Enum):
     MAP = 18
     BLOB = 19
     UUID = 20
+    UNION = 21
 
 
 _INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
@@ -76,6 +77,10 @@ class DataType:
             return f"DECIMAL({self.width},{self.scale})"
         if self.id == TypeId.LIST:
             return f"{self.child!r}[]"
+        if self.id == TypeId.UNION:
+            inner = ", ".join(f"{n} {t!r}" for n, t in
+                              (self.children or ()))
+            return f"UNION({inner})"
         if self.id == TypeId.STRUCT:
             inner = ", ".join(f"{n} {t!r}" for n, t in
                               (self.children or ()))
@@ -138,6 +143,7 @@ _PHYSICAL = {
     TypeId.NULL: np.int32,
     TypeId.LIST: np.int32,       # list-store id (storage/lists.py)
     TypeId.STRUCT: np.int32,     # struct-store id (storage/nested.py)
+    TypeId.UNION: np.int32,      # union-store id (storage/nested.py)
     TypeId.MAP: np.int32,        # map-store id (storage/nested.py)
     TypeId.BLOB: np.int32,       # blob-store id (dictionary of bytes)
     TypeId.UUID: np.int32,       # dictionary code (like VARCHAR)
@@ -162,6 +168,14 @@ def STRUCT(fields) -> DataType:
 def MAP(key: DataType, value: DataType) -> DataType:
     """MAP type; rows hold map-store ids (reference: LogicalType::MAP)."""
     return DataType(TypeId.MAP, child=key, child2=value)
+
+
+def UNION(members) -> DataType:
+    """Tagged UNION type; rows hold union-store ids (reference:
+    LogicalType::UNION, src/common/types.cpp + union_type.cpp).
+    members: iterable of (name, DataType)."""
+    return DataType(TypeId.UNION, children=tuple(
+        (str(n), t) for n, t in members))
 
 BOOLEAN = DataType(TypeId.BOOLEAN)
 TINYINT = DataType(TypeId.TINYINT)
@@ -277,7 +291,7 @@ def decode_value(raw, t: DataType, strdict=None):
             raise ValueError("VARCHAR column requires a dictionary")
         return strdict.decode_one(int(raw))
     if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.BLOB,
-                TypeId.UUID):
+                TypeId.UUID, TypeId.UNION):
         if strdict is None:
             raise ValueError(f"{t.id.name} column requires a store")
         return strdict.decode_one(int(raw))
