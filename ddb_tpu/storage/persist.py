@@ -86,33 +86,60 @@ def _load_lib():
     lib.dtb_delta_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
         ctypes.c_char_p, ctypes.c_uint64]
+    for fn in ("dtb_fsst_compress", "dtb_fsst_decompress"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                      ctypes.c_uint64]
+    for fn in ("dtb_xorf_compress", "dtb_xorf_decompress"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
+                      ctypes.c_char_p, ctypes.c_uint64]
     _LIB = lib
     return lib
 
 
-# blob codecs (native/dtbfile.cpp; reference: src/storage/compression/)
-_RAW, _RLE, _DELTA, _ZLIB = 0, 1, 2, 3
+# blob codecs (native/dtbfile.cpp; reference: src/storage/compression/ —
+# codec ids: 0 raw, 1 byte-RLE, 2 delta-varint, 3 zlib, 4 FSST-style
+# digram, 5 Chimp-class XOR-float)
+_RAW, _RLE, _DELTA, _ZLIB, _FSST, _XORF = 0, 1, 2, 3, 4, 5
 
 
 def _compress_blob(lib, data: bytes, kind: str, elem: int = 0):
-    """Pick a codec by payload kind, fall back to raw when it doesn't
-    shrink.  Returns (codec, payload)."""
+    """Analyze the candidate codecs for the payload kind and keep the
+    smallest (the reference's analyze-all-then-pick-best per segment,
+    table/column_data_checkpointer.cpp:157).  Returns (codec, payload)."""
     if len(data) < 64:
         return _RAW, data
     cap = len(data) - 1        # only accept a strict win
-    buf = ctypes.create_string_buffer(cap)
+    best = (_RAW, data)
+
+    def consider(codec, n, buf):
+        nonlocal best
+        if n > 0 and n < len(best[1]):
+            best = (codec, buf.raw[:n])
+
     if kind == "mask":
-        n = lib.dtb_rle_compress(data, len(data), buf, cap)
-        if n > 0:
-            return _RLE, buf.raw[:n]
+        buf = ctypes.create_string_buffer(cap)
+        consider(_RLE, lib.dtb_rle_compress(data, len(data), buf, cap),
+                 buf)
     elif kind == "ints" and elem in (4, 8):
-        n = lib.dtb_delta_compress(data, len(data), elem, buf, cap)
-        if n > 0:
-            return _DELTA, buf.raw[:n]
-    n = lib.dtb_zlib_compress(data, len(data), buf, cap)
-    if n > 0:
-        return _ZLIB, buf.raw[:n]
-    return _RAW, data
+        buf = ctypes.create_string_buffer(cap)
+        consider(_DELTA, lib.dtb_delta_compress(data, len(data), elem,
+                                                buf, cap), buf)
+    elif kind == "floats" and elem in (4, 8):
+        buf = ctypes.create_string_buffer(cap)
+        consider(_XORF, lib.dtb_xorf_compress(data, len(data), elem,
+                                              buf, cap), buf)
+    elif kind == "text":
+        buf = ctypes.create_string_buffer(cap)
+        consider(_FSST, lib.dtb_fsst_compress(data, len(data), buf,
+                                              cap), buf)
+    buf = ctypes.create_string_buffer(cap)
+    consider(_ZLIB, lib.dtb_zlib_compress(data, len(data), buf, cap),
+             buf)
+    return best
 
 
 def _decompress_blob(lib, codec: int, data: bytes, raw_len: int,
@@ -126,6 +153,10 @@ def _decompress_blob(lib, codec: int, data: bytes, raw_len: int,
         n = lib.dtb_delta_decompress(data, len(data), elem, buf, raw_len)
     elif codec == _ZLIB:
         n = lib.dtb_zlib_decompress(data, len(data), buf, raw_len)
+    elif codec == _FSST:
+        n = lib.dtb_fsst_decompress(data, len(data), buf, raw_len)
+    elif codec == _XORF:
+        n = lib.dtb_xorf_decompress(data, len(data), elem, buf, raw_len)
     else:
         raise IOError(f"unknown blob codec {codec}")
     if n != raw_len:
@@ -172,7 +203,7 @@ def save_database(catalog, path: str) -> None:
         if codec != _RAW:
             m["codec"] = codec
             m["raw_len"] = raw_len
-            if codec == _DELTA:
+            if codec in (_DELTA, _XORF):
                 m["elem"] = elem
         return m
 
@@ -202,7 +233,8 @@ def save_database(catalog, path: str) -> None:
                 "scale": c.dtype.scale,
                 "dtype": str(c.data.dtype),
             }
-            kind = "ints" if c.data.dtype.kind in "iu" else "raw"
+            kind = "ints" if c.data.dtype.kind in "iu" else (
+                "floats" if c.data.dtype.kind == "f" else "raw")
             cm["data"] = add_blob(np.ascontiguousarray(c.data).tobytes(),
                                   kind, c.data.dtype.itemsize)
             if c.nulls is not None:

@@ -228,6 +228,150 @@ int64_t dtb_delta_decompress(const uint8_t *src, uint64_t len,
   return static_cast<int64_t>(n * elem);
 }
 
+
+// codec 4: FSST-style digram symbol table for string payloads
+// (reference: src/storage/compression/fsst.cpp backed by
+// third_party/fsst — ours is an original single-pass digram coder:
+// the 255 most frequent byte pairs become 1-byte symbols; byte 0xFF
+// escapes literals that collide with symbol codes).
+int64_t dtb_fsst_compress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                          uint64_t dst_cap) {
+  if (len < 16) return -1;
+  // frequency of byte pairs
+  static thread_local uint32_t freq[65536];
+  memset(freq, 0, sizeof(freq));
+  for (uint64_t i = 0; i + 1 < len; i++)
+    freq[(src[i] << 8) | src[i + 1]]++;
+  // pick top 254 pairs with freq >= 4 (symbol codes 0x01..0xFE; 0x00
+  // stays literal-safe for terminators, 0xFF is the escape)
+  uint16_t pairs[254];
+  int npairs = 0;
+  for (int it = 0; it < 254; it++) {
+    uint32_t best = 0, bi = 0;
+    for (uint32_t p = 0; p < 65536; p++)
+      if (freq[p] > best) { best = freq[p]; bi = p; }
+    if (best < 4) break;
+    pairs[npairs++] = (uint16_t)bi;
+    freq[bi] = 0;
+  }
+  if (npairs == 0) return -1;
+  // symbol lookup: pair -> code (1..npairs)
+  static thread_local int16_t code_of[65536];
+  memset(code_of, -1, sizeof(code_of));
+  for (int k = 0; k < npairs; k++) code_of[pairs[k]] = (int16_t)(k + 1);
+  // header: u16 npairs + 2 bytes per pair
+  uint64_t o = 0;
+  if (o + 2 + 2 * (uint64_t)npairs > dst_cap) return -1;
+  dst[o++] = (uint8_t)npairs;
+  dst[o++] = 0;
+  for (int k = 0; k < npairs; k++) {
+    dst[o++] = (uint8_t)(pairs[k] >> 8);
+    dst[o++] = (uint8_t)(pairs[k] & 0xFF);
+  }
+  for (uint64_t i = 0; i < len;) {
+    int16_t c = (i + 1 < len) ? code_of[(src[i] << 8) | src[i + 1]] : -1;
+    if (c > 0) {
+      if (o >= dst_cap) return -1;
+      dst[o++] = (uint8_t)c;
+      i += 2;
+    } else {
+      uint8_t b = src[i];
+      if (b >= 1 && b <= (uint8_t)npairs) {
+        if (o + 2 > dst_cap) return -1;   // escape collided literal
+        dst[o++] = 0xFF;
+        dst[o++] = b;
+      } else if (b == 0xFF) {
+        if (o + 2 > dst_cap) return -1;
+        dst[o++] = 0xFF;
+        dst[o++] = 0xFF;
+      } else {
+        if (o >= dst_cap) return -1;
+        dst[o++] = b;
+      }
+      i += 1;
+    }
+  }
+  return (int64_t)o;
+}
+
+int64_t dtb_fsst_decompress(const uint8_t *src, uint64_t len, uint8_t *dst,
+                            uint64_t dst_cap) {
+  if (len < 2) return -1;
+  int npairs = src[0];
+  uint64_t i = 2;
+  uint16_t pairs[255];
+  for (int k = 0; k < npairs; k++) {
+    if (i + 1 >= len) return -1;
+    pairs[k] = (uint16_t)((src[i] << 8) | src[i + 1]);
+    i += 2;
+  }
+  uint64_t o = 0;
+  while (i < len) {
+    uint8_t b = src[i++];
+    if (b == 0xFF) {
+      if (i >= len || o >= dst_cap) return -1;
+      dst[o++] = src[i++];
+    } else if (b >= 1 && b <= (uint8_t)npairs) {
+      if (o + 2 > dst_cap) return -1;
+      dst[o++] = (uint8_t)(pairs[b - 1] >> 8);
+      dst[o++] = (uint8_t)(pairs[b - 1] & 0xFF);
+    } else {
+      if (o >= dst_cap) return -1;
+      dst[o++] = b;
+    }
+  }
+  return (int64_t)o;
+}
+
+// codec 5: Chimp-class XOR float compression (reference:
+// src/storage/compression/chimp/ + alp/ — XOR with the previous value,
+// then store only the non-zero prefix bytes; similar consecutive floats
+// share sign/exponent/mantissa-head so the XOR is mostly trailing
+// zeros).  Byte-aligned original variant: per value a length nibble-pair
+// packs two values' prefix-byte counts.
+int64_t dtb_xorf_compress(const uint8_t *src, uint64_t len, uint32_t elem,
+                          uint8_t *dst, uint64_t dst_cap) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t n = len / elem;
+  if (n == 0 || len % elem) return -1;
+  uint64_t o = 0;
+  uint64_t prev = 0;
+  // layout: per value u8 nbytes then nbytes of the XOR little-end prefix
+  for (uint64_t k = 0; k < n; k++) {
+    uint64_t cur = 0;
+    memcpy(&cur, src + k * elem, elem);
+    uint64_t x = cur ^ prev;
+    uint32_t nb = 0;
+    while (nb < elem && (x >> (8 * nb)) != 0) nb++;
+    if (o + 1 + nb > dst_cap) return -1;
+    dst[o++] = (uint8_t)nb;
+    for (uint32_t b = 0; b < nb; b++)
+      dst[o++] = (uint8_t)(x >> (8 * b));
+    prev = cur;
+  }
+  return (int64_t)o;
+}
+
+int64_t dtb_xorf_decompress(const uint8_t *src, uint64_t len,
+                            uint32_t elem, uint8_t *dst,
+                            uint64_t dst_cap) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t i = 0, o = 0;
+  uint64_t prev = 0;
+  while (i < len) {
+    uint32_t nb = src[i++];
+    if (nb > elem || i + nb > len || o + elem > dst_cap) return -1;
+    uint64_t x = 0;
+    for (uint32_t b = 0; b < nb; b++)
+      x |= ((uint64_t)src[i++]) << (8 * b);
+    uint64_t cur = prev ^ x;
+    memcpy(dst + o, &cur, elem);
+    o += elem;
+    prev = cur;
+  }
+  return (int64_t)o;
+}
+
 }  // extern "C"
 
 // codec 3: deflate (zlib) for text/dictionary payloads
