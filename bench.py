@@ -38,7 +38,9 @@ def _median_of(fn, k=3):
 
 def _bench_pallas(n, lo_reps, hi_reps):
     """Flagship: Pallas single-pass fused filter+aggregate
-    (ddb_tpu/ops/pallas_agg.py).  Returns the result dict or raises."""
+    (ddb_tpu/ops/pallas_agg.py) — measures BOTH kernel generations and
+    reports the faster (v3: 8 streams via charge tax-factoring + packed
+    disc/count; v2: 11 streams).  Returns the result dict or raises."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -58,31 +60,103 @@ def _bench_pallas(n, lo_reps, hi_reps):
             jnp.asarray((d["l_returnflag"] * 2
                          + d["l_linestatus"]).astype(np.int32)))
 
-    def make_loop(reps):
-        def loop(*a):
-            def body(i, acc):
-                return acc + P.q1_fused_aggregate(
-                    *a, 10471 - (i % 2), n_rows=n)
-            return lax.fori_loop(0, reps, body,
-                                 jnp.zeros((P.GROUPS, P.PAYLOADS),
-                                           jnp.int64))
-        return jax.jit(loop)
+    def measure(kern):
+        def make_loop(reps):
+            def loop(*a):
+                def body(i, acc):
+                    return acc + kern(*a, 10471 - (i % 2), n_rows=n)
+                return lax.fori_loop(0, reps, body,
+                                     jnp.zeros((P.GROUPS, P.PAYLOADS),
+                                               jnp.int64))
+            return jax.jit(loop)
 
-    jlo = make_loop(lo_reps)
-    jhi = make_loop(hi_reps)
-    _ = np.asarray(jlo(*args))          # compile + warm
-    _ = np.asarray(jhi(*args))
-    t_lo = _median_of(lambda: np.asarray(jlo(*args)))
-    t_hi = _median_of(lambda: np.asarray(jhi(*args)))
-    per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
-    rows_per_sec = n / per
+        jlo = make_loop(lo_reps)
+        jhi = make_loop(hi_reps)
+        _ = np.asarray(jlo(*args))          # compile + warm
+        _ = np.asarray(jhi(*args))
+        t_lo = _median_of(lambda: np.asarray(jlo(*args)))
+        t_hi = _median_of(lambda: np.asarray(jhi(*args)))
+        per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
+        return n / per
+
     roofline = _HBM_BYTES_PER_S / _BYTES_PER_ROW
-    return {
+    rates = {}
+    rates["v3"] = measure(P.q1_fused_aggregate_v3)
+    try:
+        rates["v2"] = measure(P.q1_fused_aggregate)
+    except Exception:
+        pass
+    best = max(rates, key=rates.get)
+    rows_per_sec = rates[best]
+    out = {
         "metric": "tpch_q1_sf1_agg_rows_per_sec",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / roofline, 4),
+        "kernel": best,
+        "suite": {f"q1_agg_{k}": round(v, 1) for k, v in rates.items()},
     }
+    out["suite"].update(_q6_filter_bench(n, d, lo_reps, hi_reps))
+    out["suite"].update(_operator_bench_extras())
+    return out
+
+
+def _q6_filter_bench(n, d, lo_reps, hi_reps):
+    """TPC-H Q6: selective filter + sum(ext*disc) over 4 int32 columns
+    (BASELINE config 2's filter shape); XLA-fused, VPU path."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    qty = jnp.asarray(d["l_quantity"].astype(np.int32))
+    ext = jnp.asarray(d["l_extendedprice"].astype(np.int32))
+    dc = jnp.asarray(d["l_discount"].astype(np.int32))
+    sd = jnp.asarray(d["l_shipdate"])
+
+    def q6_once(cut, qty, ext, dc, sd):
+        sel = (sd >= cut) & (sd < cut + 365) & (dc >= 5) & (dc <= 7)             & (qty < 24)
+        m = sel.astype(jnp.int32)
+        e_hi = (ext >> 16) * dc * m
+        e_lo = (ext & 0xFFFF) * dc * m
+        return (e_hi.astype(jnp.int64).sum() << 16)             + e_lo.astype(jnp.int64).sum()
+
+    def make_loop(reps):
+        def loop(*a):
+            def body(i, acc):
+                return acc + q6_once(jnp.int32(8766) + (i % 2), *a)
+            return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
+        return jax.jit(loop)
+
+    try:
+        jlo, jhi = make_loop(lo_reps), make_loop(hi_reps)
+        _ = np.asarray(jlo(qty, ext, dc, sd))
+        _ = np.asarray(jhi(qty, ext, dc, sd))
+        t_lo = _median_of(lambda: np.asarray(jlo(qty, ext, dc, sd)))
+        t_hi = _median_of(lambda: np.asarray(jhi(qty, ext, dc, sd)))
+        per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
+        rate = n / per
+        roofline = _HBM_BYTES_PER_S / 16    # 4 int32 columns
+        return {"q6_filter_rows_per_sec": round(rate, 1),
+                "q6_filter_roofline_frac": round(rate / roofline, 4)}
+    except Exception:
+        return {}
+
+
+def _operator_bench_extras():
+    """Fold the committed per-operator rooflines into the bench line
+    (docs/OPERATOR_BENCH.json, produced by scripts/bench_operators.py)."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "OPERATOR_BENCH.json")
+    out = {}
+    try:
+        data = _json.load(open(path))
+        for op, r in data.get("results", {}).items():
+            out[f"{op}_rows_per_sec"] = r.get("rows_per_sec")
+            out[f"{op}_roofline_frac"] = r.get("roofline_frac")
+    except Exception:
+        pass
+    return out
 
 
 def main():

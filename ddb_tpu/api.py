@@ -992,20 +992,63 @@ class Connection:
 
     # ---- statement verification -----------------------------------------
     def _verify_statement(self, stmt, unopt_plan, res: QueryResult):
-        """Run the UNOPTIMIZED plan and diff results — the analog of the
-        reference's statement verifiers (src/verification/
-        statement_verifier.hpp: ORIGINAL vs UNOPTIMIZED).  Only sensible
-        on small inputs; enable via SET enable_verification = true."""
-        schema, batch = physical.execute(unopt_plan)
-        other = QueryResult(schema, batch)
+        """Run the same statement through independent execution variants
+        and diff results — the analog of the reference's statement
+        verifiers (src/verification/statement_verifier.hpp:17-29:
+        ORIGINAL vs UNOPTIMIZED / PARSED / EXTERNAL / ...).  Only
+        sensible on small inputs; SET enable_verification = true."""
         a = sorted(map(repr, res.fetchall()))
-        b = sorted(map(repr, other.fetchall()))
-        if a != b:
-            self.log.warn("verify", "optimized vs unoptimized mismatch")
-            raise RuntimeError(
-                "statement verification failed: optimized and unoptimized "
-                f"plans disagree ({len(a)} vs {len(b)} rows)")
-        self.log.debug("verify", "unoptimized-plan cross-check ok")
+
+        def diff(name, rows):
+            b = sorted(map(repr, rows))
+            if a != b:
+                self.log.warn("verify", f"{name} variant mismatch")
+                raise RuntimeError(
+                    f"statement verification failed: original and "
+                    f"{name} variants disagree ({len(a)} vs {len(b)} "
+                    f"rows)")
+            self.log.debug("verify", f"{name} cross-check ok")
+
+        # UNOPTIMIZED: same bound plan, no optimizer passes
+        schema, batch = physical.execute(unopt_plan)
+        diff("unoptimized", QueryResult(schema, batch).fetchall())
+
+        # PARSED: re-parse the original text and bind fresh (catches
+        # parser/binder state leaks; reference: PARSED verifier)
+        sql = getattr(stmt, "_sql_text", None)
+        if sql is not None:
+            from .sql import parser as sqlparser
+            from .sql.binder import Binder
+            stmts2 = sqlparser.parse(sql)
+            if len(stmts2) == 1:
+                p2 = self._optimize(Binder(self.catalog, context=self)
+                                    .bind_select(stmts2[0]))
+                s2, b2 = physical.execute(p2)
+                diff("re-parsed", QueryResult(s2, b2).fetchall())
+
+        # EXTERNAL: force the out-of-core tiled paths (reference:
+        # pragma verify_external — forced spill execution)
+        from .plan import tiled
+
+        class _Cfg:
+            def __init__(self, base):
+                self._base = base
+
+            def get(self, k):
+                if k == "external_threshold_rows":
+                    return 1
+                if k == "tile_rows":
+                    return 2048
+                return self._base.get(k)
+
+        fresh = self._optimize(unopt_plan)
+        ext = tiled.execute_tiled(fresh, _Cfg(self.config))
+        if ext is None:
+            ext = tiled.execute_tiled_topn(fresh, _Cfg(self.config))
+        if ext is None:
+            ext = tiled.execute_tiled_sort(fresh, _Cfg(self.config))
+        if ext is not None:
+            diff("external", QueryResult(*ext).fetchall())
 
     # ---- EXPLAIN / PRAGMA ------------------------------------------------
     def _execute_describe(self, stmt):

@@ -193,3 +193,125 @@ def reference_sums(qty, ext, disc, tax, ship, gid, cutoff):
         for p, v in enumerate(pl_):
             out[g, p] = v[mask].sum()
     return out
+
+
+# ---------------------------------------------------------------------------
+# v3 kernel: 8 streams (vs v2's 11) via charge tax-factoring + disc/count
+# bit-packing, partials folded STRAIGHT into 16-bit limb accumulators
+# (no intermediate acc32 / spill cadence).
+#
+#   charge = disc_price * (100 + tax)  =>  Σcharge = 100*Σdp + Σ(dp*tax)
+#   so the 4 charge limb streams of v2 become 2 tax-product streams;
+#   disc (<= 100/row) and the count share one packed stream
+#   (disc + 1<<16): chunk sums keep the fields bit-disjoint, so the lo
+#   limb accumulates Σdisc and the hi limb accumulates the count.
+#
+# Contract (TPC-H): disc <= 100, tax <= 8, qty <= 2^20, 0 <= ext < 2^31,
+# rows per launch <= 2^30 (limb accumulators stay int32-exact).
+# ---------------------------------------------------------------------------
+
+STREAMS3 = 8        # qty, e_hi, e_lo, packed(disc|count), dpA, dpB,
+                    # dpA*tax, dpB*tax
+_TS3 = 256          # sublanes per step => 32768 rows (chunk = 32 rows
+                    # keeps the worst stream dpB*tax int32-safe)
+
+
+def _kernel3(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
+             cutoff_ref, out_ref, lo, hi, *, ts):
+    from jax.experimental import pallas as pl
+
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        lo[...] = jnp.zeros_like(lo)
+        hi[...] = jnp.zeros_like(hi)
+
+    qty = qty_ref[...]
+    ext = ext_ref[...]
+    disc = disc_ref[...]
+    tax = tax_ref[...]
+    ship = ship_ref[...]
+    gid = gid_ref[...]
+    cutoff = cutoff_ref[0]
+
+    m = 100 - disc
+    e_hi = ext >> 16
+    e_lo = ext & 0xFFFF
+    dpA = e_hi * m
+    dpB = e_lo * m
+    packed = disc + (1 << 16)
+    streams = jnp.stack((qty, e_hi, e_lo, packed, dpA, dpB,
+                         dpA * tax, dpB * tax))       # (S, TS, 128)
+
+    cid = jnp.where(ship <= cutoff, gid, GROUPS)
+    chunk = ts // 8
+    parts = []
+    for g in range(GROUPS):
+        mask = (cid == g).astype(jnp.int32)
+        masked = streams * mask[None]
+        parts.append(masked.reshape(STREAMS3, 8, chunk, 128).sum(axis=2))
+    p = jnp.stack(parts)                  # (G, S, 8, 128)
+    lo[...] = lo[...] + (p & 0xFFFF)
+    hi[...] = hi[...] + (p >> 16)
+
+    @pl.when(step == nsteps - 1)
+    def _flush():
+        out_ref[0] = lo[...]
+        out_ref[1] = hi[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret",
+                                    "tile_sublanes"))
+def q1_fused_aggregate_v3(qty, ext, disc, tax, ship, gid, cutoff, *,
+                          n_rows, interpret=False, tile_sublanes=None):
+    """v3 of the Q1 flagship kernel; same result contract as
+    q1_fused_aggregate (int64 sums [GROUPS, PAYLOADS])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_rows % 1024 == 0
+    sublanes = n_rows // 128
+    ts = tile_sublanes or _TS3
+    while sublanes % ts:
+        ts //= 2
+    steps = sublanes // ts
+
+    def rs(x):
+        return x.reshape(sublanes, 128)
+
+    block = pl.BlockSpec((ts, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    acc_shape = (GROUPS, STREAMS3, 8, 128)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel3, ts=ts),
+            grid=(steps,),
+            in_specs=[block] * 6 + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(
+                (2,) + acc_shape, lambda i: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2,) + acc_shape, jnp.int32),
+            scratch_shapes=[pltpu.VMEM(acc_shape, jnp.int32),
+                            pltpu.VMEM(acc_shape, jnp.int32)],
+            interpret=interpret,
+        )(rs(qty), rs(ext), rs(disc), rs(tax), rs(ship), rs(gid),
+          jnp.asarray([cutoff], dtype=jnp.int32))
+
+    lo = out[0].astype(jnp.int64).sum(axis=(-1, -2))
+    hi = out[1].astype(jnp.int64).sum(axis=(-1, -2))
+    s = hi * (1 << 16) + lo                       # [GROUPS, STREAMS3]
+    qty_s, ehi_s, elo_s = s[:, 0], s[:, 1], s[:, 2]
+    # packed stream: lo limb = Σdisc, hi limb = count (bit-disjoint)
+    disc_s = lo[:, 3]
+    cnt_s = hi[:, 3]
+    dpA_s, dpB_s = s[:, 4], s[:, 5]
+    dpAt_s, dpBt_s = s[:, 6], s[:, 7]
+    ext_s = ehi_s * (1 << 16) + elo_s
+    chA_s = 100 * dpA_s + dpAt_s        # charge limbs, tax factored out
+    chB_s = 100 * dpB_s + dpBt_s
+    return jnp.stack((qty_s, ext_s, disc_s, cnt_s, dpA_s, dpB_s,
+                      chA_s, chB_s), axis=1)

@@ -45,7 +45,7 @@ def bench_loop(make_step, reps, *args):
 HBM_BW = 819e9   # v5e
 
 
-def main():
+def main(only=None):
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -55,9 +55,43 @@ def main():
 
     n = 6 * 1024 * 1024
     rng = np.random.default_rng(0)
+    out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "OPERATOR_BENCH.json")
     results = {}
+    if os.path.exists(out_path):
+        try:
+            results = json.load(open(out_path)).get("results", {})
+        except Exception:
+            results = {}
+
+    def want(op):
+        return only is None or op == only
 
     # ---- filter: predicate + count over 3 int32 columns -----------------
+    if want("filter"):
+        _bench_filter(results, n, rng, jax, lax, jnp)
+    if want("sort"):
+        _bench_sort(results, n, rng, jax, lax, jnp)
+    if want("join"):
+        _bench_join(results, n, rng, jax, lax, jnp, join_ops)
+    if want("aggregate"):
+        _bench_aggregate(results, n, rng, jax, lax, jnp)
+
+    for name, r in results.items():
+        r["rows_per_sec"] = round(r["rows_per_sec"], 1)
+        r["roofline"] = round(r["roofline"], 1)
+        r["roofline_frac"] = round(r["rows_per_sec"] / r["roofline"], 4)
+        print(f"{name:12s} {r['rows_per_sec']/1e9:8.2f} G rows/s   "
+              f"{100*r['roofline_frac']:5.1f}% of roofline "
+              f"({r['config']})")
+
+    with open(out_path, "w") as f:
+        json.dump({"chip": "v5e (axon tunnel)", "rows": n,
+                   "results": results}, f, indent=1)
+    print(f"saved {out_path}")
+
+
+def _bench_filter(results, n, rng, jax, lax, jnp):
     a = jnp.asarray(rng.integers(0, 100, n).astype(np.int32))
     b = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
     c = jnp.asarray(rng.integers(0, 10, n).astype(np.int32))
@@ -74,6 +108,8 @@ def main():
         "config": "3-column conjunctive predicate, 6.3M rows",
     }
 
+
+def _bench_sort(results, n, rng, jax, lax, jnp):
     # ---- sort: 1-key int64 + carried row id ------------------------------
     k = jnp.asarray(rng.integers(0, 1 << 40, n).astype(np.int64))
     rid = jnp.asarray(np.arange(n, dtype=np.int32))
@@ -92,6 +128,8 @@ def main():
         "config": "int64 key + int32 payload, 6.3M rows",
     }
 
+
+def _bench_join(results, n, rng, jax, lax, jnp, join_ops):
     # ---- join: build 1M, probe 6.3M, expand ------------------------------
     nb = 1 << 20
     bk = jnp.asarray(rng.permutation(nb).astype(np.int64))
@@ -114,6 +152,8 @@ def main():
         "config": "1M build x 6.3M probe, unique keys (merge probe)",
     }
 
+
+def _bench_aggregate(results, n, rng, jax, lax, jnp):
     # ---- aggregate: pallas fused Q1 --------------------------------------
     from ddb_tpu.ops import pallas_agg as P
     qty = jnp.asarray(rng.integers(100, 5100, n).astype(np.int32))
@@ -134,21 +174,24 @@ def main():
         "config": "Q1 fused filter + 6-group x 8-payload aggregate",
     }
 
-    for name, r in results.items():
-        r["rows_per_sec"] = round(r["rows_per_sec"], 1)
-        r["roofline"] = round(r["roofline"], 1)
-        r["roofline_frac"] = round(r["rows_per_sec"] / r["roofline"], 4)
-        print(f"{name:12s} {r['rows_per_sec']/1e9:8.2f} G rows/s   "
-              f"{100*r['roofline_frac']:5.1f}% of roofline "
-              f"({r['config']})")
-
-    out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                            "OPERATOR_BENCH.json")
-    with open(out_path, "w") as f:
-        json.dump({"chip": "v5e (axon tunnel)", "rows": n,
-                   "results": results}, f, indent=1)
-    print(f"saved {out_path}")
-
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default=None,
+                    choices=["filter", "sort", "join", "aggregate"])
+    ap.add_argument("--all-in-subprocesses", action="store_true",
+                    help="run each op in a fresh process (the axon "
+                         "tunnel session can wedge after several large "
+                         "compiles in one process)")
+    args = ap.parse_args()
+    if args.all_in_subprocesses:
+        import subprocess
+        for op in ("filter", "sort", "join", "aggregate"):
+            print(f"=== {op} (subprocess)", file=sys.stderr, flush=True)
+            r = subprocess.run([sys.executable, __file__, "--op", op],
+                               timeout=3600)
+            print(f"=== {op} rc={r.returncode}", file=sys.stderr,
+                  flush=True)
+    else:
+        main(args.op)

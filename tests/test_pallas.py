@@ -30,3 +30,36 @@ def test_q1_limb_reconstruction():
     r = P.q1_results_from_sums(sums)
     assert r["sum_disc_price"][0] == 4 * (1 << 16) + 5
     assert r["count"][1] == sums[1, 3]
+
+
+def test_q1_fused_aggregate_v3_interpret():
+    n = 8192
+    rng = np.random.default_rng(5)
+    args = [rng.integers(100, 5100, n).astype(np.int32),
+            rng.integers(90000, 520000000, n).astype(np.int32),
+            rng.integers(0, 11, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate_v3(
+        *(jnp.asarray(x) for x in args), 10471, n_rows=n,
+        interpret=True))
+    want = P.reference_sums(*args, 10471)
+    assert np.array_equal(got, want)
+
+
+def test_q1_v3_extreme_bounds_interpret():
+    # contract edges: disc=100 (m=0), tax=8, ext near 2^31, qty large
+    n = 2048
+    rng = np.random.default_rng(6)
+    args = [rng.integers(0, 1 << 20, n).astype(np.int32),
+            rng.integers(0, (1 << 31) - 1, n).astype(np.int32),
+            rng.integers(0, 101, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate_v3(
+        *(jnp.asarray(x) for x in args), 9000, n_rows=n,
+        interpret=True))
+    want = P.reference_sums(*args, 9000)
+    assert np.array_equal(got, want)
