@@ -527,7 +527,8 @@ class Connection:
                     binder.params = list(params)
                 unopt = binder.bind_select(stmt)
                 plan = self._optimize(unopt)
-                if ckey and params is None:
+                if ckey and params is None \
+                        and not getattr(binder, "uncacheable", False):
                     self._plan_cache[ckey] = (self.catalog.version,
                                               unopt, plan)
             ctx = None
@@ -644,6 +645,31 @@ class Connection:
                     self.catalog.drop_table(td.name, if_exists=True)
                 self.catalog.enums.pop(key, None)
                 self.catalog.bump()
+            elif stmt.kind == "schema":
+                key = stmt.name.lower()
+                if key not in self.catalog.schemas:
+                    if not stmt.if_exists:
+                        raise CatalogException(
+                            f"schema {stmt.name} does not exist")
+                else:
+                    deps = [t for t in self.catalog.tables
+                            if t.startswith(key + ".")]
+                    if deps and not stmt.cascade:
+                        raise CatalogException(
+                            f"Dependency Error: schema {stmt.name} has "
+                            f"dependent tables; use DROP...CASCADE")
+                    for t in deps:
+                        self.catalog.drop_table(t, if_exists=True)
+                    self.catalog.schemas.discard(key)
+                    self.catalog.bump()
+            elif stmt.kind == "sequence":
+                key = stmt.name.lower()
+                if key not in self.catalog.sequences \
+                        and not stmt.if_exists:
+                    raise CatalogException(
+                        f"sequence {stmt.name} does not exist")
+                self.catalog.sequences.pop(key, None)
+                self.catalog.bump()
             elif stmt.kind == "index":
                 key = stmt.name.lower()
                 owner = next(
@@ -666,6 +692,26 @@ class Connection:
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
             self._wal_log({"op": "drop", "kind": stmt.kind,
                            "name": stmt.name})
+            return None
+        if isinstance(stmt, A.CreateSchema):
+            key = stmt.name.lower()
+            if key in self.catalog.schemas and not stmt.if_not_exists:
+                raise CatalogException(f"schema {stmt.name} already "
+                                       "exists")
+            self.catalog.schemas.add(key)
+            self.catalog.bump()
+            return None
+        if isinstance(stmt, A.CreateSequence):
+            key = stmt.name.lower()
+            if key in self.catalog.sequences:
+                if stmt.if_not_exists:
+                    return None
+                raise CatalogException(
+                    f"sequence {stmt.name} already exists")
+            self.catalog.sequences[key] = {
+                "value": stmt.start - stmt.increment, "start": stmt.start,
+                "increment": stmt.increment}
+            self.catalog.bump()
             return None
         if isinstance(stmt, A.CreateIndex):
             from .storage.index import SortedIndex

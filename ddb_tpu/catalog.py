@@ -25,7 +25,26 @@ class Catalog:
         self.tables: Dict[str, TableData] = {}
         self.views: Dict[str, str] = {}       # name -> (sql, col aliases)
         self.enums: Dict[str, list] = {}      # ENUM type name -> values
+        self.schemas = {"main"}               # CREATE SCHEMA namespaces
+        self.sequences: Dict[str, dict] = {}  # name -> state dict
         self.version = 0    # bumped on any change; invalidates plan cache
+
+    def sequence_next(self, name: str) -> int:
+        seq = self.sequences.get(name.lower())
+        if seq is None:
+            raise CatalogException(f"sequence {name} does not exist")
+        seq["value"] += seq["increment"]
+        return seq["value"]
+
+    def sequence_current(self, name: str) -> int:
+        seq = self.sequences.get(name.lower())
+        if seq is None:
+            raise CatalogException(f"sequence {name} does not exist")
+        if seq["value"] < seq["start"]:
+            raise CatalogException(
+                f"sequence {name} has no current value (nextval not "
+                "called yet)")
+        return seq["value"]
 
     def bump(self):
         # globally unique versions: a transaction's private catalog and

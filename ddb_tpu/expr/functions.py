@@ -69,6 +69,16 @@ def dispatch(e: ir.Func, batch, evaluate):
     if name == "abs":
         d, n = evaluate(e.args[0], batch)
         return jnp.abs(d), n
+    if name == "rowid":
+        import jax.lax as _lax
+        cap = batch.sel.shape[0]
+        return _lax.broadcasted_iota(jnp.int64, (cap,), 0), None
+    if name == "random":
+        import jax
+        cap = batch.sel.shape[0]
+        with jax.ensure_compile_time_eval():
+            key = jax.random.PRNGKey(int(e.extra or 0) & 0x7FFFFFFF)
+        return jax.random.uniform(key, (cap,), dtype=jnp.float64), None
     if name == "round":
         d, n = evaluate(e.args[0], batch)
         digits = e.extra or 0

@@ -275,6 +275,20 @@ class CreateType:
 
 
 @dataclass
+class CreateSchema:
+    name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class CreateSequence:
+    name: str
+    start: int = 1
+    increment: int = 1
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateIndex:
     name: str
     table: str

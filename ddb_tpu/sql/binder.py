@@ -58,6 +58,10 @@ _TYPE_MAP = {
     "date": T.DATE, "timestamp": T.TIMESTAMP, "time": T.TIME,
     "varchar": T.VARCHAR, "text": T.VARCHAR, "string": T.VARCHAR,
     "char": T.VARCHAR, "bpchar": T.VARCHAR,
+    "blob": T.BLOB, "bytea": T.BLOB, "varbinary": T.BLOB,
+    "binary": T.BLOB, "uuid": T.UUID, "interval": T.INTERVAL,
+    "utinyint": T.SMALLINT, "usmallint": T.INTEGER,
+    "uinteger": T.BIGINT, "ubigint": T.BIGINT,
 }
 
 
@@ -1959,6 +1963,12 @@ class Binder:
                     if base is not None \
                             and base.dtype.id == TypeId.UNION:
                         return self._union_extract(base, e.parts[-1])
+                if e.parts[-1].lower() == "rowid" \
+                        and len(scope.entries) == 1:
+                    # base-table pseudo-column: the scan batch is
+                    # table-row aligned, so rowid = the array position
+                    # (reference: rowid pseudo column, table_scan.cpp)
+                    return ir.Func("rowid", [], T.BIGINT)
                 raise
         if isinstance(e, A.EParam):
             if self.params is None:
@@ -2539,6 +2549,40 @@ class Binder:
                     "split"):
             return self._bind_string_split(e, scope, agg_ctx, group_map,
                                            sub_replacements)
+        if name in ("nextval", "currval"):
+            # sequence access evaluates at bind time (single-row usage:
+            # INSERT VALUES / scalar SELECT; reference: nextval scalar,
+            # src/function/scalar/sequence/)
+            if self.context is None:
+                raise BindError(f"{name} needs a connection")
+            arg = e.args[0]
+            if not isinstance(arg, A.ELit):
+                raise BindError(f"{name} requires a constant name")
+            self.uncacheable = True
+            if name == "nextval":
+                v = self.context.catalog.sequence_next(str(arg.value))
+            else:
+                v = self.context.catalog.sequence_current(str(arg.value))
+            return ir.Const(int(v), T.BIGINT)
+        if name == "random":
+            self.uncacheable = True
+            seed = 0
+            if self.context is not None:
+                import random as _random
+                if not hasattr(self.context, "_rand"):
+                    self.context._rand = _random.Random()
+                seed = self.context._rand.getrandbits(62)
+            out = ir.Func("random", [], T.DOUBLE)
+            out.extra = seed
+            return out
+        if name == "setseed":
+            if self.context is not None and isinstance(e.args[0],
+                                                       A.ELit):
+                import random as _random
+                self.context._rand = _random.Random(
+                    float(e.args[0].value))
+            self.uncacheable = True
+            return ir.Const(None, T.DOUBLE)
         if name == "union_value":
             # union_value(tag := expr): single-member union constant
             # (reference: union_value scalar, union_type.cpp)

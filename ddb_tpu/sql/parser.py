@@ -148,6 +148,9 @@ class Parser:
                                        else str(a) for a in args])
         if self.at_kw("select", "with"):
             return self.select_stmt()
+        if self.at("OP", "(") and self.peek(1).kind == "KW" \
+                and self.peek(1).value in ("select", "with"):
+            return self.select_stmt()
         if self.at_kw("create"):
             return self.create_stmt()
         if self.at_kw("insert"):
@@ -155,12 +158,12 @@ class Parser:
         if self.at_kw("delete"):
             self.next()
             self.expect_kw("from")
-            name = self.ident()
+            name = self.qident()
             where = self.expr() if self.accept_kw("where") else None
             return A.DeleteStmt(name, where)
         if self.at_kw("update"):
             self.next()
-            name = self.ident()
+            name = self.qident()
             self.expect_kw("set")
             assigns = []
             while True:
@@ -230,6 +233,9 @@ class Parser:
                     and self.peek().value == "index":
                 self.next()
                 kind = "index"
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value in ("schema", "sequence"):
+                kind = self.next().value
             else:
                 kind = "view" if self.accept_kw("view") else \
                     ("table" if self.accept_kw("table") else
@@ -514,6 +520,42 @@ class Parser:
             self.expect_op(")")
             return A.CreateIndex(name, table, cols, unique,
                                  if_not_exists)
+        if self.peek().kind == "IDENT" \
+                and self.peek().value in ("schema", "sequence"):
+            kind = self.next().value
+            ine = False
+            if self.accept_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                ine = True
+            name = self.ident()
+            if kind == "schema":
+                return A.CreateSchema(name, ine)
+            start, inc = 1, 1
+            while True:
+                t = self.peek()
+                if t.kind in ("IDENT", "KW") and t.value == "start":
+                    self.next()
+                    self.accept_kw("with")
+                    neg = self.accept_op("-")
+                    start = int(self.next().value) * (-1 if neg else 1)
+                elif t.kind in ("IDENT", "KW") \
+                        and t.value == "increment":
+                    self.next()
+                    self.accept_kw("by")
+                    neg = self.accept_op("-")
+                    inc = int(self.next().value) * (-1 if neg else 1)
+                elif t.kind in ("IDENT", "KW") and t.value in (
+                        "minvalue", "maxvalue", "cache"):
+                    self.next()
+                    self.accept_op("-")
+                    self.next()
+                elif t.kind in ("IDENT", "KW") and t.value in (
+                        "cycle", "no"):
+                    self.next()
+                else:
+                    break
+            return A.CreateSequence(name, start, inc, ine)
         if self.accept_kw("view"):
             name = self.ident()
             cols = self._opt_column_alias_list()
@@ -530,6 +572,8 @@ class Parser:
                 self.expect_kw("exists")
                 if_not_exists = True
             name = self.ident()
+            while self.accept_op("."):
+                name += "." + self.ident()   # schema-qualified
             if self.accept_kw("as"):
                 return A.CreateTableAs(name, self.select_stmt(),
                                        or_replace)
@@ -591,10 +635,16 @@ class Parser:
                                  constraints)
         self.error("expected VIEW or TABLE")
 
+    def qident(self) -> str:
+        name = self.ident()
+        while self.accept_op("."):
+            name += "." + self.ident()
+        return name
+
     def insert_stmt(self):
         self.expect_kw("insert")
         self.expect_kw("into")
-        name = self.ident()
+        name = self.qident()
         cols = None
         if self.at("OP", "(") :
             save = self.i
@@ -631,9 +681,18 @@ class Parser:
                         cols.append(self.ident())
                     self.expect_op(")")
                 self.expect_kw("as")
+                # [NOT] MATERIALIZED hint (we materialize shared CTEs
+                # automatically; the hint parses and is advisory)
+                forced_mat = False
+                if self.accept_kw("not"):
+                    self.expect_word("materialized")
+                elif self.accept_word("materialized"):
+                    forced_mat = True
                 self.expect_op("(")
-                ctes.append(A.CTEDef(name, self.select_stmt(), cols,
-                                     recursive))
+                cd = A.CTEDef(name, self.select_stmt(), cols, recursive)
+                if forced_mat:
+                    cd._nrefs = 2      # force the Materialize barrier
+                ctes.append(cd)
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break

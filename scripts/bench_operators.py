@@ -17,6 +17,28 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def bench_carried(loop_fn, reps, *args):
+    """Like bench_loop but the caller provides the whole fori_loop with
+    a loop-carried dependency baked in."""
+    import jax
+    import jax.numpy as jnp
+    import functools
+
+    jl = jax.jit(functools.partial(loop_fn, reps))
+    base = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int64) + 1)
+    _ = np.asarray(jl(*args))
+    _ = np.asarray(base(args[0]))
+    t0 = time.perf_counter()
+    _ = np.asarray(base(args[0]))
+    rt = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(jl(*args))
+        times.append(time.perf_counter() - t0)
+    return max((min(times) - rt) / reps, 1e-9)
+
+
 def bench_loop(make_step, reps, *args):
     import jax
     import jax.lax as lax
@@ -96,12 +118,18 @@ def _bench_filter(results, n, rng, jax, lax, jnp):
     b = jnp.asarray(rng.integers(0, 1000, n).astype(np.int32))
     c = jnp.asarray(rng.integers(0, 10, n).astype(np.int32))
 
-    def filter_step(i, a, b, c):
-        m = (a > (24 + i % 2)) & (b < 900) & (c != 3)
-        return m.astype(jnp.int64).sum()
+    def loop_filter(reps, a, b, c):
+        # acc-dependent threshold: loop-carried dependency prevents XLA
+        # from collapsing iterations via CSE
+        def body(i, acc):
+            m = (a > (24 + (acc & 1)).astype(jnp.int32)) & (b < 900) \
+                & (c != 3)
+            return acc + m.astype(jnp.int64).sum()
+        import jax.lax as _lax
+        return _lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
 
     print("bench: filter...", file=sys.stderr, flush=True)
-    t = bench_loop(filter_step, 20, a, b, c)
+    t = bench_carried(loop_filter, 20, a, b, c)
     results["filter"] = {
         "rows_per_sec": n / t,
         "roofline": HBM_BW / 12,          # 3 int32 reads
