@@ -81,7 +81,7 @@ def _bench_pallas(n, lo_reps, hi_reps):
 
     roofline = _HBM_BYTES_PER_S / _BYTES_PER_ROW
     rates = {}
-    rates["v3"] = measure(P.q1_fused_aggregate_v3)
+    rates["v4"] = measure(P.q1_fused_aggregate_v4)
     try:
         rates["v2"] = measure(P.q1_fused_aggregate)
     except Exception:

@@ -668,6 +668,16 @@ class Connection:
                         and not stmt.if_exists:
                     raise CatalogException(
                         f"sequence {stmt.name} does not exist")
+                deps = self.catalog.dependents_of("sequence", key)
+                if deps and not stmt.cascade:
+                    raise CatalogException(
+                        f"Dependency Error: Cannot drop entry "
+                        f"\"{stmt.name}\" because there are entries that "
+                        f"depend on it: {deps[0][0]} \"{deps[0][1]}\". "
+                        f"Use DROP...CASCADE to drop all dependents.")
+                for kind, name in deps:
+                    if kind == "table":
+                        self.catalog.drop_table(name, if_exists=True)
                 self.catalog.sequences.pop(key, None)
                 self.catalog.bump()
             elif stmt.kind == "index":
@@ -700,6 +710,7 @@ class Connection:
                                        "exists")
             self.catalog.schemas.add(key)
             self.catalog.bump()
+            self._wal_log({"op": "create_schema", "name": key})
             return None
         if isinstance(stmt, A.CreateSequence):
             key = stmt.name.lower()
@@ -712,6 +723,9 @@ class Connection:
                 "value": stmt.start - stmt.increment, "start": stmt.start,
                 "increment": stmt.increment}
             self.catalog.bump()
+            self._wal_log({"op": "create_sequence", "name": key,
+                           "start": stmt.start,
+                           "increment": stmt.increment})
             return None
         if isinstance(stmt, A.CreateIndex):
             from .storage.index import SortedIndex
@@ -1265,6 +1279,21 @@ class Connection:
         td = dml.empty_table(stmt.name.lower(), fields)
         if enum_domains:
             td.enum_domains = enum_domains
+        defaults = {c.name.lower(): c.default for c in stmt.columns
+                    if c.default is not None}
+        if defaults:
+            # validate eagerly: parse + referenced sequences must exist
+            # (reference binds defaults at create: bind_create_table.cpp)
+            from .catalog import _sequence_refs
+            from .sql import parser as sqlparser
+            for cname, dtext in defaults.items():
+                sqlparser.parse_expression(dtext)
+                for seq in _sequence_refs(dtext):
+                    if seq not in self.catalog.sequences:
+                        raise CatalogException(
+                            f"sequence {seq} does not exist "
+                            f"(DEFAULT of column {cname})")
+            td.defaults = defaults
         td.constraints = [(k, [c.lower() for c in cols])
                           for k, cols in getattr(stmt, "constraints", [])]
         td.not_null = {c.name.lower() for c in stmt.columns if c.not_null}
@@ -1281,6 +1310,7 @@ class Connection:
                        "constraints": [[k, list(c)]
                                        for k, c in td.constraints],
                        "not_null": sorted(td.not_null),
+                       "defaults": defaults,
                        "enum_domains": {k: [v[0], sorted(v[1])]
                                         for k, v in enum_domains.items()}})
         return None
@@ -1303,22 +1333,51 @@ class Connection:
             if params is not None:
                 b.params = list(params)
             sc = Scope()
+            names = [c.name for c in td.columns]
+            defaults = getattr(td, "defaults", {})
+            default_ast = {}
+            if defaults:
+                from .sql import parser as sqlparser
+                default_ast = {c: sqlparser.parse_expression(t)
+                               for c, t in defaults.items()}
+
+            def eval_default(col):
+                # re-bound per row: nextval() must advance for each
+                # inserted row (reference: DefaultExpression binding)
+                a = default_ast.get(col.lower())
+                if a is None:
+                    return None
+                return _const_python_value(b.bind_expr(a, sc))
+
+            target = [c.lower() for c in stmt.columns] \
+                if stmt.columns is not None else None
+            arity = len(stmt.values[0]) if stmt.values else 0
+            eff_cols = target if target is not None else names[:arity]
+            missing = [c for c in names
+                       if c not in eff_cols and c.lower() in defaults]
             rows = []
             for vr in stmt.values:
                 row = []
-                for e in vr:
-                    bound = b.bind_expr(e, sc)
-                    row.append(_const_python_value(bound))
+                for i, e in enumerate(vr):
+                    if isinstance(e, A.EDefault):
+                        col = eff_cols[i] if i < len(eff_cols) else ""
+                        row.append(eval_default(col))
+                    else:
+                        row.append(_const_python_value(b.bind_expr(e, sc)))
+                for col in missing:
+                    row.append(eval_default(col))
                 rows.append(row)
+            ins_cols = (eff_cols + missing) \
+                if (target is not None or missing) else None
             n0 = td.num_rows
-            n = dml.insert_rows(td, rows, stmt.columns)
+            n = dml.insert_rows(td, rows, ins_cols)
             self._enforce_constraints(td, n0)
             self.catalog.bump()
             self._emit_cdc(td.name, "insert", rows)
             if self._wal_active:
                 from .storage.wal import encode_rows
                 self._wal_log({"op": "insert", "table": td.name,
-                               "columns": stmt.columns,
+                               "columns": ins_cols,
                                "rows": encode_rows(rows)})
             return None
         # INSERT ... SELECT
@@ -1460,6 +1519,11 @@ class Connection:
                                self._db.catalog.tables.items()}
                 snap.views = dict(self._db.catalog.views)
                 snap.enums = dict(self._db.catalog.enums)
+                # sequences are non-transactional (nextval advances
+                # globally, never rolled back — reference: sequences
+                # bypass the undo buffer), so share the live dict
+                snap.sequences = self._db.catalog.sequences
+                snap.schemas = set(self._db.catalog.schemas)
             snap.bump()
             self.catalog = snap
             self._txn_ops = []
@@ -1509,6 +1573,8 @@ class Connection:
                            for n, t in shared.tables.items()}
             work.views = dict(shared.views)
             work.enums = dict(shared.enums)
+            work.sequences = shared.sequences
+            work.schemas = set(shared.schemas)
             self.catalog = work
             was_replaying = self._replaying
             self._replaying = True
@@ -1533,6 +1599,7 @@ class Connection:
             shared.tables = work.tables
             shared.views = work.views
             shared.enums = work.enums
+            shared.schemas = work.schemas
             shared.bump()
             self.catalog = shared
 

@@ -17,6 +17,16 @@ class CatalogException(Exception):
     pass
 
 
+def _sequence_refs(expr_text: str):
+    """Sequence names referenced by nextval/currval calls in a DEFAULT
+    expression's source text (reference: bound defaults carry catalog
+    dependencies, src/catalog/dependency_manager.cpp)."""
+    import re
+    return {m.group(1).lower() for m in
+            re.finditer(r"(?:nextval|currval)\s*\(\s*'([^']+)'",
+                        expr_text, re.IGNORECASE)}
+
+
 _VERSION_COUNTER = [0]
 
 
@@ -28,6 +38,37 @@ class Catalog:
         self.schemas = {"main"}               # CREATE SCHEMA namespaces
         self.sequences: Dict[str, dict] = {}  # name -> state dict
         self.version = 0    # bumped on any change; invalidates plan cache
+
+    def dependencies(self):
+        """Derived dependency edges ((dep_kind, dep_name), (req_kind,
+        req_name)): the dependent requires the dependency to exist.
+        Computed from catalog state rather than stored, so clones,
+        WAL replay, and transaction snapshots stay consistent for free
+        (reference stores them explicitly: dependency_manager.cpp;
+        same enforcement semantics — RESTRICT errors, CASCADE drops)."""
+        for key, td in self.tables.items():
+            seen_types = set()
+            for _col, dom in getattr(td, "enum_domains", {}).items():
+                tname = dom[0].lower()
+                if tname not in seen_types:
+                    seen_types.add(tname)
+                    yield (("table", key), ("type", tname))
+            seen_seqs = set()
+            for _col, dtext in getattr(td, "defaults", {}).items():
+                for seq in _sequence_refs(dtext):
+                    if seq in self.sequences and seq not in seen_seqs:
+                        seen_seqs.add(seq)
+                        yield (("table", key), ("sequence", seq))
+            for ixname in getattr(td, "indexes", {}):
+                if not ixname.startswith("__"):
+                    yield (("index", ixname), ("table", key))
+
+    def dependents_of(self, kind: str, name: str):
+        """Entries that depend on (kind, name), sorted for stable
+        error messages."""
+        ent = (kind, name.lower())
+        return sorted({dep for dep, req in self.dependencies()
+                       if req == ent})
 
     def sequence_next(self, name: str) -> int:
         seq = self.sequences.get(name.lower())

@@ -262,6 +262,169 @@ def _kernel3(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
         out_ref[1] = hi[...]
 
 
+# ---------------------------------------------------------------------------
+# v4 kernel: v3's 8 streams + v2's accumulation structure.
+#
+# v3 lost to v2 on the chip despite 3 fewer streams because it folded
+# partials into BOTH 16-bit limb accumulators on every grid step (~4 ops
+# per accumulator element each step).  v4 splits the streams by width:
+#   - 6 NARROW streams (row bound <= 2^23: qty, e_hi, e_lo,
+#     packed(disc|count), dpA, dpB) accumulate into one int32 scratch and
+#     spill limbs only every `spill_every` steps (v2 cadence; bound math
+#     below keeps the packed stream's disc field clear of its count
+#     field);
+#   - 2 WIDE streams (dpA*tax, dpB*tax <= ~2^26) fold straight into
+#     their limb accumulators each step (their chunk sums are too close
+#     to 2^31 for a useful cadence).
+# Same result contract as v2/v3.  Contract: disc <= 100, tax <= 8,
+# qty <= 2^20, 0 <= ext < 2^31.
+# ---------------------------------------------------------------------------
+
+STREAMS4N = 6       # qty, e_hi, e_lo, packed(disc|count), dpA, dpB
+STREAMS4W = 2       # dpA*tax, dpB*tax
+_TS4 = 256
+# worst narrow stream: dpB = (ext & 0xFFFF) * (100 - disc)
+_WORST4N = 65535 * 100
+
+
+def _kernel4(qty_ref, ext_ref, disc_ref, tax_ref, ship_ref, gid_ref,
+             cutoff_ref, outn_ref, outw_ref, accn, lon, hin, low, hiw,
+             *, ts, spill_every):
+    from jax.experimental import pallas as pl
+
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        accn[...] = jnp.zeros_like(accn)
+        lon[...] = jnp.zeros_like(lon)
+        hin[...] = jnp.zeros_like(hin)
+        low[...] = jnp.zeros_like(low)
+        hiw[...] = jnp.zeros_like(hiw)
+
+    qty = qty_ref[...]
+    ext = ext_ref[...]
+    disc = disc_ref[...]
+    tax = tax_ref[...]
+    ship = ship_ref[...]
+    gid = gid_ref[...]
+    cutoff = cutoff_ref[0]
+
+    m = 100 - disc
+    e_hi = ext >> 16
+    e_lo = ext & 0xFFFF
+    dpA = e_hi * m
+    dpB = e_lo * m
+    packed = disc + (1 << 16)
+    sn = jnp.stack((qty, e_hi, e_lo, packed, dpA, dpB))
+    sw = jnp.stack((dpA * tax, dpB * tax))
+
+    cid = jnp.where(ship <= cutoff, gid, GROUPS)
+    chunk = ts // 8
+    pn, pw = [], []
+    for g in range(GROUPS):
+        mask = (cid == g).astype(jnp.int32)
+        pn.append((sn * mask[None]).reshape(
+            STREAMS4N, 8, chunk, 128).sum(axis=2))
+        pw.append((sw * mask[None]).reshape(
+            STREAMS4W, 8, chunk, 128).sum(axis=2))
+    accn[...] = accn[...] + jnp.stack(pn)
+    w = jnp.stack(pw)
+    low[...] = low[...] + (w & 0xFFFF)
+    hiw[...] = hiw[...] + (w >> 16)
+
+    spill = ((step + 1) % spill_every == 0) | (step == nsteps - 1)
+
+    @pl.when(spill)
+    def _spill():
+        a = accn[...]
+        lon[...] = lon[...] + (a & 0xFFFF)
+        hin[...] = hin[...] + (a >> 16)
+        accn[...] = jnp.zeros_like(a)
+
+    @pl.when(step == nsteps - 1)
+    def _flush():
+        outn_ref[0] = lon[...]
+        outn_ref[1] = hin[...]
+        outw_ref[0] = low[...]
+        outw_ref[1] = hiw[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret",
+                                    "tile_sublanes"))
+def q1_fused_aggregate_v4(qty, ext, disc, tax, ship, gid, cutoff, *,
+                          n_rows, interpret=False, tile_sublanes=None):
+    """v4 of the Q1 flagship kernel; same result contract as
+    q1_fused_aggregate (int64 sums [GROUPS, PAYLOADS])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_rows % 1024 == 0
+    sublanes = n_rows // 128
+    ts = tile_sublanes or _TS4
+    while sublanes % ts:
+        ts //= 2
+    steps = sublanes // ts
+    chunk = ts // 8
+    # two binding constraints on the narrow-acc spill cadence:
+    #   dpB chunk sums stay < 2^31, and the packed stream's disc field
+    #   (<= 100/row) stays < 2^16 so it cannot carry into the count field
+    spill_every = max(1, min(
+        int((2 ** 31 - 1) // (_WORST4N * chunk)),
+        int((2 ** 16 - 1) // (100 * chunk))))
+
+    def rs(x):
+        return x.reshape(sublanes, 128)
+
+    block = pl.BlockSpec((ts, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    nshape = (GROUPS, STREAMS4N, 8, 128)
+    wshape = (GROUPS, STREAMS4W, 8, 128)
+    with jax.enable_x64(False):
+        outn, outw = pl.pallas_call(
+            functools.partial(_kernel4, ts=ts, spill_every=spill_every),
+            grid=(steps,),
+            in_specs=[block] * 6 + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[
+                pl.BlockSpec((2,) + nshape, lambda i: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2,) + wshape, lambda i: (0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((2,) + nshape, jnp.int32),
+                jax.ShapeDtypeStruct((2,) + wshape, jnp.int32)],
+            scratch_shapes=[pltpu.VMEM(nshape, jnp.int32),
+                            pltpu.VMEM(nshape, jnp.int32),
+                            pltpu.VMEM(nshape, jnp.int32),
+                            pltpu.VMEM(wshape, jnp.int32),
+                            pltpu.VMEM(wshape, jnp.int32)],
+            interpret=interpret,
+        )(rs(qty), rs(ext), rs(disc), rs(tax), rs(ship), rs(gid),
+          jnp.asarray([cutoff], dtype=jnp.int32))
+
+    lon = outn[0].astype(jnp.int64).sum(axis=(-1, -2))
+    hin = outn[1].astype(jnp.int64).sum(axis=(-1, -2))
+    n = hin * (1 << 16) + lon                     # [GROUPS, STREAMS4N]
+    loww = outw[0].astype(jnp.int64).sum(axis=(-1, -2))
+    hiw = outw[1].astype(jnp.int64).sum(axis=(-1, -2))
+    w = hiw * (1 << 16) + loww                    # [GROUPS, STREAMS4W]
+    qty_s, ehi_s, elo_s = n[:, 0], n[:, 1], n[:, 2]
+    # packed stream: lo limb = Σdisc, hi limb = count (fields disjoint
+    # by the spill-cadence bound above)
+    disc_s = lon[:, 3]
+    cnt_s = hin[:, 3]
+    dpA_s, dpB_s = n[:, 4], n[:, 5]
+    dpAt_s, dpBt_s = w[:, 0], w[:, 1]
+    ext_s = ehi_s * (1 << 16) + elo_s
+    chA_s = 100 * dpA_s + dpAt_s
+    chB_s = 100 * dpB_s + dpBt_s
+    return jnp.stack((qty_s, ext_s, disc_s, cnt_s, dpA_s, dpB_s,
+                      chA_s, chB_s), axis=1)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_rows", "interpret",
                                     "tile_sublanes"))

@@ -325,6 +325,14 @@ class ColumnDef:
     not_null: bool = False
     primary_key: bool = False
     unique: bool = False
+    default: Optional[str] = None   # DEFAULT expression source text
+
+
+@dataclass
+class EDefault:
+    """The DEFAULT keyword inside INSERT VALUES rows (reference:
+    src/parser/expression/default_expression.hpp)."""
+    pass
 
 
 @dataclass

@@ -2561,6 +2561,12 @@ class Binder:
             self.uncacheable = True
             if name == "nextval":
                 v = self.context.catalog.sequence_next(str(arg.value))
+                # durable counters: crash must not replay old values
+                # (reference: WriteSequenceValue WAL record)
+                wal = getattr(self.context, "_wal_log", None)
+                if wal is not None:
+                    wal({"op": "sequence_value",
+                         "name": str(arg.value).lower(), "value": int(v)})
             else:
                 v = self.context.catalog.sequence_current(str(arg.value))
             return ir.Const(int(v), T.BIGINT)

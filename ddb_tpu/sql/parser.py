@@ -25,6 +25,15 @@ def parse(sql: str) -> List[object]:
     return stmts
 
 
+def parse_expression(text: str):
+    """Parse a standalone scalar expression (DEFAULT clauses)."""
+    p = Parser(tokenize(text), text)
+    e = p.expr()
+    if not p.at("EOF"):
+        p.error("unexpected trailing input in expression")
+    return e
+
+
 
 # identifiers that introduce a clause and therefore can never be an
 # implicit (AS-less) alias (duckdb treats them as unreserved keywords)
@@ -606,6 +615,7 @@ class Parser:
                     cname = self.ident()
                     tn, w, s = self.typename()
                     not_null = pk = uq = False
+                    default = None
                     while True:
                         if self.accept_kw("not"):
                             self.expect_kw("null")
@@ -618,11 +628,14 @@ class Parser:
                             self.next()
                             uq = True
                         elif self.accept_kw("default"):
+                            dstart = self.peek().pos
                             self.expr()
+                            default = self.text[dstart:
+                                                self.peek().pos].strip()
                         else:
                             break
                     cols.append(A.ColumnDef(cname, tn, w, s, not_null,
-                                            pk, uq))
+                                            pk, uq, default=default))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
@@ -653,19 +666,31 @@ class Parser:
             while self.accept_op(","):
                 cols.append(self.ident())
             self.expect_op(")")
+        if self.at_kw("default") and self.peek(1).kind == "KW" \
+                and self.peek(1).value == "values":
+            # INSERT INTO t DEFAULT VALUES (one all-defaults row)
+            self.next()
+            self.next()
+            return A.InsertStmt(name, cols, values=[[]])
         if self.accept_kw("values"):
             rows = []
             while True:
                 self.expect_op("(")
-                row = [self.expr()]
+                row = [self._insert_value()]
                 while self.accept_op(","):
-                    row.append(self.expr())
+                    row.append(self._insert_value())
                 self.expect_op(")")
                 rows.append(row)
                 if not self.accept_op(","):
                     break
             return A.InsertStmt(name, cols, values=rows)
         return A.InsertStmt(name, cols, select=self.select_stmt())
+
+    def _insert_value(self):
+        """A VALUES cell: an expression or the DEFAULT keyword."""
+        if self.accept_kw("default"):
+            return A.EDefault()
+        return self.expr()
 
     # ---- SELECT ----------------------------------------------------------
     def select_stmt(self) -> A.SelectStmt:

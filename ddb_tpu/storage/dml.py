@@ -96,6 +96,8 @@ def clone_table(td: TableData) -> TableData:
     out.constraints = list(getattr(td, "constraints", []))
     out.not_null = set(getattr(td, "not_null", ()))
     out.enum_domains = dict(getattr(td, "enum_domains", {}))
+    if getattr(td, "defaults", None):
+        out.defaults = dict(td.defaults)
     from .index import SortedIndex
     out.indexes = {k: SortedIndex(v.name, list(v.columns), v.unique)
                    for k, v in getattr(td, "indexes", {}).items()}

@@ -217,6 +217,8 @@ def save_database(catalog, path: str) -> None:
         if getattr(td, "enum_domains", None):
             tmeta["enum_domains"] = {k: [v[0], sorted(v[1])]
                                      for k, v in td.enum_domains.items()}
+        if getattr(td, "defaults", None):
+            tmeta["defaults"] = dict(td.defaults)
         user_ix = [ix for ix in getattr(td, "indexes", {}).values()
                    if not ix.name.startswith("__")]
         if user_ix:
@@ -248,6 +250,9 @@ def save_database(catalog, path: str) -> None:
     meta["views"] = {n: list(v) for n, v in catalog.views.items()}
     meta["enums"] = {n: list(v) for n, v in
                      getattr(catalog, "enums", {}).items()}
+    meta["sequences"] = {n: dict(s) for n, s in
+                         getattr(catalog, "sequences", {}).items()}
+    meta["schemas"] = sorted(getattr(catalog, "schemas", ("main",)))
 
     cat_json = json.dumps(meta).encode("utf-8")
     n = len(blobs)
@@ -321,6 +326,8 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
         if tmeta.get("enum_domains"):
             td.enum_domains = {k: (v[0], frozenset(v[1]))
                                for k, v in tmeta["enum_domains"].items()}
+        if tmeta.get("defaults"):
+            td.defaults = dict(tmeta["defaults"])
         if tmeta.get("indexes"):
             from .index import SortedIndex
             for nm, ixcols, uniq in tmeta["indexes"]:
@@ -331,3 +338,8 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
     for name, v in meta.get("views", {}).items():
         catalog.add_view(prefix + name, v[0], or_replace=True,
                          column_aliases=v[1])
+    for name, s in meta.get("sequences", {}).items():
+        catalog.sequences[prefix + name] = dict(s)
+    for name in meta.get("schemas", ()):
+        if name != "main":
+            catalog.schemas.add(prefix + name)

@@ -150,6 +150,8 @@ def apply_record(con, rec: dict) -> None:
         if rec.get("enum_domains"):
             td.enum_domains = {k: (v[0], frozenset(v[1]))
                                for k, v in rec["enum_domains"].items()}
+        if rec.get("defaults"):
+            td.defaults = dict(rec["defaults"])
         cat.add_table(td, or_replace=True)
         if rec.get("rows"):
             dml.insert_rows(cat.get_table(rec["name"]),
@@ -158,11 +160,30 @@ def apply_record(con, rec: dict) -> None:
         cat.enums[rec["name"]] = list(rec["values"])
         cat.bump()
     elif op == "drop" and rec["kind"] == "type":
-        cat.enums.pop(rec["name"].lower(), None)
+        key = rec["name"].lower()
+        # mirror DROP TYPE CASCADE: dependent tables go too (api.py
+        # logs one record for the whole cascade)
+        for tname in [t.name for t in cat.tables.values()
+                      if any(tn.lower() == key for (tn, _v) in
+                             getattr(t, "enum_domains", {}).values())]:
+            cat.drop_table(tname, if_exists=True)
+        cat.enums.pop(key, None)
         cat.bump()
     elif op == "create_view":
         cat.add_view(rec["name"], rec["sql"], or_replace=True,
                      column_aliases=rec.get("aliases"))
+    elif op == "create_sequence":
+        cat.sequences[rec["name"]] = {
+            "value": rec["start"] - rec["increment"],
+            "start": rec["start"], "increment": rec["increment"]}
+        cat.bump()
+    elif op == "sequence_value":
+        seq = cat.sequences.get(rec["name"])
+        if seq is not None:
+            seq["value"] = max(seq["value"], int(rec["value"]))
+    elif op == "create_schema":
+        cat.schemas.add(rec["name"])
+        cat.bump()
     elif op == "create_index":
         from .index import SortedIndex
         td = cat.get_table(rec["table"])
@@ -175,6 +196,19 @@ def apply_record(con, rec: dict) -> None:
     elif op == "drop":
         if rec["kind"] == "view":
             cat.drop_view(rec["name"], if_exists=True)
+        elif rec["kind"] == "sequence":
+            key = rec["name"].lower()
+            for kind, name in cat.dependents_of("sequence", key):
+                if kind == "table":
+                    cat.drop_table(name, if_exists=True)
+            cat.sequences.pop(key, None)
+            cat.bump()
+        elif rec["kind"] == "schema":
+            key = rec["name"].lower()
+            for t in [t for t in cat.tables if t.startswith(key + ".")]:
+                cat.drop_table(t, if_exists=True)
+            cat.schemas.discard(key)
+            cat.bump()
         elif rec["kind"] == "index":
             key = rec["name"].lower()
             for t in cat.tables.values():

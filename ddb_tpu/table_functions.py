@@ -80,6 +80,19 @@ def fn_duckdb_views(ctx, args) -> TableData:
         _strcol("view_name", names), _strcol("sql", sqls)])
 
 
+def fn_duckdb_dependencies(ctx, args) -> TableData:
+    """Catalog dependency edges (reference:
+    src/function/table/system/duckdb_dependencies.cpp; ours derives
+    edges from catalog state, catalog.py Catalog.dependencies)."""
+    edges = sorted(set(ctx.catalog.dependencies()))
+    return TableData("duckdb_dependencies", [
+        _strcol("objid_type", [d[0] for d, r in edges]),
+        _strcol("objid_name", [d[1] for d, r in edges]),
+        _strcol("refobjid_type", [r[0] for d, r in edges]),
+        _strcol("refobjid_name", [r[1] for d, r in edges]),
+        _strcol("deptype", ["n" for _ in edges])])
+
+
 def fn_duckdb_snapshots(ctx, args) -> TableData:
     ids = ctx.snapshots.ids()
     return TableData("duckdb_snapshots", [_intcol("snapshot_id", ids)])
@@ -137,6 +150,7 @@ TABLE_FUNCTIONS: Dict[str, Callable] = {
     "duckdb_secrets": fn_duckdb_secrets,
     "duckdb_views": fn_duckdb_views,
     "duckdb_snapshots": fn_duckdb_snapshots,
+    "duckdb_dependencies": fn_duckdb_dependencies,
     "range": fn_range,
     "generate_series": fn_generate_series,
     "pragma_table_info": fn_pragma_table_info,
@@ -256,8 +270,14 @@ def fn_duckdb_indexes(ctx, args) -> TableData:
 
 
 def fn_duckdb_sequences(ctx, args) -> TableData:
-    return TableData("duckdb_sequences", _emptycols(
-        "sequence_name", "schema_name"))
+    names = sorted(ctx.catalog.sequences)
+    seqs = [ctx.catalog.sequences[n] for n in names]
+    return TableData("duckdb_sequences", [
+        _strcol("sequence_name", names),
+        _strcol("schema_name", ["main" for _ in names]),
+        _intcol("start_value", [s["start"] for s in seqs]),
+        _intcol("increment_by", [s["increment"] for s in seqs]),
+        _intcol("last_value", [s["value"] for s in seqs])])
 
 
 def fn_duckdb_variables(ctx, args) -> TableData:

@@ -63,3 +63,36 @@ def test_q1_v3_extreme_bounds_interpret():
         interpret=True))
     want = P.reference_sums(*args, 9000)
     assert np.array_equal(got, want)
+
+
+def test_q1_fused_aggregate_v4_interpret():
+    n = 8192
+    rng = np.random.default_rng(7)
+    args = [rng.integers(100, 5100, n).astype(np.int32),
+            rng.integers(90000, 520000000, n).astype(np.int32),
+            rng.integers(0, 11, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate_v4(
+        *(jnp.asarray(x) for x in args), 10471, n_rows=n,
+        interpret=True))
+    want = P.reference_sums(*args, 10471)
+    assert np.array_equal(got, want)
+
+
+def test_q1_v4_extreme_bounds_interpret():
+    # contract edges: disc=100 (m=0), tax=8, ext near 2^31, qty large
+    n = 2048
+    rng = np.random.default_rng(8)
+    args = [rng.integers(0, 1 << 20, n).astype(np.int32),
+            rng.integers(0, (1 << 31) - 1, n).astype(np.int32),
+            rng.integers(0, 101, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate_v4(
+        *(jnp.asarray(x) for x in args), 9000, n_rows=n,
+        interpret=True))
+    want = P.reference_sums(*args, 9000)
+    assert np.array_equal(got, want)
