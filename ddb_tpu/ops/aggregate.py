@@ -634,23 +634,30 @@ def group_quantile(key_ops, value_ops, payload: AggPayload, q: float,
     Group order matches group_and_aggregate over the same key_ops.
     Returns (result float64|value dtype, isnull)."""
     cap = sel.shape[0]
+    # groups are formed over ALL selected rows (a group whose payload is
+    # entirely NULL still exists — it must stay aligned with
+    # group_and_aggregate's group list); within each group, live
+    # (non-NULL-payload) rows sort first so the group start is the
+    # quantile base and the live count is the scan value at group end
+    excl = (~sel).astype(jnp.int32)
     live = sel if payload.nulls is None else (sel & ~payload.nulls)
-    invalid = (~live).astype(jnp.int32)
-    operands = [invalid, *key_ops, *value_ops]
+    inv_live = (~live).astype(jnp.int32)
+    operands = [excl, *key_ops, inv_live, *value_ops]
     sorted_ops = lax.sort(operands + [payload.data],
                           num_keys=len(operands), is_stable=False)
-    inv_s = sorted_ops[0]
+    excl_s = sorted_ops[0]
     keys_s = sorted_ops[1:1 + len(key_ops)]
+    live_s = sorted_ops[1 + len(key_ops)] == 0
     data_s = sorted_ops[-1]
-    valid_s = inv_s == 0
+    sel_s = excl_s == 0
 
     kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
     for k in keys_s:
         kdiff = kdiff | jnp.concatenate(
             [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
-    boundary = kdiff & valid_s
+    boundary = kdiff & sel_s
     ngroups = boundary.sum().astype(jnp.int32)
-    cnt_scan = _seg_sum_scan(boundary, valid_s.astype(jnp.int64))
+    cnt_scan = _seg_sum_scan(boundary, live_s.astype(jnp.int64))
 
     # group start positions via compaction of boundary rows
     pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -660,12 +667,12 @@ def group_quantile(key_ops, value_ops, payload: AggPayload, q: float,
     starts = starts[:ncap]
     gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
 
-    # per-group count = value of cnt_scan at group end; group end =
-    # next start - 1 (last group: total valid count - 1)
-    total_valid = valid_s.astype(jnp.int32).sum()
+    # per-group live count = value of cnt_scan at group end; group end =
+    # next start - 1 (last group: total selected count - 1)
+    total_sel = sel_s.astype(jnp.int32).sum()
     nxt = jnp.concatenate([starts[1:], jnp.full(1, 0, starts.dtype)])
     idx = lax.broadcasted_iota(jnp.int32, (ncap,), 0)
-    ends = jnp.where(idx == ngroups - 1, total_valid - 1,
+    ends = jnp.where(idx == ngroups - 1, total_sel - 1,
                      jnp.where(gsel, nxt - 1, 0))
     cnts = jnp.clip(cnt_scan[jnp.clip(ends, 0, cap - 1)], 0, None)
     cnts = jnp.where(gsel, cnts, 0)
@@ -705,3 +712,96 @@ def ungrouped_quantile(value_ops, payload: AggPayload, q: float, sel,
         return (vlo.astype(jnp.float64) * (1 - w)
                 + vhi.astype(jnp.float64) * w), cnt == 0
     return vlo, cnt == 0
+
+
+def group_mode(key_ops, value_ops, payload: AggPayload, sel,
+               num_groups_cap: int):
+    """Per-group most frequent value (reference: holistic mode,
+    extension/core_functions/aggregate/holistic/mode.cpp — theirs hashes
+    per group; ours is two sorts + a segmented run-length scan, ties
+    break to the smallest value for determinism).  Group order matches
+    group_and_aggregate over the same key_ops."""
+    cap = sel.shape[0]
+    excl = (~sel).astype(jnp.int32)
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    inv_live = (~live).astype(jnp.int32)
+    operands = [excl, *key_ops, inv_live, *value_ops]
+    sorted_ops = lax.sort(operands + [payload.data],
+                          num_keys=len(operands), is_stable=False)
+    excl_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(key_ops)]
+    live_s = sorted_ops[1 + len(key_ops)] == 0
+    vals_s = sorted_ops[2 + len(key_ops):-1]
+    data_s = sorted_ops[-1]
+    sel_s = excl_s == 0
+
+    first = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    kdiff = first
+    for k in keys_s:
+        kdiff = kdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    vdiff = kdiff
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    # run-length of each (group, value) run among live rows; the run's
+    # LAST row carries the full count
+    run_cnt = _seg_sum_scan(vdiff, live_s.astype(jnp.int64))
+    run_end = jnp.concatenate([vdiff[1:], jnp.ones(1, dtype=bool)])
+    cand = live_s & run_end
+
+    # second sort keeps groups CONTIGUOUS (unselected rows last, group
+    # keys next) and, within each group, orders candidate run-end rows
+    # first by (-count, value) — so a group's first row is its mode
+    # when it has any live rows, and ties break to the smallest value
+    inv_cand = (~cand).astype(jnp.int32)
+    neg_cnt = (-run_cnt).astype(jnp.int64)
+    ops2 = [excl_s, *keys_s, inv_cand, neg_cnt, *vals_s]
+    sorted2 = lax.sort(ops2 + [data_s], num_keys=len(ops2),
+                       is_stable=False)
+    sel2 = sorted2[0] == 0
+    keys2 = sorted2[1:1 + len(key_ops)]
+    cand2 = sorted2[1 + len(key_ops)] == 0
+    data2 = sorted2[-1]
+
+    kdiff2 = first
+    for k in keys2:
+        kdiff2 = kdiff2 | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    boundary2 = kdiff2 & sel2
+    ngroups = boundary2.sum().astype(jnp.int32)
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    not_b = (~boundary2).astype(jnp.int32)
+    _, starts = lax.sort([not_b, pos], num_keys=2)
+    ncap = num_groups_cap
+    starts = starts[:ncap]
+    gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
+    sidx = jnp.clip(starts, 0, cap - 1)
+    out = data2[sidx]
+    isnull = ~gsel | ~cand2[sidx]
+    return out, isnull
+
+
+def ungrouped_mode(value_ops, payload: AggPayload, sel):
+    """Most frequent value over all selected rows (ties -> smallest)."""
+    cap = sel.shape[0]
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    invalid = (~live).astype(jnp.int32)
+    sorted_ops = lax.sort([invalid, *value_ops, payload.data],
+                          num_keys=1 + len(value_ops), is_stable=False)
+    inv_s = sorted_ops[0]
+    vals_s = sorted_ops[1:-1]
+    data_s = sorted_ops[-1]
+    live_s = inv_s == 0
+    first = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    vdiff = first
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    run_cnt = _seg_sum_scan(vdiff, live_s.astype(jnp.int64))
+    run_end = jnp.concatenate([vdiff[1:], jnp.ones(1, dtype=bool)])
+    cand = live_s & run_end
+    score = jnp.where(cand, run_cnt, 0)
+    # argmax returns the FIRST max — values ascend, so ties break small
+    idx = jnp.argmax(score)
+    return data_s[idx], live_s.sum() == 0

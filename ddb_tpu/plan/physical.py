@@ -478,6 +478,10 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                                               spec.arg.dtype)
                     res.append(agg_ops.ungrouped_quantile(
                         vops, p, spec.quantile, b.sel, spec.interpolate))
+                elif spec.kind == "mode":
+                    vops = sortkey.encode_key(p.data, p.nulls,
+                                              spec.arg.dtype)
+                    res.append(agg_ops.ungrouped_mode(vops, p, b.sel))
                 elif spec.distinct and spec.kind != "count_star":
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
@@ -564,8 +568,8 @@ def _exec_aggregate(node: L.Aggregate, ctx):
         gcap = b.sel.shape[0]
 
         def is_special(a):
-            return a.kind == "quantile" or (a.distinct
-                                            and a.kind != "count_star")
+            return a.kind in ("quantile", "mode") \
+                or (a.distinct and a.kind != "count_star")
 
         plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
                  if not is_special(a)]
@@ -580,6 +584,10 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                 results[i] = agg_ops.group_quantile(
                     key_ops, vops, p, a.quantile, b.sel, gcap,
                     a.interpolate)
+            elif a.kind == "mode":
+                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+                results[i] = agg_ops.group_mode(
+                    key_ops, vops, p, b.sel, gcap)
             elif a.distinct and a.kind != "count_star":
                 vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
                 results[i] = agg_ops.group_distinct_aggregate(

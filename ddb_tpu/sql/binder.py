@@ -46,7 +46,7 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
              "variance", "median", "quantile", "quantile_cont",
              "quantile_disc", "corr", "covar_pop", "covar_samp",
-             "bool_and", "bool_or", "approx_count_distinct",
+             "bool_and", "bool_or", "approx_count_distinct", "mode",
              "list", "array_agg", "string_agg", "group_concat"}
 
 _TYPE_MAP = {
@@ -2951,6 +2951,10 @@ class Binder:
         if name in ("min", "max"):
             spec = L.AggSpec(name, arg, arg.dtype, name)
             idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
+            return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name == "mode":
+            spec = L.AggSpec("mode", arg, arg.dtype, "mode")
+            idx = agg_ctx.add(spec, f"mode({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
         if name in ("any_value", "first"):
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")

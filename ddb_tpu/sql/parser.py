@@ -648,6 +648,17 @@ class Parser:
                                  constraints)
         self.error("expected VIEW or TABLE")
 
+    def _table_alias(self) -> str:
+        """Derived-table alias; optional like the reference
+        (unaliased subqueries get a generated unique name)."""
+        if self.accept_kw("as"):
+            return self.ident()
+        t = self.peek()
+        if t.kind == "IDENT" and t.value not in _NON_ALIAS:
+            return self.ident()
+        self._anon_subq = getattr(self, "_anon_subq", 0) + 1
+        return f"unnamed_subquery{self._anon_subq}"
+
     def qident(self) -> str:
         name = self.ident()
         while self.accept_op("."):
@@ -1115,8 +1126,7 @@ class Parser:
                     try:
                         sel = self.select_stmt()
                         self.expect_op(")")
-                        self.accept_kw("as")
-                        alias = self.ident()
+                        alias = self._table_alias()
                         cols = self._opt_column_alias_list()
                         return A.RSubquery(sel, alias, cols)
                     except SQLSyntaxError:
@@ -1124,8 +1134,7 @@ class Parser:
             if self.at_kw("select", "with"):
                 sel = self.select_stmt()
                 self.expect_op(")")
-                self.accept_kw("as")
-                alias = self.ident()
+                alias = self._table_alias()
                 cols = self._opt_column_alias_list()
                 return A.RSubquery(sel, alias, cols)
             if self.at_kw("values"):

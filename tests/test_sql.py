@@ -722,3 +722,33 @@ def test_mark_join_exists_under_or():
     assert c.sql("SELECT id, id IN (SELECT cid FROM ms) FROM mc"
                  " ORDER BY id").fetchall() \
         == [(1, True), (2, False), (3, True), (4, False)]
+
+
+def test_mode_aggregate():
+    c = ddb_tpu.connect()
+    c.register("md", {"g": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+                      "v": [5, 1, 5, None, 7, 2, 2, 8, None],
+                      "s": ["a", "b", "b", "c", None, "d", "d", "e", "d"]})
+    assert c.sql("SELECT g, mode(v), mode(s) FROM md GROUP BY g "
+                 "ORDER BY g").fetchall() == \
+        [(1, 5, "b"), (2, 7, "c"), (3, 2, "d")]
+    # ungrouped; ties break to the smallest value
+    assert c.sql("SELECT mode(v) FROM md").fetchall() == [(2,)]
+    assert c.sql("SELECT mode(x) FROM (SELECT 1 AS x WHERE false)"
+                 ).fetchall() == [(None,)]
+
+
+def test_holistic_group_alignment_all_null_group():
+    # regression: a group whose payload is entirely NULL must keep its
+    # slot in the group list (median/mode previously shifted results)
+    c = ddb_tpu.connect()
+    c.register("hn", {"g": [1, 1, 2, 2, 3], "v": [10, 20, None, None, 30]})
+    assert c.sql("SELECT g, median(v), mode(v), count(v) FROM hn "
+                 "GROUP BY g ORDER BY g").fetchall() == \
+        [(1, 15.0, 10, 2), (2, None, None, 0), (3, 30.0, 30, 1)]
+
+
+def test_unaliased_derived_table():
+    c = ddb_tpu.connect()
+    assert c.sql("SELECT * FROM (SELECT 1 AS a), (SELECT 2 AS b)"
+                 ).fetchall() == [(1, 2)]
