@@ -1615,6 +1615,44 @@ class Binder:
                 raise BindError("scalar subquery must return one column")
             item_ast = s.subquery.items[0][0]
             if corr:
+                if not self._contains_agg(item_ast) \
+                        and s.subquery.order_by \
+                        and s.subquery.limit == 1 \
+                        and not s.subquery.offset:
+                    # correlated ORDER BY ... LIMIT 1: first row per
+                    # correlation key via a row_number window over the
+                    # decorrelated inner plan (reference handles this in
+                    # flatten_dependent_join.cpp by pushing the limit
+                    # into a dependent join; a rank-filter is the
+                    # standard set-based equivalent)
+                    item_bound = sb.bind_expr(item_ast, iscope)
+                    groups = [ie for (_, ie) in corr]
+                    okeys = []
+                    for it in s.subquery.order_by:
+                        oe = sb.bind_expr(it.expr, iscope)
+                        nl = it.nulls_last if it.nulls_last is not None \
+                            else sb._default_nulls_last()
+                        okeys.append(L.OrderKey(oe, sb._desc(it), nl))
+                    rn = L.WindowFn("row_number", None, list(groups),
+                                    okeys, T.BIGINT, "__rn")
+                    wplan = L.Window(iplan, [rn])
+                    rncol = ir.ColRef(len(wplan.schema) - 1, T.BIGINT,
+                                      "__rn")
+                    fplan = L.Filter(wplan, ir.Cmp(
+                        "==", rncol, ir.Const(1, T.BIGINT)))
+                    aproj = L.Project(
+                        fplan, list(groups) + [item_bound],
+                        [f"__g{i}" for i in range(len(groups))]
+                        + ["__v"])
+                    conds = [L.JoinCond(
+                        oe, ir.ColRef(i, ie.dtype, f"__g{i}",
+                                      getattr(ie, "strdict", None)))
+                        for i, (oe, ie) in enumerate(corr)]
+                    plan = L.Join(plan, aproj, "left", conds)
+                    replacements[id(s)] = ir.ColRef(
+                        len(plan.schema) - 1, item_bound.dtype, "__v",
+                        getattr(item_bound, "strdict", None))
+                    continue
                 if not self._contains_agg(item_ast):
                     raise BindError(
                         "correlated scalar subquery must be an aggregate")

@@ -752,3 +752,17 @@ def test_unaliased_derived_table():
     c = ddb_tpu.connect()
     assert c.sql("SELECT * FROM (SELECT 1 AS a), (SELECT 2 AS b)"
                  ).fetchall() == [(1, 2)]
+
+
+def test_correlated_limit_subquery():
+    c = ddb_tpu.connect()
+    c.register("cl_t", {"g": [1, 1, 2, 2, 5], "v": [1, 2, 3, 4, 9]})
+    c.register("cl_u", {"g": [1, 1, 1, 2, 2], "w": [10, 20, 30, 40, 50]})
+    assert c.sql(
+        "SELECT g, v, (SELECT w FROM cl_u WHERE cl_u.g = cl_t.g "
+        "ORDER BY w LIMIT 1) FROM cl_t ORDER BY g, v").fetchall() == \
+        [(1, 1, 10), (1, 2, 10), (2, 3, 40), (2, 4, 40), (5, 9, None)]
+    assert c.sql(
+        "SELECT g, (SELECT w FROM cl_u WHERE cl_u.g = cl_t.g "
+        "ORDER BY w DESC LIMIT 1) FROM cl_t ORDER BY g, v").fetchall() \
+        == [(1, 30), (1, 30), (2, 50), (2, 50), (5, None)]
