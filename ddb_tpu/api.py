@@ -313,6 +313,7 @@ class Connection:
         self._txn_events = None          # CDC events buffered in txn
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
+        self._udfs: Dict[str, tuple] = {}     # UDF name -> (fn, dtype)
         self._db_path: Optional[str] = None   # opened database file
         self._wal = None                      # WriteAheadLog appender
         self._replaying = False               # suppress logging in replay
@@ -437,6 +438,36 @@ class Connection:
         else:
             td = storage.from_pandas(name, obj)
         self.catalog.add_table(td, or_replace=True)
+        return self
+
+    def create_function(self, name: str, fn, return_type=None,
+                        *_ignored, **_kw) -> "Connection":
+        """Register a Python scalar UDF callable from SQL (reference:
+        duckdb.create_function, tools/pythonpkg/src/python_udf.cpp).
+        `return_type`: a DataType, SQL type name string, or None
+        (defaults to BIGINT... matching int annotation is up to the
+        caller).  The function is called row-wise with Python values
+        (VARCHAR args arrive as str); returning None yields NULL.
+        Executed through jax.pure_callback inside the jitted pipeline."""
+        from . import types as T
+        from .sql.binder import resolve_typename
+        if return_type is None:
+            rt = T.BIGINT
+        elif isinstance(return_type, str):
+            rt = resolve_typename(return_type, 0, 0)
+        else:
+            rt = return_type
+        if rt.id == TypeId.VARCHAR:
+            raise NotImplementedError(
+                "VARCHAR-returning UDFs are not supported yet "
+                "(device pipelines need a bounded return domain)")
+        self._udfs[name.lower()] = (fn, rt)
+        self.catalog.bump()
+        return self
+
+    def remove_function(self, name: str) -> "Connection":
+        self._udfs.pop(name.lower(), None)
+        self.catalog.bump()
         return self
 
     def read_parquet(self, name: str, path: str) -> "Connection":

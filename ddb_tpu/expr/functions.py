@@ -61,6 +61,48 @@ def add_months_host(days: int, months: int) -> int:
 
 def dispatch(e: ir.Func, batch, evaluate):
     name = e.name
+    if name == "__pyudf__":
+        # user-defined scalar function: host row-wise evaluation through
+        # jax.pure_callback so it composes with jitted pipelines
+        # (reference: python UDFs, tools/pythonpkg/src/python_udf.cpp)
+        import jax
+        import numpy as np
+        fn, arg_dicts = e.extra
+        vals, nulls = [], []
+        for a in e.args:
+            d, nl = evaluate(a, batch)
+            vals.append(d)
+            nulls.append(nl)
+        cap = batch.sel.shape[0]
+        out_np = np.dtype(e.dtype.np_dtype)
+
+        def host(*arrs):
+            cols = []
+            for arr, sd in zip(arrs, arg_dicts):
+                a = np.asarray(arr)
+                if sd is not None:
+                    a = sd.decode(np.clip(a, 0, max(len(sd) - 1, 0))
+                                  .astype(np.int64))
+                cols.append(a)
+            outv = np.empty(cap, dtype=out_np)
+            outn = np.zeros(cap, dtype=bool)
+            for i, row in enumerate(zip(*cols)):
+                v = fn(*row)
+                if v is None:
+                    outn[i] = True
+                    outv[i] = out_np.type(0)
+                else:
+                    outv[i] = v
+            return outv, outn
+
+        out, udf_null = jax.pure_callback(
+            host, (jax.ShapeDtypeStruct((cap,), out_np),
+                   jax.ShapeDtypeStruct((cap,), np.bool_)), *vals)
+        n = udf_null
+        for nl in nulls:
+            if nl is not None:
+                n = n | nl
+        return out, n
     if name in ("year", "month", "day"):
         d, n = evaluate(e.args[0], batch)
         y, m, dd = _civil_from_days(d)

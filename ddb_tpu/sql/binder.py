@@ -2841,6 +2841,20 @@ class Binder:
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
                                           group_map, sub_replacements)
+        # user-defined scalar functions (reference: Python client UDFs,
+        # tools/pythonpkg create_function; ours run through
+        # jax.pure_callback so they compose with the jitted pipeline)
+        udf = getattr(self.context, "_udfs", {}).get(name) \
+            if self.context is not None else None
+        if udf is not None:
+            fn, ret_dtype = udf
+            bargs = [self.bind_expr(a, scope, agg_ctx, group_map,
+                                    sub_replacements) for a in e.args]
+            out = ir.Func("__pyudf__", bargs, ret_dtype)
+            out.extra = (fn, [getattr(a, "strdict", None)
+                              for a in bargs])
+            self.uncacheable = True
+            return out
         raise BindError(f"unknown function {name}")
 
     def _bind_window(self, e: A.EWindow, scope, win_ctx: WinCtx,

@@ -215,6 +215,8 @@ def _function_registry():
 
 def fn_duckdb_functions(ctx, args) -> TableData:
     rows = _function_registry()
+    rows = rows + [(n, "udf") for n in
+                   sorted(getattr(ctx, "_udfs", {}))]
     return TableData("duckdb_functions", [
         _strcol("function_name", [r[0] for r in rows]),
         _strcol("function_type", [r[1] for r in rows]),

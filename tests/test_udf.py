@@ -1,0 +1,58 @@
+"""Python scalar UDFs (reference: duckdb.create_function,
+tools/pythonpkg/src/python_udf.cpp; ours run through jax.pure_callback
+inside the jitted pipeline)."""
+
+import pytest
+
+import ddb_tpu
+
+
+@pytest.fixture
+def con():
+    c = ddb_tpu.connect()
+    c.register("t", {"a": [1, 2, 3, None], "s": ["x", "yy", "zzz", "w"]})
+    return c
+
+
+def test_udf_basic(con):
+    con.create_function("plus_ten", lambda x: x + 10)
+    assert con.execute("SELECT a, plus_ten(a) FROM t ORDER BY a"
+                       ).fetchall() == \
+        [(1, 11), (2, 12), (3, 13), (None, None)]
+
+
+def test_udf_varchar_arg_and_return_type(con):
+    con.create_function("slen", lambda s: len(s))
+    con.create_function("halve", lambda x: x / 2, "DOUBLE")
+    assert con.execute("SELECT slen(s), halve(a) FROM t WHERE a = 3"
+                       ).fetchall() == [(3, 1.5)]
+
+
+def test_udf_none_returns_null(con):
+    con.create_function("oddnull", lambda x: None if x % 2 else x)
+    assert con.execute("SELECT oddnull(a) FROM t ORDER BY a"
+                       ).fetchall() == [(None,), (2,), (None,), (None,)]
+
+
+def test_udf_in_where_and_agg(con):
+    con.create_function("plus_ten", lambda x: x + 10)
+    con.create_function("slen", lambda s: len(s))
+    assert con.execute(
+        "SELECT sum(plus_ten(a)) FROM t WHERE slen(s) > 1"
+    ).fetchall() == [(25,)]
+
+
+def test_udf_listed_and_removable(con):
+    con.create_function("myfn", lambda x: x)
+    names = [r[0] for r in con.execute(
+        "SELECT function_name FROM duckdb_functions() "
+        "WHERE function_type = 'udf'").fetchall()]
+    assert "myfn" in names
+    con.remove_function("myfn")
+    with pytest.raises(Exception):
+        con.execute("SELECT myfn(1)")
+
+
+def test_udf_varchar_return_rejected(con):
+    with pytest.raises(NotImplementedError):
+        con.create_function("bad", lambda x: str(x), "VARCHAR")
