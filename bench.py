@@ -38,9 +38,10 @@ def _median_of(fn, k=3):
 
 def _bench_pallas(n, lo_reps, hi_reps):
     """Flagship: Pallas single-pass fused filter+aggregate
-    (ddb_tpu/ops/pallas_agg.py) — measures BOTH kernel generations and
-    reports the faster (v3: 8 streams via charge tax-factoring + packed
-    disc/count; v2: 11 streams).  Returns the result dict or raises."""
+    (ddb_tpu/ops/pallas_agg.py) — measures the kernel generations and
+    reports the fastest (v7: 8 streams + whole-vreg reduction; v4: same
+    streams, shuffle reduction; v2: 11 streams).  Returns the result
+    dict or raises."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
@@ -81,7 +82,11 @@ def _bench_pallas(n, lo_reps, hi_reps):
 
     roofline = _HBM_BYTES_PER_S / _BYTES_PER_ROW
     rates = {}
-    rates["v4"] = measure(P.q1_fused_aggregate_v4)
+    rates["v7"] = measure(P.q1_fused_aggregate_v7)
+    try:
+        rates["v4"] = measure(P.q1_fused_aggregate_v4)
+    except Exception:
+        pass
     try:
         rates["v2"] = measure(P.q1_fused_aggregate)
     except Exception:

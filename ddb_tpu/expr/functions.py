@@ -61,6 +61,17 @@ def add_months_host(days: int, months: int) -> int:
 
 def dispatch(e: ir.Func, batch, evaluate):
     name = e.name
+    if name == "tz_shift":
+        # piecewise-constant offset lookup over a small bind-time
+        # transition table (reference: ICU conversions; ours compile to
+        # a compare_all searchsorted over ~a few hundred boundaries)
+        import numpy as _np
+        d, n = evaluate(e.args[0], batch)
+        bounds, delta = e.extra
+        idx = jnp.searchsorted(jnp.asarray(bounds), d, side="right",
+                               method="compare_all") - 1
+        off = jnp.asarray(delta)[jnp.clip(idx, 0, len(delta) - 1)]
+        return d + off, n
     if name == "__pyudf__":
         # user-defined scalar function: host row-wise evaluation through
         # jax.pure_callback so it composes with jitted pipelines

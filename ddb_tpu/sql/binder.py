@@ -2837,6 +2837,67 @@ class Binder:
         if name == "json_keys":
             return self._bind_json_keys(e, scope, agg_ctx, group_map,
                                         sub_replacements)
+        if name in ("current_date", "current_timestamp",
+                    "current_localtimestamp", "now"):
+            if name == "now":
+                name = "current_timestamp"
+            # bind-time clock constants (reference: these are stable
+            # within a transaction; ours are stable within a statement)
+            import time as _time
+            self.uncacheable = True
+            now_us = int(_time.time() * 1_000_000)
+            if name != "current_timestamp":
+                from .. import tz as tzmod
+                zone = "UTC"
+                if self.context is not None:
+                    zone = str(self.context.config.get("timezone")
+                               or "UTC")
+                try:
+                    now_us = int(tzmod.utc_to_wall_np(
+                        np.asarray([now_us], np.int64), zone)[0])
+                except tzmod.UnknownTimeZone:
+                    pass
+            if name == "current_date":
+                return ir.Const(now_us // 86_400_000_000, T.DATE)
+            return ir.Const(now_us, T.TIMESTAMP)
+        if name in ("timezone", "to_utc_timestamp", "from_utc_timestamp"):
+            # tz conversions via bind-time TZif transition tables
+            # (reference: extension/icu/icu-timezone.cpp; semantics with
+            # our single naive-TIMESTAMP type follow PostgreSQL:
+            # timezone(tz, ts) / ts AT TIME ZONE tz interprets ts as
+            # wall clock in tz and returns the UTC instant;
+            # from_utc_timestamp(ts, tz) is the inverse)
+            from .. import tz as tzmod
+            if len(e.args) != 2:
+                raise BindError(f"{name} requires (tz, timestamp)")
+            if name == "timezone":
+                tz_ast, ts_ast = e.args
+            else:
+                ts_ast, tz_ast = e.args
+            tzb = self.bind_expr(tz_ast, scope, agg_ctx, group_map,
+                                 sub_replacements)
+            if not isinstance(tzb, ir.Const):
+                raise BindError(f"{name} requires a constant zone name")
+            sd = getattr(tzb, "strdict", None)
+            tzname = sd.decode_one(tzb.value) if sd is not None \
+                else str(tzb.value)
+            try:
+                trans, offs = tzmod.zone_table(tzname)
+            except tzmod.UnknownTimeZone as ex:
+                raise BindError(str(ex))
+            ts_e = self.bind_expr(ts_ast, scope, agg_ctx, group_map,
+                                  sub_replacements)
+            if ts_e.dtype.id == TypeId.DATE:
+                ts_e = ir.Cast(ts_e, T.TIMESTAMP)
+            if ts_e.dtype.id != TypeId.TIMESTAMP:
+                raise BindError(f"{name} requires a TIMESTAMP argument")
+            if name == "from_utc_timestamp":
+                bounds, delta = trans, offs          # instant -> wall
+            else:
+                bounds, delta = trans + offs, -offs  # wall -> instant
+            out = ir.Func("tz_shift", [ts_e], T.TIMESTAMP)
+            out.extra = (bounds, delta)
+            return out
         # host-dictionary string functions
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,

@@ -1305,7 +1305,14 @@ class Parser:
     def expr_add(self):
         e = self.expr_mul()
         while True:
-            if self.accept_op("+"):
+            if self.peek().kind in ("KW", "IDENT") \
+                    and self.peek().value == "at" \
+                    and self.peek(1).value == "time" \
+                    and self.peek(2).value == "zone":
+                # expr AT TIME ZONE tz == timezone(tz, expr)
+                self.next(); self.next(); self.next()
+                e = A.EFunc("timezone", [self.expr_mul(), e])
+            elif self.accept_op("+"):
                 e = A.EBinary("+", e, self.expr_mul())
             elif self.accept_op("-"):
                 e = A.EBinary("-", e, self.expr_mul())
@@ -1634,6 +1641,18 @@ class Parser:
                 if self.at_kw("over"):
                     return self.window_suffix(fn)
                 return fn
+            if name in ("current_date", "current_timestamp",
+                        "current_localtimestamp", "localtimestamp",
+                        "today", "get_current_timestamp") \
+                    and not self.at("OP", "."):
+                # paren-less niladic datetime functions (reference:
+                # these parse as special keywords in libpg_query)
+                return A.EFunc({"today": "current_date",
+                                "get_current_timestamp":
+                                    "current_timestamp",
+                                "localtimestamp":
+                                    "current_localtimestamp"}.get(
+                                        name, name), [])
             parts = [name]
             while self.accept_op("."):
                 if self.at("OP", "*"):

@@ -1,0 +1,110 @@
+"""Time-zone conversion tables from the system tzdata (TZif files).
+
+Analog of the reference's ICU extension timestamp ops
+(reference: extension/icu/icu-timezone.cpp) redesigned for device
+execution: at BIND time a zone's transition history is parsed into two
+small sorted arrays (transition instants + utc offsets); the per-row
+conversion then compiles to a branch-free table lookup
+(jnp.searchsorted over a few hundred entries) — no host callback on the
+hot path.
+
+TZif parsing per RFC 8536 (v1/v2/v3).  We read /usr/share/zoneinfo.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+
+ZONEINFO_DIR = "/usr/share/zoneinfo"
+
+_US = 1_000_000
+
+
+class UnknownTimeZone(Exception):
+    pass
+
+
+def _parse_tzif(data: bytes):
+    """Returns (transitions_sec[int64], offsets_sec[int64]) where
+    offsets[i] applies to instants in [transitions[i], transitions[i+1]).
+    transitions[0] is -inf (base offset)."""
+    if data[:4] != b"TZif":
+        raise UnknownTimeZone("not a TZif file")
+    version = data[4:5]
+
+    def block(off, longs):
+        (isutcnt, isstdcnt, leapcnt, timecnt, typecnt,
+         charcnt) = struct.unpack(">6I", data[off + 20:off + 44])
+        p = off + 44
+        tsize = 8 if longs else 4
+        fmt = ">%d%s" % (timecnt, "q" if longs else "i")
+        trans = struct.unpack(fmt, data[p:p + timecnt * tsize]) \
+            if timecnt else ()
+        p += timecnt * tsize
+        idxs = data[p:p + timecnt]
+        p += timecnt
+        ttinfo = []
+        for i in range(typecnt):
+            utoff, _isdst, _ab = struct.unpack(
+                ">iBB", data[p + i * 6:p + i * 6 + 6])
+            ttinfo.append(utoff)
+        p += typecnt * 6 + charcnt
+        p += leapcnt * ((tsize + 4) if longs else 8)
+        p += isstdcnt + isutcnt
+        return trans, idxs, ttinfo, p
+
+    trans, idxs, ttinfo, end = block(0, False)
+    if version in (b"2", b"3"):
+        # v2+ data block follows the v1 block with 64-bit times
+        trans, idxs, ttinfo, _ = block(end, True)
+    if not ttinfo:
+        raise UnknownTimeZone("TZif with no types")
+    base = ttinfo[idxs[0]] if trans else ttinfo[0]
+    transitions = np.concatenate(
+        [np.array([np.iinfo(np.int64).min // 2], dtype=np.int64),
+         np.asarray(trans, dtype=np.int64)])
+    offsets = np.concatenate(
+        [np.array([base], dtype=np.int64),
+         np.asarray([ttinfo[i] for i in idxs], dtype=np.int64)])
+    return transitions, offsets
+
+
+@lru_cache(maxsize=64)
+def zone_table(name: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(transitions_us, offsets_us) for a zone name; raises
+    UnknownTimeZone for bad names (reference errors the same way)."""
+    if not name or name.startswith(".") or ".." in name or \
+            name.startswith("/"):
+        raise UnknownTimeZone(f"unknown time zone {name!r}")
+    path = os.path.join(ZONEINFO_DIR, name)
+    if not os.path.isfile(path):
+        if name.upper() in ("UTC", "GMT", "Z"):
+            return (np.array([np.iinfo(np.int64).min // 2], np.int64),
+                    np.array([0], np.int64))
+        raise UnknownTimeZone(f"unknown time zone {name!r}")
+    with open(path, "rb") as f:
+        trans, offs = _parse_tzif(f.read())
+    return trans * _US, offs * _US
+
+
+def utc_to_wall_np(ts_us: np.ndarray, name: str) -> np.ndarray:
+    """Reference helper (numpy): UTC instant -> local wall clock."""
+    trans, offs = zone_table(name)
+    idx = np.searchsorted(trans, ts_us, side="right") - 1
+    return ts_us + offs[np.clip(idx, 0, len(offs) - 1)]
+
+
+def wall_to_utc_np(ts_us: np.ndarray, name: str) -> np.ndarray:
+    """Reference helper (numpy): local wall clock -> UTC instant.
+    Ambiguous wall times resolve to the EARLIER instant; invalid (gap)
+    times shift by the pre-transition offset, matching ICU's
+    'former' disambiguation used by the reference."""
+    trans, offs = zone_table(name)
+    wall_starts = trans + offs            # local time at each regime start
+    idx = np.searchsorted(wall_starts, ts_us, side="right") - 1
+    return ts_us - offs[np.clip(idx, 0, len(offs) - 1)]

@@ -96,3 +96,19 @@ def test_q1_v4_extreme_bounds_interpret():
         interpret=True))
     want = P.reference_sums(*args, 9000)
     assert np.array_equal(got, want)
+
+
+def test_q1_fused_aggregate_v7_interpret():
+    n = 8192
+    rng = np.random.default_rng(9)
+    args = [rng.integers(100, 5100, n).astype(np.int32),
+            rng.integers(90000, 520000000, n).astype(np.int32),
+            rng.integers(0, 11, n).astype(np.int32),
+            rng.integers(0, 9, n).astype(np.int32),
+            rng.integers(8000, 10600, n).astype(np.int32),
+            rng.integers(0, 6, n).astype(np.int32)]
+    got = np.asarray(P.q1_fused_aggregate_v7(
+        *(jnp.asarray(x) for x in args), 10471, n_rows=n,
+        interpret=True))
+    want = P.reference_sums(*args, 10471)
+    assert np.array_equal(got, want)

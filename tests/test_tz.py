@@ -1,0 +1,102 @@
+"""Time-zone conversions (reference: extension/icu/icu-timezone.cpp;
+ground truth here is Python's zoneinfo over the same tzdata)."""
+
+import datetime
+from zoneinfo import ZoneInfo
+
+import numpy as np
+import pytest
+
+import ddb_tpu
+from ddb_tpu import tz as tzmod
+
+UTC = datetime.timezone.utc
+NY = ZoneInfo("America/New_York")
+
+
+def _us(dt):
+    return int(dt.timestamp() * 1_000_000)
+
+
+@pytest.mark.parametrize("wall", [
+    datetime.datetime(2024, 1, 15, 12, 0, 0),      # EST
+    datetime.datetime(2024, 7, 15, 12, 0, 0),      # EDT
+    datetime.datetime(2024, 3, 10, 1, 59, 59),     # just before spring-fwd
+    datetime.datetime(2024, 11, 3, 0, 30, 0),      # before fall-back
+    datetime.datetime(1969, 6, 1, 0, 0, 0),        # pre-epoch
+    datetime.datetime(2035, 6, 1, 0, 0, 0),        # future (TZif v2 rules)
+])
+def test_wall_to_utc_matches_zoneinfo(wall):
+    want = _us(wall.replace(tzinfo=NY))
+    wall_us = _us(wall.replace(tzinfo=UTC))
+    got = int(tzmod.wall_to_utc_np(
+        np.asarray([wall_us], np.int64), "America/New_York")[0])
+    assert got == want
+
+
+@pytest.mark.parametrize("instant", [
+    datetime.datetime(2024, 1, 15, 17, 0, 0, tzinfo=UTC),
+    datetime.datetime(2024, 7, 15, 16, 0, 0, tzinfo=UTC),
+    datetime.datetime(2024, 3, 10, 6, 59, 59, tzinfo=UTC),
+    datetime.datetime(2024, 3, 10, 7, 0, 0, tzinfo=UTC),
+])
+def test_utc_to_wall_matches_zoneinfo(instant):
+    local = instant.astimezone(NY).replace(tzinfo=UTC)
+    got = int(tzmod.utc_to_wall_np(
+        np.asarray([_us(instant)], np.int64), "America/New_York")[0])
+    assert got == _us(local)
+
+
+def test_sql_timezone_function():
+    con = ddb_tpu.connect()
+    # wall clock in NY -> UTC instant (winter: +5h)
+    rows = con.execute(
+        "SELECT timezone('America/New_York', "
+        "TIMESTAMP '2024-01-15 12:00:00')").fetchall()
+    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0, 0),)]
+    # summer: +4h
+    rows = con.execute(
+        "SELECT TIMESTAMP '2024-07-15 12:00:00' "
+        "AT TIME ZONE 'America/New_York'").fetchall()
+    assert rows == [(datetime.datetime(2024, 7, 15, 16, 0, 0),)]
+    # inverse direction
+    rows = con.execute(
+        "SELECT from_utc_timestamp(TIMESTAMP '2024-01-15 17:00:00', "
+        "'America/New_York')").fetchall()
+    assert rows == [(datetime.datetime(2024, 1, 15, 12, 0, 0),)]
+
+
+def test_sql_timezone_column():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE e (t TIMESTAMP)")
+    con.execute("INSERT INTO e VALUES (TIMESTAMP '2024-01-15 12:00:00'),"
+                " (TIMESTAMP '2024-07-15 12:00:00'), (NULL)")
+    rows = con.execute(
+        "SELECT timezone('America/New_York', t) FROM e ORDER BY t"
+    ).fetchall()
+    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0),),
+                    (datetime.datetime(2024, 7, 15, 16, 0),),
+                    (None,)]
+
+
+def test_unknown_zone_errors():
+    con = ddb_tpu.connect()
+    with pytest.raises(Exception):
+        con.execute("SELECT timezone('Not/AZone', "
+                    "TIMESTAMP '2024-01-01 00:00:00')")
+
+
+def test_current_date_and_timestamp():
+    con = ddb_tpu.connect()
+    (d, ts, lts) = con.execute(
+        "SELECT current_date, current_timestamp, "
+        "current_localtimestamp").fetchall()[0]
+    now = datetime.datetime.now(UTC).replace(tzinfo=None)
+    assert abs((ts - now).total_seconds()) < 60
+    assert d in (now.date(), (now - datetime.timedelta(days=1)).date(),
+                 (now + datetime.timedelta(days=1)).date())
+    con.execute("SET timezone = 'America/New_York'")
+    (lts2,) = con.execute("SELECT current_localtimestamp").fetchall()[0]
+    off = (lts2 - datetime.datetime.now(UTC).replace(tzinfo=None)
+           ).total_seconds()
+    assert -6 * 3600 < off < -3 * 3600   # NY is UTC-4/-5
