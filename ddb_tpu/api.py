@@ -629,6 +629,21 @@ class Connection:
             return None
         if isinstance(stmt, A.PragmaStmt):
             return self._execute_pragma(stmt)
+        if isinstance(stmt, A.CreateMacro):
+            key = stmt.name.lower()
+            if key in self.catalog.macros and not stmt.or_replace:
+                if stmt.if_not_exists:
+                    return None
+                raise CatalogException(f"macro {stmt.name} already exists")
+            self.catalog.macros[key] = {
+                "params": [p.lower() for p in stmt.params],
+                "defaults": {k.lower(): v
+                             for k, v in stmt.defaults.items()},
+                "body": stmt.body, "is_table": stmt.is_table}
+            self.catalog.bump()
+            self._wal_log({"op": "create_macro", "name": key,
+                           "macro": self.catalog.macros[key]})
+            return None
         if isinstance(stmt, A.CreateView):
             self.catalog.add_view(stmt.name, stmt.sql_text,
                                   or_replace=stmt.or_replace,
@@ -710,6 +725,13 @@ class Connection:
                     if kind == "table":
                         self.catalog.drop_table(name, if_exists=True)
                 self.catalog.sequences.pop(key, None)
+                self.catalog.bump()
+            elif stmt.kind == "macro":
+                key = stmt.name.lower()
+                if key not in self.catalog.macros and not stmt.if_exists:
+                    raise CatalogException(
+                        f"macro {stmt.name} does not exist")
+                self.catalog.macros.pop(key, None)
                 self.catalog.bump()
             elif stmt.kind == "index":
                 key = stmt.name.lower()
@@ -1555,6 +1577,7 @@ class Connection:
                 # bypass the undo buffer), so share the live dict
                 snap.sequences = self._db.catalog.sequences
                 snap.schemas = set(self._db.catalog.schemas)
+                snap.macros = dict(self._db.catalog.macros)
             snap.bump()
             self.catalog = snap
             self._txn_ops = []
@@ -1606,6 +1629,7 @@ class Connection:
             work.enums = dict(shared.enums)
             work.sequences = shared.sequences
             work.schemas = set(shared.schemas)
+            work.macros = dict(shared.macros)
             self.catalog = work
             was_replaying = self._replaying
             self._replaying = True
@@ -1631,6 +1655,7 @@ class Connection:
             shared.views = work.views
             shared.enums = work.enums
             shared.schemas = work.schemas
+            shared.macros = work.macros
             shared.bump()
             self.catalog = shared
 
@@ -1664,8 +1689,24 @@ def _const_python_value(bound):
         if sd is not None:
             return sd.decode_one(bound.value)
         return T.decode_value(bound.value, bound.dtype)
-    raise NotImplementedError(
-        "INSERT VALUES expressions must be constants")
+    # non-constant expression (cast chains, functions, random(), ...):
+    # evaluate over a one-live-row batch (reference: VALUES lists are
+    # ExpressionExecutor-evaluated, src/execution/expression_executor)
+    import jax.numpy as jnp
+
+    from .batch import Batch
+    from .expr.compile import evaluate
+    cap = 128
+    sel = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    b = Batch((), sel, jnp.int32(1))
+    d, n = evaluate(bound, b)
+    if n is not None and bool(np.asarray(n)[0]):
+        return None
+    raw = np.asarray(d)[0]
+    sd = getattr(bound, "strdict", None)
+    if sd is not None:
+        return sd.decode_one(int(raw))
+    return T.decode_value(raw, bound.dtype)
 
 
 def _result_to_table(name, schema: Schema, batch: Batch):

@@ -37,6 +37,9 @@ class Catalog:
         self.enums: Dict[str, list] = {}      # ENUM type name -> values
         self.schemas = {"main"}               # CREATE SCHEMA namespaces
         self.sequences: Dict[str, dict] = {}  # name -> state dict
+        # macros: name -> {params, defaults, body, is_table}
+        # (reference: macro_catalog_entry.cpp)
+        self.macros: Dict[str, dict] = {}
         self.version = 0    # bumped on any change; invalidates plan cache
 
     def dependencies(self):

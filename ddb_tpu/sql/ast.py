@@ -249,6 +249,19 @@ class CreateView:
 
 
 @dataclass
+class CreateMacro:
+    """CREATE MACRO name(params) AS expr | AS TABLE select
+    (reference: src/parser/parsed_data/create_macro_info.hpp)."""
+    name: str
+    params: List[str]
+    defaults: dict              # param -> default expr source text
+    body: str                   # expression / SELECT source text
+    is_table: bool = False
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateTableAs:
     name: str
     select: SelectStmt

@@ -62,6 +62,15 @@ _TYPE_MAP = {
     "binary": T.BLOB, "uuid": T.UUID, "interval": T.INTERVAL,
     "utinyint": T.SMALLINT, "usmallint": T.INTEGER,
     "uinteger": T.BIGINT, "ubigint": T.BIGINT,
+    # numeric-style aliases (reference: LogicalType aliases in
+    # src/common/types.cpp — int32, float4, etc.)
+    "int1": T.TINYINT, "int16": T.SMALLINT, "int32": T.INTEGER,
+    "int64": T.BIGINT, "int128": T.HUGEINT, "short": T.SMALLINT,
+    "long": T.BIGINT, "signed": T.INTEGER, "float4": T.FLOAT,
+    "float32": T.FLOAT, "float64": T.DOUBLE, "uint8": T.SMALLINT,
+    "uint16": T.INTEGER, "uint32": T.BIGINT, "uint64": T.BIGINT,
+    "oid": T.BIGINT, "logical": T.BOOLEAN, "datetime": T.TIMESTAMP,
+    "nvarchar": T.VARCHAR,
 }
 
 
@@ -70,6 +79,11 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     tn = typename.lower()
     if tn in ("decimal", "numeric"):
         return T.DECIMAL(width or 18, scale)
+    if tn in ("timestamptz", "timetz"):
+        return T.TIMESTAMP if tn == "timestamptz" else T.TIME
+    if tn.startswith("list<") and tn.endswith(">"):
+        inner, iw, isc = tn[5:-1].rsplit(":", 2)
+        return T.LIST(resolve_typename(inner, int(iw), int(isc)))
     if tn.startswith("union<") and tn.endswith(">"):
         members = []
         for part in tn[6:-1].split(","):
@@ -79,6 +93,40 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     if tn not in _TYPE_MAP:
         raise BindError(f"unknown type {typename}")
     return _TYPE_MAP[tn]
+
+
+def _subst_ast(node, mapping):
+    """Replace single-part identifiers with argument ASTs — the macro
+    expansion primitive (reference: macro_function.cpp binds parameters
+    lazily; ours substitutes at the AST level before binding)."""
+    import copy
+    import dataclasses
+    if isinstance(node, A.EIdent) and len(node.parts) == 1 \
+            and node.parts[0].lower() in mapping:
+        return copy.deepcopy(mapping[node.parts[0].lower()])
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            nv = _subst_val(v, mapping)
+            if nv is not v:
+                changes[f.name] = nv
+        if changes:
+            return dataclasses.replace(node, **changes)
+    return node
+
+
+def _subst_val(v, mapping):
+    import dataclasses
+    if isinstance(v, list):
+        out = [_subst_val(x, mapping) for x in v]
+        return out if any(a is not b for a, b in zip(out, v)) else v
+    if isinstance(v, tuple):
+        out = tuple(_subst_val(x, mapping) for x in v)
+        return out if any(a is not b for a, b in zip(out, v)) else v
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        return _subst_ast(v, mapping)
+    return v
 
 
 @dataclass
@@ -836,6 +884,28 @@ class Binder:
             sc.add((ref.alias or "values").lower(), plan.schema)
             return plan, sc
         if isinstance(ref, A.RFunction):
+            mac = getattr(self.catalog, "macros", {}).get(
+                ref.name.lower())
+            if mac is not None and mac.get("is_table"):
+                from . import parser as sqlparser
+                sel = sqlparser.parse(mac["body"])[0]
+                params = mac["params"]
+                args = list(ref.args or ())
+                mapping = {}
+                for p, a in zip(params, args):
+                    mapping[p] = a if isinstance(a, A.EExpr) \
+                        else A.ELit(a)
+                for p in params[len(args):]:
+                    if p in mac["defaults"]:
+                        mapping[p] = sqlparser.parse_expression(
+                            mac["defaults"][p])
+                    else:
+                        raise BindError(f"macro {ref.name} requires "
+                                        f"parameter {p}")
+                sel = _subst_ast(sel, mapping)
+                sub = A.RSubquery(sel, ref.alias or ref.name,
+                                  getattr(ref, "column_aliases", None))
+                return self._bind_ref(sub)
             from ..table_functions import TABLE_FUNCTIONS
             fn = TABLE_FUNCTIONS.get(ref.name.lower())
             if fn is None:
@@ -843,6 +913,25 @@ class Binder:
             if self.context is None:
                 raise BindError(
                     f"table function {ref.name} needs a connection")
+            if any(isinstance(a, A.EExpr) for a in ref.args) or any(
+                    isinstance(v, A.EExpr)
+                    for v in (getattr(ref, "kwargs", None) or {}
+                              ).values()):
+                # non-literal argument expressions evaluate at bind time
+                # (reference: table-in-out function bind casts constant
+                # expressions)
+                from ..api import _const_python_value
+
+                def rv(a):
+                    if isinstance(a, A.EExpr):
+                        return _const_python_value(
+                            self.bind_expr(a, Scope()))
+                    return a
+                import dataclasses as _dc
+                ref = _dc.replace(
+                    ref, args=[rv(a) for a in ref.args],
+                    kwargs={k: rv(v) for k, v in
+                            (getattr(ref, "kwargs", None) or {}).items()})
             import inspect
             if len(inspect.signature(fn).parameters) >= 3:
                 td = fn(self.context, ref.args,
@@ -2902,6 +2991,34 @@ class Binder:
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
                                           group_map, sub_replacements)
+        # SQL macros (reference: macro_catalog_entry / macro_function)
+        mac = getattr(self.catalog, "macros", {}).get(name)
+        if mac is not None and not mac.get("is_table"):
+            from . import parser as sqlparser
+            depth = getattr(self, "_macro_depth", 0)
+            if depth > 32:
+                raise BindError(f"macro {name} expansion too deep "
+                                "(recursive macro?)")
+            params = mac["params"]
+            if len(e.args) > len(params):
+                raise BindError(f"macro {name} takes at most "
+                                f"{len(params)} arguments")
+            mapping = {p: a for p, a in zip(params, e.args)}
+            for p in params[len(e.args):]:
+                if p in mac["defaults"]:
+                    mapping[p] = sqlparser.parse_expression(
+                        mac["defaults"][p])
+                else:
+                    raise BindError(
+                        f"macro {name} requires parameter {p}")
+            expanded = _subst_ast(
+                sqlparser.parse_expression(mac["body"]), mapping)
+            self._macro_depth = depth + 1
+            try:
+                return self.bind_expr(expanded, scope, agg_ctx,
+                                      group_map, sub_replacements)
+            finally:
+                self._macro_depth = depth
         # user-defined scalar functions (reference: Python client UDFs,
         # tools/pythonpkg create_function; ours run through
         # jax.pure_callback so they compose with the jitted pipeline)
@@ -3028,7 +3145,9 @@ class Binder:
     def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                        sub_replacements) -> AggRef:
         name = e.name
-        if name == "count" and e.star:
+        if name == "count" and (e.star or not e.args):
+            # COUNT() == COUNT(*) (reference: count with no argument
+            # binds to count_star, src/function/aggregate/count.cpp)
             spec = L.AggSpec("count_star", None, T.BIGINT, "count_star")
             idx = agg_ctx.add(spec, "count_star()")
             return AggRef(idx, T.BIGINT)

@@ -243,8 +243,14 @@ class Parser:
                 self.next()
                 kind = "index"
             elif self.peek().kind == "IDENT" \
-                    and self.peek().value in ("schema", "sequence"):
+                    and self.peek().value in ("schema", "sequence",
+                                              "macro", "function"):
                 kind = self.next().value
+                if kind == "function":
+                    kind = "macro"
+                if kind == "macro" and self.peek().kind == "KW" \
+                        and self.peek().value == "table":
+                    self.next()
             else:
                 kind = "view" if self.accept_kw("view") else \
                     ("table" if self.accept_kw("table") else
@@ -565,6 +571,42 @@ class Parser:
                 else:
                     break
             return A.CreateSequence(name, start, inc, ine)
+        if self.peek().kind == "IDENT" \
+                and self.peek().value in ("macro", "function"):
+            self.next()
+            ine = False
+            if self.accept_kw("if"):
+                self.expect_kw("not")
+                self.expect_kw("exists")
+                ine = True
+            name = self.qident()
+            params, defaults = [], {}
+            self.expect_op("(")
+            if not self.at("OP", ")"):
+                while True:
+                    p = self.ident()
+                    params.append(p)
+                    if self.accept_op(":="):
+                        dstart = self.peek().pos
+                        self.expr()
+                        defaults[p] = self.text[dstart:
+                                                self.peek().pos].strip()
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            self.expect_kw("as")
+            is_table = False
+            if self.peek().kind == "KW" and self.peek().value == "table":
+                self.next()
+                is_table = True
+            bstart = self.peek().pos
+            if is_table:
+                self.select_stmt()
+            else:
+                self.expr()
+            body = self.text[bstart:self.peek().pos].strip()
+            return A.CreateMacro(name, params, defaults, body, is_table,
+                                 or_replace, ine)
         if self.accept_kw("view"):
             name = self.ident()
             cols = self._opt_column_alias_list()
@@ -1206,7 +1248,9 @@ class Parser:
                             else str(x) for x in a.items]
                 if isinstance(a, A.EStruct):
                     return {n: _lit(v) for n, v in a.fields}
-                return str(a)
+                # non-literal expression: keep the AST — macro
+                # substitution / bind-time evaluation resolve it
+                return a
 
             vals = [_lit(a) for a in args]
             kw = {k: _lit(v) for k, v in kwargs.items()}
@@ -1412,12 +1456,26 @@ class Parser:
                     break
             self.expect_op(")")
             return "union<" + ",".join(parts) + ">", 0, 0
+        if name in ("time", "timestamp") and self.at_kw("with"):
+            # WITH TIME ZONE — stored naive (no TIMESTAMPTZ type; see
+            # ddb_tpu/tz.py for the conversion functions)
+            self.next()
+            self.expect_word("time")
+            self.expect_word("zone")
         w = s = 0
         if self.accept_op("("):
             w = int(self.next().value)
             if self.accept_op(","):
                 s = int(self.next().value)
             self.expect_op(")")
+        while self.at("OP", "[") :
+            # INTEGER[] / INTEGER[3] array types -> LIST (fixed-size
+            # arrays are stored as lists, like the reference's ARRAY)
+            self.next()
+            if self.peek().kind == "NUM":
+                self.next()
+            self.expect_op("]")
+            name, w, s = f"list<{name}:{w}:{s}>", 0, 0
         return name, w, s
 
     def _struct_body(self) -> A.EStruct:

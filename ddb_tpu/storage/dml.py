@@ -114,6 +114,15 @@ def empty_table(name: str, fields) -> TableData:
         elif dt.id == TypeId.UNION:
             from .nested import UnionStore
             sd = UnionStore([nm for nm, _t in (dt.children or ())])
+        elif dt.id == TypeId.LIST:
+            from .lists import ListStore
+            sd = ListStore()
+        elif dt.id == TypeId.STRUCT:
+            from .nested import StructStore
+            sd = StructStore([])
+        elif dt.id == TypeId.MAP:
+            from .nested import MapStore
+            sd = MapStore()
         else:
             sd = None
         cols.append(TableColumn(cname, dt, data, None, sd))
@@ -161,6 +170,17 @@ def _encode_values(col: TableColumn, values: Sequence):
                 continue
             k = _union_member_of(members, v)
             codes[i] = store.add(k, v)
+        return codes, nulls, None
+    if col.dtype.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        # store-backed nested values: append payloads, store ids
+        # (reference: nested vectors own child vectors; ours keep
+        # payloads host-side per storage/lists.py design)
+        store = col.strdict
+        codes = np.zeros(n, dtype=np.int32)
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            codes[i] = store.add(v)
         return codes, nulls, None
     if col.dtype.id == TypeId.VARCHAR:
         new_strs = np.unique(np.array(

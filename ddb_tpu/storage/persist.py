@@ -252,6 +252,8 @@ def save_database(catalog, path: str) -> None:
                      getattr(catalog, "enums", {}).items()}
     meta["sequences"] = {n: dict(s) for n, s in
                          getattr(catalog, "sequences", {}).items()}
+    meta["macros"] = {n: dict(m) for n, m in
+                      getattr(catalog, "macros", {}).items()}
     meta["schemas"] = sorted(getattr(catalog, "schemas", ("main",)))
 
     cat_json = json.dumps(meta).encode("utf-8")
@@ -340,6 +342,8 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
                          column_aliases=v[1])
     for name, s in meta.get("sequences", {}).items():
         catalog.sequences[prefix + name] = dict(s)
+    for name, m in meta.get("macros", {}).items():
+        catalog.macros[prefix + name] = dict(m)
     for name in meta.get("schemas", ()):
         if name != "main":
             catalog.schemas.add(prefix + name)

@@ -184,6 +184,9 @@ def apply_record(con, rec: dict) -> None:
     elif op == "create_schema":
         cat.schemas.add(rec["name"])
         cat.bump()
+    elif op == "create_macro":
+        cat.macros[rec["name"]] = dict(rec["macro"])
+        cat.bump()
     elif op == "create_index":
         from .index import SortedIndex
         td = cat.get_table(rec["table"])
@@ -196,6 +199,9 @@ def apply_record(con, rec: dict) -> None:
     elif op == "drop":
         if rec["kind"] == "view":
             cat.drop_view(rec["name"], if_exists=True)
+        elif rec["kind"] == "macro":
+            cat.macros.pop(rec["name"].lower(), None)
+            cat.bump()
         elif rec["kind"] == "sequence":
             key = rec["name"].lower()
             for kind, name in cat.dependents_of("sequence", key):

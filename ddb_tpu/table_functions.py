@@ -217,6 +217,9 @@ def fn_duckdb_functions(ctx, args) -> TableData:
     rows = _function_registry()
     rows = rows + [(n, "udf") for n in
                    sorted(getattr(ctx, "_udfs", {}))]
+    rows = rows + [(n, "table_macro" if m.get("is_table") else "macro")
+                   for n, m in sorted(
+                       getattr(ctx.catalog, "macros", {}).items())]
     return TableData("duckdb_functions", [
         _strcol("function_name", [r[0] for r in rows]),
         _strcol("function_type", [r[1] for r in rows]),

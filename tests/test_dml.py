@@ -222,3 +222,31 @@ def test_enum_persists(tmp_path):
     c2.load(p)
     with pytest.raises(ConstraintException):
         c2.sql("INSERT INTO t VALUES ('mid')")
+
+
+def test_insert_expression_values():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE ce (x INTEGER, y INTEGER)")
+    con.execute("INSERT INTO ce VALUES (1 + 2, abs(-4)), "
+                "(CAST('7' AS INTEGER), 8)")
+    assert con.execute("SELECT * FROM ce ORDER BY x").fetchall() == \
+        [(3, 4), (7, 8)]
+
+
+def test_list_column_insert():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE lt (l INTEGER[], s VARCHAR)")
+    con.execute("INSERT INTO lt VALUES ([1,2,3], 'x'), ([4,5], 'y'), "
+                "(NULL, 'z')")
+    assert con.execute("SELECT l, s FROM lt ORDER BY s").fetchall() == \
+        [([1, 2, 3], "x"), ([4, 5], "y"), (None, "z")]
+
+
+def test_type_aliases_and_count_noargs():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE ta (a INT32, b FLOAT64, "
+                "t TIMESTAMP WITH TIME ZONE)")
+    con.execute("INSERT INTO ta VALUES (1, 2.5, "
+                "TIMESTAMP '2024-01-01 00:00:00')")
+    assert con.execute("SELECT COUNT(), COUNT(*) FROM ta").fetchall() \
+        == [(1, 1)]
