@@ -85,6 +85,9 @@ class AggSpec:
     store: object = None       # ListStore/StringDictionary for collect/
     #                            string_agg results (host-side payloads)
     extra: object = None       # e.g. string_agg separator
+    # agg(x ORDER BY ...): [(bound key expr, desc, nulls_last)] — only
+    # order-sensitive aggregates (list/string_agg/first/last) honor it
+    order_by: object = None
 
 
 @dataclass

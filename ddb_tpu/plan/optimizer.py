@@ -713,6 +713,8 @@ def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
             for arg in (a.arg, a.arg2):
                 if arg is not None:
                     used.update(_cols_of(arg))
+            for (oe, _d, _nl) in (a.order_by or ()):
+                used.update(_cols_of(oe))
         child, remap = _prune_child(node.child, used)
         groups = [ir.remap_columns(g, {c: remap[c] for c in _cols_of(g)})
                   for g in node.groups]
@@ -723,8 +725,11 @@ def _prune_rec(node: L.LogicalNode) -> L.LogicalNode:
             return ir.remap_columns(arg, {c: remap[c]
                                           for c in _cols_of(arg)})
 
-        aggs = [dataclasses.replace(a, arg=remap_arg(a.arg),
-                                    arg2=remap_arg(a.arg2))
+        aggs = [dataclasses.replace(
+                    a, arg=remap_arg(a.arg), arg2=remap_arg(a.arg2),
+                    order_by=[(remap_arg(oe), d, nl)
+                              for (oe, d, nl) in a.order_by]
+                    if a.order_by else None)
                 for a in node.aggs]
         return L.Aggregate(child, groups, aggs, node.group_names,
                            node.schema)

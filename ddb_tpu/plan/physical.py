@@ -726,12 +726,56 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
     for a, (d, n) in zip(node.aggs, AV):
         ds = d[order] if d is not None else None
         ns = n[order] if n is not None else None
+        aorder = None
+        if getattr(a, "order_by", None):
+            # agg(x ORDER BY ...): per-group reorder by the modifier's
+            # keys (reference: ORDER_MODIFIER on bound aggregate
+            # expressions, bound_aggregate_expression.hpp)
+            seq = []
+            for (oe, desc, nl) in reversed(a.order_by):
+                kd, kn = fetch(evaluate(oe, b))
+                kd = kd[order]
+                kn = kn[order] if kn is not None \
+                    else np.zeros(len(kd), dtype=bool)
+                if kd.dtype == bool:
+                    kd = kd.astype(np.int8)
+                seq.append(-kd if desc else kd)
+                seq.append(kn.astype(np.int8) if nl
+                           else (~kn).astype(np.int8))
+            aorder = seq
         res, rn = [], []
         for s, e in zip(starts, ends):
             if a.kind == "count_star":
                 res.append(e - s)
                 rn.append(False)
                 continue
+            if aorder is not None and e > s:
+                loc = np.lexsort(tuple(k[s:e] for k in aorder))
+                dd = ds[s:e][loc]
+                live = ~ns[s:e][loc] if ns is not None \
+                    else np.ones(e - s, dtype=bool)
+                dd = dd[live]
+                if a.kind == "count":
+                    res.append(len(dd))
+                    rn.append(False)
+                    continue
+                if a.kind in ("collect", "string_agg"):
+                    sd = getattr(a.arg, "strdict", None)
+                    vals = _decode_host(dd, None, a.arg.dtype, sd)
+                    if a.distinct:
+                        seen, uniq = set(), []
+                        for v in vals:
+                            if v not in seen:
+                                seen.add(v)
+                                uniq.append(v)
+                        vals = uniq
+                    if a.kind == "collect":
+                        res.append(vals)
+                        rn.append(False)
+                    else:
+                        res.append(a.extra.join(str(v) for v in vals))
+                        rn.append(len(vals) == 0)
+                    continue
             dd = ds[s:e]
             live = ~ns[s:e] if ns is not None else np.ones(e - s,
                                                            dtype=bool)

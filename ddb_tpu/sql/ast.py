@@ -55,6 +55,7 @@ class EFunc(EExpr):
     args: List[EExpr]
     distinct: bool = False
     star: bool = False        # count(*)
+    order: List = None        # agg(x ORDER BY ...) modifier
 
 
 @dataclass

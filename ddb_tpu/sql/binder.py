@@ -3192,13 +3192,31 @@ class Binder:
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
             idx = agg_ctx.add(spec, f"any_value({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        def _agg_order():
+            """agg(x ORDER BY ...) keys bound in the input scope
+            (reference: ORDER_MODIFIER on bound aggregates)."""
+            if not getattr(e, "order", None):
+                return None, ""
+            out = []
+            for it in e.order:
+                oe = self.bind_expr(it.expr, scope, None, None,
+                                    sub_replacements)
+                nl = it.nulls_last if it.nulls_last is not None \
+                    else self._default_nulls_last()
+                out.append((oe, self._desc(it), nl))
+            key = ";".join(f"{_ekey(oe)}:{d}:{nl}" for oe, d, nl in out)
+            return out, key
+
         if name in ("list", "array_agg"):
             from ..storage.lists import ListStore
             store = ListStore()
             rt = T.LIST(arg.dtype)
+            order_b, okey = _agg_order()
             spec = L.AggSpec("collect", arg, rt, "list",
-                             distinct=e.distinct, store=store)
-            idx = agg_ctx.add(spec, f"list({_ekey(arg)},{e.distinct})")
+                             distinct=e.distinct, store=store,
+                             order_by=order_b)
+            idx = agg_ctx.add(spec,
+                              f"list({_ekey(arg)},{e.distinct},{okey})")
             return AggRef(idx, rt, store)
         if name in ("string_agg", "group_concat"):
             sep = ","
@@ -3211,10 +3229,13 @@ class Binder:
                 sep = sd2.decode_one(s2.value) if sd2 is not None \
                     else str(s2.value)
             store = StringDictionary(np.array([], dtype=object))
+            order_b, okey = _agg_order()
             spec = L.AggSpec("string_agg", arg, T.VARCHAR, "string_agg",
-                             distinct=e.distinct, store=store, extra=sep)
-            idx = agg_ctx.add(spec,
-                              f"string_agg({_ekey(arg)},{sep},{e.distinct})")
+                             distinct=e.distinct, store=store, extra=sep,
+                             order_by=order_b)
+            idx = agg_ctx.add(
+                spec,
+                f"string_agg({_ekey(arg)},{sep},{e.distinct},{okey})")
             return AggRef(idx, T.VARCHAR, store)
         if name in ("stddev", "stddev_samp", "stddev_pop", "var_samp",
                     "var_pop", "variance"):

@@ -1694,8 +1694,14 @@ class Parser:
                     args.append(self.expr())
                     while self.accept_op(","):
                         args.append(self.expr())
+                fnorder = None
+                if self.accept_kw("order"):
+                    # agg(x ORDER BY k [DESC], ...) ordered aggregate
+                    self.expect_kw("by")
+                    fnorder = self.order_items()
                 self.expect_op(")")
-                fn = A.EFunc(name, args, distinct=distinct)
+                fn = A.EFunc(name, args, distinct=distinct,
+                             order=fnorder)
                 if self.at_kw("over"):
                     return self.window_suffix(fn)
                 return fn

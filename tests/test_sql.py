@@ -766,3 +766,22 @@ def test_correlated_limit_subquery():
         "SELECT g, (SELECT w FROM cl_u WHERE cl_u.g = cl_t.g "
         "ORDER BY w DESC LIMIT 1) FROM cl_t ORDER BY g, v").fetchall() \
         == [(1, 30), (1, 30), (2, 50), (2, 50), (5, None)]
+
+
+def test_ordered_aggregates():
+    c = ddb_tpu.connect()
+    c.register("oa", {"g": [1, 1, 1, 2, 2], "v": [3, 1, 2, 9, 8],
+                      "s": ["c", "a", "b", "z", "y"]})
+    assert c.sql("SELECT g, list(v ORDER BY v DESC), "
+                 "string_agg(s, '|' ORDER BY s) FROM oa GROUP BY g "
+                 "ORDER BY g").fetchall() == \
+        [(1, [3, 2, 1], "a|b|c"), (2, [9, 8], "y|z")]
+    assert c.sql("SELECT string_agg(s, ',' ORDER BY v DESC) FROM oa"
+                 ).fetchall() == [("z,y,c,b,a",)]
+    # ORDER BY on a column pruned from the projection still binds
+    assert c.sql("SELECT g, list(v ORDER BY s DESC) FROM oa GROUP BY g "
+                 "ORDER BY g").fetchall() == [(1, [3, 2, 1]),
+                                              (2, [9, 8])]
+    # order-insensitive aggregates accept and ignore the modifier
+    assert c.sql("SELECT sum(v ORDER BY s) FROM oa").fetchall() == \
+        [(23,)]
