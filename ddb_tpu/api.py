@@ -1302,6 +1302,20 @@ class Connection:
         if stmt.args:
             self.config.set(name, stmt.args[0])
             return None
+        # argless engine-tuning pragmas of the reference are inert
+        # (reference: every boolean setting doubles as PRAGMA
+        # [disable_]name — src/main/settings/)
+        base = name
+        for pre in ("enable_", "disable_"):
+            if name.startswith(pre):
+                base = name[len(pre):]
+        from .config import INERT_SETTINGS
+        if name in INERT_SETTINGS or base in INERT_SETTINGS \
+                or ("enable_" + base) in INERT_SETTINGS \
+                or name in self.config.values \
+                or base in ("checkpoint_on_shutdown", "object_cache",
+                            "verification", "optimizer", "print_progress_bar"):
+            return None
         raise NotImplementedError(f"PRAGMA {name}")
 
     # ---- DML -------------------------------------------------------------

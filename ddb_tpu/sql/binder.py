@@ -4332,9 +4332,15 @@ def _parse_text(text: str, tgt: DataType):
     if tgt.id in (TypeId.FLOAT, TypeId.DOUBLE):
         return float(text)
     if tgt.id == TypeId.DATE:
+        sp = T.temporal_special(text, tgt)
+        if sp is not None:
+            return sp
         d = datetime.date.fromisoformat(text)
         return (d - datetime.date(1970, 1, 1)).days
     if tgt.id == TypeId.TIMESTAMP:
+        sp = T.temporal_special(text, tgt)
+        if sp is not None:
+            return sp
         dt = datetime.datetime.fromisoformat(text)
         epoch = datetime.datetime(1970, 1, 1)
         return int((dt - epoch).total_seconds() * 1e6)

@@ -42,14 +42,27 @@ def _format_value(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        import math
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, datetime.datetime):
+        if v == datetime.datetime.max:
+            return "infinity"
+        if v == datetime.datetime.min:
+            return "-infinity"
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
+        if v == datetime.date.max:
+            return "infinity"
+        if v == datetime.date.min:
+            return "-infinity"
         return v.isoformat()
     return str(v)
 
@@ -169,14 +182,14 @@ def run_file(con, path: str, max_statements: Optional[int] = None
                 sortmode = tok[2]
             try:
                 rows = con.execute(sql).fetchall()
+                got = []
+                for r in rows:
+                    got.append([_format_value(v) for v in r])
             except Exception as e:
                 res.failures.append(
                     f"line {i}: {type(e).__name__}: {str(e)[:100]} "
                     f"in: {sql[:80]}")
                 continue
-            got = []
-            for r in rows:
-                got.append([_format_value(v) for v in r])
             if expect is None:
                 res.passed += 1
                 continue

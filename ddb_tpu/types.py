@@ -261,11 +261,25 @@ def encode_literal(v, t: DataType):
         return int((d * decimal_scale_factor(t.scale)).to_integral_value())
     if t.id == TypeId.DATE:
         if isinstance(v, str):
+            sp = temporal_special(v, t)
+            if sp is not None:
+                return sp
             v = datetime.date.fromisoformat(v)
+        if v == datetime.date.max:
+            return DATE_INF
+        if v == datetime.date.min:
+            return DATE_NINF
         return (v - _EPOCH).days
     if t.id == TypeId.TIMESTAMP:
         if isinstance(v, str):
+            sp = temporal_special(v, t)
+            if sp is not None:
+                return sp
             v = datetime.datetime.fromisoformat(v)
+        if v == datetime.datetime.max:
+            return TS_INF
+        if v == datetime.datetime.min:
+            return TS_NINF
         return int(v.timestamp() * 1_000_000)
     if t.id == TypeId.BOOLEAN:
         return bool(v)
@@ -274,13 +288,43 @@ def encode_literal(v, t: DataType):
     return int(v)
 
 
+# infinity sentinels (reference: date_t/timestamp_t infinity,
+# src/include/duckdb/common/types/date.hpp) — surfaced to Python as
+# date/datetime max/min like the reference client
+DATE_INF = 2 ** 31 - 1
+DATE_NINF = -(2 ** 31 - 1)
+TS_INF = 2 ** 63 - 1
+TS_NINF = -(2 ** 63 - 1)
+
+
+def temporal_special(text, t: DataType):
+    """'infinity' / '-infinity' / 'epoch' literals -> sentinel raw
+    value, or None if not special."""
+    s = text.strip().lower()
+    if s in ("infinity", "+infinity", "inf"):
+        return DATE_INF if t.id == TypeId.DATE else TS_INF
+    if s in ("-infinity", "-inf"):
+        return DATE_NINF if t.id == TypeId.DATE else TS_NINF
+    if s == "epoch":
+        return 0
+    return None
+
+
 def decode_value(raw, t: DataType, strdict=None):
     """Physical value -> Python value (for result materialization)."""
     if t.id == TypeId.DECIMAL:
         return decimal.Decimal(int(raw)).scaleb(-t.scale)
     if t.id == TypeId.DATE:
+        if int(raw) >= DATE_INF:
+            return datetime.date.max
+        if int(raw) <= DATE_NINF:
+            return datetime.date.min
         return _EPOCH + datetime.timedelta(days=int(raw))
     if t.id == TypeId.TIMESTAMP:
+        if int(raw) >= TS_INF:
+            return datetime.datetime.max
+        if int(raw) <= TS_NINF:
+            return datetime.datetime.min
         return datetime.datetime.utcfromtimestamp(int(raw) / 1_000_000)
     if t.id == TypeId.BOOLEAN:
         return bool(raw)
