@@ -782,6 +782,70 @@ def group_mode(key_ops, value_ops, payload: AggPayload, sel,
     return out, isnull
 
 
+def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
+                 num_groups_cap: int, is_max: bool):
+    """arg_min/arg_max: payload value at the row where the BY key is
+    extremal, per group (reference: arg_min_max.cpp; ours is one sort —
+    BY-extremal rows sort first within each group).  Rows with NULL BY
+    keys are ignored; ties break deterministically by the sort."""
+    cap = sel.shape[0]
+    excl = (~sel).astype(jnp.int32)
+    live = sel if by_nulls is None else (sel & ~by_nulls)
+    inv_live = (~live).astype(jnp.int32)
+    ops = [~o for o in by_ops] if is_max else list(by_ops)
+    operands = [excl, *key_ops, inv_live, *ops]
+    carried = [payload.data]
+    if payload.nulls is not None:
+        carried.append(payload.nulls.astype(jnp.int8))
+    sorted_ops = lax.sort(operands + carried, num_keys=len(operands),
+                          is_stable=False)
+    excl_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(key_ops)]
+    live_s = sorted_ops[1 + len(key_ops)] == 0
+    data_s = sorted_ops[len(operands)]
+    pn_s = sorted_ops[len(operands) + 1] \
+        if payload.nulls is not None else None
+    sel_s = excl_s == 0
+
+    kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k in keys_s:
+        kdiff = kdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    boundary = kdiff & sel_s
+    ngroups = boundary.sum().astype(jnp.int32)
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    not_b = (~boundary).astype(jnp.int32)
+    _, starts = lax.sort([not_b, pos], num_keys=2)
+    starts = starts[:num_groups_cap]
+    gsel = lax.broadcasted_iota(jnp.int32, (num_groups_cap,), 0) \
+        < ngroups
+    sidx = jnp.clip(starts, 0, cap - 1)
+    out = data_s[sidx]
+    isnull = ~gsel | ~live_s[sidx]
+    if pn_s is not None:
+        isnull = isnull | (pn_s[sidx] == 1)
+    return out, isnull
+
+
+def ungrouped_argext(by_ops, by_nulls, payload: AggPayload, sel,
+                     is_max: bool):
+    cap = sel.shape[0]
+    live = sel if by_nulls is None else (sel & ~by_nulls)
+    inv = (~live).astype(jnp.int32)
+    ops = [~o for o in by_ops] if is_max else list(by_ops)
+    carried = [payload.data]
+    if payload.nulls is not None:
+        carried.append(payload.nulls.astype(jnp.int8))
+    sorted_ops = lax.sort([inv, *ops] + carried, num_keys=1 + len(ops),
+                          is_stable=False)
+    live0 = sorted_ops[0][0] == 0
+    v = sorted_ops[1 + len(ops)][0]
+    isnull = ~live0
+    if payload.nulls is not None:
+        isnull = isnull | (sorted_ops[2 + len(ops)][0] == 1)
+    return v, isnull
+
+
 def ungrouped_mode(value_ops, payload: AggPayload, sel):
     """Most frequent value over all selected rows (ties -> smallest)."""
     cap = sel.shape[0]

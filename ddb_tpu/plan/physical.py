@@ -482,6 +482,11 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
                     res.append(agg_ops.ungrouped_mode(vops, p, b.sel))
+                elif spec.kind in ("arg_min", "arg_max"):
+                    bd, bn = evaluate(spec.arg2, b)
+                    bops = sortkey.encode_key(bd, bn, spec.arg2.dtype)
+                    res.append(agg_ops.ungrouped_argext(
+                        bops, bn, p, b.sel, spec.kind == "arg_max"))
                 elif spec.distinct and spec.kind != "count_star":
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
@@ -568,7 +573,7 @@ def _exec_aggregate(node: L.Aggregate, ctx):
         gcap = b.sel.shape[0]
 
         def is_special(a):
-            return a.kind in ("quantile", "mode") \
+            return a.kind in ("quantile", "mode", "arg_min", "arg_max") \
                 or (a.distinct and a.kind != "count_star")
 
         plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
@@ -588,6 +593,12 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                 vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
                 results[i] = agg_ops.group_mode(
                     key_ops, vops, p, b.sel, gcap)
+            elif a.kind in ("arg_min", "arg_max"):
+                bd, bn = evaluate(a.arg2, b)
+                bops = sortkey.encode_key(bd, bn, a.arg2.dtype)
+                results[i] = agg_ops.group_argext(
+                    key_ops, bops, bn, p, b.sel, gcap,
+                    a.kind == "arg_max")
             elif a.distinct and a.kind != "count_star":
                 vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
                 results[i] = agg_ops.group_distinct_aggregate(

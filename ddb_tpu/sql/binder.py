@@ -47,7 +47,8 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "variance", "median", "quantile", "quantile_cont",
              "quantile_disc", "corr", "covar_pop", "covar_samp",
              "bool_and", "bool_or", "approx_count_distinct", "mode",
-             "list", "array_agg", "string_agg", "group_concat"}
+             "arg_min", "arg_max", "argmin", "argmax", "min_by",
+             "max_by", "list", "array_agg", "string_agg", "group_concat"}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -61,7 +62,7 @@ _TYPE_MAP = {
     "blob": T.BLOB, "bytea": T.BLOB, "varbinary": T.BLOB,
     "binary": T.BLOB, "uuid": T.UUID, "interval": T.INTERVAL,
     "utinyint": T.SMALLINT, "usmallint": T.INTEGER,
-    "uinteger": T.BIGINT, "ubigint": T.BIGINT,
+    "uinteger": T.BIGINT, "ubigint": T.BIGINT, "uhugeint": T.HUGEINT,
     # numeric-style aliases (reference: LogicalType aliases in
     # src/common/types.cpp — int32, float4, etc.)
     "int1": T.TINYINT, "int16": T.SMALLINT, "int32": T.INTEGER,
@@ -3187,6 +3188,17 @@ class Binder:
         if name == "mode":
             spec = L.AggSpec("mode", arg, arg.dtype, "mode")
             idx = agg_ctx.add(spec, f"mode({_ekey(arg)})")
+            return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name in ("arg_min", "arg_max", "argmin", "argmax", "min_by",
+                    "max_by"):
+            if len(e.args) != 2:
+                raise BindError(f"{name} requires (arg, val)")
+            by = self.bind_expr(e.args[1], scope, None, None,
+                                sub_replacements)
+            kind = "arg_max" if name in ("arg_max", "argmax", "max_by") \
+                else "arg_min"
+            spec = L.AggSpec(kind, arg, arg.dtype, kind, arg2=by)
+            idx = agg_ctx.add(spec, f"{kind}({_ekey(arg)},{_ekey(by)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
         if name in ("any_value", "first"):
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")

@@ -67,6 +67,38 @@ def _format_value(v) -> str:
     return str(v)
 
 
+_SIGNED = ["tinyint", "smallint", "integer", "bigint", "hugeint"]
+_UNSIGNED = ["utinyint", "usmallint", "uinteger", "ubigint", "uhugeint"]
+_COMPRESSION = ["none", "uncompressed", "rle", "bitpacking",
+                "dictionary", "fsst", "dict_fsst", "alp", "alprd"]
+
+
+def _expand_foreach_token(tok: str, current) -> list:
+    """Reference foreach collection tokens (<numeric>, <integral>, ...)
+    per test/sqlite/sqllogic_test_runner.cpp ForEachTokenReplace."""
+    t = tok.lower()
+    if t.startswith("!"):
+        try:
+            current.remove(tok[1:])
+            return []
+        except ValueError:
+            return [tok]
+    if t == "<signed>":
+        return list(_SIGNED)
+    if t == "<unsigned>":
+        return list(_UNSIGNED)
+    if t == "<integral>":
+        return _SIGNED + _UNSIGNED
+    if t == "<numeric>":
+        return _SIGNED + _UNSIGNED + ["float", "double"]
+    if t == "<alltypes>":
+        return _SIGNED + _UNSIGNED + ["float", "double", "bool",
+                                      "interval", "varchar"]
+    if t == "<compression>":
+        return list(_COMPRESSION)
+    return [tok]
+
+
 def _values_match(got: str, want: str) -> bool:
     if got == want:
         return True
@@ -118,7 +150,9 @@ def run_file(con, path: str, max_statements: Optional[int] = None
             if d == "loop":
                 vals = list(range(int(tok[2]), int(tok[3])))
             else:
-                vals = tok[2:]
+                vals = []
+                for p in tok[2:]:
+                    vals.extend(_expand_foreach_token(p, vals))
             loops.append([var, vals, 0, i])
             env[var] = vals[0]
             continue

@@ -785,3 +785,15 @@ def test_ordered_aggregates():
     # order-insensitive aggregates accept and ignore the modifier
     assert c.sql("SELECT sum(v ORDER BY s) FROM oa").fetchall() == \
         [(23,)]
+
+
+def test_arg_min_max():
+    c = ddb_tpu.connect()
+    c.register("am", {"g": [1, 1, 1, 2, 2, 3],
+                      "v": [3, 1, 2, 9, 8, None],
+                      "s": ["c", "a", "b", "z", "y", "q"]})
+    assert c.sql("SELECT g, arg_max(s, v), arg_min(s, v) FROM am "
+                 "GROUP BY g ORDER BY g").fetchall() == \
+        [(1, "c", "a"), (2, "z", "y"), (3, None, None)]
+    assert c.sql("SELECT arg_max(s, v), max_by(v, s), argmin(v, v) "
+                 "FROM am").fetchall() == [("z", 9, 1)]
