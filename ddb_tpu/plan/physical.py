@@ -666,7 +666,8 @@ def _exec_unnest(node: "L.Unnest", ctx):
 
 # ---- host aggregation for var-size results (list / string_agg) -------------
 
-_HOST_AGG_KINDS = ("collect", "string_agg")
+_HOST_AGG_KINDS = ("collect", "string_agg", "histogram",
+                   "approx_top_k")
 
 
 def _decode_host(vals, nulls, dtype, sd):
@@ -795,9 +796,25 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
                 res.append(len(dd))
                 rn.append(False)
                 continue
-            if a.kind in ("collect", "string_agg"):
+            if a.kind in ("collect", "string_agg", "histogram",
+                          "approx_top_k"):
                 sd = getattr(a.arg, "strdict", None)
                 vals = _decode_host(dd, None, a.arg.dtype, sd)
+                if a.kind == "histogram":
+                    # MAP<value, count>, keys ascending (reference:
+                    # core_functions/aggregate/holistic/histogram.cpp)
+                    from collections import Counter
+                    c = Counter(vals)
+                    res.append(sorted(c.items()))
+                    rn.append(len(c) == 0)
+                    continue
+                if a.kind == "approx_top_k":
+                    from collections import Counter
+                    c = Counter(vals)
+                    top = sorted(c.items(), key=lambda kv: (-kv[1],))
+                    res.append([k for k, _n in top[:a.extra]])
+                    rn.append(len(c) == 0)
+                    continue
                 if a.distinct:
                     seen, uniq = set(), []
                     for v in vals:
@@ -830,11 +847,16 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
             else:
                 raise NotImplementedError(
                     f"{a.kind} cannot combine with list aggregates yet")
-        if a.kind == "collect":
+        if a.kind in ("collect", "approx_top_k"):
             a.store.replace_all([r if not isnull else []
                                  for r, isnull in zip(res, rn)])
             arrays.append(np.arange(ngroups, dtype=np.int32))
-            nulls_out.append(None)
+            nulls_out.append(np.array(rn) if any(rn) else None)
+        elif a.kind == "histogram":
+            for r, isnull in zip(res, rn):
+                a.store.add(r if not isnull else [])
+            arrays.append(np.arange(ngroups, dtype=np.int32))
+            nulls_out.append(np.array(rn) if any(rn) else None)
         elif a.kind == "string_agg":
             newd, codes, _ = StringDictionary.encode(
                 [r if not isnull else "" for r, isnull in zip(res, rn)])

@@ -48,7 +48,8 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "quantile_disc", "corr", "covar_pop", "covar_samp",
              "bool_and", "bool_or", "approx_count_distinct", "mode",
              "arg_min", "arg_max", "argmin", "argmax", "min_by",
-             "max_by", "list", "array_agg", "string_agg", "group_concat"}
+             "max_by", "histogram", "histogram_exact", "approx_top_k",
+             "list", "array_agg", "string_agg", "group_concat"}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -3229,6 +3230,28 @@ class Binder:
                              order_by=order_b)
             idx = agg_ctx.add(spec,
                               f"list({_ekey(arg)},{e.distinct},{okey})")
+            return AggRef(idx, rt, store)
+        if name in ("histogram", "histogram_exact"):
+            from ..storage.nested import MapStore
+            store = MapStore()
+            rt = T.MAP(arg.dtype, T.BIGINT)
+            spec = L.AggSpec("histogram", arg, rt, "histogram",
+                             store=store)
+            idx = agg_ctx.add(spec, f"histogram({_ekey(arg)})")
+            return AggRef(idx, rt, store)
+        if name == "approx_top_k":
+            from ..storage.lists import ListStore
+            if len(e.args) != 2:
+                raise BindError("approx_top_k requires (arg, k)")
+            k = self.bind_expr(e.args[1], scope)
+            if not isinstance(k, ir.Const):
+                raise BindError("approx_top_k k must be constant")
+            store = ListStore()
+            rt = T.LIST(arg.dtype)
+            spec = L.AggSpec("approx_top_k", arg, rt, "approx_top_k",
+                             store=store, extra=int(k.value))
+            idx = agg_ctx.add(spec,
+                              f"approx_top_k({_ekey(arg)},{k.value})")
             return AggRef(idx, rt, store)
         if name in ("string_agg", "group_concat"):
             sep = ","

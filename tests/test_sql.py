@@ -797,3 +797,14 @@ def test_arg_min_max():
         [(1, "c", "a"), (2, "z", "y"), (3, None, None)]
     assert c.sql("SELECT arg_max(s, v), max_by(v, s), argmin(v, v) "
                  "FROM am").fetchall() == [("z", 9, 1)]
+
+
+def test_histogram_and_top_k():
+    c = ddb_tpu.connect()
+    c.register("hg", {"g": [1, 1, 1, 2, 2], "v": [3, 1, 3, 9, None],
+                      "s": ["c", "a", "a", "z", "z"]})
+    assert c.sql("SELECT g, histogram(v) FROM hg GROUP BY g ORDER BY g"
+                 ).fetchall() == [(1, {1: 1, 3: 2}), (2, {9: 1})]
+    assert c.sql("SELECT histogram(s), approx_top_k(s, 2) FROM hg"
+                 ).fetchall() == [({"a": 2, "c": 1, "z": 2},
+                                   ["a", "z"])]
