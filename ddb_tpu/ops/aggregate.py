@@ -123,6 +123,17 @@ def _seg_sum_scan(boundary, v):
     return out
 
 
+def _seg_prod_scan(boundary, v):
+    """Within-group inclusive cumproduct (float64; reference: product
+    aggregate, core_functions/aggregate/distributive/product.cpp)."""
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va * vb)
+    f, out = lax.associative_scan(op, (boundary, v))
+    return out
+
+
 def _seg_minmax_scan(boundary, v, is_min: bool):
     def op(a, b):
         fa, va = a
@@ -258,6 +269,10 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
             slo = _seg_sum_scan(boundary, lo)
             shi = _seg_sum_scan(boundary, hi)
             results_rows.append((p.kind, [slo, shi], cnt))
+        elif p.kind == "product":
+            v = jnp.where(notnull, data_s.astype(jnp.float64), 1.0)
+            s = _seg_prod_scan(boundary, v)
+            results_rows.append(("minmax", [s], cnt))
         elif p.kind in ("min", "max"):
             big = _extreme(data_s.dtype, p.kind)
             v = jnp.where(notnull, data_s, big)
@@ -410,6 +425,9 @@ def group_distinct_aggregate(key_ops, value_ops, payload: AggPayload,
         lo, hi = _split_limbs(v64)
         per_rows = [_seg_sum_scan(g_boundary, lo),
                     _seg_sum_scan(g_boundary, hi)]
+    elif payload.kind == "product":
+        v = jnp.where(first_occ, data_s.astype(jnp.float64), 1.0)
+        per_rows = [_seg_prod_scan(g_boundary, v)]
     else:
         raise NotImplementedError(f"distinct {payload.kind}")
 
@@ -480,6 +498,9 @@ def ungrouped_distinct(value_ops, payload: AggPayload, sel):
         if payload.kind == "avg_wide":
             return _compose_f64(slo, shi) / jnp.maximum(cnt, 1), cnt == 0
         return _finalize_wide(slo, shi), cnt == 0
+    if payload.kind == "product":
+        s = jnp.where(first_occ, data_s.astype(jnp.float64), 1.0).prod()
+        return s, cnt == 0
     raise NotImplementedError(f"distinct {payload.kind}")
 
 
@@ -538,6 +559,11 @@ def dense_group_aggregate(gid: jax.Array, domain: int,
         elif p.kind == "any_value":
             idxs = jnp.stack([jnp.argmax(m) for m in live_masks])
             results.append((p.data[idxs], nn == 0))
+        elif p.kind == "product":
+            d = p.data.astype(jnp.float64)
+            s = jnp.stack([jnp.where(m, d, 1.0).prod()
+                           for m in live_masks])
+            results.append((s, nn == 0))
         elif p.kind in _VAR_KINDS:
             d = p.data.astype(jnp.float64)
             z = jnp.zeros((), jnp.float64)
@@ -598,6 +624,9 @@ def ungrouped_aggregate(payloads: Sequence[AggPayload], sel: jax.Array):
                                 / jnp.maximum(cnt, 1), cnt == 0))
             else:
                 results.append((_finalize_wide(slo, shi), cnt == 0))
+        elif p.kind == "product":
+            v = jnp.where(live, p.data.astype(jnp.float64), 1.0)
+            results.append((v.prod(), cnt == 0))
         elif p.kind in ("min", "max"):
             big = _extreme(p.data.dtype, p.kind)
             v = jnp.where(live, p.data, big)

@@ -49,7 +49,8 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "bool_and", "bool_or", "approx_count_distinct", "mode",
              "arg_min", "arg_max", "argmin", "argmax", "min_by",
              "max_by", "histogram", "histogram_exact", "approx_top_k",
-             "list", "array_agg", "string_agg", "group_concat"}
+             "product", "list", "array_agg", "string_agg",
+             "group_concat"}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -95,6 +96,15 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     if tn not in _TYPE_MAP:
         raise BindError(f"unknown type {typename}")
     return _TYPE_MAP[tn]
+
+
+def _contains_volatile(e) -> bool:
+    """Binding these twice would have side effects (sequence advance,
+    fresh random seed) — exclude from speculative validation binds."""
+    if isinstance(e, A.EFunc) and e.name in ("nextval", "currval",
+                                             "random", "uuid", "setseed"):
+        return True
+    return any(_contains_volatile(c) for c in _ast_children(e))
 
 
 def _subst_ast(node, mapping):
@@ -1825,7 +1835,7 @@ class Binder:
         group_keys = [_ekey(bg) for bg in bound_groups]
 
         for e, alias in items:
-            self._validate_group_refs(e, group_asts, scope)
+            self._validate_group_refs(e, group_asts, scope, group_keys)
 
         agg_ctx = AggCtx()
         bound_items = []
@@ -1956,12 +1966,21 @@ class Binder:
                 pass
         return True
 
-    def _validate_group_refs(self, e: A.EExpr, group_asts, scope):
+    def _validate_group_refs(self, e: A.EExpr, group_asts, scope,
+                             group_keys=None):
         """Reject bare column references that are neither grouped nor
         inside an aggregate (reference: binder 'must appear in GROUP BY'
         errors, test_group_by_error.test)."""
         if any(_ast_equal(e, g) for g in group_asts):
             return
+        if group_keys and not _contains_volatile(e):
+            # semantic match: `t.j * 2` equals group expr `j * 2`
+            # once bound (qualified vs unqualified references)
+            try:
+                if _ekey(self.bind_expr(e, scope)) in group_keys:
+                    return
+            except BindError:
+                pass
         if isinstance(e, A.EFunc) and (e.name in AGG_FUNCS or e.star):
             return
         if isinstance(e, (A.EWindow, A.ESub, A.EExists)):
@@ -1975,7 +1994,7 @@ class Binder:
                 f"column \"{e.parts[-1]}\" must appear in the GROUP BY "
                 "clause or be used in an aggregate function")
         for c in _ast_children(e):
-            self._validate_group_refs(c, group_asts, scope)
+            self._validate_group_refs(c, group_asts, scope, group_keys)
 
     # ------------------------------------------------------------------
     # ORDER BY
@@ -2068,6 +2087,22 @@ class Binder:
                     bg = self.bind_expr(ga, scope)
                     return ir.ColRef(gi, bg.dtype, f"__g{gi}",
                                      getattr(bg, "strdict", None))
+            if not isinstance(e, (A.ELit,)) \
+                    and any(type(ga) is type(e) for ga in gasts) \
+                    and not _contains_volatile(e):
+                # semantic match for qualified/rewritten forms of a
+                # group expression (t.j*2 vs j*2)
+                try:
+                    bound_try = self.bind_expr(e, scope)
+                except BindError:
+                    bound_try = None
+                if bound_try is not None:
+                    k = _ekey(bound_try)
+                    for gi, gk in enumerate(gkeys):
+                        if k == gk:
+                            return ir.ColRef(
+                                gi, bound_try.dtype, f"__g{gi}",
+                                getattr(bound_try, "strdict", None))
         if sub_replacements is not None and isinstance(e, A.ESub):
             return sub_replacements[id(e)]
         if sub_replacements is not None \
@@ -3272,6 +3307,12 @@ class Binder:
                 spec,
                 f"string_agg({_ekey(arg)},{sep},{e.distinct},{okey})")
             return AggRef(idx, T.VARCHAR, store)
+        if name == "product":
+            arg = self._agg_numeric(arg)
+            spec = L.AggSpec("product", arg, T.DOUBLE, "product",
+                             distinct=e.distinct)
+            idx = agg_ctx.add(spec, f"product({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, T.DOUBLE)
         if name in ("stddev", "stddev_samp", "stddev_pop", "var_samp",
                     "var_pop", "variance"):
             kind = {"stddev": "stddev_samp", "variance": "var_samp"} \

@@ -808,3 +808,23 @@ def test_histogram_and_top_k():
     assert c.sql("SELECT histogram(s), approx_top_k(s, 2) FROM hg"
                  ).fetchall() == [({"a": 2, "c": 1, "z": 2},
                                    ["a", "z"])]
+
+
+def test_product_aggregate():
+    c = ddb_tpu.connect()
+    c.register("pr", {"g": [1, 1, 2, 2, 3], "v": [2.0, 3.0, 4.0, None,
+                                                  None],
+                      "j": [1, 1, 2, 2, 3]})
+    assert c.sql("SELECT g, product(v) FROM pr GROUP BY g ORDER BY g"
+                 ).fetchall() == [(1, 6.0), (2, 4.0), (3, None)]
+    assert c.sql("SELECT product(v), product(DISTINCT j) FROM pr"
+                 ).fetchall() == [(24.0, 6.0)]
+
+
+def test_qualified_group_expressions():
+    c = ddb_tpu.connect()
+    c.register("qg", {"i": [1, 2, 3, 4], "j": [4, 4, 6, 6]})
+    assert c.sql("SELECT qg.j * 2 FROM qg GROUP BY j * 2 "
+                 "ORDER BY j * 2").fetchall() == [(8,), (12,)]
+    assert c.sql("SELECT j * 2 FROM qg GROUP BY qg.j * 2 "
+                 "ORDER BY 1").fetchall() == [(8,), (12,)]
