@@ -970,7 +970,94 @@ def _mark_nulls(node: L.Join, lb: Batch, rb: Batch, has):
     return ~has & (n_null | (probe_null & n_any))
 
 
+def _exec_nl_outer(node: L.Join, ctx):
+    """Nested-loop OUTER join with an arbitrary predicate and no equi/
+    range keys (reference: physical_nested_loop_join.cpp outer paths):
+    all pairs are materialized, the predicate selects matches, and
+    unmatched preserved-side rows append NULL-padded."""
+    ls, lbz = _execute(node.left, ctx)
+    rs, rbz = _execute(node.right, ctx)
+    jt = node.join_type
+    statsz = _lazy(node, "stats",
+                   lambda lb, rb: _stack_counts(lb, rb), lbz, rbz)
+    lb, rb, st = _force(node, [lbz, rbz, statsz])
+    nl_live, nr_live = (int(x) for x in np.asarray(st))
+    lb = _concrete(node, _compact_lazy(node, lb, nl_live, tag="lcomp"))
+    rb = _concrete(node, _compact_lazy(node, rb, nr_live, tag="rcomp"))
+    nl, nr = lb.sel.shape[0], rb.sel.shape[0]
+    extra_l = nl if jt in ("left", "full") else 0
+    extra_r = nr if jt in ("right", "full") else 0
+    cap = bucket_capacity(nl * nr + extra_l + extra_r)
+
+    def kern(lb, rb):
+        li = lax.broadcasted_iota(jnp.int32, (nl, nr), 0).reshape(-1)
+        ri = lax.broadcasted_iota(jnp.int32, (nl, nr), 1).reshape(-1)
+        pcols = []
+        for c in lb.columns:
+            pcols.append(Column(c.data[li],
+                                c.nulls[li] if c.nulls is not None
+                                else None))
+        for c in rb.columns:
+            pcols.append(Column(c.data[ri],
+                                c.nulls[ri] if c.nulls is not None
+                                else None))
+        pair_sel = lb.sel[li] & rb.sel[ri]
+        pb = Batch(tuple(pcols), pair_sel,
+                   pair_sel.astype(jnp.int32).sum())
+        md, mn = evaluate(node.extra, pb)
+        match = pair_sel & md.astype(bool)
+        if mn is not None:
+            match = match & ~mn
+        m2 = match.reshape(nl, nr)
+        lmatched = m2.any(axis=1)
+        rmatched = m2.any(axis=0)
+
+        cols = []
+        zero_l = [jnp.zeros(extra_r, c.data.dtype) for c in lb.columns]
+        zero_r = [jnp.zeros(extra_l, c.data.dtype) for c in rb.columns]
+        for j, c in enumerate(lb.columns):
+            parts = [c.data[li]]
+            nparts = [c.nulls[li] if c.nulls is not None
+                      else jnp.zeros(nl * nr, bool)]
+            if extra_l:
+                parts.append(c.data)
+                nparts.append(c.nulls if c.nulls is not None
+                              else jnp.zeros(nl, bool))
+            if extra_r:
+                parts.append(zero_l[j])
+                nparts.append(jnp.ones(extra_r, bool))
+            cols.append(Column(_pad(jnp.concatenate(parts), cap),
+                               _pad(jnp.concatenate(nparts), cap)))
+        for j, c in enumerate(rb.columns):
+            parts = [c.data[ri]]
+            nparts = [c.nulls[ri] if c.nulls is not None
+                      else jnp.zeros(nl * nr, bool)]
+            if extra_l:
+                parts.append(zero_r[j])
+                nparts.append(jnp.ones(extra_l, bool))
+            if extra_r:
+                parts.append(c.data)
+                nparts.append(c.nulls if c.nulls is not None
+                              else jnp.zeros(nr, bool))
+            cols.append(Column(_pad(jnp.concatenate(parts), cap),
+                               _pad(jnp.concatenate(nparts), cap)))
+        selparts = [match]
+        if extra_l:
+            selparts.append(lb.sel & ~lmatched)
+        if extra_r:
+            selparts.append(rb.sel & ~rmatched)
+        sel = _pad(jnp.concatenate(selparts), cap)
+        return Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
+
+    return node.schema, _lazy(node, ("nl_outer", jt, cap, nl, nr),
+                              kern, lb, rb)
+
+
 def _exec_join(node: L.Join, ctx):
+    if not node.conds and node.range_cond is None \
+            and node.extra is not None \
+            and node.join_type in ("left", "right", "full"):
+        return _exec_nl_outer(node, ctx)
     lschema, lbz = _execute(node.left, ctx)
     rschema, rbz = _execute(node.right, ctx)
     jt = node.join_type

@@ -1032,6 +1032,13 @@ class Binder:
                 plan = L.Join(lplan, rplan, ref.join_type, [], extra=extra,
                               range_cond=range_cond)
                 return plan, combined
+            if ref.join_type in ("left", "right", "full"):
+                # nested-loop outer join over an arbitrary predicate
+                # (reference: physical_nested_loop_join.cpp)
+                plan = L.Join(lplan, rplan, ref.join_type, [],
+                              extra=ir.make_and(extras)
+                              if extras else ir.Const(True, T.BOOLEAN))
+                return plan, combined
             if ref.join_type != "inner":
                 raise BindError("non-equi outer joins not supported yet")
             plan = L.CrossProduct(lplan, rplan)

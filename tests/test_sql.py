@@ -828,3 +828,19 @@ def test_qualified_group_expressions():
                  "ORDER BY j * 2").fetchall() == [(8,), (12,)]
     assert c.sql("SELECT j * 2 FROM qg GROUP BY qg.j * 2 "
                  "ORDER BY 1").fetchall() == [(8,), (12,)]
+
+
+def test_nested_loop_outer_joins():
+    c = ddb_tpu.connect()
+    c.register("nlo_l", {"i": [1, 2, 3]})
+    c.register("nlo_r", {"j": [2, 3, 9]})
+    assert c.sql("SELECT i, j FROM nlo_l LEFT JOIN nlo_r ON i > j "
+                 "ORDER BY i, j").fetchall() == \
+        [(1, None), (2, None), (3, 2)]
+    assert c.sql("SELECT i, j FROM nlo_l RIGHT JOIN nlo_r "
+                 "ON i <> j AND i + j > 4 ORDER BY j, i").fetchall() == \
+        [(3, 2), (2, 3), (1, 9), (2, 9), (3, 9)]
+    assert c.sql("SELECT i, j FROM nlo_l FULL JOIN nlo_r "
+                 "ON i * j > 90 ORDER BY i, j").fetchall() == \
+        [(1, None), (2, None), (3, None), (None, 2), (None, 3),
+         (None, 9)]
