@@ -78,7 +78,8 @@ def dispatch(e: ir.Func, batch, evaluate):
         # (reference: python UDFs, tools/pythonpkg/src/python_udf.cpp)
         import jax
         import numpy as np
-        fn, arg_dicts = e.extra
+        fn, arg_dicts = e.extra[0], e.extra[1]
+        pass_nulls = len(e.extra) > 2 and e.extra[2]
         vals, nulls = [], []
         for a in e.args:
             d, nl = evaluate(a, batch)
@@ -86,19 +87,27 @@ def dispatch(e: ir.Func, batch, evaluate):
             nulls.append(nl)
         cap = batch.sel.shape[0]
         out_np = np.dtype(e.dtype.np_dtype)
+        k = len(vals)
+        null_args = [nl if nl is not None
+                     else jnp.zeros(cap, dtype=bool) for nl in nulls]
 
         def host(*arrs):
             cols = []
-            for arr, sd in zip(arrs, arg_dicts):
+            for arr, sd in zip(arrs[:k], arg_dicts):
                 a = np.asarray(arr)
                 if sd is not None:
                     a = sd.decode(np.clip(a, 0, max(len(sd) - 1, 0))
                                   .astype(np.int64))
                 cols.append(a)
+            ncols = [np.asarray(x) for x in arrs[k:]]
             outv = np.empty(cap, dtype=out_np)
             outn = np.zeros(cap, dtype=bool)
-            for i, row in enumerate(zip(*cols)):
-                v = fn(*row)
+            for i, row in enumerate(zip(*cols) if cols
+                                    else ((),) * cap):
+                if pass_nulls:
+                    v = fn(row, tuple(nc[i] for nc in ncols))
+                else:
+                    v = fn(*row)
                 if v is None:
                     outn[i] = True
                     outv[i] = out_np.type(0)
@@ -108,11 +117,13 @@ def dispatch(e: ir.Func, batch, evaluate):
 
         out, udf_null = jax.pure_callback(
             host, (jax.ShapeDtypeStruct((cap,), out_np),
-                   jax.ShapeDtypeStruct((cap,), np.bool_)), *vals)
+                   jax.ShapeDtypeStruct((cap,), np.bool_)),
+            *vals, *(null_args if pass_nulls else ()))
         n = udf_null
-        for nl in nulls:
-            if nl is not None:
-                n = n | nl
+        if not pass_nulls:
+            for nl in nulls:
+                if nl is not None:
+                    n = n | nl
         return out, n
     if name in ("year", "month", "day"):
         d, n = evaluate(e.args[0], batch)

@@ -3379,31 +3379,119 @@ class Binder:
             raise BindError("statistical aggregate requires numeric input")
         return ir.Cast(arg, T.DOUBLE)
 
+    def _bind_list_func_dynamic(self, name, a, store, e, scope, agg_ctx,
+                                group_map, sub_replacements):
+        """List functions over RUNTIME-built lists: evaluate against the
+        store per row via the callback seam."""
+        def lst_of(vals, nulls):
+            return None if nulls[0] else store.decode_one(int(vals[0]))
+
+        if name in ("array_length", "list_length", "len", "length",
+                    "cardinality"):
+            def fn(vals, nulls):
+                lst = lst_of(vals, nulls)
+                return None if lst is None else len(lst)
+            out = ir.Func("__pyudf__", [a], T.BIGINT)
+            out.extra = (fn, [None], True)
+            return out
+        if name in ("list_contains", "array_contains", "list_has",
+                    "contains", "list_position", "list_indexof",
+                    "array_position", "list_sum", "list_min",
+                    "list_max", "list_avg"):
+            needle = None
+            if name in ("list_contains", "array_contains", "list_has",
+                        "contains", "list_position", "list_indexof",
+                        "array_position"):
+                c = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                                   sub_replacements)
+                if not isinstance(c, ir.Const):
+                    raise BindError(f"{name} needle must be constant "
+                                    "for runtime lists")
+                sd = getattr(c, "strdict", None)
+                needle = sd.decode_one(c.value) if sd is not None \
+                    else T.decode_value(c.value, c.dtype)
+
+            def fn(vals, nulls, name=name, needle=needle):
+                lst = lst_of(vals, nulls)
+                if lst is None:
+                    return None
+                if name in ("list_contains", "array_contains",
+                            "list_has", "contains"):
+                    return needle in lst
+                if name in ("list_position", "list_indexof",
+                            "array_position"):
+                    return lst.index(needle) + 1 if needle in lst \
+                        else None
+                vs = [x for x in lst if x is not None]
+                if not vs:
+                    return None
+                if name == "list_sum":
+                    return sum(vs)
+                if name == "list_min":
+                    return min(vs)
+                if name == "list_max":
+                    return max(vs)
+                return float(sum(vs)) / len(vs)
+            rt = {"list_contains": T.BOOLEAN, "array_contains":
+                  T.BOOLEAN, "list_has": T.BOOLEAN,
+                  "contains": T.BOOLEAN, "list_avg": T.DOUBLE}.get(
+                      name, T.BIGINT if name in ("list_position",
+                                                 "list_indexof",
+                                                 "array_position")
+                      else (a.dtype.child or T.BIGINT))
+            out = ir.Func("__pyudf__", [a], rt)
+            out.extra = (fn, [None], True)
+            return out
+        raise BindError(f"{name} over runtime-built lists not "
+                        "supported yet")
+
     def _bind_list_literal(self, e: A.EList, scope, agg_ctx, group_map,
                            sub_replacements) -> ir.Expr:
         """[v1, v2, ...] -> Const of LIST type backed by a host ListStore
         (reference: list_value / array literals, LogicalType::LIST)."""
         from ..storage.lists import ListStore
-        vals = []
+        bound = [self.bind_expr(it, scope, agg_ctx, group_map,
+                                sub_replacements) for it in e.items]
         et = None
-        for it in e.items:
-            c = self.bind_expr(it, scope, agg_ctx, group_map,
-                               sub_replacements)
-            if not isinstance(c, ir.Const):
-                raise BindError("list literals must contain constants")
-            sd = getattr(c, "strdict", None)
-            if c.value is None:
-                vals.append(None)
-                continue
-            if sd is not None:
-                vals.append(sd.decode_one(c.value))
-            else:
-                vals.append(T.decode_value(c.value, c.dtype))
+        for c in bound:
             if c.dtype.id != TypeId.NULL:
                 et = c.dtype if et is None \
                     else ir.common_type(et, c.dtype)
-        out = ir.Const(0, T.LIST(et if et is not None else T.INTEGER))
-        out.strdict = ListStore([vals])
+        lt = T.LIST(et if et is not None else T.INTEGER)
+        if all(isinstance(c, ir.Const) for c in bound):
+            vals = []
+            for c in bound:
+                sd = getattr(c, "strdict", None)
+                if c.value is None:
+                    vals.append(None)
+                elif sd is not None:
+                    vals.append(sd.decode_one(c.value))
+                else:
+                    vals.append(T.decode_value(c.value, c.dtype))
+            out = ir.Const(0, lt)
+            out.strdict = ListStore([vals])
+            return out
+        # non-constant elements: per-row host list construction through
+        # the pure_callback seam (reference: list_value builds child
+        # vectors; our LIST payloads are host stores by design)
+        store = ListStore()
+        dts = [c.dtype for c in bound]
+        sds = [getattr(c, "strdict", None) for c in bound]
+
+        def make_row(vals, nulls):
+            row = []
+            for v, isn, dt, sd in zip(vals, nulls, dts, sds):
+                if isn:
+                    row.append(None)
+                elif sd is not None:
+                    row.append(str(v))     # decoded by the wrapper
+                else:
+                    row.append(T.decode_value(v, dt))
+            return store.add(row)
+        out = ir.Func("__pyudf__", bound, lt)
+        out.extra = (make_row, sds, True)
+        out.strdict = store
+        self.uncacheable = True
         return out
 
     def _bind_string_split(self, e: A.EFunc, scope, agg_ctx, group_map,
@@ -3691,6 +3779,13 @@ class Binder:
         store = getattr(a, "strdict", None)
         if store is None:
             raise BindError(f"{name}: list argument has no store")
+        if isinstance(a, ir.Func):
+            # runtime-built list (literal over columns): the store fills
+            # during execution, so consult it through a callback instead
+            # of a bind-time table
+            return self._bind_list_func_dynamic(
+                name, a, store, e, scope, agg_ctx, group_map,
+                sub_replacements)
         if name in ("array_length", "list_length", "len", "length",
                     "cardinality"):
             return ir.DictLookup(a, store.lengths(), T.BIGINT,

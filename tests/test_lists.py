@@ -190,3 +190,18 @@ def test_list_function_breadth():
     assert c.sql("SELECT array_to_string([1,2,3], '-')").fetchall() \
         == [("1-2-3",)]
     assert c.sql("SELECT list_position([7,8,9], 8)").fetchall() == [(2,)]
+
+
+def test_runtime_list_literals():
+    con = ddb_tpu.connect()
+    con.register("rl", {"i": [1, 2, None], "s": ["a", "b", "c"]})
+    assert con.execute("SELECT [i, i * 2] FROM rl ORDER BY s"
+                       ).fetchall() == \
+        [([1, 2],), ([2, 4],), ([None, None],)]
+    assert con.execute("SELECT [s, 'x'] FROM rl ORDER BY s"
+                       ).fetchall() == \
+        [(["a", "x"],), (["b", "x"],), (["c", "x"],)]
+    assert con.execute(
+        "SELECT len([i, 1]), list_sum([i, i]), "
+        "list_contains([i, 4], 4) FROM rl ORDER BY s").fetchall() == \
+        [(2, 2, True), (2, 4, True), (2, None, True)]
