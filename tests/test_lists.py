@@ -193,6 +193,7 @@ def test_list_function_breadth():
 
 
 def test_runtime_list_literals():
+    import ddb_tpu
     con = ddb_tpu.connect()
     con.register("rl", {"i": [1, 2, None], "s": ["a", "b", "c"]})
     assert con.execute("SELECT [i, i * 2] FROM rl ORDER BY s"
