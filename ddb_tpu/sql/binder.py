@@ -2574,21 +2574,10 @@ class Binder:
                     raise ConversionError(
                         f"Could not convert string '{text}' to {tgt}")
                 return ir.Const(raw, tgt)
-        tmap = {
-            "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
-            "bigint": T.BIGINT, "int8": T.BIGINT, "hugeint": T.HUGEINT,
-            "smallint": T.SMALLINT, "tinyint": T.TINYINT,
-            "double": T.DOUBLE, "float8": T.DOUBLE, "real": T.FLOAT,
-            "float": T.FLOAT, "boolean": T.BOOLEAN, "bool": T.BOOLEAN,
-            "date": T.DATE, "timestamp": T.TIMESTAMP,
-            "varchar": T.VARCHAR, "text": T.VARCHAR, "string": T.VARCHAR,
-        }
         if typename in ("decimal", "numeric"):
             tgt = T.DECIMAL(w or 18, s)
-        elif typename not in tmap:
-            raise BindError(f"unknown type {typename}")
         else:
-            tgt = tmap[typename]
+            tgt = resolve_typename(typename, w, s)
         if tgt.id == TypeId.VARCHAR:
             return self._cast_to_varchar(c)
         if c.dtype.id == TypeId.VARCHAR:
@@ -3732,6 +3721,12 @@ class Binder:
                 vals.append(it[idx] if 0 <= idx < len(it) else None)
             return self._payload_expr(c, vals, t.child or T.INTEGER,
                                       "list_extract")
+        if t.id == TypeId.VARCHAR:
+            # 'abc'[2] == substring('abc', 2, 1) (reference: array_extract
+            # over VARCHAR, src/function/scalar/string/substring.cpp)
+            return self.bind_expr(
+                A.EFunc("substring", [e.child, e.index, A.ELit(1)]),
+                scope, agg_ctx, group_map, sub_replacements)
         raise BindError(f"cannot subscript a value of type {t}")
 
     def _bind_nested_func(self, name, e: A.EFunc, scope, agg_ctx,

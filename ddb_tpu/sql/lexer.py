@@ -38,6 +38,7 @@ KEYWORDS = {
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
   | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<dstr>\$(?P<dtag>[A-Za-z_]*)\$.*?\$(?P=dtag)\$)
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
@@ -68,6 +69,11 @@ def tokenize(sql: str) -> List[Token]:
         elif m.lastgroup == "str":
             out.append(Token("STR", text[1:-1].replace("''", "'"),
                              m.start()))
+        elif m.lastgroup in ("dstr", "dtag"):
+            # dollar-quoted string: $$text$$ / $tag$text$tag$
+            tag = m.group("dtag")
+            out.append(Token("STR", text[len(tag) + 2:
+                                         -(len(tag) + 2)], m.start()))
         elif m.lastgroup == "qid":
             out.append(Token("IDENT", text[1:-1].replace('""', '"'),
                              m.start()))
