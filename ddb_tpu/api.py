@@ -1446,7 +1446,7 @@ class Connection:
                 self._wal_log({"op": "insert", "table": td.name,
                                "columns": ins_cols,
                                "rows": encode_rows(rows)})
-            return None
+            return _count_result(len(rows))
         # INSERT ... SELECT
         binder = Binder(self.catalog, context=self)
         plan = self._optimize(binder.bind_select(stmt.select))
@@ -1467,7 +1467,7 @@ class Connection:
                 self._wal_log({"op": "insert", "table": td.name,
                                "columns": None,
                                "rows": encode_rows(rows)})
-        return None
+        return _count_result(src.num_rows)
 
     def _bind_table_predicate(self, td, where):
         """Evaluate WHERE over the full table -> bool mask (host)."""
@@ -1493,11 +1493,12 @@ class Connection:
             import numpy as np
             self._wal_log({"op": "delete", "table": td.name,
                            "idx": [int(i) for i in np.nonzero(mask)[0]]})
+        ndel = int(mask.sum())
         dml.delete_rows(td, mask)
         self.catalog.bump()
         if old is not None:
             self._emit_cdc(td.name, "delete", old)
-        return None
+        return _count_result(ndel)
 
     def _execute_update(self, stmt):
         import numpy as np
@@ -1560,7 +1561,7 @@ class Connection:
             self._wal_log({"op": "update", "table": td.name,
                            "idx": [int(i) for i in idx], "cols": cols,
                            "rows": encode_rows(rows)})
-        return None
+        return _count_result(int(mask.sum()))
 
     def _execute_transaction(self, stmt):
         """Snapshot-isolated transactions over the shared Database
@@ -1684,6 +1685,15 @@ class Connection:
 
     def table(self, name: str) -> storage.TableData:
         return self.catalog.get_table(name)
+
+
+def _count_result(n: int) -> QueryResult:
+    """DML row-count result (reference: INSERT/UPDATE/DELETE return a
+    single-row Count column through the client API)."""
+    from .storage.table import TableColumn, TableData
+    td = TableData("count", [TableColumn(
+        "Count", T.BIGINT, np.array([int(n)], dtype=np.int64))])
+    return QueryResult(td.schema, td.device_batch())
 
 
 def _text_result(name: str, lines) -> QueryResult:

@@ -77,6 +77,23 @@ _TYPE_MAP = {
 }
 
 
+def _split_top(s: str, sep: str):
+    """Split on sep at angle-bracket depth 0 (nested type encodings)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def resolve_typename(typename: str, width: int = 0, scale: int = 0
                      ) -> DataType:
     tn = typename.lower()
@@ -87,6 +104,19 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     if tn.startswith("list<") and tn.endswith(">"):
         inner, iw, isc = tn[5:-1].rsplit(":", 2)
         return T.LIST(resolve_typename(inner, int(iw), int(isc)))
+    if tn.startswith("struct<") and tn.endswith(">"):
+        members = []
+        for part in _split_top(tn[7:-1], ","):
+            mn, rest = part.split(":", 1)
+            mt, mw, ms = rest.rsplit(":", 2)
+            members.append((mn, resolve_typename(mt, int(mw), int(ms))))
+        return T.STRUCT(members)
+    if tn.startswith("map<") and tn.endswith(">"):
+        kp, vp = _split_top(tn[4:-1], ",")
+        kt, kw_, ks = kp.rsplit(":", 2)
+        vt, vw, vs = vp.rsplit(":", 2)
+        return T.MAP(resolve_typename(kt, int(kw_), int(ks)),
+                     resolve_typename(vt, int(vw), int(vs)))
     if tn.startswith("union<") and tn.endswith(">"):
         members = []
         for part in tn[6:-1].split(","):
@@ -3024,6 +3054,26 @@ class Binder:
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
                                           group_map, sub_replacements)
+        if name == "map" and len(e.args) == 2:
+            # MAP(keys_list, values_list) constructor (reference:
+            # core_functions/scalar/map/map.cpp)
+            from ..storage.nested import MapStore
+            kb = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                                sub_replacements)
+            vb = self.bind_expr(e.args[1], scope, agg_ctx, group_map,
+                                sub_replacements)
+            if isinstance(kb, ir.Const) and isinstance(vb, ir.Const) \
+                    and kb.dtype.id == TypeId.LIST \
+                    and vb.dtype.id == TypeId.LIST:
+                ks = kb.strdict.decode_one(kb.value)
+                vs = vb.strdict.decode_one(vb.value)
+                if len(ks) != len(vs):
+                    raise BindError("MAP key/value lists differ in size")
+                out = ir.Const(0, T.MAP(kb.dtype.child or T.INTEGER,
+                                        vb.dtype.child or T.INTEGER))
+                out.strdict = MapStore([list(zip(ks, vs))])
+                return out
+            raise BindError("MAP() requires constant key/value lists")
         # SQL macros (reference: macro_catalog_entry / macro_function)
         mac = getattr(self.catalog, "macros", {}).get(name)
         if mac is not None and not mac.get("is_table"):

@@ -1456,6 +1456,34 @@ class Parser:
                     break
             self.expect_op(")")
             return "union<" + ",".join(parts) + ">", 0, 0
+        if name in ("struct", "row") and self.at("OP", "("):
+            # STRUCT(a INT, b VARCHAR) — members encoded into the name
+            self.next()
+            parts = []
+            while True:
+                mn = self.ident()
+                mt, mw, ms = self.typename()
+                parts.append(f"{mn}:{mt}:{mw}:{ms}")
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            name = "struct<" + ",".join(parts) + ">"
+            # allow trailing [] handling below
+            w = s = 0
+            while self.at("OP", "["):
+                self.next()
+                if self.peek().kind == "NUM":
+                    self.next()
+                self.expect_op("]")
+                name, w, s = f"list<{name}:{w}:{s}>", 0, 0
+            return name, w, s
+        if name == "map" and self.at("OP", "("):
+            self.next()
+            kt, kw_, ks = self.typename()
+            self.expect_op(",")
+            vt, vw, vs = self.typename()
+            self.expect_op(")")
+            return f"map<{kt}:{kw_}:{ks},{vt}:{vw}:{vs}>", 0, 0
         if name in ("time", "timestamp") and self.at_kw("with"):
             # WITH TIME ZONE — stored naive (no TIMESTAMPTZ type; see
             # ddb_tpu/tz.py for the conversion functions)

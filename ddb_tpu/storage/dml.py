@@ -119,7 +119,7 @@ def empty_table(name: str, fields) -> TableData:
             sd = ListStore()
         elif dt.id == TypeId.STRUCT:
             from .nested import StructStore
-            sd = StructStore([])
+            sd = StructStore([n for n, _t in (dt.children or ())])
         elif dt.id == TypeId.MAP:
             from .nested import MapStore
             sd = MapStore()
@@ -180,6 +180,10 @@ def _encode_values(col: TableColumn, values: Sequence):
         for i, v in enumerate(values):
             if v is None:
                 continue
+            if col.dtype.id == TypeId.STRUCT and isinstance(v, dict):
+                v = tuple(v.get(nm) for nm in store.names)
+            elif col.dtype.id == TypeId.MAP and isinstance(v, dict):
+                v = list(v.items())
             codes[i] = store.add(v)
         return codes, nulls, None
     if col.dtype.id == TypeId.VARCHAR:

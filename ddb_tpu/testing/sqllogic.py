@@ -64,6 +64,13 @@ def _format_value(v) -> str:
         if v == datetime.date.min:
             return "-infinity"
         return v.isoformat()
+    if isinstance(v, list):
+        # duckdb renders nested NULLs as NULL, not Python None
+        return "[" + ", ".join(_format_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(
+            f"{_format_value(k)}={_format_value(x)}"
+            for k, x in v.items()) + "}"
     return str(v)
 
 

@@ -250,3 +250,24 @@ def test_type_aliases_and_count_noargs():
                 "TIMESTAMP '2024-01-01 00:00:00')")
     assert con.execute("SELECT COUNT(), COUNT(*) FROM ta").fetchall() \
         == [(1, 1)]
+
+
+def test_dml_row_count_results():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE rc (x INTEGER)")
+    assert con.execute("INSERT INTO rc VALUES (1), (2), (3)"
+                       ).fetchall() == [(3,)]
+    assert con.execute("UPDATE rc SET x = x + 1 WHERE x > 1"
+                       ).fetchall() == [(2,)]
+    assert con.execute("DELETE FROM rc WHERE x = 2").fetchall() == [(1,)]
+
+
+def test_struct_map_typed_columns():
+    con = ddb_tpu.connect()
+    con.execute("CREATE TABLE st (s STRUCT(a INTEGER, b VARCHAR), "
+                "m MAP(INTEGER, VARCHAR))")
+    con.execute("INSERT INTO st VALUES ({'a': 1, 'b': 'x'}, "
+                "MAP([1,2],['p','q']))")
+    assert con.execute("SELECT s, m FROM st").fetchall() == \
+        [({"a": 1, "b": "x"}, {1: "p", 2: "q"})]
+    assert con.execute("SELECT s.a FROM st").fetchall() == [(1,)]
