@@ -259,7 +259,8 @@ def test_dml_row_count_results():
                        ).fetchall() == [(3,)]
     assert con.execute("UPDATE rc SET x = x + 1 WHERE x > 1"
                        ).fetchall() == [(2,)]
-    assert con.execute("DELETE FROM rc WHERE x = 2").fetchall() == [(1,)]
+    assert con.execute("DELETE FROM rc WHERE x = 3").fetchall() == [(1,)]
+    assert con.execute("DELETE FROM rc").fetchall() == [(2,)]
 
 
 def test_struct_map_typed_columns():
