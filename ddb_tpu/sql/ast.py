@@ -69,6 +69,16 @@ class EWindow(EExpr):
 
 
 @dataclass
+class EQuant(EExpr):
+    """Quantified comparison: expr op ANY/ALL (subquery)
+    (reference: src/parser/expression/subquery_expression.hpp ANY/ALL)."""
+    op: str
+    child: EExpr
+    subquery: object
+    is_all: bool = False
+
+
+@dataclass
 class ECase(EExpr):
     operand: Optional[EExpr]
     whens: List[Tuple[EExpr, EExpr]]

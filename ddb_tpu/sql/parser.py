@@ -690,6 +690,59 @@ class Parser:
                                  constraints)
         self.error("expected VIEW or TABLE")
 
+    def _quantified(self, op: str, x, sub, is_all: bool):
+        """expr op ANY/ALL (subquery) -> IN / CASE-over-aggregates
+        rewrite (reference: quantified subquery planning in
+        plan_subquery.cpp; the min/max forms are the standard
+        decorrelation)."""
+        import copy
+        if op == "==" and not is_all:
+            return A.EIn(x, subquery=sub)
+        if op == "!=" and is_all:
+            return A.EIn(x, subquery=sub, negated=True)
+        agg = None
+        if not is_all:
+            agg = "max" if op in ("<", "<=") else (
+                "min" if op in (">", ">=") else None)
+        else:
+            agg = "min" if op in ("<", "<=") else (
+                "max" if op in (">", ">=") else None)
+        if agg is None:
+            self.error(f"unsupported quantified comparison {op} "
+                       f"{'ALL' if is_all else 'ANY'}")
+
+        def sq(items, where=None):
+            return A.ESub(A.SelectStmt(
+                items=items,
+                from_refs=[A.RSubquery(copy.deepcopy(sub), "__q",
+                                       ["__qcol"])],
+                where=where))
+        col = A.EIdent(["__qcol"])
+        cnt_all = sq([(A.EFunc("count", [], star=True), None)])
+        cnt_null = sq([(A.EFunc("count", [], star=True), None)],
+                      where=A.EIsNull(col))
+        extreme = sq([(A.EFunc(agg, [col]), None)])
+        cmp_ = A.EBinary(op, copy.deepcopy(x), extreme)
+        has_null = A.EBinary(">", cnt_null, A.ELit(0))
+        empty = A.EBinary("==", cnt_all, A.ELit(0))
+        if not is_all:
+            # empty -> false; x NULL -> NULL; cmp true -> true;
+            # nulls present -> NULL; else false
+            return A.ECase(None, [
+                (empty, A.ELit(False)),
+                (A.EIsNull(copy.deepcopy(x)), A.ELit(None)),
+                (cmp_, A.ELit(True)),
+                (has_null, A.ELit(None)),
+            ], A.ELit(False))
+        # ALL: empty -> true; x NULL -> NULL; cmp false -> false;
+        # nulls present -> NULL; else true
+        return A.ECase(None, [
+            (empty, A.ELit(True)),
+            (A.EIsNull(copy.deepcopy(x)), A.ELit(None)),
+            (A.EUnary("not", cmp_), A.ELit(False)),
+            (has_null, A.ELit(None)),
+        ], A.ELit(True))
+
     def _table_alias(self) -> str:
         """Derived-table alias; optional like the reference
         (unaliased subqueries get a generated unique name)."""
@@ -1307,6 +1360,23 @@ class Parser:
                 self.next()
                 op = {"=": "==", "<>": "!=", "!=": "!="}.get(t.value,
                                                              t.value)
+                if (self.at_kw("any", "all")
+                        or (self.peek().kind == "IDENT"
+                            and self.peek().value == "some")) \
+                        and self.peek(1).kind == "OP" \
+                        and self.peek(1).value == "(":
+                    q = self.next().value
+                    self.expect_op("(")
+                    if self.at_kw("select", "with"):
+                        sub = self.select_stmt()
+                    else:
+                        # ANY over a list expression: x = ANY([..])
+                        le = self.expr()
+                        sub = A.SelectStmt(
+                            items=[(A.EFunc("unnest", [le]), "v")])
+                    self.expect_op(")")
+                    e = self._quantified(op, e, sub, q == "all")
+                    continue
                 e = A.EBinary(op, e, self.expr_add())
                 continue
             if t.kind == "KW":

@@ -844,3 +844,24 @@ def test_nested_loop_outer_joins():
                  "ON i * j > 90 ORDER BY i, j").fetchall() == \
         [(1, None), (2, None), (3, None), (None, 2), (None, 3),
          (None, 9)]
+
+
+def test_quantified_any_all():
+    c = ddb_tpu.connect()
+    c.register("qt", {"i": [1, 2, 3]})
+    c.register("qs", {"v": [2, None]})
+    assert c.sql("SELECT i, i = ANY(SELECT v FROM qs) FROM qt "
+                 "ORDER BY i").fetchall() == \
+        [(1, None), (2, True), (3, None)]
+    assert c.sql("SELECT i, i > ANY(SELECT v FROM qs) FROM qt "
+                 "ORDER BY i").fetchall() == \
+        [(1, None), (2, None), (3, True)]
+    assert c.sql("SELECT i, i < ALL(SELECT v FROM qs) FROM qt "
+                 "ORDER BY i").fetchall() == \
+        [(1, None), (2, False), (3, False)]
+    assert c.sql("SELECT i, i <> ALL(SELECT v FROM qs) FROM qt "
+                 "ORDER BY i").fetchall() == \
+        [(1, None), (2, False), (3, None)]
+    assert c.sql("SELECT 5 > ANY(SELECT 1 WHERE false), "
+                 "5 < ALL(SELECT 1 WHERE false)").fetchall() == \
+        [(False, True)]
