@@ -238,6 +238,7 @@ class SelectStmt:
     sample: Optional["SampleSpec"] = None     # USING SAMPLE
     having: Optional[EExpr] = None
     qualify: Optional[EExpr] = None   # QUALIFY: filter on window output
+    distinct_on: Optional[List[EExpr]] = None  # DISTINCT ON (exprs)
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[int] = None
     offset: int = 0

@@ -330,6 +330,19 @@ class Binder:
     # ------------------------------------------------------------------
     def bind_select(self, stmt: A.SelectStmt,
                     outer_scope: Optional[Scope] = None) -> L.LogicalNode:
+        if getattr(stmt, "distinct_on", None):
+            # DISTINCT ON (keys): first row per key in ORDER BY order —
+            # lowered to row_number() OVER (PARTITION BY keys
+            # ORDER BY ...) = 1 via QUALIFY (reference lowers to a
+            # first() aggregate; the rank filter is equivalent)
+            import dataclasses as _dc
+            win = A.EWindow(A.EFunc("row_number", []),
+                            partition=list(stmt.distinct_on),
+                            order=list(stmt.order_by or ()))
+            cond = A.EBinary("==", win, A.ELit(1))
+            q = cond if stmt.qualify is None \
+                else A.EBinary("and", stmt.qualify, cond)
+            stmt = _dc.replace(stmt, qualify=q, distinct_on=None)
         for cdef in stmt.ctes:
             self.ctes[cdef.name.lower()] = cdef
             if not hasattr(cdef, "_nrefs"):

@@ -883,6 +883,20 @@ class Parser:
         s = A.SelectStmt()
         if self.accept_kw("distinct"):
             s.distinct = True
+            if self.peek().kind in ("KW", "IDENT") \
+                    and self.peek().value == "on" \
+                    and self.peek(1).kind == "OP" \
+                    and self.peek(1).value == "(":
+                # DISTINCT ON (exprs): first row per key (reference:
+                # transform_select_node.cpp DistinctModifier) — lowered
+                # to a row_number QUALIFY after the full SELECT parses
+                self.next()
+                self.next()
+                s.distinct_on = [self.expr()]
+                while self.accept_op(","):
+                    s.distinct_on.append(self.expr())
+                self.expect_op(")")
+                s.distinct = False
         self.accept_kw("all")
         while True:
             e = self.expr()

@@ -865,3 +865,12 @@ def test_quantified_any_all():
     assert c.sql("SELECT 5 > ANY(SELECT 1 WHERE false), "
                  "5 < ALL(SELECT 1 WHERE false)").fetchall() == \
         [(False, True)]
+
+
+def test_distinct_on():
+    c = ddb_tpu.connect()
+    c.register("don", {"g": [1, 1, 2, 2], "v": [30, 10, 20, 5]})
+    assert c.sql("SELECT DISTINCT ON (g) g, v FROM don ORDER BY g, v"
+                 ).fetchall() == [(1, 10), (2, 5)]
+    assert c.sql("SELECT DISTINCT ON (g) g, v FROM don "
+                 "ORDER BY g, v DESC").fetchall() == [(1, 30), (2, 20)]
