@@ -27,13 +27,16 @@ _HBM_BYTES_PER_S = 819e9
 _BYTES_PER_ROW = 6 * 4
 
 
-def _median_of(fn, k=3):
+def _median_of(fn, k=5):
+    """Median timing — robust to asymmetric host-contention outliers
+    (min() can inflate the slope when only one endpoint is disturbed)."""
     ts = []
     for _ in range(k):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def _bench_pallas(n, lo_reps, hi_reps):
@@ -173,8 +176,8 @@ def main():
     from ddb_tpu.bench.tpch import synth_lineitem
 
     n = int(os.environ.get("BENCH_ROWS", 6_001_215))
-    lo_reps = int(os.environ.get("BENCH_REPS_LO", 10))
-    hi_reps = int(os.environ.get("BENCH_REPS_HI", 60))
+    lo_reps = int(os.environ.get("BENCH_REPS_LO", 20))
+    hi_reps = int(os.environ.get("BENCH_REPS_HI", 120))
 
     try:
         res = _bench_pallas(n, lo_reps, hi_reps)
