@@ -109,8 +109,11 @@ def main():
         subprocess.run([ORACLE, dbfile], input=f"CALL dsdgen(sf={args.sf});",
                        text=True, check=True, capture_output=True)
 
-    lo, hi = (args.queries.split("-") + [args.queries])[:2]
-    queries = list(range(int(lo), int(hi) + 1))
+    if "," in args.queries:
+        queries = [int(q) for q in args.queries.split(",")]
+    else:
+        lo, hi = (args.queries.split("-") + [args.queries])[:2]
+        queries = list(range(int(lo), int(hi) + 1))
 
     os.makedirs("/tmp/tpcds_results", exist_ok=True)
     mine = {}
