@@ -1434,8 +1434,11 @@ class Connection:
                 for col in missing:
                     row.append(eval_default(col))
                 rows.append(row)
+            # arity==0 is INSERT ... DEFAULT VALUES: always pass the
+            # (possibly empty) explicit column list so columns without a
+            # DEFAULT become NULL rather than indexing an empty row.
             ins_cols = (eff_cols + missing) \
-                if (target is not None or missing) else None
+                if (target is not None or missing or arity == 0) else None
             n0 = td.num_rows
             n = dml.insert_rows(td, rows, ins_cols)
             self._enforce_constraints(td, n0)

@@ -91,7 +91,18 @@ def dispatch(e: ir.Func, batch, evaluate):
         null_args = [nl if nl is not None
                      else jnp.zeros(cap, dtype=bool) for nl in nulls]
 
-        def host(*arrs):
+        # only invoke the UDF on rows that are both selected and (unless
+        # pass_nulls) have all-non-NULL arguments; a UDF that raises on
+        # filtered-out values must not crash the query (reference
+        # evaluates only selected rows, python_udf.cpp)
+        live = batch.sel
+        if not pass_nulls:
+            for nl in nulls:
+                if nl is not None:
+                    live = live & ~nl
+
+        def host(live_m, *arrs):
+            live_np = np.asarray(live_m)
             cols = []
             for arr, sd in zip(arrs[:k], arg_dicts):
                 a = np.asarray(arr)
@@ -100,10 +111,13 @@ def dispatch(e: ir.Func, batch, evaluate):
                                   .astype(np.int64))
                 cols.append(a)
             ncols = [np.asarray(x) for x in arrs[k:]]
-            outv = np.empty(cap, dtype=out_np)
+            outv = np.zeros(cap, dtype=out_np)
             outn = np.zeros(cap, dtype=bool)
             for i, row in enumerate(zip(*cols) if cols
                                     else ((),) * cap):
+                if not live_np[i]:
+                    outn[i] = True
+                    continue
                 if pass_nulls:
                     v = fn(row, tuple(nc[i] for nc in ncols))
                 else:
@@ -118,7 +132,7 @@ def dispatch(e: ir.Func, batch, evaluate):
         out, udf_null = jax.pure_callback(
             host, (jax.ShapeDtypeStruct((cap,), out_np),
                    jax.ShapeDtypeStruct((cap,), np.bool_)),
-            *vals, *(null_args if pass_nulls else ()))
+            live, *vals, *(null_args if pass_nulls else ()))
         n = udf_null
         if not pass_nulls:
             for nl in nulls:

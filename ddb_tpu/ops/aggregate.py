@@ -815,25 +815,24 @@ def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
                  num_groups_cap: int, is_max: bool):
     """arg_min/arg_max: payload value at the row where the BY key is
     extremal, per group (reference: arg_min_max.cpp; ours is one sort —
-    BY-extremal rows sort first within each group).  Rows with NULL BY
-    keys are ignored; ties break deterministically by the sort."""
+    BY-extremal rows sort first within each group).  Rows where either
+    the BY key or the payload is NULL are ignored, so the result falls
+    back to the next-extremal row with a non-NULL payload (matching
+    arg_min_max.cpp); ties break deterministically by the sort."""
     cap = sel.shape[0]
     excl = (~sel).astype(jnp.int32)
     live = sel if by_nulls is None else (sel & ~by_nulls)
+    if payload.nulls is not None:
+        live = live & ~payload.nulls
     inv_live = (~live).astype(jnp.int32)
     ops = [~o for o in by_ops] if is_max else list(by_ops)
     operands = [excl, *key_ops, inv_live, *ops]
-    carried = [payload.data]
-    if payload.nulls is not None:
-        carried.append(payload.nulls.astype(jnp.int8))
-    sorted_ops = lax.sort(operands + carried, num_keys=len(operands),
-                          is_stable=False)
+    sorted_ops = lax.sort(operands + [payload.data],
+                          num_keys=len(operands), is_stable=False)
     excl_s = sorted_ops[0]
     keys_s = sorted_ops[1:1 + len(key_ops)]
     live_s = sorted_ops[1 + len(key_ops)] == 0
     data_s = sorted_ops[len(operands)]
-    pn_s = sorted_ops[len(operands) + 1] \
-        if payload.nulls is not None else None
     sel_s = excl_s == 0
 
     kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
@@ -851,8 +850,6 @@ def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
     sidx = jnp.clip(starts, 0, cap - 1)
     out = data_s[sidx]
     isnull = ~gsel | ~live_s[sidx]
-    if pn_s is not None:
-        isnull = isnull | (pn_s[sidx] == 1)
     return out, isnull
 
 
@@ -860,19 +857,15 @@ def ungrouped_argext(by_ops, by_nulls, payload: AggPayload, sel,
                      is_max: bool):
     cap = sel.shape[0]
     live = sel if by_nulls is None else (sel & ~by_nulls)
+    if payload.nulls is not None:
+        live = live & ~payload.nulls
     inv = (~live).astype(jnp.int32)
     ops = [~o for o in by_ops] if is_max else list(by_ops)
-    carried = [payload.data]
-    if payload.nulls is not None:
-        carried.append(payload.nulls.astype(jnp.int8))
-    sorted_ops = lax.sort([inv, *ops] + carried, num_keys=1 + len(ops),
-                          is_stable=False)
+    sorted_ops = lax.sort([inv, *ops, payload.data],
+                          num_keys=1 + len(ops), is_stable=False)
     live0 = sorted_ops[0][0] == 0
     v = sorted_ops[1 + len(ops)][0]
-    isnull = ~live0
-    if payload.nulls is not None:
-        isnull = isnull | (sorted_ops[2 + len(ops)][0] == 1)
-    return v, isnull
+    return v, ~live0
 
 
 def ungrouped_mode(value_ops, payload: AggPayload, sel):

@@ -178,9 +178,11 @@ def apply_record(con, rec: dict) -> None:
             "start": rec["start"], "increment": rec["increment"]}
         cat.bump()
     elif op == "sequence_value":
+        # records replay in append order, so the last logged value wins;
+        # max() would be wrong for negative-increment sequences
         seq = cat.sequences.get(rec["name"])
         if seq is not None:
-            seq["value"] = max(seq["value"], int(rec["value"]))
+            seq["value"] = int(rec["value"])
     elif op == "create_schema":
         cat.schemas.add(rec["name"])
         cat.bump()

@@ -101,9 +101,11 @@ def utc_to_wall_np(ts_us: np.ndarray, name: str) -> np.ndarray:
 
 def wall_to_utc_np(ts_us: np.ndarray, name: str) -> np.ndarray:
     """Reference helper (numpy): local wall clock -> UTC instant.
-    Ambiguous wall times resolve to the EARLIER instant; invalid (gap)
-    times shift by the pre-transition offset, matching ICU's
-    'former' disambiguation used by the reference."""
+    Ambiguous (fall-back) wall times resolve to the LATER instant and
+    invalid (gap) times shift by the pre-transition offset: ICU's
+    default UCAL_WALLTIME_LAST for both repeated and skipped wall
+    times, which the reference uses (extension/icu never calls
+    setRepeatedWallTimeOption/setSkippedWallTimeOption)."""
     trans, offs = zone_table(name)
     wall_starts = trans + offs            # local time at each regime start
     idx = np.searchsorted(wall_starts, ts_us, side="right") - 1
