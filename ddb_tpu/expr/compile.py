@@ -126,11 +126,28 @@ def _eval_arith(e: ir.Arith, b: Batch):
     elif op == "/":
         out = ld / rd
     elif op == "//":
-        out = jnp.where(rd == 0, 0, ld // jnp.where(rd == 0, 1, rd))
+        safe = jnp.where(rd == 0, 1, rd)
+        if jnp.issubdtype(ld.dtype, jnp.floating) \
+                or jnp.issubdtype(rd.dtype, jnp.floating):
+            # reference: float // is plain division (-7.5 // 2 = -3.75)
+            out = ld / safe
+        else:
+            # integer division truncates toward zero (-7 // 2 = -3)
+            q = ld // safe
+            rfl = ld - q * safe
+            out = q + ((rfl != 0) & ((ld < 0) != (safe < 0)))
         nulls = _or_nulls(nulls, rd == 0)
     elif op == "%":
         safe = jnp.where(rd == 0, 1, rd)
-        out = ld - (ld // safe) * safe
+        # truncating modulo: sign follows the dividend (-7 % 2 = -1)
+        if jnp.issubdtype(ld.dtype, jnp.floating) \
+                or jnp.issubdtype(rd.dtype, jnp.floating):
+            out = ld - jnp.trunc(ld / safe) * safe
+        else:
+            q = ld // safe
+            rfl = ld - q * safe
+            tq = q + ((rfl != 0) & ((ld < 0) != (safe < 0)))
+            out = ld - tq * safe
         nulls = _or_nulls(nulls, rd == 0)
     else:
         raise ValueError(op)

@@ -187,6 +187,84 @@ def dispatch(e: ir.Func, batch, evaluate):
     if name in _MATH1:
         d, n = evaluate(e.args[0], batch)
         return _MATH1[name](d.astype(jnp.float64)), n
+    if name in _BOOL_MATH1:
+        d, n = evaluate(e.args[0], batch)
+        return _BOOL_MATH1[name](d.astype(jnp.float64)), n
+    if name in ("atan2", "nextafter"):
+        a, an = evaluate(e.args[0], batch)
+        b2, bn = evaluate(e.args[1], batch)
+        n = an if bn is None else (bn if an is None else an | bn)
+        fn = jnp.arctan2 if name == "atan2" else jnp.nextafter
+        return fn(a.astype(jnp.float64), b2.astype(jnp.float64)), n
+    if name in ("gcd", "lcm"):
+        a, an = evaluate(e.args[0], batch)
+        b2, bn = evaluate(e.args[1], batch)
+        n = an if bn is None else (bn if an is None else an | bn)
+        aa = jnp.abs(a.astype(jnp.int64))
+        bb = jnp.abs(b2.astype(jnp.int64))
+        g = jnp.gcd(aa, bb)
+        if name == "gcd":
+            return g, n
+        return jnp.where(g == 0, 0, aa // jnp.maximum(g, 1) * bb), n
+    if name == "factorial":
+        import math as _math
+        d, n = evaluate(e.args[0], batch)
+        table = jnp.asarray([_math.factorial(i) for i in range(21)],
+                            dtype=jnp.int64)
+        idx = jnp.clip(d.astype(jnp.int32), 0, 20)
+        return jnp.take(table, idx), n
+    if name == "even":
+        # round to the next even number away from zero
+        d, n = evaluate(e.args[0], batch)
+        x = d.astype(jnp.float64)
+        return jnp.sign(x) * jnp.ceil(jnp.abs(x) / 2.0) * 2.0, n
+    if name == "to_timestamp":
+        # seconds (double) since epoch -> TIMESTAMP micros
+        d, n = evaluate(e.args[0], batch)
+        return jnp.floor(d.astype(jnp.float64) * 1e6).astype(jnp.int64), n
+    if name == "make_date":
+        y, yn = evaluate(e.args[0], batch)
+        m, mn = evaluate(e.args[1], batch)
+        d, dn = evaluate(e.args[2], batch)
+        n = None
+        for x in (yn, mn, dn):
+            if x is not None:
+                n = x if n is None else (n | x)
+        return _days_from_civil_dev(y, m, d).astype(jnp.int32), n
+    if name == "make_time":
+        h, hn = evaluate(e.args[0], batch)
+        m, mn = evaluate(e.args[1], batch)
+        s, sn = evaluate(e.args[2], batch)
+        n = None
+        for x in (hn, mn, sn):
+            if x is not None:
+                n = x if n is None else (n | x)
+        us = (h.astype(jnp.int64) * 3600 + m.astype(jnp.int64) * 60) \
+            * 1_000_000 + jnp.floor(
+                s.astype(jnp.float64) * 1e6).astype(jnp.int64)
+        return us, n
+    if name == "make_timestamp":
+        if len(e.args) == 1:
+            return evaluate(e.args[0], batch)   # micros passthrough
+        vals, n = [], None
+        for a in e.args:
+            v, vn = evaluate(a, batch)
+            vals.append(v)
+            if vn is not None:
+                n = vn if n is None else (n | vn)
+        y, m, d, h, mi, s = vals
+        days = _days_from_civil_dev(y, m, d)
+        us = days * 86_400_000_000 \
+            + (h.astype(jnp.int64) * 3600 + mi.astype(jnp.int64) * 60) \
+            * 1_000_000 \
+            + jnp.floor(s.astype(jnp.float64) * 1e6).astype(jnp.int64)
+        return us, n
+    if name == "time_bucket":
+        # time_bucket(width_us, ts[, origin]): floor to width boundary
+        d, n = evaluate(e.args[0], batch)
+        width, origin = e.extra
+        dd = d.astype(jnp.int64) - origin
+        return (dd - (dd % width)) + origin, n
     if name in ("pow", "power"):
         a, an = evaluate(e.args[0], batch)
         b, bn = evaluate(e.args[1], batch)
@@ -320,6 +398,22 @@ def dispatch(e: ir.Func, batch, evaluate):
         if name == "century":
             return (y + 99) // 100, n
         return (y + 999) // 1000, n
+    if name == "epoch_raw":
+        # exact integer micros/millis/nanos since epoch (reference:
+        # epoch_us/epoch_ns/epoch_ms scalar functions)
+        d, n = evaluate(e.args[0], batch)
+        src = e.args[0].dtype
+        v = d.astype(jnp.int64)
+        if src.id == T.TypeId.DATE:
+            us = v * 86_400_000_000
+        else:
+            us = v            # TIMESTAMP/TIME/INTERVAL already micros
+        kind = e.extra
+        if kind == "epoch_ms":
+            return us // 1000, n
+        if kind == "epoch_ns":
+            return us * 1000, n
+        return us, n
     if name in ("epoch", "epoch_ms"):
         d, n = evaluate(e.args[0], batch)
         src = e.args[0].dtype
@@ -347,6 +441,13 @@ def _days_from_civil_dev(y, m, d):
     return era * 146097 + doe - 719468
 
 
+def _gamma_fn(x):
+    from jax.scipy import special as jsp
+    if hasattr(jsp, "gamma"):
+        return jsp.gamma(x)
+    return jnp.exp(jsp.gammaln(x))
+
+
 _MATH1 = {
     "ln": jnp.log, "log": jnp.log10, "log2": jnp.log2, "log10": jnp.log10,
     "exp": jnp.exp, "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
@@ -354,4 +455,16 @@ _MATH1 = {
     "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
     "sign": jnp.sign, "radians": jnp.radians, "degrees": jnp.degrees,
     "cbrt": jnp.cbrt,
+    # round-4 additions (reference: core_functions/scalar/math)
+    "acosh": jnp.arccosh, "asinh": jnp.arcsinh, "atanh": jnp.arctanh,
+    "cot": lambda x: 1.0 / jnp.tan(x),
+    "gamma": _gamma_fn,
+    "lgamma": lambda x: __import__(
+        "jax.scipy.special", fromlist=["gammaln"]).gammaln(x),
+    "trunc": jnp.trunc,
+}
+
+_BOOL_MATH1 = {
+    "isnan": jnp.isnan, "isinf": jnp.isinf,
+    "isfinite": jnp.isfinite, "signbit": jnp.signbit,
 }

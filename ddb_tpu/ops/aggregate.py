@@ -157,6 +157,37 @@ def _seg_first_scan(boundary, has, v):
     return out
 
 
+def _seg_last_scan(boundary, has, v):
+    """Last non-null value within group (reference: last())."""
+    def op(a, b):
+        fa, ha, va = a
+        fb, hb, vb = b
+        h = jnp.where(fb, hb, ha | hb)
+        val = jnp.where(hb, vb, jnp.where(fb, vb, va))
+        return fa | fb, h, val
+    f, h, out = lax.associative_scan(op, (boundary, has, v))
+    return out
+
+
+_BIT_OPS = {"bit_and": jnp.bitwise_and, "bit_or": jnp.bitwise_or,
+            "bit_xor": jnp.bitwise_xor}
+_BIT_NEUTRAL = {"bit_and": -1, "bit_or": 0, "bit_xor": 0}
+BIT_KINDS = ("bit_and", "bit_or", "bit_xor")
+
+
+def _seg_bit_scan(boundary, v, kind):
+    """Within-group inclusive bitwise and/or/xor (reference:
+    core_functions/aggregate/distributive/bitagg.cpp)."""
+    bop = _BIT_OPS[kind]
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, bop(va, vb))
+    f, out = lax.associative_scan(op, (boundary, v))
+    return out
+
+
 def _extreme(dt, kind):
     if dt in (jnp.float32, jnp.float64):
         v = np.inf if kind == "min" else -np.inf
@@ -281,6 +312,15 @@ def group_and_aggregate(key_ops: Sequence[jax.Array],
         elif p.kind == "any_value":
             v = _seg_first_scan(boundary, notnull, data_s)
             results_rows.append(("minmax", [v], cnt))
+        elif p.kind == "last":
+            v = _seg_last_scan(boundary, notnull, data_s)
+            results_rows.append(("minmax", [v], cnt))
+        elif p.kind in BIT_KINDS:
+            neutral = jnp.asarray(_BIT_NEUTRAL[p.kind],
+                                  dtype=data_s.dtype)
+            v = jnp.where(notnull, data_s, neutral)
+            s = _seg_bit_scan(boundary, v, p.kind)
+            results_rows.append(("minmax", [s], cnt))
         elif p.kind in _VAR_KINDS:
             x = jnp.where(notnull, data_s.astype(jnp.float64), 0.0)
             s1 = _seg_sum_scan(boundary, x)
@@ -635,6 +675,19 @@ def ungrouped_aggregate(payloads: Sequence[AggPayload], sel: jax.Array):
         elif p.kind == "any_value":
             idx = jnp.argmax(live)
             results.append((p.data[idx], cnt == 0))
+        elif p.kind == "last":
+            cap = live.shape[0]
+            pos = lax.broadcasted_iota(jnp.int64, (cap,), 0)
+            idx = jnp.max(jnp.where(live, pos, -1))
+            results.append((p.data[jnp.maximum(idx, 0)], cnt == 0))
+        elif p.kind in BIT_KINDS:
+            neutral = jnp.asarray(_BIT_NEUTRAL[p.kind],
+                                  dtype=p.data.dtype)
+            v = jnp.where(live, p.data, neutral)
+            bop = _BIT_OPS[p.kind]
+            r = lax.reduce(v, neutral,
+                           lambda a, b2: bop(a, b2), (0,))
+            results.append((r, cnt == 0))
         elif p.kind in _VAR_KINDS:
             x = jnp.where(live, p.data.astype(jnp.float64), 0.0)
             out, bad = _finalize_var(p.kind, x.sum(), (x * x).sum(), cnt)
@@ -649,6 +702,95 @@ def ungrouped_aggregate(payloads: Sequence[AggPayload], sel: jax.Array):
         else:
             raise NotImplementedError(p.kind)
     return results
+
+
+def group_entropy(key_ops, value_ops, payload: AggPayload, sel,
+                  num_groups_cap: int):
+    """Shannon entropy (log2) of the value distribution per group
+    (reference: core_functions/aggregate/distributive/entropy.cpp —
+    theirs builds a hash map of counts; ours sorts (group, value) and
+    turns run lengths into  log2(n) - sum(c*log2 c)/n,  scatter-free."""
+    cap = sel.shape[0]
+    invalid = (~sel).astype(jnp.int32)
+    operands = [invalid, *key_ops, *value_ops]
+    carried = []
+    if payload.nulls is not None:
+        carried.append(payload.nulls.astype(jnp.int8))
+    sorted_ops = lax.sort(operands + carried, num_keys=len(operands),
+                          is_stable=False)
+    inv_s = sorted_ops[0]
+    keys_s = sorted_ops[1:1 + len(key_ops)]
+    vals_s = sorted_ops[1 + len(key_ops):len(operands)]
+    nn_s = sorted_ops[len(operands)] if carried else None
+    valid_s = inv_s == 0
+    notnull = valid_s if nn_s is None else (valid_s & (nn_s == 0))
+
+    kdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for k in keys_s:
+        kdiff = kdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+    vdiff = kdiff
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    g_boundary = kdiff & valid_s
+    run_boundary = vdiff
+
+    # run length of non-null rows, evaluated at run-end rows (a run also
+    # ends where the invalid tail begins — invalid rows can share the
+    # preceding run's encoded value)
+    run_cnt = _seg_sum_scan(run_boundary, notnull.astype(jnp.int64))
+    nxt_run = jnp.concatenate([run_boundary[1:], jnp.ones(1, dtype=bool)]) \
+        | jnp.concatenate([~valid_s[1:], jnp.ones(1, dtype=bool)])
+    contrib = jnp.where(nxt_run & notnull & (run_cnt > 0),
+                        run_cnt.astype(jnp.float64)
+                        * jnp.log2(jnp.maximum(run_cnt, 1)
+                                   .astype(jnp.float64)),
+                        0.0)
+    csum = _seg_sum_scan(g_boundary, contrib)
+    n_live = _seg_sum_scan(g_boundary, notnull.astype(jnp.int64))
+
+    # compact group-end rows (same scheme as group_and_aggregate)
+    nxt_g = jnp.concatenate([g_boundary[1:], jnp.ones(1, dtype=bool)])
+    nxt_inv = jnp.concatenate([~valid_s[1:], jnp.ones(1, dtype=bool)])
+    is_last = valid_s & (nxt_g | nxt_inv)
+    ngroups = g_boundary.sum().astype(jnp.int32)
+    pos = lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    not_last = (~is_last).astype(jnp.int32)
+    _, _, csum_c, n_c = lax.sort([not_last, pos, csum, n_live],
+                                 num_keys=2, is_stable=False)
+    ncap = num_groups_cap
+    gsel = lax.broadcasted_iota(jnp.int32, (ncap,), 0) < ngroups
+    csum_g = csum_c[:ncap]
+    n_g = n_c[:ncap]
+    nf = jnp.maximum(n_g, 1).astype(jnp.float64)
+    out = jnp.log2(nf) - csum_g / nf
+    return out, (~gsel) | (n_g == 0)
+
+
+def ungrouped_entropy(value_ops, payload: AggPayload, sel):
+    cap = sel.shape[0]
+    live = sel if payload.nulls is None else (sel & ~payload.nulls)
+    inv = (~live).astype(jnp.int32)
+    sorted_ops = lax.sort([inv, *value_ops], num_keys=1 + len(value_ops),
+                          is_stable=False)
+    live_s = sorted_ops[0] == 0
+    vals_s = sorted_ops[1:]
+    vdiff = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    for v in vals_s:
+        vdiff = vdiff | jnp.concatenate(
+            [jnp.ones(1, dtype=bool), v[1:] != v[:-1]])
+    run_cnt = _seg_sum_scan(vdiff, live_s.astype(jnp.int64))
+    nxt_run = jnp.concatenate([vdiff[1:], jnp.ones(1, dtype=bool)]) \
+        | jnp.concatenate([~live_s[1:], jnp.ones(1, dtype=bool)])
+    contrib = jnp.where(nxt_run & live_s & (run_cnt > 0),
+                        run_cnt.astype(jnp.float64)
+                        * jnp.log2(jnp.maximum(run_cnt, 1)
+                                   .astype(jnp.float64)),
+                        0.0)
+    n = live.astype(jnp.int64).sum()
+    nf = jnp.maximum(n, 1).astype(jnp.float64)
+    return jnp.log2(nf) - contrib.sum() / nf, n == 0
 
 
 # ---------------------------------------------------------------------------

@@ -482,6 +482,10 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
                     res.append(agg_ops.ungrouped_mode(vops, p, b.sel))
+                elif spec.kind == "entropy":
+                    vops = sortkey.encode_key(p.data, p.nulls,
+                                              spec.arg.dtype)
+                    res.append(agg_ops.ungrouped_entropy(vops, p, b.sel))
                 elif spec.kind in ("arg_min", "arg_max"):
                     bd, bn = evaluate(spec.arg2, b)
                     bops = sortkey.encode_key(bd, bn, spec.arg2.dtype)
@@ -573,7 +577,8 @@ def _exec_aggregate(node: L.Aggregate, ctx):
         gcap = b.sel.shape[0]
 
         def is_special(a):
-            return a.kind in ("quantile", "mode", "arg_min", "arg_max") \
+            return a.kind in ("quantile", "mode", "arg_min", "arg_max",
+                              "entropy") \
                 or (a.distinct and a.kind != "count_star")
 
         plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
@@ -592,6 +597,10 @@ def _exec_aggregate(node: L.Aggregate, ctx):
             elif a.kind == "mode":
                 vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
                 results[i] = agg_ops.group_mode(
+                    key_ops, vops, p, b.sel, gcap)
+            elif a.kind == "entropy":
+                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+                results[i] = agg_ops.group_entropy(
                     key_ops, vops, p, b.sel, gcap)
             elif a.kind in ("arg_min", "arg_max"):
                 bd, bn = evaluate(a.arg2, b)

@@ -42,6 +42,11 @@ class ConversionError(BindError):
     ConversionException, src/common/exception/conversion_exception.cpp)."""
 
 
+class InvalidInputError(BindError):
+    """Raised by error() and malformed runtime input (reference:
+    InvalidInputException)."""
+
+
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
              "variance", "median", "quantile", "quantile_cont",
@@ -50,7 +55,165 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "arg_min", "arg_max", "argmin", "argmax", "min_by",
              "max_by", "histogram", "histogram_exact", "approx_top_k",
              "product", "list", "array_agg", "string_agg",
-             "group_concat"}
+             "group_concat", "bit_and", "bit_or", "bit_xor", "entropy",
+             "last"}
+
+# alias -> canonical function name (reference: the *_ALIAS entries of
+# src/function/function_list.cpp / extension/core_functions)
+FUNC_ALIASES = {
+    "ceiling": "ceil", "mean": "avg", "arbitrary": "first",
+    "listagg": "string_agg", "favg": "avg", "fsum": "sum",
+    "sumkahan": "sum", "kahan_sum": "sum", "sum_no_overflow": "sum",
+    "countif": "count_if", "datediff": "date_diff",
+    "datesub": "date_sub", "datepart": "date_part",
+    "datetrunc": "date_trunc", "greatest_common_divisor": "gcd",
+    "least_common_multiple": "lcm", "approx_quantile": "quantile",
+    "reservoir_quantile": "quantile", "weekday": "dayofweek",
+    "stddev": "stddev_samp", "kurtosis_samp": "kurtosis",
+    "str_split_regex": "string_split_regex",
+    "regexp_split_to_array": "string_split_regex",
+    "list_cat": "list_concat", "array_cat": "list_concat",
+    "array_concat": "list_concat",
+    "list_value": "list_pack", "array_value": "list_pack",
+    "array_distinct": "list_distinct", "array_unique": "list_unique",
+    "array_reverse_sort": "list_reverse_sort",
+    "array_indexof": "list_position", "list_indexof": "list_position",
+    "array_has": "list_contains", "array_contains": "list_contains",
+    "array_has_all": "list_has_all", "array_has_any": "list_has_any",
+    "array_aggr": "list_aggregate", "list_aggr": "list_aggregate",
+    "aggregate": "list_aggregate",
+    "array_aggregate": "list_aggregate",
+    "array_transform": "list_transform", "list_apply": "list_transform",
+    "array_apply": "list_transform", "apply": "list_transform",
+    "array_filter": "list_filter", "filter": "list_filter",
+    "list_where": "list_select_mask_where",
+    "array_where": "list_select_mask_where",
+    "array_reduce": "list_reduce", "reduce": "list_reduce",
+    "array_zip": "list_zip", "array_resize": "list_resize",
+    "array_select": "list_select", "array_grade_up": "list_grade_up",
+    "grade_up": "list_grade_up",
+    "array_cosine_similarity": "list_cosine_similarity",
+    "array_cosine_distance": "list_cosine_distance",
+    "array_distance": "list_distance",
+    "array_dot_product": "list_dot_product",
+    "array_inner_product": "list_dot_product",
+    "list_inner_product": "list_dot_product",
+    "array_negative_dot_product": "list_negative_dot_product",
+    "array_negative_inner_product": "list_negative_dot_product",
+    "list_negative_inner_product": "list_negative_dot_product",
+    "to_base64": "base64", "sha-1": "sha1",
+}
+
+# builtin aggregates implemented as macro rewrites: AST-level aggregate
+# detection must treat them as aggregates before expansion
+AGG_MACROS = {"count_if", "regr_count", "regr_avgx", "regr_avgy",
+              "regr_sxx", "regr_syy", "regr_sxy", "regr_slope",
+              "regr_intercept", "regr_r2", "skewness", "kurtosis",
+              "kurtosis_pop", "sem"}
+
+_BUILTIN_MACROS = {
+    # reference: src/catalog/default/default_functions.cpp implements
+    # several of these the same way (SQL macro over primitives)
+    "mod": {"params": ["a", "b"], "defaults": {}, "body": "a % b"},
+    "add": {"params": ["a", "b"], "defaults": {}, "body": "a + b"},
+    "subtract": {"params": ["a", "b"], "defaults": {}, "body": "a - b"},
+    "multiply": {"params": ["a", "b"], "defaults": {}, "body": "a * b"},
+    "divide": {"params": ["a", "b"], "defaults": {}, "body": "a // b"},
+    "count_if": {"params": ["a"], "defaults": {}, "body":
+                 "coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0)"},
+    "julian": {"params": ["x"], "defaults": {}, "body":
+               "epoch(x) / 86400.0 + 2440587.5"},
+    "era": {"params": ["x"], "defaults": {}, "body":
+            "CASE WHEN year(x) > 0 THEN 1 ELSE 0 END"},
+    "nanosecond": {"params": ["x"], "defaults": {}, "body":
+                   "microsecond(x) * 1000"},
+    "constant_or_null": {"params": ["a", "b"], "defaults": {}, "body":
+                         "CASE WHEN b IS NULL THEN NULL ELSE a END"},
+    # regr_* family over pairwise-non-null rows
+    # (reference: core_functions/aggregate/regression/*)
+    "regr_count": {"params": ["y", "x"], "defaults": {}, "body":
+                   "count(CASE WHEN y IS NOT NULL AND x IS NOT NULL "
+                   "THEN 1 END)"},
+    "regr_avgy": {"params": ["y", "x"], "defaults": {}, "body":
+                  "avg(CASE WHEN x IS NOT NULL THEN y END)"},
+    "regr_avgx": {"params": ["y", "x"], "defaults": {}, "body":
+                  "avg(CASE WHEN y IS NOT NULL THEN x END)"},
+    "regr_sxx": {"params": ["y", "x"], "defaults": {}, "body":
+                 "regr_count(y, x) * var_pop("
+                 "CASE WHEN y IS NOT NULL THEN x END)"},
+    "regr_syy": {"params": ["y", "x"], "defaults": {}, "body":
+                 "regr_count(y, x) * var_pop("
+                 "CASE WHEN x IS NOT NULL THEN y END)"},
+    "regr_sxy": {"params": ["y", "x"], "defaults": {}, "body":
+                 "regr_count(y, x) * covar_pop(y, x)"},
+    "regr_slope": {"params": ["y", "x"], "defaults": {}, "body":
+                   "CASE WHEN var_pop(CASE WHEN y IS NOT NULL THEN x "
+                   "END) = 0 THEN NULL ELSE covar_pop(y, x) / var_pop("
+                   "CASE WHEN y IS NOT NULL THEN x END) END"},
+    "regr_intercept": {"params": ["y", "x"], "defaults": {}, "body":
+                       "regr_avgy(y, x) - regr_slope(y, x) * "
+                       "regr_avgx(y, x)"},
+    "regr_r2": {"params": ["y", "x"], "defaults": {}, "body":
+                "CASE WHEN regr_syy(y, x) = 0 THEN "
+                "(CASE WHEN regr_sxx(y, x) = 0 THEN NULL ELSE 1 END) "
+                "ELSE pow(corr(y, x), 2) END"},
+    # moment statistics over power sums — numerically identical to the
+    # reference states (core_functions/aggregate/distributive/skew.cpp,
+    # kurtosis.cpp; algebraic/stddev.hpp StandardErrorOfTheMean)
+    "sem": {"params": ["x"], "defaults": {}, "body":
+            "sqrt(var_pop(x) / count(x))"},
+    "skewness": {"params": ["x"], "defaults": {}, "body": """
+        CASE WHEN count(x) <= 2 THEN NULL ELSE
+          (sqrt(count(x) * (count(x) - 1.0)) / (count(x) - 2.0))
+          * (1.0 / count(x))
+          * (sum(CAST(x AS DOUBLE) * x * x)
+             - 3 * sum(CAST(x AS DOUBLE) * x) * sum(CAST(x AS DOUBLE))
+               / count(x)
+             + 2 * pow(sum(CAST(x AS DOUBLE)), 3)
+               / count(x) / count(x))
+          / sqrt(pow(greatest(
+              (sum(CAST(x AS DOUBLE) * x)
+               - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE))
+                 / count(x)) / count(x), 0.0), 3))
+        END"""},
+    "kurtosis": {"params": ["x"], "defaults": {}, "body": """
+        CASE WHEN count(x) <= 3 OR
+          (sum(CAST(x AS DOUBLE) * x)
+           - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE)) / count(x))
+          = 0 THEN NULL ELSE
+          (count(x) - 1.0) *
+          ((count(x) + 1.0) *
+           ((sum(CAST(x AS DOUBLE) * x * x * x)
+             - 4 * sum(CAST(x AS DOUBLE) * x * x)
+               * sum(CAST(x AS DOUBLE)) / count(x)
+             + 6 * sum(CAST(x AS DOUBLE) * x)
+               * pow(sum(CAST(x AS DOUBLE)) / count(x), 2)
+             - 3 * pow(sum(CAST(x AS DOUBLE)), 4)
+               / pow(CAST(count(x) AS DOUBLE), 3)) / count(x))
+           / pow((sum(CAST(x AS DOUBLE) * x)
+                  - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE))
+                    / count(x)) / count(x), 2)
+           - 3 * (count(x) - 1.0))
+          / ((count(x) - 2.0) * (count(x) - 3.0))
+        END"""},
+    "kurtosis_pop": {"params": ["x"], "defaults": {}, "body": """
+        CASE WHEN count(x) = 0 OR
+          (sum(CAST(x AS DOUBLE) * x)
+           - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE)) / count(x))
+          = 0 THEN NULL ELSE
+          ((sum(CAST(x AS DOUBLE) * x * x * x)
+            - 4 * sum(CAST(x AS DOUBLE) * x * x)
+              * sum(CAST(x AS DOUBLE)) / count(x)
+            + 6 * sum(CAST(x AS DOUBLE) * x)
+              * pow(sum(CAST(x AS DOUBLE)) / count(x), 2)
+            - 3 * pow(sum(CAST(x AS DOUBLE)), 4)
+              / pow(CAST(count(x) AS DOUBLE), 3)) / count(x))
+          / pow((sum(CAST(x AS DOUBLE) * x)
+                 - sum(CAST(x AS DOUBLE)) * sum(CAST(x AS DOUBLE))
+                   / count(x)) / count(x), 2)
+          - 3.0
+        END"""},
+}
 
 _TYPE_MAP = {
     "int": T.INTEGER, "integer": T.INTEGER, "int4": T.INTEGER,
@@ -1849,8 +2012,10 @@ class Binder:
     # aggregation binding
     # ------------------------------------------------------------------
     def _contains_agg(self, e: A.EExpr) -> bool:
-        if isinstance(e, A.EFunc) and e.name in AGG_FUNCS:
-            return True
+        if isinstance(e, A.EFunc):
+            nm = FUNC_ALIASES.get(e.name, e.name)
+            if nm in AGG_FUNCS or nm in AGG_MACROS:
+                return True
         for ch in _ast_children(e):
             if self._contains_agg(ch):
                 return True
@@ -2031,7 +2196,10 @@ class Binder:
                     return
             except BindError:
                 pass
-        if isinstance(e, A.EFunc) and (e.name in AGG_FUNCS or e.star):
+        if isinstance(e, A.EFunc) and (
+                FUNC_ALIASES.get(e.name, e.name) in AGG_FUNCS
+                or FUNC_ALIASES.get(e.name, e.name) in AGG_MACROS
+                or e.star):
             return
         if isinstance(e, (A.EWindow, A.ESub, A.EExists)):
             return
@@ -2348,6 +2516,8 @@ class Binder:
         if e.typename == "timestamp":
             return ir.Const(T.encode_literal(e.text, T.TIMESTAMP),
                             T.TIMESTAMP)
+        if e.typename == "time":
+            return ir.Const(T.encode_literal(e.text, T.TIME), T.TIME)
         if e.typename == "interval":
             txt = e.text.strip()
             unit = e.qualifier
@@ -2389,6 +2559,13 @@ class Binder:
                                          ir.Const(n, T.INTEGER))
                 raise BindError(
                     "month intervals on non-constant dates unsupported")
+        if op == "//" and (l.dtype.id in (TypeId.DECIMAL, TypeId.FLOAT,
+                                          TypeId.DOUBLE)
+                           or r.dtype.id in (TypeId.DECIMAL, TypeId.FLOAT,
+                                             TypeId.DOUBLE)):
+            # reference: // over non-integers is plain division
+            return ir.bind_arith("//", ir.promote(l, T.DOUBLE),
+                                 ir.promote(r, T.DOUBLE))
         # integer constant folding (IN (2000, 2000+1, ...), LIMIT n*2, ...)
         if op in ("+", "-", "*") and isinstance(l, ir.Const) \
                 and isinstance(r, ir.Const) \
@@ -2724,6 +2901,10 @@ class Binder:
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
                                      sub_replacements)
         name = e.name
+        if name in FUNC_ALIASES:
+            import dataclasses as _dc
+            name = FUNC_ALIASES[name]
+            e = _dc.replace(e, name=name)
         if name in AGG_FUNCS or (name == "count" and e.star):
             if agg_ctx is None:
                 raise BindError(f"aggregate {name} not allowed here")
@@ -2900,9 +3081,95 @@ class Binder:
             return out
         if name in ("ln", "log", "log2", "log10", "exp", "sin", "cos",
                     "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
-                    "radians", "degrees", "cbrt"):
+                    "radians", "degrees", "cbrt", "acosh", "asinh",
+                    "atanh", "cot", "gamma", "lgamma", "trunc", "even"):
+            if name == "log" and len(e.args) == 2:
+                # log(base, x) = ln(x)/ln(base)
+                base = ir.promote(b(e.args[0]), T.DOUBLE)
+                x = ir.promote(b(e.args[1]), T.DOUBLE)
+                return ir.Arith("/", ir.Func("ln", [x], T.DOUBLE),
+                                ir.Func("ln", [base], T.DOUBLE),
+                                T.DOUBLE)
             a = ir.promote(b(e.args[0]), T.DOUBLE)
             return ir.Func(name, [a], T.DOUBLE)
+        if name in ("isnan", "isinf", "isfinite", "signbit"):
+            a = ir.promote(b(e.args[0]), T.DOUBLE)
+            return ir.Func(name, [a], T.BOOLEAN)
+        if name in ("atan2", "nextafter"):
+            a = ir.promote(b(e.args[0]), T.DOUBLE)
+            a2 = ir.promote(b(e.args[1]), T.DOUBLE)
+            return ir.Func(name, [a, a2], T.DOUBLE)
+        if name in ("gcd", "lcm"):
+            a = ir.promote(b(e.args[0]), T.BIGINT)
+            a2 = ir.promote(b(e.args[1]), T.BIGINT)
+            return ir.Func(name, [a, a2], T.BIGINT)
+        if name == "factorial":
+            a = ir.promote(b(e.args[0]), T.BIGINT)
+            return ir.Func(name, [a], T.BIGINT)
+        if name == "pi" and not e.args:
+            import math as _math
+            return ir.Const(_math.pi, T.DOUBLE)
+        if name == "to_timestamp":
+            a = ir.promote(b(e.args[0]), T.DOUBLE)
+            return ir.Func(name, [a], T.TIMESTAMP)
+        if name in ("epoch_us", "epoch_ns", "epoch_ms") \
+                and len(e.args) == 1:
+            a = b(e.args[0])
+            if a.dtype.id not in (TypeId.DATE, TypeId.TIMESTAMP,
+                                  TypeId.TIME, TypeId.INTERVAL):
+                raise BindError(f"{name} requires a temporal argument")
+            out = ir.Func("epoch_raw", [a], T.BIGINT)
+            out.extra = name
+            return out
+        if name == "make_date" and len(e.args) == 3:
+            args = [ir.promote(b(a), T.BIGINT) for a in e.args]
+            return ir.Func(name, args, T.DATE)
+        if name == "make_time" and len(e.args) == 3:
+            args = [ir.promote(b(e.args[0]), T.BIGINT),
+                    ir.promote(b(e.args[1]), T.BIGINT),
+                    ir.promote(b(e.args[2]), T.DOUBLE)]
+            return ir.Func(name, args, T.TIME)
+        if name in ("make_timestamp", "make_timestamp_ns") \
+                and len(e.args) in (1, 6):
+            if len(e.args) == 1:
+                a = ir.promote(b(e.args[0]), T.BIGINT)
+                if name == "make_timestamp_ns":
+                    a = ir.Arith("//", a, ir.Const(1000, T.BIGINT),
+                                 T.BIGINT)
+                return ir.Func("make_timestamp", [a], T.TIMESTAMP)
+            args = [ir.promote(b(a), T.BIGINT) for a in e.args[:5]] \
+                + [ir.promote(b(e.args[5]), T.DOUBLE)]
+            return ir.Func("make_timestamp", args, T.TIMESTAMP)
+        if name == "time_bucket" and len(e.args) >= 2:
+            w = b(e.args[0])
+            ts = b(e.args[1])
+            if not isinstance(w, ir.Const) or w.dtype.id != \
+                    TypeId.INTERVAL:
+                raise BindError("time_bucket requires a constant "
+                                "INTERVAL width")
+            _UNIT_US = {"microsecond": 1, "millisecond": 1000,
+                        "second": 1_000_000, "minute": 60_000_000,
+                        "hour": 3_600_000_000, "day": 86_400_000_000,
+                        "week": 7 * 86_400_000_000}
+            unit = getattr(w, "interval_unit", "day")
+            if unit not in _UNIT_US:
+                raise BindError("time_bucket month widths not supported")
+            width = int(w.value) * _UNIT_US[unit]
+            if width <= 0:
+                raise BindError("time_bucket width must be positive")
+            # reference origins (core_functions/scalar/date/time_bucket):
+            # 2000-01-03 (Monday) for whole-week widths, 2000-01-01 else
+            _DAY = 86_400_000_000
+            if width % (7 * _DAY) == 0:
+                origin = 10959 * _DAY        # 2000-01-03
+            else:
+                origin = 10957 * _DAY        # 2000-01-01
+            was_date = ts.dtype.id == TypeId.DATE
+            if was_date:
+                ts = ir.Cast(ts, T.TIMESTAMP)
+            out = ir.Func("time_bucket", [ts], T.TIMESTAMP)
+            out.extra = (width, origin)
+            return ir.Func("ts_date", [out], T.DATE) if was_date else out
         if name == "sign":
             a = b(e.args[0])
             return ir.Func(name, [ir.promote(a, T.DOUBLE)], T.DOUBLE)
@@ -3063,6 +3330,127 @@ class Binder:
             out = ir.Func("tz_shift", [ts_e], T.TIMESTAMP)
             out.extra = (bounds, delta)
             return out
+        if name == "typeof" and len(e.args) == 1:
+            a = b(e.args[0])
+            return self._bind_literal(repr(a.dtype))
+        if name in ("current_database", "current_catalog") and not e.args:
+            dbname = "memory"
+            if self.context is not None:
+                dbname = getattr(self.context, "db_alias", None) \
+                    or "memory"
+            return self._bind_literal(dbname)
+        if name == "current_schema" and not e.args:
+            return self._bind_literal("main")
+        if name == "version" and not e.args:
+            return self._bind_literal("v1.3.2-ddbtpu")
+        if name == "current_setting" and len(e.args) == 1:
+            a = b(e.args[0])
+            if not isinstance(a, ir.Const):
+                raise BindError("current_setting requires a constant")
+            key = self._const_text(a)
+            val = None
+            if self.context is not None:
+                try:
+                    val = self.context.config.get(key)
+                except Exception:
+                    raise BindError(f"unrecognized setting {key}")
+            return self._bind_literal(val)
+        if name in ("txid_current", "current_transaction_id",
+                    "current_query_id", "current_connection_id") \
+                and not e.args:
+            self.uncacheable = True
+            v = 0
+            if self.context is not None:
+                v = int(getattr(self.context, "_stmt_counter", 0))
+            return ir.Const(v, T.BIGINT)
+        if name == "current_query" and not e.args:
+            self.uncacheable = True
+            q = getattr(self.context, "_current_query", "") \
+                if self.context is not None else ""
+            return self._bind_literal(q)
+        if name == "can_cast_implicitly" and len(e.args) == 2:
+            a = b(e.args[0])
+            a2 = b(e.args[1])
+            try:
+                ct = ir.common_type(a.dtype, a2.dtype)
+                ok = ct.id == a2.dtype.id
+            except Exception:
+                ok = False
+            return ir.Const(bool(ok), T.BOOLEAN)
+        if name in ("gen_random_uuid", "uuid", "uuidv4") and not e.args:
+            import uuid as _uuid
+            self.uncacheable = True
+            return self._bind_literal(str(_uuid.uuid4()))
+        if name == "uuidv7" and not e.args:
+            import os as _os
+            import time as _time
+            import uuid as _uuid
+            self.uncacheable = True
+            ms = int(_time.time() * 1000)
+            rand = int.from_bytes(_os.urandom(10), "big")
+            v = (ms << 80) | (7 << 76) | ((rand >> 62) & 0xFFF) << 64 \
+                | (2 << 62) | (rand & ((1 << 62) - 1))
+            return self._bind_literal(str(_uuid.UUID(int=v)))
+        if name == "error" and len(e.args) == 1:
+            a = b(e.args[0])
+            if isinstance(a, ir.Const):
+                raise InvalidInputError(self._const_text(a))
+            raise BindError("error() requires a constant message")
+        # integer -> VARCHAR scalar functions ride the bounded-domain
+        # stringify machinery (same constraint as int::VARCHAR casts)
+        if name in _INT_STR_FUNCS and e.args:
+            a0 = b(e.args[0])
+            if a0.dtype.is_integer:
+                extra = []
+                for xa in e.args[1:]:
+                    xb = b(xa)
+                    if not isinstance(xb, ir.Const):
+                        raise BindError(f"{name}: extra arguments must "
+                                        "be constants")
+                    extra.append(int(xb.value))
+                fn = _INT_STR_FUNCS[name]
+                return self._int_domain_func(
+                    a0, lambda v: fn(int(v), *extra), name)
+        if name in ("format", "printf") and e.args:
+            # rewrite to concat over literal pieces + VARCHAR-cast args
+            # (reference: fmt/printf scalar functions; our dictionary
+            # string model concatenates per-code tables)
+            import re as _re
+            f0 = b(e.args[0])
+            if not isinstance(f0, ir.Const):
+                raise BindError(f"{name} format must be constant")
+            fmt = self._const_text(f0)
+            pat = r"\{[^{}]*\}" if name == "format" else \
+                r"%[-+ #0-9.]*[sdifgxX%]"
+            pieces = _re.split("(" + pat + ")", fmt)
+            items: list = []
+            ai = 1
+            for p in pieces:
+                if not p:
+                    continue
+                is_slot = bool(_re.fullmatch(pat, p))
+                if is_slot and name == "printf" and p == "%%":
+                    items.append(A.ELit("%"))
+                    continue
+                if is_slot:
+                    if ai >= len(e.args):
+                        raise BindError(f"{name}: not enough arguments")
+                    items.append(A.ECast(e.args[ai], "varchar", 0, 0,
+                                         False))
+                    ai += 1
+                else:
+                    items.append(A.ELit(p.replace("{{", "{")
+                                        .replace("}}", "}")))
+            return self._bind_concat(
+                A.EFunc("concat", items), scope, agg_ctx, group_map,
+                sub_replacements)
+        if name in ("string_split_regex", "regexp_extract_all",
+                    "parse_path"):
+            return self._bind_str_list_func(name, e, scope, agg_ctx,
+                                            group_map, sub_replacements)
+        if name in ("strptime", "try_strptime"):
+            return self._bind_strptime(name, e, scope, agg_ctx,
+                                       group_map, sub_replacements)
         # host-dictionary string functions
         if name in _STR_FUNCS:
             return self._bind_string_func(name, e, scope, agg_ctx,
@@ -3087,8 +3475,12 @@ class Binder:
                 out.strdict = MapStore([list(zip(ks, vs))])
                 return out
             raise BindError("MAP() requires constant key/value lists")
-        # SQL macros (reference: macro_catalog_entry / macro_function)
-        mac = getattr(self.catalog, "macros", {}).get(name)
+        # SQL macros (reference: macro_catalog_entry / macro_function);
+        # _BUILTIN_MACROS supplies reference functions that are pure
+        # rewrites over existing primitives (the reference implements
+        # several the same way, src/catalog/default/default_functions.cpp)
+        mac = getattr(self.catalog, "macros", {}).get(name) \
+            or _BUILTIN_MACROS.get(name)
         if mac is not None and not mac.get("is_table"):
             from . import parser as sqlparser
             depth = getattr(self, "_macro_depth", 0)
@@ -3299,6 +3691,21 @@ class Binder:
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
             idx = agg_ctx.add(spec, f"any_value({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name == "last":
+            spec = L.AggSpec("last", arg, arg.dtype, "last")
+            idx = agg_ctx.add(spec, f"last({_ekey(arg)})")
+            return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
+        if name in ("bit_and", "bit_or", "bit_xor"):
+            if not arg.dtype.is_integer:
+                raise BindError(f"{name} requires an integer argument")
+            spec = L.AggSpec(name, arg, arg.dtype, name,
+                             distinct=e.distinct)
+            idx = agg_ctx.add(spec, f"{name}({_ekey(arg)},{e.distinct})")
+            return AggRef(idx, arg.dtype)
+        if name == "entropy":
+            spec = L.AggSpec("entropy", arg, T.DOUBLE, "entropy")
+            idx = agg_ctx.add(spec, f"entropy({_ekey(arg)})")
+            return AggRef(idx, T.DOUBLE)
         def _agg_order():
             """agg(x ORDER BY ...) keys bound in the input scope
             (reference: ORDER_MODIFIER on bound aggregates)."""
@@ -3545,6 +3952,119 @@ class Binder:
         out.strdict = store
         self.uncacheable = True
         return out
+
+    def _str_args(self, name, e, scope, agg_ctx, group_map,
+                  sub_replacements):
+        """(varchar column expr, [decoded constant extras])."""
+        col = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                             sub_replacements)
+        sd = getattr(col, "strdict", None)
+        if col.dtype.id != TypeId.VARCHAR or sd is None:
+            raise BindError(f"{name} requires a VARCHAR argument")
+        extras = []
+        for a in e.args[1:]:
+            x = self.bind_expr(a, scope, None, None, sub_replacements)
+            if not isinstance(x, ir.Const):
+                raise BindError(f"{name}: extra args must be constants")
+            xd = getattr(x, "strdict", None)
+            extras.append(xd.decode_one(x.value) if xd is not None
+                          else T.decode_value(x.value, x.dtype))
+        return col, sd, extras
+
+    def _bind_str_list_func(self, name, e, scope, agg_ctx, group_map,
+                            sub_replacements) -> ir.Expr:
+        """VARCHAR -> LIST(VARCHAR) host functions (reference:
+        string_split_regex / regexp_extract_all / parse_path)."""
+        import re as _re
+        from ..storage.lists import ListStore
+        col, sd, extras = self._str_args(name, e, scope, agg_ctx,
+                                         group_map, sub_replacements)
+        if name == "string_split_regex":
+            pat = str(extras[0]) if extras else ","
+            outs = [_re.split(pat, str(v)) for v in sd.values]
+        elif name == "regexp_extract_all":
+            pat = str(extras[0])
+            grp = int(extras[1]) if len(extras) > 1 else 0
+            outs = []
+            for v in sd.values:
+                try:
+                    outs.append([m.group(grp)
+                                 for m in _re.finditer(pat, str(v))])
+                except IndexError:
+                    outs.append([])
+        else:   # parse_path
+            sep = extras[0] if extras else "both_slash"
+            outs = [_parse_path(str(v), sep) for v in sd.values]
+        store = ListStore(outs)
+        out = ir.DictLookup(col, np.arange(len(outs), dtype=np.int32),
+                            T.LIST(T.VARCHAR), name)
+        out.strdict = store
+        return out
+
+    def _bind_strptime(self, name, e, scope, agg_ctx, group_map,
+                       sub_replacements) -> ir.Expr:
+        """strptime(s, fmt) -> TIMESTAMP via a bind-time parse table
+        (reference: strptime, src/function/scalar/strftime_format.cpp)."""
+        import datetime as _dt
+        col, sd, extras = self._str_args(name, e, scope, agg_ctx,
+                                         group_map, sub_replacements)
+        if not extras:
+            raise BindError(f"{name} requires a format string")
+        fmt = str(extras[0])
+        n = len(sd.values)
+        table = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        first_bad = None
+        for i, v in enumerate(sd.values):
+            try:
+                dt = _dt.datetime.strptime(str(v), fmt)
+                table[i] = int(dt.replace(
+                    tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            except ValueError:
+                bad[i] = True
+                if first_bad is None and str(v) != "":
+                    first_bad = str(v)
+        if first_bad is not None and name == "strptime":
+            raise ConversionError(
+                f"Could not parse string \"{first_bad}\" according to "
+                f"format specifier \"{fmt}\"")
+        return ir.DictLookup(col, table, T.TIMESTAMP, name,
+                             null_table=bad if bad.any() else None)
+
+    def _int_domain_func(self, c: ir.Expr, fn, label: str) -> ir.Expr:
+        """int expr -> VARCHAR via a bind-time stringify table over the
+        column's bounded domain (same design as _cast_to_varchar)."""
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return ir.Const(None, T.VARCHAR)
+            text = fn(int(c.value))
+            sd, codes, _ = StringDictionary.encode([text])
+            out = ir.Const(int(codes[0]), T.VARCHAR)
+            out.strdict = sd
+            return out
+        bnd = None
+        plan = getattr(self, "_plan_for_bounds", None)
+        if plan is not None and c.dtype.is_integer:
+            from ..plan import bounds as PB
+            try:
+                bnd = PB.expr_bounds(c, PB.node_bounds(plan))
+            except Exception:
+                bnd = None
+        if bnd is None:
+            raise BindError(
+                f"{label} needs a bounded integer domain "
+                "(constants or bounded columns)")
+        lo, hi = int(bnd[0]), int(bnd[1])
+        if hi - lo + 1 > self._STRINGIFY_SPAN:
+            raise BindError(f"{label}: value span exceeds the "
+                            f"{self._STRINGIFY_SPAN} table limit")
+        outs = [fn(v) for v in range(lo, hi + 1)]
+        uniq, inv = np.unique(np.asarray(outs, dtype=object).astype(str),
+                              return_inverse=True)
+        dl = ir.DictLookup(c, inv.astype(np.int32), T.VARCHAR, label,
+                           base=lo)
+        dl.strdict = StringDictionary(uniq)
+        return dl
 
     def _bind_string_split(self, e: A.EFunc, scope, agg_ctx, group_map,
                            sub_replacements) -> ir.Expr:
@@ -3969,7 +4489,27 @@ class Binder:
                 v = a.strdict.decode_one(v)
             const_args.append(v)
         fn = _STR_FUNCS[name]
-        raw = [fn(str(v), *const_args) for v in sd.values]
+        # the whole dictionary is evaluated at bind time, including the
+        # '' placeholder of NULL rows — a partial function (hamming,
+        # unhex, ...) must not fail the bind for codes no live row uses;
+        # errors surface as NULL for that code instead
+        raw = []
+        errs = 0
+        first_err = None
+        for v in sd.values:
+            try:
+                raw.append(fn(str(v), *const_args))
+            except BindError as ex:
+                raw.append(None)
+                errs += 1
+                if first_err is None:
+                    first_err = ex
+            except (ValueError, TypeError, KeyError, IndexError,
+                    OverflowError):
+                raw.append(None)
+                errs += 1
+        if errs == len(raw) and raw and first_err is not None:
+            raise first_err
         nulls = np.array([r is None for r in raw], dtype=bool)
         null_table = nulls if nulls.any() else None
         if name in _STR_INT_FUNCS:
@@ -4166,6 +4706,159 @@ def _split_part(s, sep, n):
     return parts[n - 1] if 1 <= n <= len(parts) else ""
 
 
+def _str_bin(s):
+    return "".join(format(b2, "08b") for b2 in s.encode())
+
+
+def _jaro(a: str, b: str) -> float:
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    am = [False] * la
+    bm = [False] * lb
+    matches = 0
+    for i, ch in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ch:
+                am[i] = bm[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    j = _jaro(a, b)
+    if j <= 0.7:
+        return j
+    pre = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        pre += 1
+    return j + 0.1 * pre * (1.0 - j)
+
+
+def _hamming(a: str, b: str):
+    if len(a) != len(b):
+        raise BindError("hamming: strings must be of equal length")
+    return sum(ca != cb for ca, cb in zip(a, b))
+
+
+def _like_to_re(p: str, esc: str):
+    import re as _re
+    out = []
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if esc and c == esc and i + 1 < len(p):
+            out.append(_re.escape(p[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _like_escape(s, p, esc, nocase):
+    import re as _re
+    flags = (_re.IGNORECASE if nocase else 0) | _re.DOTALL
+    return bool(_re.match(_like_to_re(str(p), str(esc)), s, flags))
+
+
+def _graphemes(s: str):
+    """Approximate grapheme clusters: a base char plus trailing
+    combining marks (reference uses full UAX-29 via utf8proc; this
+    covers the accent/combining cases the tests exercise)."""
+    import unicodedata
+    out = []
+    for ch in s:
+        if out and unicodedata.combining(ch):
+            out[-1] += ch
+        else:
+            out.append(ch)
+    return out
+
+
+def _path_seps(sep) -> str:
+    s = str(sep)
+    if s in ("both_slash", "default"):
+        return "/\\"
+    if s == "forward_slash":
+        return "/"
+    if s == "backslash":
+        return "\\"
+    return s or "/\\"
+
+
+def _parse_path(s, sep="both_slash"):
+    import re as _re
+    seps = _path_seps(sep)
+    parts = _re.split("[" + _re.escape(seps) + "]", s)
+    out = []
+    for i, p in enumerate(parts):
+        if p:
+            out.append(p)
+        elif i == 0:
+            out.append(s[0])     # leading separator -> root component
+    return out
+
+
+def _parse_filename(s, trim_extension=False, sep="both_slash"):
+    import re as _re
+    if isinstance(trim_extension, str):
+        sep, trim_extension = trim_extension, False
+    seps = _path_seps(sep)
+    base = _re.split("[" + _re.escape(seps) + "]", s)[-1]
+    if trim_extension and "." in base:
+        base = base[:base.rfind(".")]
+    return base
+
+
+def _parse_dirpath(s, sep="both_slash"):
+    import re as _re
+    seps = _path_seps(sep)
+    m = None
+    for mm in _re.finditer("[" + _re.escape(seps) + "]", s):
+        m = mm
+    if m is None:
+        return ""
+    return s[:m.start()] or s[0]
+
+
+def _format_bytes_str(v):
+    n = float(v)
+    units = ["bytes", "KiB", "MiB", "GiB", "TiB", "PiB"]
+    i = 0
+    while abs(n) >= 1024 and i < len(units) - 1:
+        n /= 1024.0
+        i += 1
+    if i == 0:
+        return f"{int(n)} bytes"
+    return f"{n:.1f} {units[i]}"
+
+
 _STR_FUNCS = {
     "substring": lambda s, start, length=None:
         s[start - 1: start - 1 + length] if length is not None
@@ -4233,6 +4926,102 @@ _STR_FUNCS = {
     "strip_accents": lambda s: "".join(
         c for c in __import__("unicodedata").normalize("NFD", s)
         if not __import__("unicodedata").combining(c)),
+    # ---- round-4 additions (reference: core_functions/scalar/string) --
+    "ord": lambda s: ord(s[0]) if s else 0,
+    "unicode": lambda s: ord(s[0]) if s else -1,
+    "hex": lambda s: s.encode().hex().upper(),
+    "to_hex": lambda s: s.encode().hex().upper(),
+    "unhex": lambda s: bytes.fromhex(s).decode("utf-8", "replace"),
+    "from_hex": lambda s: bytes.fromhex(s).decode("utf-8", "replace"),
+    "bin": _str_bin,
+    "to_binary": _str_bin,
+    "unbin": lambda s: "".join(
+        chr(int(s[i:i + 8], 2)) for i in range(0, len(s), 8)),
+    "base64": lambda s:
+        __import__("base64").b64encode(s.encode()).decode(),
+    "from_base64": lambda s:
+        __import__("base64").b64decode(s.encode()).decode(
+            "utf-8", "replace"),
+    "url_encode": lambda s:
+        __import__("urllib.parse", fromlist=["quote"]).quote(
+            s, safe=""),
+    "url_decode": lambda s:
+        __import__("urllib.parse", fromlist=["unquote"]).unquote(s),
+    "regexp_escape": lambda s: __import__("re").escape(s),
+    "sha1": lambda s:
+        __import__("hashlib").sha1(s.encode()).hexdigest(),
+    "jaro_similarity": _jaro,
+    "jaro_winkler_similarity": _jaro_winkler,
+    "hamming": _hamming,
+    "mismatches": _hamming,
+    "like_escape": lambda s, p, esc: _like_escape(s, p, esc, False),
+    "ilike_escape": lambda s, p, esc: _like_escape(s, p, esc, True),
+    "not_like_escape": lambda s, p, esc:
+        not _like_escape(s, p, esc, False),
+    "not_ilike_escape": lambda s, p, esc:
+        not _like_escape(s, p, esc, True),
+    "left_grapheme": lambda s, n: "".join(_graphemes(s)[:int(n)]),
+    "right_grapheme": lambda s, n:
+        "".join(_graphemes(s)[-int(n):] if n > 0 else []),
+    "length_grapheme": lambda s: len(_graphemes(s)),
+    "substring_grapheme": lambda s, start, length=None: "".join(
+        _graphemes(s)[start - 1: start - 1 + length]
+        if length is not None else _graphemes(s)[start - 1:]),
+    "parse_filename": _parse_filename,
+    "parse_dirname": lambda s, sep="both_slash": (
+        _parse_path(s, sep)[-2] if len(_parse_path(s, sep)) > 1
+        else (_parse_path(s, sep)[0] if _parse_path(s, sep) else "")),
+    "parse_dirpath": _parse_dirpath,
+}
+
+
+def _int_hex(v, upper=True):
+    u = v & 0xFFFFFFFFFFFFFFFF if v < 0 else v
+    s = format(u, "X")
+    return s
+
+
+def _int_bin(v):
+    u = v & 0xFFFFFFFFFFFFFFFF if v < 0 else v
+    return format(u, "b")
+
+
+def _to_base(v, radix, minlen=0):
+    if radix < 2 or radix > 36:
+        raise BindError("to_base radix must be between 2 and 36")
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    u = v & 0xFFFFFFFFFFFFFFFF if v < 0 else v
+    out = ""
+    while u:
+        out = digits[u % radix] + out
+        u //= radix
+    out = out or "0"
+    return out.rjust(int(minlen), "0")
+
+
+def _format_bytes_decimal(v):
+    n = float(v)
+    units = ["bytes", "kB", "MB", "GB", "TB", "PB"]
+    i = 0
+    while abs(n) >= 1000 and i < len(units) - 1:
+        n /= 1000.0
+        i += 1
+    if i == 0:
+        return f"{int(n)} bytes"
+    return f"{n:.1f} {units[i]}"
+
+
+# int-argument -> VARCHAR functions (bounded-domain stringify tables)
+_INT_STR_FUNCS = {
+    "chr": lambda v: chr(v),
+    "format_bytes": _format_bytes_str,
+    "formatreadablesize": _format_bytes_str,
+    "formatreadabledecimalsize": _format_bytes_decimal,
+    "hex": _int_hex,
+    "to_hex": _int_hex,
+    "bin": _int_bin,
+    "to_binary": _int_bin,
+    "to_base": _to_base,
 }
 
 # JSON extension parity (reference: extension/json/json_functions/) —
@@ -4259,11 +5048,16 @@ _STR_FUNCS.update({
 _STR_INT_FUNCS = {"length", "char_length", "character_length", "strlen",
                   "bit_length", "octet_length", "ascii", "instr",
                   "strpos", "position", "levenshtein", "editdist3",
-                  "damerau_levenshtein", "hash", "json_array_length"}
+                  "damerau_levenshtein", "hash", "json_array_length",
+                  "ord", "unicode", "hamming", "mismatches",
+                  "length_grapheme"}
 _STR_BOOL_FUNCS = {"starts_with", "prefix", "contains", "suffix",
                    "ends_with", "regexp_matches", "regexp_full_match",
-                   "json_valid", "json_contains"}
-_STR_FLOAT_FUNCS = {"jaccard"}
+                   "json_valid", "json_contains", "like_escape",
+                   "ilike_escape", "not_like_escape",
+                   "not_ilike_escape"}
+_STR_FLOAT_FUNCS = {"jaccard", "jaro_similarity",
+                    "jaro_winkler_similarity"}
 
 
 # ---------------------------------------------------------------------------

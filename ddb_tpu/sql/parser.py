@@ -1458,6 +1458,10 @@ class Parser:
                 e = A.EBinary("*", e, self.expr_unary())
             elif self.accept_op("/"):
                 e = A.EBinary("/", e, self.expr_unary())
+            elif self.accept_op("//"):
+                e = A.EBinary("//", e, self.expr_unary())
+            elif self.accept_op("**"):
+                e = A.EFunc("pow", [e, self.expr_unary()])
             elif self.at("OP", "%"):
                 if getattr(self, "_limit_pct", False):
                     nxt = self.peek(1)

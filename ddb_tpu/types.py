@@ -281,6 +281,13 @@ def encode_literal(v, t: DataType):
         if v == datetime.datetime.min:
             return TS_NINF
         return int(v.timestamp() * 1_000_000)
+    if t.id == TypeId.TIME:
+        if isinstance(v, str):
+            v = datetime.time.fromisoformat(v.strip())
+        if isinstance(v, datetime.time):
+            return ((v.hour * 60 + v.minute) * 60 + v.second) \
+                * 1_000_000 + v.microsecond
+        return int(v)
     if t.id == TypeId.BOOLEAN:
         return bool(v)
     if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
@@ -326,6 +333,12 @@ def decode_value(raw, t: DataType, strdict=None):
         if int(raw) <= TS_NINF:
             return datetime.datetime.min
         return datetime.datetime.utcfromtimestamp(int(raw) / 1_000_000)
+    if t.id == TypeId.TIME:
+        us = int(raw) % 86_400_000_000
+        s, us = divmod(us, 1_000_000)
+        h, s = divmod(s, 3600)
+        m, s = divmod(s, 60)
+        return datetime.time(h, m, s, us)
     if t.id == TypeId.BOOLEAN:
         return bool(raw)
     if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
