@@ -752,6 +752,25 @@ class Connection:
                                     and cs == list(ix.columns))]
                     self.catalog.bump()
             else:
+                key = stmt.name.lower()
+                # indexes owned by the table drop with it; only FK
+                # children restrict
+                deps = [d for d in self.catalog.dependents_of("table",
+                                                              key)
+                        if d[0] == "table" and d != ("table", key)]
+                if deps and self.catalog.has_table(key) \
+                        and not stmt.cascade:
+                    # FK children (and indexes) RESTRICT the drop
+                    # (reference: dependency_manager.cpp)
+                    raise CatalogException(
+                        f"Dependency Error: Cannot drop entry "
+                        f"\"{stmt.name}\" because there are entries "
+                        f"that depend on it: {deps[0][0]} "
+                        f"\"{deps[0][1]}\". "
+                        f"Use DROP...CASCADE to drop all dependents.")
+                for kind, name in deps:
+                    if kind == "table":
+                        self.catalog.drop_table(name, if_exists=True)
                 self.catalog.drop_table(stmt.name, if_exists=stmt.if_exists)
             self._wal_log({"op": "drop", "kind": stmt.kind,
                            "name": stmt.name})
@@ -1095,10 +1114,13 @@ class Connection:
         from .storage import dml
         if not getattr(td, "constraints", None) \
                 and not getattr(td, "not_null", None) \
-                and not getattr(td, "enum_domains", None):
+                and not getattr(td, "enum_domains", None) \
+                and not getattr(td, "foreign_keys", None):
             return
         try:
             dml.check_constraints(td)
+            if getattr(td, "foreign_keys", None):
+                dml.check_foreign_keys(td, self.catalog)
         except dml.ConstraintException:
             dml.truncate_rows(td, n0)
             raise
@@ -1363,6 +1385,39 @@ class Connection:
             td.defaults = defaults
         td.constraints = [(k, [c.lower() for c in cols])
                           for k, cols in getattr(stmt, "constraints", [])]
+        fks = []
+        for cols, parent, pcols in getattr(stmt, "foreign_keys", []):
+            # reference: CreateTableInfo foreign keys are bound at
+            # creation — parent must exist and the referenced columns
+            # must be PRIMARY KEY or UNIQUE
+            # (src/planner/binder/statement/bind_create_table.cpp)
+            ptd = self.catalog.get_table(parent)
+            cols = [c.lower() for c in cols]
+            if pcols is None:
+                pk = next((pc for k, pc in getattr(ptd, "constraints",
+                                                   ())
+                           if k == "primary_key"), None)
+                if pk is None:
+                    raise BindError(
+                        f"table {parent} has no PRIMARY KEY to "
+                        "reference")
+                pcols = list(pk)
+            else:
+                pcols = [c.lower() for c in pcols]
+                keyed = {tuple(sorted(pc)) for _k, pc in
+                         getattr(ptd, "constraints", ())}
+                if tuple(sorted(pcols)) not in keyed:
+                    raise BindError(
+                        f"referenced columns ({', '.join(pcols)}) of "
+                        f"{parent} must have a PRIMARY KEY or UNIQUE "
+                        "constraint")
+            if len(cols) != len(pcols):
+                raise BindError(
+                    "foreign key column count must match the "
+                    "referenced key")
+            fks.append((cols, ptd.name, pcols))
+        if fks:
+            td.foreign_keys = fks
         td.not_null = {c.name.lower() for c in stmt.columns if c.not_null}
         for k, cols in td.constraints:
             if k == "primary_key":     # PK implies NOT NULL (reference:
@@ -1376,6 +1431,9 @@ class Connection:
                                    for c in td.columns],
                        "constraints": [[k, list(c)]
                                        for k, c in td.constraints],
+                       "foreign_keys": [[list(c), p, list(pc)]
+                                        for c, p, pc in
+                                        getattr(td, "foreign_keys", [])],
                        "not_null": sorted(td.not_null),
                        "defaults": defaults,
                        "enum_domains": {k: [v[0], sorted(v[1])]
@@ -1492,12 +1550,29 @@ class Connection:
         td = self.catalog.get_table(stmt.table)
         mask = self._bind_table_predicate(td, stmt.where)
         old = dml.rows_as_python(td, mask) if self.cdc.enabled else None
+        ndel = int(mask.sum())
+        referenced = any(
+            parent == td.name
+            for other in self.catalog.tables.values()
+            for _c, parent, _pc in getattr(other, "foreign_keys", ()))
+        backup = [(c.data, c.nulls) for c in td.columns] \
+            if referenced else None
+        dml.delete_rows(td, mask)
+        if referenced:
+            # RESTRICT: deleting still-referenced parent keys fails and
+            # rolls back (reference: DataTable::VerifyDeleteForeignKey)
+            try:
+                dml.check_foreign_keys(td, self.catalog)
+            except dml.ConstraintException:
+                for c, (d, n) in zip(td.columns, backup):
+                    c.data, c.nulls = d, n
+                    c.compute_stats()
+                td.invalidate_cache()
+                raise
         if self._wal_active:
             import numpy as np
             self._wal_log({"op": "delete", "table": td.name,
                            "idx": [int(i) for i in np.nonzero(mask)[0]]})
-        ndel = int(mask.sum())
-        dml.delete_rows(td, mask)
         self.catalog.bump()
         if old is not None:
             self._emit_cdc(td.name, "delete", old)
@@ -1533,16 +1608,22 @@ class Connection:
                 np.asarray(d)[:td.num_rows],
                 np.asarray(n)[:td.num_rows] if n is not None else None,
                 getattr(bound, "strdict", None))
+        fk_relevant = getattr(td, "foreign_keys", None) or any(
+            parent == td.name
+            for other in self.catalog.tables.values()
+            for _c, parent, _pc in getattr(other, "foreign_keys", ()))
         backup = None
         if getattr(td, "constraints", None) or getattr(td, "not_null",
                                                        None) \
-                or getattr(td, "enum_domains", None):
+                or getattr(td, "enum_domains", None) or fk_relevant:
             backup = {c.name: (c.data, c.nulls, c.strdict)
                       for c in td.columns if c.name in updates}
         dml.update_rows(td, mask, updates)
         if backup is not None:
             try:
                 dml.check_constraints(td)
+                if fk_relevant:
+                    dml.check_foreign_keys(td, self.catalog)
             except dml.ConstraintException:
                 for c in td.columns:
                     if c.name in backup:

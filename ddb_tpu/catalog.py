@@ -65,6 +65,16 @@ class Catalog:
             for ixname in getattr(td, "indexes", {}):
                 if not ixname.startswith("__"):
                     yield (("index", ixname), ("table", key))
+            seen_fk = set()
+            for _cols, parent, _pcols in getattr(td, "foreign_keys",
+                                                 ()):
+                p = parent.lower()
+                if p in self.tables and p not in seen_fk:
+                    seen_fk.add(p)
+                    # child requires parent: DROP parent RESTRICTs
+                    # (reference: ForeignKey dependencies,
+                    # src/catalog/dependency_manager.cpp)
+                    yield (("table", key), ("table", p))
 
     def dependents_of(self, kind: str, name: str):
         """Entries that depend on (kind, name), sorted for stable

@@ -94,7 +94,8 @@ def _cast_data(data, src, dst):
                     / T.decimal_scale_factor(src.scale))
         if dst.is_integer:
             return _div_floor_to_even(data, src.scale).astype(dst.np_dtype)
-    if sid == TypeId.DATE and did == TypeId.TIMESTAMP:
+    if sid == TypeId.DATE and did in (TypeId.TIMESTAMP,
+                                      TypeId.TIMESTAMPTZ):
         return data.astype(jnp.int64) * 86_400_000_000
     # default numeric conversion
     return data.astype(np.dtype(dst.np_dtype))

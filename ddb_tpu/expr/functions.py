@@ -144,6 +144,31 @@ def dispatch(e: ir.Func, batch, evaluate):
         y, m, dd = _civil_from_days(d)
         out = {"year": y, "month": m, "day": dd}[name]
         return out.astype(jnp.int64), n
+    if name in ("add_months_days", "add_months_us"):
+        # calendar month addition with end-of-month clamping
+        # (reference: Interval::Add, src/common/types/interval.cpp +
+        # date.cpp AddMonths; device-side civil-date math, no callback)
+        d, n = evaluate(e.args[0], batch)
+        months = int(e.extra)
+        us_day = 86_400_000_000
+        if name == "add_months_us":
+            days = jnp.floor_divide(d, us_day)
+            tod = d - days * us_day
+        else:
+            days = d
+        y, m, dd = _civil_from_days(days)
+        t = y * 12 + (m - 1) + months
+        y2 = jnp.floor_divide(t, 12)
+        m2 = t - y2 * 12 + 1
+        ny = jnp.where(m2 == 12, y2 + 1, y2)
+        nm = jnp.where(m2 == 12, jnp.ones_like(m2), m2 + 1)
+        first = _days_from_civil_dev(y2, m2, jnp.ones_like(m2))
+        first_next = _days_from_civil_dev(ny, nm, jnp.ones_like(nm))
+        dd2 = jnp.minimum(dd, first_next - first)
+        nd = _days_from_civil_dev(y2, m2, dd2)
+        if name == "add_months_us":
+            return nd.astype(jnp.int64) * us_day + tod, n
+        return nd.astype(jnp.int32), n
     if name == "abs":
         d, n = evaluate(e.args[0], batch)
         return jnp.abs(d), n

@@ -213,6 +213,14 @@ def common_type(a: DataType, b: DataType) -> DataType:
         return T.TIMESTAMP
     if b.id == TypeId.DATE and a.id == TypeId.TIMESTAMP:
         return T.TIMESTAMP
+    # TIMESTAMPTZ wins over naive temporal types (reference: implicit
+    # cast ranks TIMESTAMP -> TIMESTAMP_TZ, src/function/cast_rules.cpp).
+    # NOTE: the implicit shift here assumes UTC sessions; the binder
+    # lowers explicit casts through the session TimeZone tables.
+    if {a.id, b.id} <= {TypeId.TIMESTAMPTZ, TypeId.TIMESTAMP,
+                        TypeId.DATE} and TypeId.TIMESTAMPTZ in (
+            a.id, b.id):
+        return T.TIMESTAMPTZ
     if a.is_string and b.is_string:
         return a
     raise TypeError(f"no common type for {a} and {b}")
@@ -233,11 +241,28 @@ def bind_comparison(op: str, left: Expr, right: Expr) -> Expr:
     return Cmp(op, promote(left, ct), promote(right, ct))
 
 
+_TS_IDS = (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ)
+
+
 def bind_arith(op: str, left: Expr, right: Expr) -> Expr:
     lt, rt = left.dtype, right.dtype
     # date/interval arithmetic
     if lt.id == TypeId.DATE or rt.id == TypeId.DATE:
         return _bind_date_arith(op, left, right)
+    # timestamp/time/interval arithmetic in the micros domain
+    # (reference: operators in src/common/operator/add.cpp/subtract.cpp)
+    if op == "-" and lt.id in _TS_IDS and rt.id in _TS_IDS:
+        return Arith("-", left, right, T.INTERVAL)
+    if op == "-" and lt.id == TypeId.TIME and rt.id == TypeId.TIME:
+        return Arith("-", left, right, T.INTERVAL)
+    if lt.id in _TS_IDS + (TypeId.TIME,) and rt.id == TypeId.INTERVAL:
+        return Arith(op, left, right, lt)
+    if op == "+" and lt.id == TypeId.INTERVAL \
+            and rt.id in _TS_IDS + (TypeId.TIME,):
+        return Arith(op, left, right, rt)
+    if lt.id == TypeId.INTERVAL and rt.id == TypeId.INTERVAL \
+            and op in ("+", "-"):
+        return Arith(op, left, right, T.INTERVAL)
     if op == "/":
         return Arith("/", promote(left, T.DOUBLE), promote(right, T.DOUBLE),
                      T.DOUBLE)

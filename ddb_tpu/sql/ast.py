@@ -351,6 +351,8 @@ class ColumnDef:
     primary_key: bool = False
     unique: bool = False
     default: Optional[str] = None   # DEFAULT expression source text
+    # column-level REFERENCES parent(col): (parent_table, [cols] or None)
+    references: Optional[tuple] = None
 
 
 @dataclass
@@ -368,6 +370,9 @@ class CreateTable:
     if_not_exists: bool = False
     # table-level constraints: [("primary_key"|"unique", [col, ...]), ...]
     constraints: List = field(default_factory=list)
+    # FOREIGN KEY constraints: [([cols], parent_table, [parent_cols]), ...]
+    # (reference: ForeignKeyConstraint, src/parser/constraint.hpp)
+    foreign_keys: List = field(default_factory=list)
 
 
 @dataclass

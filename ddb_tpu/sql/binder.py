@@ -63,7 +63,7 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
 FUNC_ALIASES = {
     "ceiling": "ceil", "mean": "avg", "arbitrary": "first",
     "listagg": "string_agg", "favg": "avg", "fsum": "sum",
-    "sumkahan": "sum", "kahan_sum": "sum", "sum_no_overflow": "sum",
+    "sumkahan": "sum", "kahan_sum": "sum",
     "countif": "count_if", "datediff": "date_diff",
     "datesub": "date_sub", "datepart": "date_part",
     "datetrunc": "date_trunc", "greatest_common_divisor": "gcd",
@@ -103,6 +103,20 @@ FUNC_ALIASES = {
     "list_negative_inner_product": "list_negative_dot_product",
     "to_base64": "base64", "sha-1": "sha1",
 }
+
+# temporal functions whose TIMESTAMPTZ arguments are evaluated in the
+# session TimeZone (instant -> wall shift before the naive kernel;
+# reference: ICU function overloads, extension/icu/icu-datefunc.cpp).
+# epoch*/to_* are instant-based and deliberately absent.
+_TZ_WALL_FUNCS = frozenset([
+    "year", "month", "day", "minute", "hour", "second", "millisecond",
+    "microsecond", "date_part", "date_trunc", "quarter", "dayofweek",
+    "dow", "isodow", "dayofmonth", "dayofyear", "doy", "week",
+    "weekofyear", "isoyear", "century", "decade", "millennium",
+    "yearweek", "last_day", "monthname", "dayname", "strftime",
+    "time_bucket", "date_diff", "datediff", "date_sub", "date_add",
+    "age", "ts_date",
+])
 
 # builtin aggregates implemented as macro rewrites: AST-level aggregate
 # detection must treat them as aggregates before expansion
@@ -263,7 +277,7 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     if tn in ("decimal", "numeric"):
         return T.DECIMAL(width or 18, scale)
     if tn in ("timestamptz", "timetz"):
-        return T.TIMESTAMP if tn == "timestamptz" else T.TIME
+        return T.TIMESTAMPTZ if tn == "timestamptz" else T.TIME
     if tn.startswith("list<") and tn.endswith(">"):
         inner, iw, isc = tn[5:-1].rsplit(":", 2)
         return T.LIST(resolve_typename(inner, int(iw), int(isc)))
@@ -2530,35 +2544,62 @@ class Binder:
             return c
         raise BindError(f"typed literal {e.typename}")
 
+    # interval units in months / in micros (reference: interval.cpp)
+    _IV_MONTHS = {"month": 1, "mon": 1, "year": 12, "quarter": 3,
+                  "decade": 120, "century": 1200, "millennium": 12000}
+    _IV_US = {"microsecond": 1, "us": 1, "millisecond": 1_000,
+              "ms": 1_000, "second": 1_000_000, "minute": 60_000_000,
+              "hour": 3_600_000_000, "day": 86_400_000_000,
+              "week": 7 * 86_400_000_000}
+
     def _bind_arith(self, op: str, l: ir.Expr, r: ir.Expr) -> ir.Expr:
-        # date +/- interval with month units folds via host when const
+        # temporal +/- interval (reference: Interval::Add,
+        # src/common/types/interval.cpp).  Month-units run through the
+        # device add_months kernel (calendar math with end-of-month
+        # clamping); day/time units are micro-/day-count adds.
         for a, bso in ((l, r), (r, l)):
             if getattr(bso, "dtype", None) == T.INTERVAL \
-                    and isinstance(bso, ir.Const):
-                unit = getattr(bso, "interval_unit", "day")
+                    and isinstance(bso, ir.Const) \
+                    and not (op == "-" and bso is l):
+                unit = getattr(bso, "interval_unit", "day").lower()
                 other = a
-                if isinstance(other, ir.Const) \
-                        and other.dtype.id == TypeId.DATE:
-                    days = other.value
-                    n = bso.value if op == "+" else -bso.value
-                    if unit == "month":
-                        nd = add_months_host(days, n)
-                    elif unit == "year":
-                        nd = add_months_host(days, 12 * n)
-                    elif unit == "day":
-                        nd = days + n
-                    elif unit == "week":
-                        nd = days + 7 * n
-                    else:
-                        raise BindError(f"interval unit {unit}")
-                    return ir.Const(nd, T.DATE)
-                # non-const date +/- day interval
-                if unit in ("day", "week"):
-                    n = bso.value * (7 if unit == "week" else 1)
-                    return ir.bind_arith(op, other,
-                                         ir.Const(n, T.INTEGER))
+                tid = other.dtype.id
+                n = int(bso.value) * (1 if op == "+" else -1)
+                if unit in self._IV_MONTHS:
+                    months = n * self._IV_MONTHS[unit]
+                    if isinstance(other, ir.Const) \
+                            and tid == TypeId.DATE:
+                        return ir.Const(
+                            add_months_host(other.value, months), T.DATE)
+                    if tid == TypeId.DATE:
+                        f = ir.Func("add_months_days", [other], T.DATE)
+                        f.extra = months
+                        return f
+                    if tid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
+                        f = ir.Func("add_months_us", [other],
+                                    other.dtype)
+                        f.extra = months
+                        return f
+                    raise BindError(
+                        f"cannot add month interval to {other.dtype}")
+                if unit not in self._IV_US:
+                    raise BindError(f"interval unit {unit}")
+                us = n * self._IV_US[unit]
+                if tid == TypeId.DATE:
+                    if us % 86_400_000_000 == 0:
+                        return ir.bind_arith(
+                            "+", other,
+                            ir.Const(us // 86_400_000_000, T.INTEGER))
+                    # sub-day interval promotes DATE to TIMESTAMP
+                    other = ir.Cast(other, T.TIMESTAMP, src=T.DATE)
+                    tid = TypeId.TIMESTAMP
+                if tid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ,
+                           TypeId.TIME, TypeId.INTERVAL):
+                    return ir.Arith("+", other,
+                                    ir.Const(us, T.INTERVAL),
+                                    other.dtype)
                 raise BindError(
-                    "month intervals on non-constant dates unsupported")
+                    f"cannot add interval to {other.dtype}")
         if op == "//" and (l.dtype.id in (TypeId.DECIMAL, TypeId.FLOAT,
                                           TypeId.DOUBLE)
                            or r.dtype.id in (TypeId.DECIMAL, TypeId.FLOAT,
@@ -2603,8 +2644,14 @@ class Binder:
         import decimal as _dec
         text = self._const_text(c)
         try:
-            if tgt.id in (TypeId.DATE, TypeId.TIMESTAMP):
+            if tgt.id in (TypeId.DATE, TypeId.TIMESTAMP, TypeId.TIME):
                 return ir.Const(T.encode_literal(text, tgt), tgt)
+            if tgt.id == TypeId.TIMESTAMPTZ:
+                from .. import tz as tzmod
+                sp = T.temporal_special(text, tgt)
+                raw = sp if sp is not None else tzmod.parse_timestamptz(
+                    text, self._session_tz())
+                return ir.Const(raw, tgt)
             if tgt.id == TypeId.DECIMAL:
                 return ir.Const(T.encode_literal(_dec.Decimal(text), tgt),
                                 tgt)
@@ -2769,6 +2816,124 @@ class Binder:
             out.strdict = sd
         return out
 
+    # ---- TIMESTAMPTZ (reference: LogicalType::TIMESTAMP_TZ,
+    # src/include/duckdb/common/types.hpp:185-234 + extension/icu/) ----
+    def _session_tz(self) -> str:
+        if self.context is not None:
+            return str(self.context.config.get("timezone") or "UTC")
+        return "UTC"
+
+    def _tz_shift_expr(self, e: ir.Expr, to_wall: bool,
+                       dtype: DataType, zone: str = None) -> ir.Expr:
+        """instant<->wall conversion as a device tz_shift lookup over
+        bind-time TZif transition tables (no host callback on the hot
+        path; reference: ICU ops in extension/icu/icu-timezone.cpp)."""
+        from .. import tz as tzmod
+        if zone is None:
+            zone = self._session_tz()
+            # plan depends on the TimeZone setting -> don't cache
+            self.uncacheable = True
+        trans, offs = tzmod.zone_table(zone)
+        if len(offs) == 1 and int(offs[0]) == 0:
+            return ir.Cast(e, dtype)     # UTC: identity physical
+        if to_wall:
+            bounds, delta = trans, offs
+        else:
+            bounds, delta = trans + offs, -offs
+        out = ir.Func("tz_shift", [e], dtype)
+        out.extra = (bounds, delta)
+        return out
+
+    def _tz_wall(self, e: ir.Expr) -> ir.Expr:
+        """TIMESTAMPTZ -> session wall clock as naive TIMESTAMP; other
+        types pass through (used by temporal extraction functions)."""
+        if e.dtype.id == TypeId.TIMESTAMPTZ:
+            return self._tz_shift_expr(e, True, T.TIMESTAMP)
+        return e
+
+    def _bind_tz_cast(self, c: ir.Expr, tgt: DataType, try_: bool):
+        """Casts with a TIMESTAMPTZ endpoint; returns None if the pair
+        is not tz-related (falls through to the generic cast)."""
+        sid = c.dtype.id
+        if tgt.id == TypeId.TIMESTAMPTZ:
+            if sid == TypeId.TIMESTAMPTZ:
+                return c
+            if sid == TypeId.VARCHAR:
+                return self._cast_varchar_to_tstz(c, try_)
+            if sid == TypeId.DATE:
+                c = ir.Cast(c, T.TIMESTAMP, src=T.DATE)
+                sid = TypeId.TIMESTAMP
+            if sid == TypeId.TIMESTAMP:
+                return self._tz_shift_expr(c, False, T.TIMESTAMPTZ)
+            return None
+        if sid == TypeId.TIMESTAMPTZ:
+            if tgt.id == TypeId.TIMESTAMP:
+                return self._tz_shift_expr(c, True, T.TIMESTAMP)
+            if tgt.id in (TypeId.DATE, TypeId.TIME):
+                wall = self._tz_shift_expr(c, True, T.TIMESTAMP)
+                if tgt.id == TypeId.DATE:
+                    return ir.Func("ts_date", [wall], T.DATE)
+                return ir.Func("ts_time", [wall], T.TIME)
+            if tgt.id == TypeId.VARCHAR:
+                if isinstance(c, ir.Const):
+                    from .. import tz as tzmod
+                    if c.value is None:
+                        return ir.Const(None, T.VARCHAR)
+                    text = tzmod.render_timestamptz(
+                        int(c.value), self._session_tz())
+                    sd, codes, _ = StringDictionary.encode([text])
+                    out = ir.Const(int(codes[0]), T.VARCHAR)
+                    out.strdict = sd
+                    return out
+                return None
+            return None
+        return None
+
+    def _cast_varchar_to_tstz(self, c: ir.Expr, try_: bool) -> ir.Expr:
+        """VARCHAR -> TIMESTAMPTZ: explicit offsets win, otherwise the
+        session TimeZone interprets the wall clock (per-dictionary-code
+        bind-time parse, one device gather)."""
+        from .. import tz as tzmod
+        zone = self._session_tz()
+        self.uncacheable = True
+        if isinstance(c, ir.Const) and getattr(c, "strdict", None) \
+                is not None:
+            text = c.strdict.decode_one(c.value)
+            try:
+                sp = T.temporal_special(text, T.TIMESTAMPTZ)
+                raw = sp if sp is not None else \
+                    tzmod.parse_timestamptz(text, zone)
+            except (ValueError, OverflowError):
+                if try_:
+                    return ir.Const(None, T.TIMESTAMPTZ)
+                raise ConversionError(
+                    f"Could not convert string '{text}' to "
+                    f"TIMESTAMP WITH TIME ZONE")
+            return ir.Const(raw, T.TIMESTAMPTZ)
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("cast from varchar requires a dictionary")
+        n = len(sd.values)
+        out = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        first_bad = None
+        for i in range(n):
+            text = str(sd.values[i]).strip()
+            try:
+                sp = T.temporal_special(text, T.TIMESTAMPTZ)
+                out[i] = sp if sp is not None else \
+                    tzmod.parse_timestamptz(text, zone)
+            except (ValueError, OverflowError):
+                bad[i] = True
+                if first_bad is None and text != "":
+                    first_bad = text
+        if first_bad is not None and not try_:
+            raise ConversionError(
+                f"Could not convert string '{first_bad}' to "
+                f"TIMESTAMP WITH TIME ZONE")
+        return ir.DictLookup(c, out, T.TIMESTAMPTZ, "str_cast",
+                             null_table=bad if bad.any() else None)
+
     def _bind_cast(self, c: ir.Expr, typename: str, w: int, s: int,
                    try_: bool = False):
         # constant-fold casts of string literals (CAST('1998-09-02' AS date))
@@ -2798,6 +2963,11 @@ class Binder:
             tgt = T.DECIMAL(w or 18, s)
         else:
             tgt = resolve_typename(typename, w, s)
+        if tgt.id == TypeId.TIMESTAMPTZ \
+                or c.dtype.id == TypeId.TIMESTAMPTZ:
+            out = self._bind_tz_cast(c, tgt, try_)
+            if out is not None:
+                return out
         if tgt.id == TypeId.VARCHAR:
             return self._cast_to_varchar(c)
         if c.dtype.id == TypeId.VARCHAR:
@@ -2905,6 +3075,13 @@ class Binder:
             import dataclasses as _dc
             name = FUNC_ALIASES[name]
             e = _dc.replace(e, name=name)
+        if name in _TZ_WALL_FUNCS:
+            # calendar extraction on TIMESTAMPTZ happens in the session
+            # TimeZone (reference: ICU date-part overloads,
+            # extension/icu/icu-datefunc.cpp) — shift the instant to
+            # session wall clock, then reuse the naive kernels
+            raw_b = b
+            b = lambda x: self._tz_wall(raw_b(x))
         if name in AGG_FUNCS or (name == "count" and e.star):
             if agg_ctx is None:
                 raise BindError(f"aggregate {name} not allowed here")
@@ -3291,6 +3468,9 @@ class Binder:
                     pass
             if name == "current_date":
                 return ir.Const(now_us // 86_400_000_000, T.DATE)
+            if name == "current_timestamp":
+                # reference: now() returns TIMESTAMP WITH TIME ZONE
+                return ir.Const(now_us, T.TIMESTAMPTZ)
             return ir.Const(now_us, T.TIMESTAMP)
         if name in ("timezone", "to_utc_timestamp", "from_utc_timestamp"):
             # tz conversions via bind-time TZif transition tables
@@ -3321,13 +3501,23 @@ class Binder:
                                   sub_replacements)
             if ts_e.dtype.id == TypeId.DATE:
                 ts_e = ir.Cast(ts_e, T.TIMESTAMP)
-            if ts_e.dtype.id != TypeId.TIMESTAMP:
+            if ts_e.dtype.id not in (TypeId.TIMESTAMP,
+                                     TypeId.TIMESTAMPTZ):
                 raise BindError(f"{name} requires a TIMESTAMP argument")
-            if name == "from_utc_timestamp":
-                bounds, delta = trans, offs          # instant -> wall
+            if name == "timezone" \
+                    and ts_e.dtype.id == TypeId.TIMESTAMPTZ:
+                # TIMESTAMPTZ AT TIME ZONE tz -> wall clock in tz as
+                # naive TIMESTAMP (reference: ICU timezone(tstz))
+                bounds, delta, out_t = trans, offs, T.TIMESTAMP
+            elif name == "timezone":
+                # TIMESTAMP AT TIME ZONE tz: interpret as wall clock
+                # in tz -> instant (reference returns TIMESTAMPTZ)
+                bounds, delta, out_t = trans + offs, -offs, T.TIMESTAMPTZ
+            elif name == "from_utc_timestamp":
+                bounds, delta, out_t = trans, offs, T.TIMESTAMP
             else:
-                bounds, delta = trans + offs, -offs  # wall -> instant
-            out = ir.Func("tz_shift", [ts_e], T.TIMESTAMP)
+                bounds, delta, out_t = trans + offs, -offs, T.TIMESTAMP
+            out = ir.Func("tz_shift", [ts_e], out_t)
             out.extra = (bounds, delta)
             return out
         if name == "typeof" and len(e.args) == 1:
@@ -5374,6 +5564,12 @@ def _parse_text(text: str, tgt: DataType):
         dt = datetime.datetime.fromisoformat(text)
         epoch = datetime.datetime(1970, 1, 1)
         return int((dt - epoch).total_seconds() * 1e6)
+    if tgt.id == TypeId.TIMESTAMPTZ:
+        sp = T.temporal_special(text, tgt)
+        if sp is not None:
+            return sp
+        from .. import tz as tzmod
+        return tzmod.parse_timestamptz(text, "UTC")
     if tgt.id == TypeId.TIME:
         tm = datetime.time.fromisoformat(text)
         return ((tm.hour * 60 + tm.minute) * 60 + tm.second) * 1_000_000 \

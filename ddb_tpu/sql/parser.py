@@ -631,6 +631,7 @@ class Parser:
             self.expect_op("(")
             cols = []
             constraints = []
+            foreign_keys = []
 
             def _col_list():
                 self.expect_op("(")
@@ -639,6 +640,27 @@ class Parser:
                     out.append(self.ident())
                 self.expect_op(")")
                 return out
+
+            def _references():
+                # REFERENCES parent [(col, ...)] — ON DELETE/UPDATE
+                # actions are parsed and rejected unless RESTRICT/NO
+                # ACTION (the reference supports only those too:
+                # src/parser/transform/constraint/transform_constraint.cpp)
+                parent = self.qident()
+                pcols = _col_list() if self.at("OP", "(") else None
+                while self.at_kw("on") or (
+                        self.peek().kind == "IDENT"
+                        and self.peek().value == "on"):
+                    self.next()
+                    act = self.next().value.lower()   # delete / update
+                    word = self.next().value.lower()
+                    if word == "no":
+                        self.expect_word("action")
+                    elif word != "restrict":
+                        self.error(
+                            f"ON {act.upper()} {word.upper()} is not "
+                            "supported (only RESTRICT/NO ACTION)")
+                return parent, pcols
 
             while True:
                 if self.at_kw("primary") or (
@@ -653,11 +675,20 @@ class Parser:
                         and self.peek(1).value == "(":
                     self.next()
                     constraints.append(("unique", _col_list()))
+                elif self.peek().kind in ("IDENT", "KW") \
+                        and self.peek().value == "foreign":
+                    self.next()
+                    self.expect_kw("key")
+                    fcols = _col_list()
+                    self.expect_word("references")
+                    parent, pcols = _references()
+                    foreign_keys.append((fcols, parent, pcols))
                 else:
                     cname = self.ident()
                     tn, w, s = self.typename()
                     not_null = pk = uq = False
                     default = None
+                    refs = None
                     while True:
                         if self.accept_kw("not"):
                             self.expect_kw("null")
@@ -669,6 +700,10 @@ class Parser:
                                 and self.peek().value == "unique":
                             self.next()
                             uq = True
+                        elif self.peek().kind == "IDENT" \
+                                and self.peek().value == "references":
+                            self.next()
+                            refs = _references()
                         elif self.accept_kw("default"):
                             dstart = self.peek().pos
                             self.expr()
@@ -677,7 +712,8 @@ class Parser:
                         else:
                             break
                     cols.append(A.ColumnDef(cname, tn, w, s, not_null,
-                                            pk, uq, default=default))
+                                            pk, uq, default=default,
+                                            references=refs))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
@@ -686,8 +722,11 @@ class Parser:
                     constraints.append(("primary_key", [c.name]))
                 if c.unique:
                     constraints.append(("unique", [c.name]))
+                if c.references is not None:
+                    foreign_keys.append(
+                        ([c.name], c.references[0], c.references[1]))
             return A.CreateTable(name, cols, or_replace, if_not_exists,
-                                 constraints)
+                                 constraints, foreign_keys)
         self.error("expected VIEW or TABLE")
 
     def _quantified(self, op: str, x, sub, is_all: bool):
@@ -1573,11 +1612,15 @@ class Parser:
             self.expect_op(")")
             return f"map<{kt}:{kw_}:{ks},{vt}:{vw}:{vs}>", 0, 0
         if name in ("time", "timestamp") and self.at_kw("with"):
-            # WITH TIME ZONE — stored naive (no TIMESTAMPTZ type; see
-            # ddb_tpu/tz.py for the conversion functions)
+            # WITH TIME ZONE (reference: LogicalType::TIMESTAMP_TZ,
+            # src/include/duckdb/common/types.hpp).  TIMESTAMPTZ is a
+            # real logical type (UTC-instant micros on device); TIMETZ
+            # still aliases TIME.
             self.next()
             self.expect_word("time")
             self.expect_word("zone")
+            if name == "timestamp":
+                name = "timestamptz"
         w = s = 0
         if self.accept_op("("):
             w = int(self.next().value)

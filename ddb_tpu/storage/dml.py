@@ -77,6 +77,87 @@ def check_constraints(td: TableData) -> None:
                 f"({', '.join(colnames)})")
 
 
+def _fk_tuples(td: TableData, cols, need_mask=False):
+    """Comparable key tuples for FK verification: raw values for
+    numerics, decoded text for dictionary-coded columns (codes are
+    per-table and NOT comparable across tables).  Rows with any NULL
+    key column are exempt (SQL MATCH SIMPLE semantics, same as the
+    reference's ART-based VerifyForeignKey)."""
+    byname = {c.name: c for c in td.columns}
+    n = td.num_rows
+    null = np.zeros(n, dtype=bool)
+    arrs = []
+    for cn in cols:
+        c = byname.get(cn)
+        if c is None:
+            raise ConstraintException(
+                f"Binder Error: column {cn} referenced by FOREIGN KEY "
+                f"does not exist in {td.name}")
+        if c.nulls is not None:
+            null = null | np.asarray(c.nulls)
+        d = np.asarray(c.data)
+        if c.strdict is not None:
+            d = c.strdict.decode(np.clip(d, 0, max(len(c.strdict) - 1,
+                                                   0)).astype(np.int64))
+        arrs.append(d)
+    live = ~null
+    if len(arrs) == 1:
+        vals = arrs[0][live]
+        return (vals, live) if need_mask else vals
+    tup = list(zip(*(a[live] for a in arrs)))
+    return (tup, live) if need_mask else tup
+
+
+def _fk_subset_check(child: TableData, cols, parent: TableData, pcols,
+                     verb: str) -> None:
+    cvals, _ = _fk_tuples(child, cols, need_mask=True)
+    pvals = _fk_tuples(parent, pcols)
+    if isinstance(cvals, list):
+        missing = set(cvals) - set(pvals)
+        if missing:
+            raise ConstraintException(
+                f"Constraint Error: Violates foreign key constraint "
+                f"({verb}): key {sorted(missing)[0]!r} of {child.name}"
+                f"({', '.join(cols)}) does not exist in "
+                f"{parent.name}({', '.join(pcols)})")
+    else:
+        if len(cvals):
+            ok = np.isin(cvals, pvals)
+            if not ok.all():
+                bad = cvals[~ok][0]
+                raise ConstraintException(
+                    f"Constraint Error: Violates foreign key constraint "
+                    f"({verb}): key {bad!r} of {child.name}"
+                    f"({', '.join(cols)}) does not exist in "
+                    f"{parent.name}({', '.join(pcols)})")
+
+
+def check_foreign_keys(td: TableData, catalog) -> None:
+    """Full FOREIGN KEY verification around a mutation of td
+    (reference: DataTable::VerifyNewConstraint + VerifyForeignKey paths
+    in src/storage/data_table.cpp; ours re-validates set inclusion with
+    vectorized isin over the whole table — correctness first, the
+    incremental ART walk is an optimization we skip).
+
+      * outbound: td's FK values must exist in each parent
+      * inbound: every table whose FK references td must still be
+        covered (DELETE/UPDATE on the parent)
+    """
+    for cols, parent, pcols in getattr(td, "foreign_keys", ()):
+        try:
+            ptd = catalog.get_table(parent)
+        except Exception:
+            continue       # parent dropped concurrently: nothing to check
+        _fk_subset_check(td, cols, ptd, pcols, "insert/update")
+    for other in catalog.tables.values():
+        if other is td:
+            continue
+        for cols, parent, pcols in getattr(other, "foreign_keys", ()):
+            if parent == td.name:
+                _fk_subset_check(other, cols, td, pcols,
+                                 "delete/update on referenced table")
+
+
 def truncate_rows(td: TableData, n: int) -> None:
     """Roll an append back to the first n rows (constraint failure)."""
     for col in td.columns:
@@ -96,6 +177,7 @@ def clone_table(td: TableData) -> TableData:
     out.constraints = list(getattr(td, "constraints", []))
     out.not_null = set(getattr(td, "not_null", ()))
     out.enum_domains = dict(getattr(td, "enum_domains", {}))
+    out.foreign_keys = list(getattr(td, "foreign_keys", []))
     if getattr(td, "defaults", None):
         out.defaults = dict(td.defaults)
     from .index import SortedIndex

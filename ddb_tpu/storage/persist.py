@@ -212,6 +212,9 @@ def save_database(catalog, path: str) -> None:
         if getattr(td, "constraints", None):
             tmeta["constraints"] = [[k, list(c)]
                                     for k, c in td.constraints]
+        if getattr(td, "foreign_keys", None):
+            tmeta["foreign_keys"] = [[list(c), pt, list(pc)]
+                                     for c, pt, pc in td.foreign_keys]
         if getattr(td, "not_null", None):
             tmeta["not_null"] = sorted(td.not_null)
         if getattr(td, "enum_domains", None):
@@ -323,6 +326,9 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
         if tmeta.get("constraints"):
             td.constraints = [(k, list(c))
                               for k, c in tmeta["constraints"]]
+        if tmeta.get("foreign_keys"):
+            td.foreign_keys = [(list(c), pt, list(pc))
+                               for c, pt, pc in tmeta["foreign_keys"]]
         if tmeta.get("not_null"):
             td.not_null = set(tmeta["not_null"])
         if tmeta.get("enum_domains"):

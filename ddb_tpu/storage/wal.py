@@ -145,6 +145,9 @@ def apply_record(con, rec: dict) -> None:
         if rec.get("constraints"):
             td.constraints = [(k, list(c))
                               for k, c in rec["constraints"]]
+        if rec.get("foreign_keys"):
+            td.foreign_keys = [(list(c), p_, list(pc))
+                               for c, p_, pc in rec["foreign_keys"]]
         if rec.get("not_null"):
             td.not_null = set(rec["not_null"])
         if rec.get("enum_domains"):

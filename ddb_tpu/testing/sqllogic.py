@@ -34,6 +34,11 @@ _IGNORED_PRAGMAS = (
 )
 
 
+# session TimeZone used when rendering TIMESTAMPTZ values (the runner
+# refreshes this from the connection before formatting each result)
+_RENDER_TZ = ["UTC"]
+
+
 def _format_value(v) -> str:
     import datetime
     import decimal
@@ -52,11 +57,48 @@ def _format_value(v) -> str:
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return str(v)
+    if isinstance(v, datetime.timedelta):
+        # duckdb Interval::ToString: "[N day[s]] [-]HH:MM:SS[.ffffff]"
+        us = round(v.total_seconds() * 1e6)
+        days = int(us / 86_400_000_000)   # truncate toward zero
+        rem = us - days * 86_400_000_000
+        parts = []
+        if days:
+            parts.append(f"{days} day" + ("" if abs(days) == 1 else "s"))
+        if rem or not parts:
+            sign = "-" if rem < 0 else ""
+            rem = abs(rem)
+            s_, usec = divmod(rem, 1_000_000)
+            h, s_ = divmod(s_, 3600)
+            m, s_ = divmod(s_, 60)
+            t = f"{sign}{h:02d}:{m:02d}:{s_:02d}"
+            if usec:
+                t += (".%06d" % usec).rstrip("0")
+            parts.append(t)
+        return " ".join(parts)
     if isinstance(v, datetime.datetime):
-        if v == datetime.datetime.max:
+        if v.replace(tzinfo=None) == datetime.datetime.max:
             return "infinity"
-        if v == datetime.datetime.min:
+        if v.replace(tzinfo=None) == datetime.datetime.min:
             return "-infinity"
+        if v.tzinfo is not None:
+            # TIMESTAMPTZ: duckdb renders wall clock in the session
+            # zone with a +HH[:MM] suffix (runner sets the zone via
+            # _render_tz before formatting)
+            zone = _RENDER_TZ[0]
+            if zone not in ("UTC", None):
+                try:
+                    import zoneinfo
+                    v = v.astimezone(zoneinfo.ZoneInfo(zone))
+                except Exception:
+                    pass
+            off = v.utcoffset()
+            base = v.replace(tzinfo=None).isoformat(sep=" ")
+            total = int(off.total_seconds())
+            sign = "+" if total >= 0 else "-"
+            hh, rem = divmod(abs(total), 3600)
+            mm, _ss = divmod(rem, 60)
+            return f"{base}{sign}{hh:02d}" + (f":{mm:02d}" if mm else "")
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
         if v == datetime.date.max:
@@ -223,6 +265,11 @@ def run_file(con, path: str, max_statements: Optional[int] = None
                 sortmode = tok[2]
             try:
                 rows = con.execute(sql).fetchall()
+                try:
+                    _RENDER_TZ[0] = str(
+                        con.config.get("timezone") or "UTC")
+                except Exception:
+                    _RENDER_TZ[0] = "UTC"
                 got = []
                 for r in rows:
                     got.append([_format_value(v) for v in r])

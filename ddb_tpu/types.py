@@ -56,6 +56,7 @@ class TypeId(enum.Enum):
     BLOB = 19
     UUID = 20
     UNION = 21
+    TIMESTAMPTZ = 22
 
 
 _INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
@@ -87,6 +88,8 @@ class DataType:
             return f"STRUCT({inner})"
         if self.id == TypeId.MAP:
             return f"MAP({self.child!r}, {self.child2!r})"
+        if self.id == TypeId.TIMESTAMPTZ:
+            return "TIMESTAMP WITH TIME ZONE"
         return self.id.name
 
     # ---- classification --------------------------------------------------
@@ -105,7 +108,8 @@ class DataType:
 
     @property
     def is_temporal(self) -> bool:
-        return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP)
+        return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP,
+                           TypeId.TIMESTAMPTZ)
 
     @property
     def is_wide(self) -> bool:
@@ -138,6 +142,7 @@ _PHYSICAL = {
     TypeId.DATE: np.int32,
     TypeId.TIME: np.int64,
     TypeId.TIMESTAMP: np.int64,
+    TypeId.TIMESTAMPTZ: np.int64,   # UTC instant, micros since epoch
     TypeId.INTERVAL: np.int64,   # micros; months handled at bind time
     TypeId.VARCHAR: np.int32,    # dictionary code
     TypeId.NULL: np.int32,
@@ -188,6 +193,7 @@ DOUBLE = DataType(TypeId.DOUBLE)
 DATE = DataType(TypeId.DATE)
 TIME = DataType(TypeId.TIME)
 TIMESTAMP = DataType(TypeId.TIMESTAMP)
+TIMESTAMPTZ = DataType(TypeId.TIMESTAMPTZ)
 INTERVAL = DataType(TypeId.INTERVAL)
 VARCHAR = DataType(TypeId.VARCHAR)
 SQLNULL = DataType(TypeId.NULL)
@@ -270,17 +276,21 @@ def encode_literal(v, t: DataType):
         if v == datetime.date.min:
             return DATE_NINF
         return (v - _EPOCH).days
-    if t.id == TypeId.TIMESTAMP:
+    if t.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
         if isinstance(v, str):
             sp = temporal_special(v, t)
             if sp is not None:
                 return sp
             v = datetime.datetime.fromisoformat(v)
-        if v == datetime.datetime.max:
+        if v.replace(tzinfo=None) == datetime.datetime.max:
             return TS_INF
-        if v == datetime.datetime.min:
+        if v.replace(tzinfo=None) == datetime.datetime.min:
             return TS_NINF
-        return int(v.timestamp() * 1_000_000)
+        if v.tzinfo is not None:
+            # aware -> UTC instant
+            return int(v.timestamp() * 1_000_000)
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
     if t.id == TypeId.TIME:
         if isinstance(v, str):
             v = datetime.time.fromisoformat(v.strip())
@@ -333,12 +343,23 @@ def decode_value(raw, t: DataType, strdict=None):
         if int(raw) <= TS_NINF:
             return datetime.datetime.min
         return datetime.datetime.utcfromtimestamp(int(raw) / 1_000_000)
+    if t.id == TypeId.TIMESTAMPTZ:
+        # aware datetime in UTC; renderers shift to the session TimeZone
+        # (reference: timestamp_tz rendered via ICU in the set zone)
+        if int(raw) >= TS_INF:
+            return datetime.datetime.max
+        if int(raw) <= TS_NINF:
+            return datetime.datetime.min
+        return datetime.datetime.fromtimestamp(
+            int(raw) / 1_000_000, tz=datetime.timezone.utc)
     if t.id == TypeId.TIME:
         us = int(raw) % 86_400_000_000
         s, us = divmod(us, 1_000_000)
         h, s = divmod(s, 3600)
         m, s = divmod(s, 60)
         return datetime.time(h, m, s, us)
+    if t.id == TypeId.INTERVAL:
+        return datetime.timedelta(microseconds=int(raw))
     if t.id == TypeId.BOOLEAN:
         return bool(raw)
     if t.id in (TypeId.FLOAT, TypeId.DOUBLE):

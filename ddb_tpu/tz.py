@@ -99,6 +99,51 @@ def utc_to_wall_np(ts_us: np.ndarray, name: str) -> np.ndarray:
     return ts_us + offs[np.clip(idx, 0, len(offs) - 1)]
 
 
+def offset_at(instant_us: int, name: str) -> int:
+    """UTC offset (micros) in effect at an instant for a zone."""
+    trans, offs = zone_table(name)
+    idx = int(np.searchsorted(trans, instant_us, side="right")) - 1
+    return int(offs[max(0, min(idx, len(offs) - 1))])
+
+
+def render_timestamptz(raw_us: int, name: str) -> str:
+    """DuckDB-style TIMESTAMPTZ text: wall clock in the session zone
+    with a +HH / +HH:MM offset suffix (reference: ICU CastFromTimestampTZ,
+    extension/icu/icu_timezone.cpp rendering via Timestamp::ToString +
+    offset)."""
+    import datetime
+    off = offset_at(int(raw_us), name)
+    wall = int(raw_us) + off
+    dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=wall)
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        base += (".%06d" % dt.microsecond).rstrip("0")
+    sign = "+" if off >= 0 else "-"
+    osec = abs(off) // _US
+    hh, rem = divmod(osec, 3600)
+    mm, ss = divmod(rem, 60)
+    suffix = f"{sign}{hh:02d}"
+    if mm or ss:
+        suffix += f":{mm:02d}"
+    if ss:
+        suffix += f":{ss:02d}"
+    return base + suffix
+
+
+def parse_timestamptz(text: str, name: str) -> int:
+    """Text -> UTC instant micros: explicit offset wins; otherwise the
+    wall clock is interpreted in the given zone (reference semantics
+    for VARCHAR -> TIMESTAMPTZ casts under a session TimeZone)."""
+    import datetime
+    dt = datetime.datetime.fromisoformat(text.strip())
+    if dt.tzinfo is not None:
+        return int(dt.timestamp() * _US)
+    epoch = datetime.datetime(1970, 1, 1)
+    wall_us = int((dt - epoch).total_seconds() * _US)
+    return int(wall_to_utc_np(np.asarray([wall_us], np.int64), name)[0])
+
+
 def wall_to_utc_np(ts_us: np.ndarray, name: str) -> np.ndarray:
     """Reference helper (numpy): local wall clock -> UTC instant.
     Ambiguous (fall-back) wall times resolve to the LATER instant and
