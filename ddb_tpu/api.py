@@ -513,6 +513,57 @@ class Connection:
     sql = execute
     query = execute
 
+    # ---- lazy Relation API (reference: src/main/relation/,
+    # duckdb::Connection::Table/View/Values/RelationFromQuery) ----------
+    def table(self, name: str):
+        from .relation import table_relation
+        self.catalog.get_table(name)   # existence check, like reference
+        return table_relation(self, name)
+
+    def view(self, name: str):
+        from .relation import view_relation
+        return view_relation(self, name)
+
+    def sql(self, query: str):
+        """SELECT queries return a lazy Relation; other statements
+        execute eagerly (reference: duckdb.sql / Connection::sql)."""
+        from .relation import sql_relation
+        low = query.lstrip().lower()
+        if low.startswith(("select", "with", "from", "values",
+                           "describe", "summarize", "pivot", "(")):
+            return sql_relation(self, query)
+        return self.execute(query)
+
+    query = sql
+
+    def values(self, rows, columns=None):
+        from .relation import values_relation
+        return values_relation(self, rows, columns)
+
+    def table_function(self, name: str, *args):
+        from .relation import table_function_relation
+        return table_function_relation(self, name, *args)
+
+    def from_df(self, df, name: Optional[str] = None):
+        from .relation import table_relation
+        name = name or f"__df_{id(df) & 0xFFFFFF:x}"
+        self.register(name, df)
+        return table_relation(self, name)
+
+    def from_query(self, query: str):
+        from .relation import sql_relation
+        return sql_relation(self, query)
+
+    def from_csv_auto(self, path: str):
+        from .relation import sql_relation
+        return sql_relation(
+            self, f"SELECT * FROM read_csv_auto('{path}')")
+
+    def from_parquet(self, path: str):
+        from .relation import sql_relation
+        return sql_relation(
+            self, f"SELECT * FROM read_parquet('{path}')")
+
     def cursor(self) -> "Cursor":
         return Cursor(self)
 
@@ -1767,7 +1818,10 @@ class Connection:
         schema, batch = physical.execute(plan)
         return QueryResult(schema, batch)
 
-    def table(self, name: str) -> storage.TableData:
+    def table_data(self, name: str) -> storage.TableData:
+        """Internal raw-TableData accessor (plan-building tests);
+        the public .table() returns a lazy Relation like the
+        reference."""
         return self.catalog.get_table(name)
 
 

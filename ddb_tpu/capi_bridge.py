@@ -122,3 +122,18 @@ def appender_rows(app, rows: List[Tuple]):
 
 def appender_flush(app):
     app.flush()
+
+
+_CODE_TO_TYPE = {v: k for k, v in _TYPE_CODES.items()}
+
+
+def register_scalar(con, name: str, callable_, ret_code: int):
+    """Register a C-trampoline scalar UDF (reference:
+    duckdb_create_scalar_function; the callable is a PyCFunction built
+    by native/capi.c around the user's C function pointer)."""
+    from . import types as T
+    tid = _CODE_TO_TYPE.get(int(ret_code))
+    if tid is None:
+        raise ValueError(f"bad return type code {ret_code}")
+    con.create_function(name, callable_, T.DataType(tid))
+    return True

@@ -38,10 +38,11 @@ def _seg_backfill_from_last(boundary_next_rev, v):
 
 class WindowSpec(NamedTuple):
     kind: str              # row_number|rank|dense_rank|sum|min|max|count|
-    #                        count_star|avg|first_value|last_value|lag|lead
+    #                        count_star|avg|first_value|last_value|lag|
+    #                        lead|nth_value
     data: Optional[jax.Array]
     nulls: Optional[jax.Array]
-    offset: int = 1        # lag/lead offset
+    offset: int = 1        # lag/lead offset; nth_value's n
     has_order: bool = True
     whole_partition: bool = False   # force whole-partition frame
     rows_frame: Optional[tuple] = None   # (preceding|None, following|None)
@@ -54,6 +55,14 @@ class WindowSpec(NamedTuple):
     order_desc: bool = False
     order_nulls_first: bool = False
     order_dtype: object = None
+    # GROUPS frame: peer-group distances (reference: WindowBoundary
+    # EXPR_PRECEDING_GROUPS, function/window/window_boundaries_state.cpp)
+    groups_frame: Optional[tuple] = None
+    # frame exclusion: None | "current row" | "group" | "ties"
+    # (reference: WindowExcludeMode, window_executor.cpp)
+    exclude: Optional[str] = None
+    # DISTINCT aggregate over the whole partition (count/sum/avg)
+    distinct: bool = False
 
 
 def compute_windows(part_ops: Sequence[jax.Array],
@@ -195,6 +204,92 @@ def compute_windows(part_ops: Sequence[jax.Array],
             isnull = outside | (sh_nn != 0)
             results_sorted.append((shifted, isnull))
             continue
+        has_frame = (s.rows_frame is not None
+                     or s.range_frame is not None
+                     or s.groups_frame is not None)
+
+        # DISTINCT aggregates over the whole partition (reference:
+        # WindowDistinctAggregator, function/window/
+        # window_distinct_aggregator.cpp) — an auxiliary sort by
+        # (partition, value) marks first occurrences; segmented sums of
+        # those give the distinct count/sum per partition.
+        if s.distinct:
+            if s.kind not in ("count", "sum", "sum_float", "avg") \
+                    or has_frame:
+                raise NotImplementedError(
+                    f"DISTINCT window {s.kind} with a frame")
+            vkey = data_s
+            if jnp.issubdtype(vkey.dtype, jnp.floating):
+                vkey = vkey  # lax.sort totals-orders floats
+            nn_key = (nn_s if nn_s is not None
+                      else jnp.zeros(cap, jnp.int8))
+            aux = lax.sort(
+                [(~valid_s).astype(jnp.int32), *parts_s,
+                 nn_key.astype(jnp.int32), vkey, rid_s],
+                num_keys=3 + len(parts_s), is_stable=False)
+            a_inv, a_parts = aux[0], aux[1:1 + len(parts_s)]
+            a_nn = aux[1 + len(parts_s)]
+            a_v = aux[2 + len(parts_s)]
+            a_rid = aux[3 + len(parts_s)]
+            apb = jnp.zeros(cap, dtype=bool).at[0].set(True)
+            for k in (a_inv, *a_parts):
+                apb = apb | jnp.concatenate(
+                    [jnp.ones(1, dtype=bool), k[1:] != k[:-1]])
+            first_occ = apb | jnp.concatenate(
+                [jnp.ones(1, dtype=bool),
+                 (a_v[1:] != a_v[:-1]) | (a_nn[1:] != a_nn[:-1])])
+            live = (a_inv == 0) & (a_nn == 0) & first_occ
+            apb_rev = rev_boundary(apb)
+            if s.kind == "count":
+                run = _seg_sum_scan(apb, live.astype(jnp.int64))
+                tot = _seg_backfill_from_last(apb_rev, run)
+                out, nl = tot, None
+            else:
+                acc = _acc_dtype(s.kind, a_v.dtype)
+                sv = jnp.where(live, a_v.astype(acc), jnp.zeros((), acc))
+                run = _seg_sum_scan(apb, sv)
+                tot = _seg_backfill_from_last(apb_rev, run)
+                cnt = _seg_backfill_from_last(
+                    apb_rev, _seg_sum_scan(apb, live.astype(jnp.int64)))
+                if s.kind == "avg":
+                    out = tot.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                else:
+                    out = tot
+                nl = cnt == 0
+            # aux order -> original order (sort by carried rowid), then
+            # original -> main sorted order via one gather on rid_s
+            packed = [a_rid, out] + ([] if nl is None
+                                     else [nl.astype(jnp.int8)])
+            back = lax.sort(packed, num_keys=1, is_stable=False)
+            out_m = jnp.take(back[1], rid_s)
+            nl_m = None if nl is None else jnp.take(back[2], rid_s) != 0
+            results_sorted.append((out_m, nl_m))
+            continue
+
+        # value functions through explicit frames + nth_value
+        # (reference: WindowValueExecutor, function/window/
+        # window_value_function.cpp)
+        if s.kind == "nth_value" or (
+                s.kind in ("first_value", "last_value") and has_frame):
+            lo_i, hi_i, _pe = _frame_bounds(
+                s, parts_s, orders_s, oval_s, onn_s, valid_s,
+                pb, ob, ob_rev, pb_rev, part_start, pos, cap)
+            empty = hi_i < lo_i
+            if s.kind == "first_value":
+                p = lo_i
+            elif s.kind == "last_value":
+                p = hi_i
+            else:
+                p = lo_i + (s.offset - 1)
+                empty = empty | (p > hi_i)
+            p = jnp.clip(p, 0, cap - 1).astype(jnp.int64)
+            out = jnp.take(data_s, p)
+            nl = empty
+            if nn_s is not None:
+                nl = nl | (jnp.take(nn_s, p) != 0)
+            results_sorted.append((out, nl))
+            continue
+
         if s.kind == "first_value":
             fv = lax.associative_scan(
                 jnp.maximum, jnp.where(pb, pos, 0))  # partition first pos
@@ -214,14 +309,84 @@ def compute_windows(part_ops: Sequence[jax.Array],
                                    else _bf_nulls(ob_rev, nn_s)))
             continue
 
-        # explicit ROWS / RANGE frame: sliding sums via prefix differences;
-        # sliding min/max via sparse-table range queries (scatter-free
-        # analog of the reference's window segment tree,
-        # src/function/window/window_segment_tree.cpp)
-        if (s.rows_frame is not None or s.range_frame is not None) \
+        # explicit ROWS / RANGE / GROUPS frame: sliding sums via prefix
+        # differences; sliding min/max via sparse-table range queries
+        # (scatter-free analog of the reference's window segment tree,
+        # src/function/window/window_segment_tree.cpp).  EXCLUDE
+        # subtracts the excluded sub-interval (sums) or splits the
+        # query interval in two (extrema).
+        if (has_frame or s.exclude) \
                 and s.kind in ("sum", "sum_float", "avg", "count",
                                "count_star", "min", "max"):
-            part_end = _seg_backfill_from_last(pb_rev, pos)
+            lo_i, hi_i, part_end = _frame_bounds(
+                s, parts_s, orders_s, oval_s, onn_s, valid_s,
+                pb, ob, ob_rev, pb_rev, part_start, pos, cap)
+            hi_i = jnp.clip(hi_i, 0, cap - 1).astype(jnp.int64)
+            lo_i = jnp.clip(lo_i, 0, cap - 1).astype(jnp.int64)
+            empty = hi_i < lo_i
+            hi_i = jnp.maximum(hi_i, lo_i)
+
+            # excluded sub-interval [xlo, xhi] (clipped to the frame);
+            # xhi < xlo means nothing is excluded
+            if s.exclude in ("group", "ties"):
+                peer_first = lax.associative_scan(
+                    jnp.maximum, jnp.where(ob, pos, 0))
+                peer_end = _seg_backfill_from_last(ob_rev, pos)
+                xlo = jnp.maximum(lo_i, peer_first)
+                xhi = jnp.minimum(hi_i, peer_end)
+            elif s.exclude == "current row":
+                xlo = jnp.maximum(lo_i, pos)
+                xhi = jnp.minimum(hi_i, pos)
+            else:
+                xlo = jnp.ones_like(pos)
+                xhi = jnp.zeros_like(pos)
+            xlo = jnp.clip(xlo, 0, cap - 1).astype(jnp.int64)
+            xhi = jnp.clip(xhi, -1, cap - 1).astype(jnp.int64)
+            cur_in = (lo_i <= pos) & (pos <= hi_i) & ~empty
+
+            if s.kind in ("min", "max"):
+                is_min = s.kind == "min"
+                big = _extreme(data_s.dtype, s.kind)
+                v = jnp.where(notnull, data_s, big)
+                nnl = notnull.astype(jnp.int64)
+                prefc = jnp.cumsum(nnl)
+
+                def rngc(lo, hi):
+                    return jnp.take(prefc, hi) \
+                        - (jnp.take(prefc, lo) - jnp.take(nnl, lo))
+                if s.exclude:
+                    has_x = xhi >= xlo
+                    # left part [lo_i, xlo-1], right part [xhi+1, hi_i]
+                    llo, lhi = lo_i, jnp.maximum(xlo - 1, lo_i)
+                    lempty = empty | (xlo <= lo_i)
+                    rlo = jnp.clip(jnp.minimum(xhi + 1, hi_i), 0,
+                                   cap - 1)
+                    rhi = hi_i
+                    rempty = empty | (xhi >= hi_i)
+                    a = _range_extrema(v, llo, lhi, is_min)
+                    b2 = _range_extrema(v, rlo, rhi, is_min)
+                    a = jnp.where(lempty & has_x, big, a)
+                    b2 = jnp.where(rempty & has_x, big, b2)
+                    op = jnp.minimum if is_min else jnp.maximum
+                    out = op(a, b2)
+                    wcnt = jnp.where(empty, 0, rngc(lo_i, hi_i)) \
+                        - jnp.where(has_x, rngc(xlo, jnp.maximum(
+                            xhi, xlo)), 0)
+                    if s.exclude == "ties":
+                        # keep the current row itself
+                        keep = cur_in & notnull
+                        out = jnp.where(keep, op(out, data_s), out)
+                        wcnt = wcnt + jnp.where(cur_in, nnl, 0)
+                elif s.rows_frame == (None, 0):
+                    # running frame: a segmented scan suffices
+                    out = _seg_minmax_scan(pb, v, is_min)
+                    wcnt = _seg_sum_scan(pb, nnl)
+                else:
+                    out = _range_extrema(v, lo_i, hi_i, is_min)
+                    wcnt = jnp.where(empty, 0, rngc(lo_i, hi_i))
+                results_sorted.append((out, wcnt == 0))
+                continue
+
             if s.kind == "count_star":
                 v = valid_s.astype(jnp.int64)
                 nn_cnt = v
@@ -235,45 +400,23 @@ def compute_windows(part_ops: Sequence[jax.Array],
                 nn_cnt = notnull.astype(jnp.int64)
             pref = jnp.cumsum(v)
             prefc = jnp.cumsum(nn_cnt)
-            if s.rows_frame is not None:
-                pre, post = s.rows_frame
-                lo_i = part_start if pre is None else \
-                    jnp.maximum(pos - pre, part_start)
-                hi_i = part_end if post is None else \
-                    jnp.minimum(pos + post, part_end)
-            else:
-                lo_i, hi_i = _range_frame_bounds(
-                    s, parts_s, orders_s, oval_s, onn_s, valid_s,
-                    pb, ob, ob_rev, part_start, part_end, pos, cap)
-            hi_i = jnp.clip(hi_i, 0, cap - 1).astype(jnp.int64)
-            lo_i = jnp.clip(lo_i, 0, cap - 1).astype(jnp.int64)
-            empty = hi_i < lo_i
-            hi_i = jnp.maximum(hi_i, lo_i)
 
-            if s.kind in ("min", "max"):
-                is_min = s.kind == "min"
-                big = _extreme(data_s.dtype, s.kind)
-                v = jnp.where(notnull, data_s, big)
-                nnl = notnull.astype(jnp.int64)
-                if s.rows_frame == (None, 0):
-                    # running frame: a segmented scan suffices
-                    out = _seg_minmax_scan(pb, v, is_min)
-                    wcnt = _seg_sum_scan(pb, nnl)
-                else:
-                    out = _range_extrema(v, lo_i, hi_i, is_min)
-                    prefc = jnp.cumsum(nnl)
-                    wcnt = jnp.take(prefc, hi_i) \
-                        - (jnp.take(prefc, lo_i) - jnp.take(nnl, lo_i))
-                    wcnt = jnp.where(empty, 0, wcnt)
-                results_sorted.append((out, wcnt == 0))
-                continue
-
-            def rng_sum(p, base):
-                hi_v = jnp.take(p, hi_i)
-                lo_v = jnp.take(p, lo_i) - jnp.take(base, lo_i)
+            def rng_sum(p, base, lo, hi):
+                hi_v = jnp.take(p, hi)
+                lo_v = jnp.take(p, lo) - jnp.take(base, lo)
                 return hi_v - lo_v
-            wsum = jnp.where(empty, 0, rng_sum(pref, v))
-            wcnt = jnp.where(empty, 0, rng_sum(prefc, nn_cnt))
+            wsum = jnp.where(empty, 0, rng_sum(pref, v, lo_i, hi_i))
+            wcnt = jnp.where(empty, 0, rng_sum(prefc, nn_cnt, lo_i,
+                                               hi_i))
+            if s.exclude:
+                has_x = (xhi >= xlo) & ~empty
+                xs = rng_sum(pref, v, xlo, jnp.maximum(xhi, xlo))
+                xc = rng_sum(prefc, nn_cnt, xlo, jnp.maximum(xhi, xlo))
+                wsum = wsum - jnp.where(has_x, xs, 0)
+                wcnt = wcnt - jnp.where(has_x, xc, 0)
+                if s.exclude == "ties":
+                    wsum = wsum + jnp.where(cur_in, v, 0)
+                    wcnt = wcnt + jnp.where(cur_in, nn_cnt, 0)
             if s.kind in ("count", "count_star"):
                 results_sorted.append((wcnt, None))
             elif s.kind == "avg":
@@ -347,6 +490,58 @@ def compute_windows(part_ops: Sequence[jax.Array],
     return out
 
 
+def _groups_frame_bounds(s, parts_s, valid_s, pb, ob, ob_rev,
+                         part_start, part_end, pos, cap):
+    """Positions (lo_i, hi_i) of a GROUPS frame: peer-group distances
+    (reference: GROUPS boundaries in
+    function/window/window_boundaries_state.cpp).  The group index is
+    the dense rank of the row's peer group within its partition."""
+    pre, post = s.groups_frame
+    dr = _seg_sum_scan(pb, ob.astype(jnp.int64))   # 1-based group idx
+    if pre is not None:
+        cnt_lo = _rank_in_partition(parts_s, valid_s, dr, dr - pre,
+                                    strict=True, valid_s=valid_s)
+        lo_i = part_start + cnt_lo
+    else:
+        lo_i = part_start
+    if post is not None:
+        cnt_hi = _rank_in_partition(parts_s, valid_s, dr, dr + post,
+                                    strict=False, valid_s=valid_s)
+        hi_i = part_start + cnt_hi - 1
+    else:
+        hi_i = part_end
+    return lo_i, hi_i
+
+
+def _frame_bounds(s, parts_s, orders_s, oval_s, onn_s, valid_s,
+                  pb, ob, ob_rev, pb_rev, part_start, pos, cap):
+    """(lo_i, hi_i) sorted-space positions of the spec's frame; the
+    dialect-default frame (RANGE unbounded-preceding..current peer end,
+    or the whole partition without ORDER BY) when no explicit frame."""
+    part_end = _seg_backfill_from_last(pb_rev, pos)
+    if s.rows_frame is not None:
+        pre, post = s.rows_frame
+        lo_i = part_start if pre is None else \
+            jnp.maximum(pos - pre, part_start)
+        hi_i = part_end if post is None else \
+            jnp.minimum(pos + post, part_end)
+    elif s.range_frame is not None:
+        lo_i, hi_i = _range_frame_bounds(
+            s, parts_s, orders_s, oval_s, onn_s, valid_s,
+            pb, ob, ob_rev, part_start, part_end, pos, cap)
+    elif s.groups_frame is not None:
+        lo_i, hi_i = _groups_frame_bounds(
+            s, parts_s, valid_s, pb, ob, ob_rev, part_start, part_end,
+            pos, cap)
+    elif s.whole_partition or not s.has_order:
+        lo_i, hi_i = part_start, part_end
+    else:
+        # default: partition start .. end of current peer group
+        lo_i = part_start
+        hi_i = _seg_backfill_from_last(ob_rev, pos)
+    return lo_i, hi_i, part_end
+
+
 def _range_extrema(v: jax.Array, lo: jax.Array, hi: jax.Array,
                    is_min: bool) -> jax.Array:
     """min/max of v[lo..hi] (inclusive, lo<=hi) per row via a sparse
@@ -375,13 +570,18 @@ def _range_extrema(v: jax.Array, lo: jax.Array, hi: jax.Array,
 
 
 def _rank_in_partition(parts_s, count_mask, enc_vals, enc_thr,
-                       strict: bool):
+                       strict: bool, valid_s=None):
     """Per row i: number of rows j in i's partition with count_mask[j]
     and enc_vals[j] < enc_thr[i] (<= when strict=False).  Both sequences
     are merged in ONE sort (queries tie-broken before/after equal reals),
-    then a segmented running count answers every query — scatter-free."""
+    then a segmented running count answers every query — scatter-free.
+    valid_s segregates dead (padding) rows into their own segment so
+    they never contaminate counts — required when parts_s is empty."""
     cap = enc_vals.shape[0]
     keys = [jnp.concatenate([p, p]) for p in parts_s]
+    if valid_s is not None:
+        keys.insert(0, jnp.concatenate(
+            [(~valid_s).astype(jnp.int32)] * 2))
     vals = jnp.concatenate([enc_vals, enc_thr])
     if strict:
         # queries sort BEFORE equal reals: equal values not counted
@@ -435,7 +635,7 @@ def _range_frame_bounds(s, parts_s, orders_s, oval_s, onn_s, valid_s,
     if pre is not None:
         thr_lo = enc(oval_s - sign * pre)
         cnt_lo = _rank_in_partition(parts_s, o_notnull, enc_real, thr_lo,
-                                    strict=True)
+                                    strict=True, valid_s=valid_s)
         lo_i = base + cnt_lo
     else:
         lo_i = base
@@ -445,7 +645,7 @@ def _range_frame_bounds(s, parts_s, orders_s, oval_s, onn_s, valid_s,
     if post is not None:
         thr_hi = enc(oval_s + sign * post)
         cnt_hi = _rank_in_partition(parts_s, o_notnull, enc_real, thr_hi,
-                                    strict=False)
+                                    strict=False, valid_s=valid_s)
         hi_i = base + cnt_hi - 1
     else:
         hi_i = base + nn_total - 1

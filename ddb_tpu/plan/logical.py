@@ -212,11 +212,15 @@ class WindowFn:
     order: List[OrderKey]
     dtype: DataType
     name: str
-    offset: int = 1                # lag/lead
+    offset: int = 1                # lag/lead offset; nth_value's n
     strdict: object = None
-    # ROWS frame: (preceding, following); None component = unbounded;
-    # frame=None => dialect default (RANGE unbounded-preceding..current)
+    # frame: (kind, preceding, following[, exclude]) with kind in
+    # rows|range|groups; None component = unbounded; frame=None =>
+    # dialect default (RANGE unbounded-preceding..current)
     frame: Optional[tuple] = None
+    # DISTINCT aggregate argument (count/sum/avg DISTINCT over the
+    # partition; reference: window_distinct_aggregator.cpp)
+    distinct: bool = False
 
 
 @dataclass

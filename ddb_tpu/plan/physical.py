@@ -1553,14 +1553,20 @@ def _exec_window(node: L.Window, ctx):
                     if kind == "sum" and f.arg.dtype.id in (
                             TypeId.FLOAT, TypeId.DOUBLE):
                         kind = "sum_float"
-                rows_frame = range_frame = None
+                rows_frame = range_frame = groups_frame = None
+                exclude = None
                 oval = onull = None
                 odesc = onf = False
                 odtype = None
                 if f.frame is not None:
-                    fkind, pre, post = f.frame
+                    fkind, pre, post = f.frame[:3]
+                    exclude = f.frame[3] if len(f.frame) > 3 else None
                     if fkind == "rows":
                         rows_frame = (pre, post)
+                    elif fkind == "groups":
+                        groups_frame = (pre, post)
+                    elif (pre, post) == (None, 0) and not exclude:
+                        pass   # the dialect default frame
                     else:
                         if len(f.order) != 1:
                             raise NotImplementedError(
@@ -1579,7 +1585,10 @@ def _exec_window(node: L.Window, ctx):
                     range_frame=range_frame,
                     order_val=oval, order_val_nulls=onull,
                     order_desc=odesc, order_nulls_first=onf,
-                    order_dtype=odtype))
+                    order_dtype=odtype,
+                    groups_frame=groups_frame,
+                    exclude=exclude,
+                    distinct=getattr(f, "distinct", False)))
             outs = win_ops.compute_windows(part_ops, order_ops, specs,
                                            b.sel)
             for (i, f), (d, n) in zip(fns, outs):

@@ -206,6 +206,7 @@ class RJoin(TableRef):
     on: Optional[EExpr] = None
     using: Optional[List[str]] = None
     asof: bool = False        # ASOF JOIN (nearest-match inequality)
+    natural: bool = False     # NATURAL JOIN: USING = common column names
 
 
 # ---- statements -----------------------------------------------------------

@@ -353,6 +353,11 @@ class ScopeEntry:
     alias: str
     schema: Schema
     start: int
+    # column indices hidden from * expansion (right-hand duplicates of
+    # USING/NATURAL join columns; reference: using_column_sets in
+    # src/planner/binder/tableref/bind_joinref.cpp) — still resolvable
+    # by qualified name
+    hidden: tuple = ()
 
 
 @dataclass
@@ -384,10 +389,16 @@ class Scope:
         for e in self.entries:
             for i, f in enumerate(e.schema.fields):
                 if f.name.lower() == col:
-                    hits.append(ir.ColRef(e.start + i, f.dtype, col,
-                                          f.strdict))
+                    hits.append((ir.ColRef(e.start + i, f.dtype, col,
+                                           f.strdict), i in e.hidden))
+        if len(hits) > 1:
+            # USING/NATURAL-hidden duplicates don't make a name
+            # ambiguous (reference: using_column_sets resolution)
+            vis = [h for h, hid in hits if not hid]
+            if len(vis) == 1:
+                return vis[0]
         if len(hits) == 1:
-            return hits[0]
+            return hits[0][0]
         if len(hits) > 1:
             raise BindError(f"ambiguous column {col}")
         raise BindError(f"unknown column {col}")
@@ -552,7 +563,9 @@ class Binder:
                 for se in scope.entries:
                     if e.prefix is not None and se.alias != e.prefix:
                         continue
-                    for f in se.schema.fields:
+                    for fi, f in enumerate(se.schema.fields):
+                        if fi in se.hidden:
+                            continue
                         items.append((A.EIdent([se.alias, f.name]), f.name))
             else:
                 items.append((e, alias))
@@ -771,6 +784,31 @@ class Binder:
         right = self.bind_select(rhs)
         if len(left.schema) != len(right.schema):
             raise BindError("set operation column count mismatch")
+        # unify column types across sides (reference:
+        # bind_setop_node.cpp CastLogicalOperatorToTypes): NULL-typed
+        # columns adopt the other side's type, numerics promote
+        fields = []
+        retype = False
+        for f, g in zip(left.schema.fields, right.schema.fields):
+            if f.dtype == g.dtype:
+                fields.append(f)
+                continue
+            try:
+                ct = ir.common_type(f.dtype, g.dtype)
+            except TypeError:
+                if TypeId.VARCHAR in (f.dtype.id, g.dtype.id):
+                    ct = T.VARCHAR
+                else:
+                    raise BindError(
+                        f"set operation type mismatch: {f.dtype!r} "
+                        f"vs {g.dtype!r} for column {f.name}")
+            sd = f.strdict if f.strdict is not None else g.strdict
+            fields.append(Field(f.name, ct, sd))
+            retype = True
+        if retype:
+            target = Schema(tuple(fields))
+            left = self._cast_plan_to(left, target, null_to_any=True)
+            right = self._cast_plan_to(right, target, null_to_any=True)
         left, right = self._align_setop_strings(left, right)
         if op == "union":
             plan = L.Union(left, right)
@@ -890,18 +928,33 @@ class Binder:
             rec = self._cast_plan_to(rec, out_schema)
         return L.RecursiveCTE(base, rec, all_, cell, out_schema)
 
-    def _cast_plan_to(self, plan: L.LogicalNode,
-                      target: Schema) -> L.LogicalNode:
+    def _cast_plan_to(self, plan: L.LogicalNode, target: Schema,
+                      null_to_any: bool = False) -> L.LogicalNode:
         """Project `plan` so each column is cast to the target schema's
         type (reference: CastLogicalOperatorToTypes in
-        src/planner/binder/query_node/bind_setop_node.cpp)."""
+        src/planner/binder/query_node/bind_setop_node.cpp).
+        null_to_any retypes all-NULL columns to any target (set-op
+        unification) and stringifies bounded columns for VARCHAR
+        targets."""
         exprs, names = [], []
         changed = False
         for i, (f, tf) in enumerate(zip(plan.schema.fields,
                                         target.fields)):
             e = ir.ColRef(i, f.dtype, f.name, f.strdict)
             tt = tf.dtype
-            if f.dtype != tt and tt.id != TypeId.VARCHAR:
+            if f.dtype != tt and tt.id == TypeId.VARCHAR \
+                    and null_to_any:
+                if f.dtype.id == TypeId.NULL:
+                    e = ir.Cast(e, T.VARCHAR)
+                    e.strdict = tf.strdict
+                else:
+                    self._plan_for_bounds = plan
+                    try:
+                        e = self._cast_to_varchar(e)
+                    finally:
+                        self._plan_for_bounds = None
+                changed = True
+            elif f.dtype != tt and tt.id != TypeId.VARCHAR:
                 if tt.id == TypeId.DECIMAL and f.dtype.is_numeric \
                         and not f.dtype.id == TypeId.DOUBLE \
                         and not f.dtype.id == TypeId.FLOAT:
@@ -1208,7 +1261,9 @@ class Binder:
             # row-i-pairs-with-row-i join, shorter side NULL-padded
             # (reference: physical_positional_join.cpp)
             return L.Positional(lplan, rplan), combined
-        if ref.join_type == "cross" or (ref.on is None and not ref.using):
+        if ref.join_type == "cross" or (ref.on is None and not ref.using
+                                        and not getattr(ref, "natural",
+                                                        False)):
             return L.CrossProduct(lplan, rplan), combined
 
         if ref.asof:
@@ -1217,12 +1272,36 @@ class Binder:
 
         conds: List[L.JoinCond] = []
         extras: List[ir.Expr] = []
-        if ref.using:
-            for col in ref.using:
+        using = ref.using
+        if getattr(ref, "natural", False) and not using:
+            # NATURAL JOIN: USING over the common column names
+            # (reference: bind_joinref.cpp natural-join expansion)
+            lnames = [f.name.lower() for e2 in lscope.entries
+                      for f in e2.schema.fields]
+            rnames = {f.name.lower() for e2 in rscope.entries
+                      for f in e2.schema.fields}
+            using = [n for n in lnames if n in rnames]
+            if not using:
+                return L.CrossProduct(lplan, rplan), combined
+        if using:
+            for col in using:
                 le = lscope.resolve([col])
                 re_ = rscope.resolve([col])
                 le2, re2 = self._align_join_keys(le, re_)
                 conds.append(L.JoinCond(le2, re2))
+            # the right-hand duplicates disappear from * expansion
+            # (reference: USING column coalescing, bind_joinref.cpp)
+            for col in using:
+                for e2 in rscope.entries:
+                    try:
+                        i2 = e2.schema.index_of(col)
+                    except KeyError:
+                        continue
+                    for ce in combined.entries:
+                        if ce.alias == e2.alias \
+                                and ce.schema is e2.schema:
+                            ce.hidden = tuple(set(ce.hidden) | {i2})
+                    break
         else:
             for c in ir_conjuncts_ast(ref.on):
                 jc = self._try_equi_cond(c, lscope, rscope, combined,
@@ -1357,7 +1436,9 @@ class Binder:
                 for se in iscope.entries:
                     if e.prefix is not None and se.alias != e.prefix:
                         continue
-                    for f in se.schema.fields:
+                    for fi, f in enumerate(se.schema.fields):
+                        if fi in se.hidden:
+                            continue
                         items.append((A.EIdent([se.alias, f.name]), f.name))
             else:
                 items.append((e, alias))
@@ -3421,6 +3502,58 @@ class Binder:
         if name == "last_day":
             a = b(e.args[0])
             return ir.Func("last_day", [a], T.DATE)
+        if name == "strftime" and len(e.args) == 2:
+            # strftime(temporal, fmt) / strftime(fmt, temporal)
+            # (reference: strftime.cpp).  TPU-native design: VARCHAR
+            # results need a bind-time dictionary, so the value domain
+            # is enumerated from zone-map bounds (like CAST .. AS
+            # VARCHAR); formats without time specifiers lower
+            # timestamps to dates first.
+            a0, a1 = b(e.args[0]), b(e.args[1])
+            if a0.dtype.id == TypeId.VARCHAR:
+                fmt_e, val = a0, a1
+            else:
+                val, fmt_e = a0, a1
+            if not isinstance(fmt_e, ir.Const) \
+                    or getattr(fmt_e, "strdict", None) is None:
+                raise BindError("strftime format must be a constant")
+            fmt = fmt_e.strdict.decode_one(fmt_e.value)
+            has_time = any(spec in fmt for spec in
+                           ("%H", "%I", "%M", "%S", "%f", "%g", "%p",
+                            "%X", "%c", "%-H", "%-I", "%-M", "%-S"))
+            if isinstance(val, ir.Const):
+                text = None if val.value is None else _strftime_raw(
+                    int(val.value), val.dtype, fmt)
+                return self._bind_literal(text)
+            if val.dtype.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+                    and not has_time:
+                val = ir.Func("ts_date", [self._tz_wall(val)], T.DATE)
+            if val.dtype.id != TypeId.DATE:
+                raise BindError(
+                    "strftime with time specifiers needs a DATE-"
+                    "reducible argument (timestamp domains are not "
+                    "bind-time enumerable)")
+            bnd = None
+            plan = getattr(self, "_plan_for_bounds", None)
+            if plan is not None:
+                from ..plan import bounds as PB
+                try:
+                    bnd = PB.expr_bounds(val, PB.node_bounds(plan))
+                except Exception:
+                    bnd = None
+            if bnd is None:
+                raise BindError("strftime needs a bounded date domain")
+            lo, hi = int(bnd[0]), int(bnd[1])
+            if hi - lo + 1 > self._STRINGIFY_SPAN:
+                raise BindError("strftime: date span too large")
+            raw = np.arange(lo, hi + 1, dtype=np.int64)
+            strs = np.array([_strftime_raw(int(d), T.DATE, fmt)
+                             for d in raw])
+            uniq, inv = np.unique(strs.astype(str), return_inverse=True)
+            dl = ir.DictLookup(val, inv.astype(np.int32), T.VARCHAR,
+                               "strftime", base=lo)
+            dl.strdict = StringDictionary(uniq)
+            return dl
         if name in ("monthname", "dayname"):
             a = b(e.args[0])
             if name == "monthname":
@@ -3753,6 +3886,15 @@ class Binder:
                 if not isinstance(off, ir.Const):
                     raise BindError("lag/lead offset must be constant")
                 offset = int(off.value)
+            if name == "nth_value":
+                if len(fn.args) < 2:
+                    raise BindError("nth_value requires (expr, n)")
+                nk = self.bind_expr(fn.args[1], scope)
+                if not isinstance(nk, ir.Const):
+                    raise BindError("nth_value n must be constant")
+                offset = int(nk.value)
+                if offset < 1:
+                    raise BindError("nth_value n must be >= 1")
             if name == "count":
                 dtype = T.BIGINT
             elif name == "sum":
@@ -3763,42 +3905,61 @@ class Binder:
             elif name == "avg":
                 dtype = T.DOUBLE
             elif name in ("min", "max", "first_value", "last_value",
-                          "lag", "lead"):
+                          "lag", "lead", "nth_value"):
                 dtype = arg.dtype
             else:
                 raise BindError(f"window function {name} not supported")
+        distinct = bool(getattr(fn, "distinct", False))
+        if distinct and name not in ("count", "sum", "avg"):
+            raise BindError(
+                f"DISTINCT is not supported for window {name}")
         frame = self._parse_frame(e.frame, name)
         wf = L.WindowFn(name, arg, partition, order, dtype,
                         name, offset,
                         getattr(arg, "strdict", None)
-                        if arg is not None else None, frame)
+                        if arg is not None else None, frame,
+                        distinct=distinct)
         key = repr((name, repr(arg), [repr(p) for p in partition],
                     [(repr(k.expr), k.desc, k.nulls_last)
-                     for k in order], offset))
+                     for k in order], offset, distinct, frame))
         idx = win_ctx.add(wf, key)
         return WinRef(idx, dtype, wf.strdict)
 
     def _parse_frame(self, text: Optional[str], fn_name: str):
-        """Parse 'rows|range between X and Y' -> (kind, preceding,
-        following); None component = unbounded.  Returns None for the
-        dialect default (RANGE unbounded-preceding..current-row)."""
+        """Parse 'rows|range|groups between X and Y [exclude ...]' ->
+        (kind, preceding, following, exclude); None component =
+        unbounded.  Returns None for the dialect default (RANGE
+        unbounded-preceding..current-row, EXCLUDE NO OTHERS).
+        Reference: window frame binding in
+        src/planner/binder/expression/bind_window_expression.cpp +
+        WindowExcludeMode."""
         if not text:
             return None
         toks = text.lower().split()
         kind = toks[0]
-        if kind not in ("rows", "range"):
+        if kind not in ("rows", "range", "groups"):
             raise BindError(f"unsupported frame: {text}")
         body = " ".join(toks[1:])
+        exclude = None
+        if " exclude " in " " + body + " ":
+            body, _, exc = body.partition(" exclude ")
+            exc = exc.strip()
+            if exc in ("current row", "group", "ties"):
+                exclude = exc
+            elif exc != "no others":
+                raise BindError(f"unsupported EXCLUDE clause: {exc}")
+            body = body.strip()
         if not body.startswith("between "):
             # shorthand: '<bound>' == 'BETWEEN <bound> AND CURRENT ROW'
             a, b2 = body, "current row"
         else:
             a, b2 = body[len("between "):].split(" and ")
         if kind == "range" and a.strip() == "unbounded preceding" \
-                and b2.strip() == "current row":
+                and b2.strip() == "current row" and exclude is None:
             return None          # the dialect default
         if fn_name not in ("sum", "avg", "count", "count_star",
-                           "min", "max"):
+                           "min", "max", "first_value", "last_value",
+                           "nth_value"):
             raise BindError(f"{kind.upper()} frame unsupported for "
                             f"{fn_name}")
 
@@ -3818,7 +3979,7 @@ class Binder:
 
         pre = bound(a, True)
         post = bound(b2, False)
-        return (kind, pre, post)
+        return (kind, pre, post, exclude)
 
     def _bind_agg_func(self, e: A.EFunc, scope, agg_ctx, group_map,
                        sub_replacements) -> AggRef:
@@ -5524,6 +5685,47 @@ def _scope_of_plan(plan: L.LogicalNode, base_scope: Scope) -> Scope:
         fs = plan.schema.fields[-extra:]
         sc.add("__sub", Schema(tuple(fs)))
     return sc
+
+
+def _strftime_raw(raw: int, dtype: DataType, fmt: str) -> str:
+    """duckdb-style strftime of one raw temporal value (reference:
+    src/common/types/strftime.cpp; %-X = non-padded variants)."""
+    import datetime as _dt
+    if dtype.id == TypeId.DATE:
+        v = _dt.date(1970, 1, 1) + _dt.timedelta(days=raw)
+    else:
+        v = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=raw)
+    out = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch != "%":
+            out.append(ch)
+            i += 1
+            continue
+        spec = fmt[i + 1:i + 2]
+        dash = spec == "-"
+        if dash:
+            spec = fmt[i + 2:i + 3]
+            i += 1
+        i += 2
+        if spec == "%":
+            out.append("%")
+        elif spec == "f":
+            out.append("%06d" % getattr(v, "microsecond", 0))
+        elif spec == "g":
+            out.append(("%06d" % getattr(v, "microsecond", 0))[:3])
+        elif spec == "n":
+            out.append("%09d" % (getattr(v, "microsecond", 0) * 1000))
+        else:
+            try:
+                s2 = v.strftime("%" + spec)
+            except ValueError:
+                s2 = "%" + spec
+            if dash:
+                s2 = s2.lstrip("0") or "0"
+            out.append(s2)
+    return "".join(out)
 
 
 def _parse_text(text: str, tgt: DataType):

@@ -37,7 +37,8 @@ def parse_expression(text: str):
 
 # identifiers that introduce a clause and therefore can never be an
 # implicit (AS-less) alias (duckdb treats them as unreserved keywords)
-_NON_ALIAS = {"qualify", "window", "lateral"}
+_NON_ALIAS = {"qualify", "window", "lateral", "natural",
+              "tablesample", "positional"}
 
 
 class Parser:
@@ -117,7 +118,7 @@ class Parser:
             # DESCRIBE/SUMMARIZE <table> | DESCRIBE/SUMMARIZE SELECT ...
             kind = t.value
             self.next()
-            if self.at_kw("select", "with"):
+            if self.at_kw("select", "with", "from"):
                 return A.DescribeStmt(None, self.select_stmt(),
                                       summarize=(kind == "summarize"))
             if self.accept_kw("table"):
@@ -155,10 +156,10 @@ class Parser:
                 args.append(self.expr_primary())
             return A.PragmaStmt(name, [a.value if isinstance(a, A.ELit)
                                        else str(a) for a in args])
-        if self.at_kw("select", "with"):
+        if self.at_kw("select", "with", "from"):
             return self.select_stmt()
         if self.at("OP", "(") and self.peek(1).kind == "KW" \
-                and self.peek(1).value in ("select", "with"):
+                and self.peek(1).value in ("select", "with", "from"):
             return self.select_stmt()
         if self.at_kw("create"):
             return self.create_stmt()
@@ -910,7 +911,7 @@ class Parser:
     def _set_operand(self) -> A.SelectStmt:
         """A set-operation operand: SELECT core or parenthesized select."""
         if self.at("OP", "(") and self.peek(1).kind == "KW" \
-                and self.peek(1).value in ("select", "with"):
+                and self.peek(1).value in ("select", "with", "from"):
             self.next()
             inner = self.select_stmt()
             self.expect_op(")")
@@ -918,6 +919,32 @@ class Parser:
         return self.select_core()
 
     def select_core(self) -> A.SelectStmt:
+        # FROM-first query: 'FROM t [SELECT items] [WHERE ...] ...'
+        # (reference: from_first syntax, transform_select_node.cpp)
+        if self.at_kw("from"):
+            self.next()
+            s = A.SelectStmt()
+            s.from_refs.append(self.table_ref())
+            while self.accept_op(","):
+                s.from_refs.append(self.table_ref())
+            if self.accept_kw("select"):
+                self.accept_kw("distinct") and setattr(
+                    s, "distinct", True)
+                while True:
+                    e = self.expr()
+                    alias = None
+                    if self.accept_kw("as"):
+                        alias = self.ident()
+                    elif self.peek().kind == "IDENT" \
+                            and self.peek().value not in _NON_ALIAS:
+                        alias = self.next().value
+                    s.items.append((e, alias))
+                    if not self.accept_op(","):
+                        break
+            else:
+                s.items.append((A.EStar(), None))
+            self._select_tail(s)
+            return s
         self.expect_kw("select")
         s = A.SelectStmt()
         if self.accept_kw("distinct"):
@@ -952,6 +979,12 @@ class Parser:
             s.from_refs.append(self.table_ref())
             while self.accept_op(","):
                 s.from_refs.append(self.table_ref())
+        self._select_tail(s)
+        return s
+
+    def _select_tail(self, s) -> None:
+        """WHERE .. GROUP BY .. HAVING .. WINDOW .. QUALIFY .. ORDER ..
+        LIMIT tail shared by SELECT-first and FROM-first cores."""
         if self.accept_kw("where"):
             s.where = self.expr()
         if self.accept_kw("using"):
@@ -989,7 +1022,7 @@ class Parser:
                     if self.accept_kw("order"):
                         self.expect_kw("by")
                         w.order = self.order_items()
-                    if self.at_kw("rows", "range"):
+                    if self.at_kw("rows", "range") or (self.peek().kind == "IDENT" and self.peek().value == "groups"):
                         frame_kind = self.next().value
                         parts = [frame_kind]
                         while not self.at("OP", ")"):
@@ -1044,7 +1077,6 @@ class Parser:
             self._parse_limit_clause(s)
         if self.accept_kw("offset"):
             self._parse_offset_clause(s)
-        return s
 
     def _parse_limit_clause(self, s):
         """LIMIT <expr> [% | PERCENT] — constants fold at bind time;
@@ -1205,8 +1237,13 @@ class Parser:
                 left = A.RJoin(left, right, "positional")
                 continue
             asof = bool(self.accept_kw("asof"))
-            if asof or self.at_kw("join", "inner", "left", "right",
-                                  "full", "semi", "anti"):
+            natural = self.peek().kind == "IDENT" \
+                and self.peek().value == "natural"
+            if natural:
+                self.next()
+            if asof or natural or self.at_kw(
+                    "join", "inner", "left", "right",
+                    "full", "semi", "anti"):
                 if self.accept_kw("inner"):
                     jt = "inner"
                 elif self.accept_kw("semi"):
@@ -1247,7 +1284,8 @@ class Parser:
                     self.expect_op(")")
                     left = A.RJoin(left, right, jt, using=cols, asof=asof)
                 else:
-                    left = A.RJoin(left, right, jt, asof=asof)
+                    left = A.RJoin(left, right, jt, asof=asof,
+                                   natural=natural)
                 continue
             return left
 
@@ -1279,7 +1317,7 @@ class Parser:
                         return A.RSubquery(sel, alias, cols)
                     except SQLSyntaxError:
                         self.i = save
-            if self.at_kw("select", "with"):
+            if self.at_kw("select", "with", "from"):
                 sel = self.select_stmt()
                 self.expect_op(")")
                 alias = self._table_alias()
@@ -1420,7 +1458,7 @@ class Parser:
                         and self.peek(1).value == "(":
                     q = self.next().value
                     self.expect_op("(")
-                    if self.at_kw("select", "with"):
+                    if self.at_kw("select", "with", "from"):
                         sub = self.select_stmt()
                     else:
                         # ANY over a list expression: x = ANY([..])
@@ -1445,7 +1483,7 @@ class Parser:
                     continue
                 if self.accept_kw("in"):
                     self.expect_op("(")
-                    if self.at_kw("select", "with"):
+                    if self.at_kw("select", "with", "from"):
                         sub = self.select_stmt()
                         self.expect_op(")")
                         e = A.EIn(e, subquery=sub, negated=negated)
@@ -1788,7 +1826,7 @@ class Parser:
                 self.expect_op(")")
                 return A.EFunc(part.lower(), [e])
         if self.accept_op("("):
-            if self.at_kw("select", "with"):
+            if self.at_kw("select", "with", "from"):
                 sub = self.select_stmt()
                 self.expect_op(")")
                 return A.ESub(sub)
@@ -1900,7 +1938,7 @@ class Parser:
         if self.accept_kw("order"):
             self.expect_kw("by")
             w.order = self.order_items()
-        if self.at_kw("rows", "range"):
+        if self.at_kw("rows", "range") or (self.peek().kind == "IDENT" and self.peek().value == "groups"):
             # frame clause parsed but only defaults supported for now
             frame_kind = self.next().value
             parts = [frame_kind]

@@ -192,23 +192,65 @@ def fn_duckdb_types(ctx, args) -> TableData:
         _strcol("logical_type", names)])
 
 
+def _harvest_dispatch_names(fn) -> set:
+    """Function names a binder dispatch method accepts, harvested from
+    its source: every string compared against the local `name` variable
+    (`name == "x"` / `name in ("x", "y")`).  Keeps duckdb_functions()
+    in sync with the real dispatch without a hand-maintained list
+    (reference enumerates its registry the same way —
+    src/function/function_list.cpp is the single source of truth)."""
+    import ast as _ast
+    import inspect
+    import textwrap
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = _ast.parse(src)
+    except (OSError, SyntaxError):
+        return set()
+    out = set()
+
+    def str_consts(node):
+        if isinstance(node, _ast.Constant) and isinstance(node.value,
+                                                         str):
+            yield node.value
+        elif isinstance(node, (_ast.Tuple, _ast.List, _ast.Set)):
+            for elt in node.elts:
+                yield from str_consts(elt)
+
+    for node in _ast.walk(tree):
+        if not isinstance(node, _ast.Compare):
+            continue
+        left = node.left
+        if not (isinstance(left, _ast.Name) and left.id == "name"):
+            continue
+        for op, cmp_ in zip(node.ops, node.comparators):
+            if isinstance(op, (_ast.Eq, _ast.In)):
+                for s2 in str_consts(cmp_):
+                    if s2 and s2.replace("_", "").isalnum() \
+                            and not s2.startswith("__"):
+                        out.add(s2)
+    return out
+
+
 def _function_registry():
     """(name, kind) for every SQL-callable function the binder accepts."""
-    from .sql.binder import AGG_FUNCS
+    from .sql import binder as B
     from .expr.functions import _MATH1
-    scalars = sorted(set(_MATH1) | {
-        "abs", "round", "floor", "ceil", "sqrt", "cbrt", "coalesce",
-        "pow", "power", "least", "greatest", "nullif", "ifnull",
-        "year", "month", "day", "quarter", "dayofweek", "isodow",
-        "date_trunc", "date_part", "extract", "lower", "upper", "length",
-        "substring", "substr", "trim", "ltrim", "rtrim", "replace",
-        "contains", "starts_with", "ends_with", "concat", "strpos",
-        "left", "right", "like_escape", "regexp_matches",
-        "regexp_replace", "split_part",
-    })
-    aggs = sorted(AGG_FUNCS)
+    scalars = set(_MATH1)
+    scalars |= _harvest_dispatch_names(B.Binder._bind_func)
+    for meth in ("_bind_string_func", "_bind_concat",
+                 "_bind_list_func", "_bind_list_func_dynamic",
+                 "_bind_json_func", "_bind_window"):
+        m = getattr(B.Binder, meth, None)
+        if m is not None:
+            scalars |= _harvest_dispatch_names(m)
+    scalars |= set(B.FUNC_ALIASES)
+    scalars |= set(getattr(B, "AGG_MACROS", ()))
+    scalars |= set(getattr(B, "_STR_FUNCS", ()))
+    scalars -= set(B.AGG_FUNCS)
+    aggs = sorted(set(B.AGG_FUNCS))
     tfs = sorted(TABLE_FUNCTIONS)
-    return ([(s, "scalar") for s in scalars]
+    return ([(s, "scalar") for s in sorted(scalars)]
             + [(a, "aggregate") for a in aggs]
             + [(t, "table") for t in tfs])
 

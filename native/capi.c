@@ -539,3 +539,129 @@ ddb_state ddb_appender_destroy(ddb_appender *app) {
     *app = NULL;
     return r;
 }
+
+/* ------------------------------------------------------------------ */
+/* scalar UDF registration: a C callback becomes a Python callable via
+ * a PyCFunction trampoline closed over a capsule, then registers
+ * through Connection.create_function — the engine's pure_callback UDF
+ * machinery vectorizes around the row-wise C call (reference:
+ * duckdb_create_scalar_function, src/main/capi/scalar_function-c.cpp). */
+
+struct ddb_scalar_ctx {
+    ddb_scalar_fn fn;
+    size_t nargs;
+    void *extra;
+    ddb_type ret;
+};
+
+static void scalar_ctx_free(PyObject *capsule) {
+    void *p = PyCapsule_GetPointer(capsule, "ddb_scalar_ctx");
+    free(p);
+}
+
+static PyObject *scalar_trampoline(PyObject *self, PyObject *args) {
+    struct ddb_scalar_ctx *ctx =
+        PyCapsule_GetPointer(self, "ddb_scalar_ctx");
+    if (!ctx) return NULL;
+    size_t n = (size_t)PyTuple_Size(args);
+    if (n != ctx->nargs) {
+        PyErr_SetString(PyExc_TypeError, "udf argument count mismatch");
+        return NULL;
+    }
+    ddb_value vals[16];
+    PyObject *strrefs[16] = {0};
+    if (n > 16) {
+        PyErr_SetString(PyExc_TypeError, "udf supports up to 16 args");
+        return NULL;
+    }
+    for (size_t k = 0; k < n; k++) {
+        PyObject *a = PyTuple_GetItem(args, k);
+        ddb_value *v = &vals[k];
+        memset(v, 0, sizeof(*v));
+        if (a == Py_None) {
+            v->is_null = 1;
+        } else if (PyBool_Check(a)) {
+            v->i = (a == Py_True);
+            v->d = (double)v->i;
+        } else if (PyLong_Check(a)) {
+            v->i = PyLong_AsLongLong(a);
+            v->d = (double)v->i;
+        } else if (PyFloat_Check(a)) {
+            v->d = PyFloat_AsDouble(a);
+            v->i = (int64_t)v->d;
+        } else if (PyUnicode_Check(a)) {
+            strrefs[k] = PyUnicode_AsUTF8String(a);
+            if (!strrefs[k]) return NULL;
+            v->s = PyBytes_AsString(strrefs[k]);
+        } else if (PyIndex_Check(a)) {       /* numpy integer scalars */
+            PyObject *li = PyNumber_Index(a);
+            if (!li) return NULL;
+            v->i = PyLong_AsLongLong(li);
+            v->d = (double)v->i;
+            Py_DECREF(li);
+        } else {
+            double dv = PyFloat_AsDouble(a); /* numpy float scalars */
+            if (dv == -1.0 && PyErr_Occurred()) {
+                PyErr_Clear();
+                v->is_null = 1;
+            } else {
+                v->d = dv;
+                v->i = (int64_t)dv;
+            }
+        }
+    }
+    ddb_value out;
+    memset(&out, 0, sizeof(out));
+    ctx->fn(vals, n, &out, ctx->extra);
+    for (size_t k = 0; k < n; k++) Py_XDECREF(strrefs[k]);
+    if (out.is_null) Py_RETURN_NONE;
+    if (ctx->ret == DDB_TYPE_FLOAT || ctx->ret == DDB_TYPE_DOUBLE)
+        return PyFloat_FromDouble(out.d);
+    if (ctx->ret == DDB_TYPE_BOOLEAN)
+        return PyBool_FromLong(out.i != 0);
+    return PyLong_FromLongLong(out.i);
+}
+
+static PyMethodDef scalar_trampoline_def = {
+    "__ddb_scalar__", scalar_trampoline, METH_VARARGS, NULL};
+
+ddb_state ddb_register_scalar_function(ddb_connection con,
+                                       const char *name,
+                                       ddb_scalar_fn fn,
+                                       ddb_type return_type,
+                                       size_t nargs, void *extra) {
+    if (!con || !name || !fn || nargs > 16) return DDB_ERROR;
+    if (ensure_bridge() != 0) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    struct ddb_scalar_ctx *ctx = calloc(1, sizeof(*ctx));
+    ctx->fn = fn;
+    ctx->nargs = nargs;
+    ctx->extra = extra;
+    ctx->ret = return_type;
+    PyObject *capsule = PyCapsule_New(ctx, "ddb_scalar_ctx",
+                                      scalar_ctx_free);
+    if (!capsule) {
+        free(ctx);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *callable = PyCFunction_New(&scalar_trampoline_def,
+                                         capsule);
+    Py_DECREF(capsule);          /* callable holds the reference */
+    if (!callable) {
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *r = PyObject_CallMethod(g_bridge, "register_scalar",
+                                      "OsOi", con->con, name, callable,
+                                      (int)return_type);
+    Py_DECREF(callable);
+    if (!r) {
+        set_py_error(con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}

@@ -11,6 +11,24 @@
         fprintf(stderr, "FAILED at %s:%d\n", __FILE__, __LINE__);     \
         return 1; } } while (0)
 
+
+static void times_plus(const ddb_value *args, size_t nargs,
+                       ddb_value *out, void *extra) {
+    (void)extra;
+    if (args[0].is_null || args[1].is_null) {
+        out->is_null = 1;
+        return;
+    }
+    out->i = args[0].i * 10 + args[1].i;
+}
+
+static void half_of(const ddb_value *args, size_t nargs,
+                    ddb_value *out, void *extra) {
+    (void)nargs; (void)extra;
+    if (args[0].is_null) { out->is_null = 1; return; }
+    out->d = args[0].d / 2.0;
+}
+
 int main(void) {
     ddb_database db;
     ddb_connection con;
@@ -71,6 +89,21 @@ int main(void) {
         fprintf(stderr, "expected non-empty error message\n");
         return 1;
     }
+
+    /* C scalar UDF registration (reference: duckdb_create_scalar_function) */
+    CHECK(ddb_register_scalar_function(con, "times_plus", times_plus,
+                                       DDB_TYPE_BIGINT, 2, NULL));
+    CHECK(ddb_register_scalar_function(con, "half_of", half_of,
+                                       DDB_TYPE_DOUBLE, 1, NULL));
+    CHECK(ddb_query(con, "SELECT times_plus(id, 3), half_of(score) "
+                         "FROM t WHERE id = 1", &res));
+    assert(ddb_value_int64(res, 0, 0) == 13);
+    assert(ddb_value_double(res, 1, 0) == 3.5 / 2.0);
+    ddb_destroy_result(&res);
+    CHECK(ddb_query(con, "SELECT times_plus(id, NULL) FROM t WHERE id = 1",
+                    &res));
+    assert(ddb_value_is_null(res, 0, 0));
+    ddb_destroy_result(&res);
 
     ddb_disconnect(&con);
     ddb_close(&db);

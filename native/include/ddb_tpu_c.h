@@ -119,6 +119,29 @@ ddb_state ddb_appender_end_row(ddb_appender app);
 ddb_state ddb_appender_flush(ddb_appender app);
 ddb_state ddb_appender_destroy(ddb_appender *app);
 
+/* ---- scalar UDF registration (reference: duckdb_create_scalar_function
+ * family, src/include/duckdb.h; ours is a row-wise callback ABI — the
+ * engine vectorizes around it) ------------------------------------- */
+typedef struct {
+    int is_null;
+    int64_t i;       /* integer/boolean/temporal-raw value */
+    double d;        /* float/double value */
+    const char *s;   /* VARCHAR input (borrowed; valid during the call) */
+} ddb_value;
+
+typedef void (*ddb_scalar_fn)(const ddb_value *args, size_t nargs,
+                              ddb_value *out, void *extra);
+
+/* Register `fn` as SQL function `name` taking nargs arguments.
+ * return_type must be a numeric/boolean/temporal type (VARCHAR returns
+ * need a bounded domain in this engine and are rejected).  `extra` is
+ * passed through to every invocation. */
+ddb_state ddb_register_scalar_function(ddb_connection con,
+                                       const char *name,
+                                       ddb_scalar_fn fn,
+                                       ddb_type return_type,
+                                       size_t nargs, void *extra);
+
 #ifdef __cplusplus
 }
 #endif

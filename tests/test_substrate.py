@@ -30,7 +30,7 @@ def colref(table, name):
 
 def test_scan_and_filter(con):
     con.register("t", {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30, 40, 50]})
-    t = con.table("t")
+    t = con.table_data("t")
     get = L.Get(t, [0, 1])
     pred = ir.bind_comparison(">", colref(t, "a"),
                               ir.Const(2, T.INTEGER))
@@ -41,7 +41,7 @@ def test_scan_and_filter(con):
 
 def test_projection_arith(con):
     con.register("t", {"a": [1, 2, 3]})
-    t = con.table("t")
+    t = con.table_data("t")
     e = ir.bind_arith("+", colref(t, "a"), ir.Const(100, T.INTEGER))
     plan = L.Project(L.Get(t, [0]), [e], ["x"])
     assert con.execute_plan(plan).fetchall() == [(101,), (102,), (103,)]
@@ -49,7 +49,7 @@ def test_projection_arith(con):
 
 def test_grouped_aggregate_ints(con):
     con.register("t", {"k": [1, 2, 1, 2, 3], "v": [10, 20, 30, 40, 50]})
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Aggregate(
         L.Get(t, [0, 1]),
         groups=[colref(t, "k")],
@@ -65,7 +65,7 @@ def test_grouped_aggregate_ints(con):
 
 def test_ungrouped_aggregate(con):
     con.register("t", {"v": [1.5, 2.5, 3.0]})
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Aggregate(
         L.Get(t, [0]), groups=[],
         aggs=[L.AggSpec("sum", colref(t, "v"), T.DOUBLE, "s"),
@@ -78,7 +78,7 @@ def test_ungrouped_aggregate(con):
 def test_string_group_perfect_hash(con):
     con.register("t", {"s": ["x", "y", "x", "z", "y", "x"],
                        "v": [1, 2, 3, 4, 5, 6]})
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Aggregate(
         L.Get(t, [0, 1]),
         groups=[colref(t, "s")],
@@ -91,7 +91,7 @@ def test_string_group_perfect_hash(con):
 def test_inner_join(con):
     con.register("l", {"k": [1, 2, 3, 2], "a": [10, 20, 30, 21]})
     con.register("r", {"k": [2, 3, 4], "b": [200, 300, 400]})
-    lt, rt = con.table("l"), con.table("r")
+    lt, rt = con.table_data("l"), con.table_data("r")
     plan = L.Join(L.Get(lt, [0, 1]), L.Get(rt, [0, 1]), "inner",
                   [L.JoinCond(colref(lt, "k"), colref(rt, "k"))])
     rows = sorted(con.execute_plan(plan).fetchall())
@@ -101,7 +101,7 @@ def test_inner_join(con):
 def test_left_join(con):
     con.register("l", {"k": [1, 2], "a": [10, 20]})
     con.register("r", {"k": [2], "b": [200]})
-    lt, rt = con.table("l"), con.table("r")
+    lt, rt = con.table_data("l"), con.table_data("r")
     plan = L.Join(L.Get(lt, [0, 1]), L.Get(rt, [0, 1]), "left",
                   [L.JoinCond(colref(lt, "k"), colref(rt, "k"))])
     rows = sorted(con.execute_plan(plan).fetchall(),
@@ -112,7 +112,7 @@ def test_left_join(con):
 def test_semi_anti_join(con):
     con.register("l", {"k": [1, 2, 3]})
     con.register("r", {"k": [2, 2, 5]})
-    lt, rt = con.table("l"), con.table("r")
+    lt, rt = con.table_data("l"), con.table_data("r")
     semi = L.Join(L.Get(lt, [0]), L.Get(rt, [0]), "semi",
                   [L.JoinCond(colref(lt, "k"), colref(rt, "k"))])
     assert sorted(con.execute_plan(semi).fetchall()) == [(2,)]
@@ -123,7 +123,7 @@ def test_semi_anti_join(con):
 
 def test_order_limit(con):
     con.register("t", {"a": [3, 1, 2, 5, 4]})
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Limit(L.Order(L.Get(t, [0]),
                            [L.OrderKey(colref(t, "a"), desc=True)]), 3)
     assert con.execute_plan(plan).fetchall() == [(5,), (4,), (3,)]
@@ -134,7 +134,7 @@ def test_decimal_arith_and_sum(con):
     dec = pa.array([decimal.Decimal("1.25"), decimal.Decimal("2.50"),
                     decimal.Decimal("0.05")], pa.decimal128(15, 2))
     con.register("t", pa.table({"d": dec}))
-    t = con.table("t")
+    t = con.table_data("t")
     two = ir.Const(T.encode_literal("2.0", T.DECIMAL(15, 1)),
                    T.DECIMAL(15, 1))
     prod = ir.bind_arith("*", colref(t, "d"), two)
@@ -151,7 +151,7 @@ def test_nulls_in_aggregate(con):
     import pyarrow as pa
     con.register("t", pa.table({"k": [1, 1, 2, 2],
                                 "v": [10, None, None, None]}))
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Aggregate(
         L.Get(t, [0, 1]),
         groups=[colref(t, "k")],
@@ -164,14 +164,14 @@ def test_nulls_in_aggregate(con):
 
 def test_distinct(con):
     con.register("t", {"a": [1, 2, 1, 3, 2]})
-    t = con.table("t")
+    t = con.table_data("t")
     plan = L.Distinct(L.Get(t, [0]))
     assert sorted(con.execute_plan(plan).fetchall()) == [(1,), (2,), (3,)]
 
 
 def test_case_expression(con):
     con.register("t", {"a": [1, 2, 3]})
-    t = con.table("t")
+    t = con.table_data("t")
     c = ir.Case(
         whens=[(ir.bind_comparison("==", colref(t, "a"),
                                    ir.Const(2, T.INTEGER)),
@@ -184,7 +184,7 @@ def test_case_expression(con):
 def test_multikey_join(con):
     con.register("l", {"k1": [1, 1, 2], "k2": [5, 6, 5], "a": [1, 2, 3]})
     con.register("r", {"k1": [1, 2], "k2": [6, 5], "b": [10, 20]})
-    lt, rt = con.table("l"), con.table("r")
+    lt, rt = con.table_data("l"), con.table_data("r")
     plan = L.Join(L.Get(lt, [0, 1, 2]), L.Get(rt, [0, 1, 2]), "inner",
                   [L.JoinCond(colref(lt, "k1"), colref(rt, "k1")),
                    L.JoinCond(colref(lt, "k2"), colref(rt, "k2"))])
@@ -198,7 +198,7 @@ def test_dates(con):
     con.register("t", pa.table({
         "d": pa.array([datetime.date(1994, 1, 1),
                        datetime.date(1995, 6, 15)])}))
-    t = con.table("t")
+    t = con.table_data("t")
     y = ir.Func("year", [colref(t, "d")], T.BIGINT)
     plan = L.Project(L.Get(t, [0]), [y], ["y"])
     assert con.execute_plan(plan).fetchall() == [(1994,), (1995,)]
