@@ -44,7 +44,8 @@ def partition_ids(key: jax.Array, n_shards: int) -> jax.Array:
 
 
 def all_to_all_exchange(arrays: Sequence[jax.Array], valid: jax.Array,
-                        pid: jax.Array, n_shards: int, cap: int):
+                        pid: jax.Array, n_shards: int, cap: int,
+                        axis: str = AXIS):
     """Inside shard_map: route rows to their owning shard.
 
     arrays: per-row payload arrays [n]; valid: [n] live mask;
@@ -72,9 +73,9 @@ def all_to_all_exchange(arrays: Sequence[jax.Array], valid: jax.Array,
                   for a_s in sorted_arrays]
 
     # the exchange: block j of the send buffer goes to shard j
-    recv = [lax.all_to_all(a, AXIS, split_axis=0, concat_axis=0,
+    recv = [lax.all_to_all(a, axis, split_axis=0, concat_axis=0,
                            tiled=False) for a in out_arrays]
-    recv_valid = lax.all_to_all(send_valid, AXIS, split_axis=0,
+    recv_valid = lax.all_to_all(send_valid, axis, split_axis=0,
                                 concat_axis=0, tiled=False)
     out = tuple(r.reshape(n_shards * cap) for r in recv)
     return out, recv_valid.reshape(n_shards * cap), overflow
@@ -85,3 +86,38 @@ def exchange_by_key(key: jax.Array, arrays: Sequence[jax.Array],
     """Hash-partition rows by `key` across shards (inside shard_map)."""
     pid = partition_ids(key, n_shards)
     return all_to_all_exchange(list(arrays), valid, pid, n_shards, cap)
+
+
+def all_to_all_exchange_2level(arrays: Sequence[jax.Array],
+                               valid: jax.Array, pid: jax.Array,
+                               n_hosts: int, n_chips: int, cap: int,
+                               host_axis: str = "h",
+                               chip_axis: str = AXIS):
+    """Two-level shuffle over a (hosts x chips) mesh (SURVEY section 7
+    step 8): rows reach global shard pid = host*n_chips + chip via
+
+      phase A  all_to_all over the CHIP axis (ICI, within host): every
+               row moves to its target CHIP COLUMN, carrying its
+               target-host id
+      phase B  all_to_all over the HOST axis (DCN, across hosts): chip
+               columns exchange rows by target host
+
+    Phase A rides the fast intra-host interconnect and packs rows so
+    phase B's cross-host (DCN-modelled) transfer moves each row exactly
+    once — the standard hierarchical-shuffle layout the scaling
+    playbook prescribes (vs. one flat all_to_all whose pairs mostly
+    cross DCN).  Returns (out_arrays [n_hosts*n_chips*cap], out_valid,
+    overflow)."""
+    chip_t = (pid % n_chips).astype(jnp.int32)
+    host_t = (pid // n_chips).astype(jnp.int32)
+    # phase A: to target chip within this host, carrying host_t
+    outs_a, valid_a, ovf_a = all_to_all_exchange(
+        list(arrays) + [host_t], valid, chip_t, n_chips, cap,
+        axis=chip_axis)
+    host_a = outs_a[-1]
+    outs_a = list(outs_a[:-1])
+    # phase B: across hosts by carried target host
+    outs_b, valid_b, ovf_b = all_to_all_exchange(
+        outs_a, valid_a, host_a.astype(jnp.int32), n_hosts,
+        n_chips * cap, axis=host_axis)
+    return tuple(outs_b), valid_b, ovf_a + ovf_b

@@ -117,8 +117,169 @@ def _exec(node: L.LogicalNode, ctx: DistContext):
         return _exec_order(node, ctx)
     if isinstance(node, L.Distinct):
         return _exec_distinct(node, ctx)
+    if isinstance(node, L.Window):
+        return _exec_window(node, ctx)
+    if isinstance(node, L.Limit):
+        return _exec_limit(node, ctx)
     # everything else: gather and run the single-device executor
     return _exec_gathered(node, ctx)
+
+
+def _exec_limit(node: L.Limit, ctx: DistContext):
+    """Distributed TopN: LIMIT over ORDER BY keeps only the per-shard
+    local top-(limit+offset) rows, gathers those few, and finishes with
+    one tiny single-device sort — no full-result gather (reference:
+    PhysicalTopN per-thread heaps merged at finalize,
+    src/execution/operator/order/physical_top_n.cpp)."""
+    child = node.child
+    k = None
+    if node.limit is not None and node.percent is None:
+        k = int(node.limit) + int(node.offset or 0)
+    if not isinstance(child, L.Order) or k is None or k > 1 << 16:
+        return _exec_gathered(node, ctx)
+    schema, b = _exec(child.child, ctx)
+    kcap = bucket_capacity(max(k, 128))
+
+    def kern(*arrs):
+        bb, _ = _unflatten_batch(arrs, b)
+        n_local = bb.sel.shape[0]
+        key_ops = []
+        for key in child.keys:
+            d, nmask = evaluate(key.expr, bb)
+            key_ops.extend(sortkey.encode_key(
+                d, nmask, key.expr.dtype, desc=key.desc,
+                nulls_last=key.nulls_last))
+        rowid = lax.broadcasted_iota(jnp.int32, (n_local,), 0)
+        invalid = (~bb.sel).astype(jnp.int32)
+        out = lax.sort([invalid, *key_ops, rowid],
+                       num_keys=2 + len(key_ops), is_stable=False)
+        perm = out[-1][:kcap]
+        valid = out[0][:kcap] == 0
+        cols_flat = []
+        for c in bb.columns:
+            cols_flat.append(jnp.take(c.data, perm))
+            nn = (c.nulls if c.nulls is not None
+                  else jnp.zeros(n_local, bool))
+            cols_flat.append(jnp.take(nn.astype(jnp.int8), perm))
+        return tuple(x[None] for x in cols_flat) + (valid[None],)
+
+    flat, _ = _flatten_batch(b)
+    fn = shard_map(kern, mesh=ctx.mesh,
+                   in_specs=tuple(P(AXIS) for _ in flat),
+                   out_specs=P(AXIS))
+    outs = jax.jit(fn)(*flat)
+    sel = jnp.asarray(np.asarray(outs[-1]).reshape(-1))
+    arrays = [jnp.asarray(np.asarray(o).reshape(-1))
+              for o in outs[:-1]]
+    cols = []
+    for j, c in enumerate(b.columns):
+        d = arrays[2 * j]
+        nn = arrays[2 * j + 1] != 0
+        cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
+    small = Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
+
+    # final: tiny single-device Order + Limit over n_shards*kcap rows
+    class _Const(L.LogicalNode):
+        def __init__(self, schema_, batch_):
+            self.schema = schema_
+            self.batch = batch_
+
+        def children(self):
+            return []
+
+    src = _Const(child.child.schema, small)
+    import copy
+    order2 = copy.copy(child)
+    order2.child = src
+    lim2 = copy.copy(node)
+    lim2.child = order2
+    physical._EXEC[_Const] = lambda n, c: (n.schema, n.batch)
+    try:
+        return physical.execute(lim2)
+    finally:
+        physical._EXEC.pop(_Const, None)
+
+
+def _exec_window(node: L.Window, ctx: DistContext):
+    """Distributed window functions: hash-exchange raw rows on the
+    PARTITION BY keys so each partition is wholly on one shard, then
+    run the single-device window kernel per shard (SURVEY 2.5 TPU
+    mapping; reference: PartitionedHashGroup in
+    src/function/window/window_executor.cpp).  Requires every window
+    fn to share one non-empty partition signature; otherwise the
+    result is inherently global and gathers."""
+    sigs = {tuple(repr(p) for p in f.partition) for f in node.fns}
+    if len(sigs) != 1 or not node.fns[0].partition:
+        return _exec_gathered(node, ctx)
+    schema, b = _exec(node.child, ctx)
+    n_shards = ctx.n
+    per_shard = b.capacity // n_shards
+    ex_cap = bucket_capacity(
+        max(per_shard * 2 // max(n_shards // 2, 1), 256))
+
+    def kern(ex_cap_, *arrs):
+        from ..ops import hashing
+        from .exchange import all_to_all_exchange
+        bb, _ = _unflatten_batch(arrs, b)
+        cap_l = bb.sel.shape[0]
+        h = jnp.zeros(cap_l, dtype=jnp.uint64)
+        for p in node.fns[0].partition:
+            d, nmask = evaluate(p, bb)
+            k = d.astype(jnp.int64)
+            if nmask is not None:
+                k = jnp.where(nmask, jnp.int64(-1), k)
+            h = hashing.hash_combine(h, k)
+        pid = (h >> jnp.uint64(33)).astype(jnp.int32) % n_shards
+        arrays = []
+        for c in bb.columns:
+            arrays.append(c.data)
+            arrays.append((c.nulls if c.nulls is not None
+                           else jnp.zeros(cap_l, bool))
+                          .astype(jnp.int8))
+        ex, evalid, overflow = all_to_all_exchange(
+            arrays, bb.sel, pid, n_shards, ex_cap_)
+        cols = []
+        i = 0
+        for c in bb.columns:
+            dd = ex[i]
+            i += 1
+            nn = ex[i] != 0
+            i += 1
+            cols.append(Column(dd, nn if c.nulls is not None else None))
+        eb = Batch(tuple(cols), evalid,
+                   evalid.astype(jnp.int32).sum())
+        out = physical.local_window(node, eb)
+        flat_out = []
+        for c in out.columns:
+            flat_out.append(c.data)
+            flat_out.append((c.nulls if c.nulls is not None
+                             else jnp.zeros(c.data.shape[0], bool))
+                            .astype(jnp.int8))
+        return tuple(x[None] for x in flat_out) \
+            + (out.sel[None], overflow[None])
+
+    flat, _ = _flatten_batch(b)
+    for attempt in range(5):
+        fn = shard_map(functools.partial(kern, ex_cap),
+                       mesh=ctx.mesh,
+                       in_specs=tuple(P(AXIS) for _ in flat),
+                       out_specs=P(AXIS))
+        outs = jax.jit(fn)(*flat)
+        overflow = int(jnp.sum(outs[-1]))
+        if overflow == 0:
+            break
+        ex_cap = bucket_capacity(ex_cap * 2)
+    else:
+        raise RuntimeError("window exchange overflow after retries")
+    gsel = outs[-2].reshape(-1)
+    arrays = [o.reshape(-1) for o in outs[:-2]]
+    cols = []
+    for j in range(len(node.schema.fields)):
+        d = arrays[2 * j]
+        nn = arrays[2 * j + 1] != 0
+        cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
+    return node.schema, Batch(tuple(cols), gsel,
+                              gsel.astype(jnp.int32).sum())
 
 
 def _exec_gathered(node: L.LogicalNode, ctx: DistContext):
@@ -183,17 +344,33 @@ def _exec_get(node: L.Get, ctx: DistContext):
 # distributed aggregate
 # ---------------------------------------------------------------------------
 
+# jit-safe special aggregates: need full rows co-located per group, so
+# the distributed path exchanges RAW rows by group hash instead of
+# mergeable partials (reference: distinct_aggregate_data.cpp — the
+# reference also re-partitions full inputs for these)
+_ROW_EXCHANGE_KINDS = {"quantile", "mode", "entropy", "arg_min",
+                       "arg_max", "median", "approx_count_distinct"}
+
+
 def _exec_aggregate(node: L.Aggregate, ctx: DistContext):
     schema, b = _exec(node.child, ctx)
 
-    for a in node.aggs:
-        kind = a.kind
-        if a.distinct and kind != "count_star":
-            raise NotImplementedError(
-                "distributed DISTINCT aggregates not supported yet")
-        if kind not in _DIST_AGG_KINDS and kind != "count_star":
-            raise NotImplementedError(
-                f"distributed aggregate {kind} not supported yet")
+    from ..plan.physical import _HOST_AGG_KINDS, _wide_aggs
+    needs_rows = any(
+        (a.distinct and a.kind != "count_star")
+        or a.kind in _ROW_EXCHANGE_KINDS for a in node.aggs)
+    unsupported = any(
+        a.kind in _HOST_AGG_KINDS
+        or (a.kind not in _DIST_AGG_KINDS
+            and a.kind not in _ROW_EXCHANGE_KINDS
+            and a.kind != "count_star") for a in node.aggs)
+    if unsupported or (needs_rows and
+                       (not node.groups or _wide_aggs(node, 1))):
+        # host-finalized aggregates / ungrouped specials: children run
+        # distributed, the final (small) aggregation gathers
+        return _exec_gathered(node, ctx)
+    if needs_rows:
+        return _exec_aggregate_rows(node, ctx, b)
 
     if not node.groups:
         # ungrouped: local partials + psum-style final on host
@@ -347,6 +524,88 @@ def _exec_aggregate(node: L.Aggregate, ctx: DistContext):
         want = np.dtype(a.dtype.np_dtype)
         if d.dtype != want:
             d = d.astype(want)
+        cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
+    return node.schema, Batch(tuple(cols), gsel,
+                              gsel.astype(jnp.int32).sum())
+
+
+def _exec_aggregate_rows(node: L.Aggregate, ctx: DistContext, b: Batch):
+    """Distributed special aggregates (DISTINCT / quantile / mode /
+    arg_min / arg_max / entropy): hash-exchange RAW rows by group key so
+    every group lands wholly on one shard, then run the single-device
+    sort-based aggregation kernel per shard (reference: the reference
+    re-partitions full inputs for distinct/holistic aggregates,
+    src/common/types/.../distinct_aggregate_data.cpp)."""
+    n_shards = ctx.n
+    per_shard = b.capacity // n_shards
+    ex_cap = bucket_capacity(
+        max(per_shard * 2 // max(n_shards // 2, 1), 256))
+
+    out_layout = []       # (has_null,) per output column, set at trace
+
+    def kern(ex_cap_, *arrs):
+        from ..ops import hashing
+        from .exchange import all_to_all_exchange
+        bb, _ = _unflatten_batch(arrs, b)
+        cap_l = bb.sel.shape[0]
+        h = jnp.zeros(cap_l, dtype=jnp.uint64)
+        for g in node.groups:
+            d, nmask = evaluate(g, bb)
+            k = d.astype(jnp.int64)
+            if nmask is not None:
+                k = jnp.where(nmask, jnp.int64(-1), k)
+            h = hashing.hash_combine(h, k)
+        pid = (h >> jnp.uint64(33)).astype(jnp.int32) % n_shards
+        arrays = []
+        for c in bb.columns:
+            arrays.append(c.data)
+            arrays.append((c.nulls if c.nulls is not None
+                           else jnp.zeros(cap_l, bool))
+                          .astype(jnp.int8))
+        ex, evalid, overflow = all_to_all_exchange(
+            arrays, bb.sel, pid, n_shards, ex_cap_)
+        cols = []
+        i = 0
+        for c in bb.columns:
+            dd = ex[i]
+            i += 1
+            nn = ex[i] != 0
+            i += 1
+            cols.append(Column(dd, nn if c.nulls is not None else None))
+        eb = Batch(tuple(cols), evalid,
+                   evalid.astype(jnp.int32).sum())
+        out = physical.local_grouped_aggregate(node, eb)
+        flat_out = []
+        out_layout.clear()
+        for c in out.columns:
+            flat_out.append(c.data)
+            flat_out.append((c.nulls if c.nulls is not None
+                             else jnp.zeros(c.data.shape[0], bool))
+                            .astype(jnp.int8))
+            out_layout.append(c.nulls is not None)
+        return tuple(x[None] for x in flat_out) \
+            + (out.sel[None], overflow[None])
+
+    flat, _ = _flatten_batch(b)
+    for attempt in range(5):
+        fn = shard_map(functools.partial(kern, ex_cap),
+                       mesh=ctx.mesh,
+                       in_specs=tuple(P(AXIS) for _ in flat),
+                       out_specs=P(AXIS))
+        outs = jax.jit(fn)(*flat)
+        overflow = int(jnp.sum(outs[-1]))
+        if overflow == 0:
+            break
+        ex_cap = bucket_capacity(ex_cap * 2)
+    else:
+        raise RuntimeError("aggregate row exchange overflow after "
+                           "retries")
+    gsel = outs[-2].reshape(-1)
+    arrays = [o.reshape(-1) for o in outs[:-2]]
+    cols = []
+    for j in range(len(node.schema.fields)):
+        d = arrays[2 * j]
+        nn = arrays[2 * j + 1] != 0
         cols.append(Column(d, nn if bool(jnp.any(nn)) else None))
     return node.schema, Batch(tuple(cols), gsel,
                               gsel.astype(jnp.int32).sum())

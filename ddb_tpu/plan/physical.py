@@ -491,6 +491,21 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     bops = sortkey.encode_key(bd, bn, spec.arg2.dtype)
                     res.append(agg_ops.ungrouped_argext(
                         bops, bn, p, b.sel, spec.kind == "arg_max"))
+                elif spec.kind == "approx_count_distinct":
+                    vops = sortkey.encode_key(p.data, p.nulls,
+                                              spec.arg.dtype)
+                    if b.sel.shape[0] >= (1 << 17):
+                        # HyperLogLog above the exactness threshold
+                        # (ops/sketch.py; reference: approx_count.cpp)
+                        from ..ops import sketch
+                        est = sketch.hll_count_distinct(
+                            vops[0], b.sel, p.nulls)
+                        res.append((est, None))
+                    else:
+                        cp = agg_ops.AggPayload("count", p.data,
+                                                p.nulls)
+                        res.append(agg_ops.ungrouped_distinct(
+                            vops, cp, b.sel))
                 elif spec.distinct and spec.kind != "count_star":
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
@@ -568,53 +583,64 @@ def _exec_aggregate(node: L.Aggregate, ctx):
 
     # general sort-based path
     def kern(b):
-        key_ops, key_data = [], []
-        for g in node.groups:
-            d, n = evaluate(g, b)
-            key_ops.extend(sortkey.encode_key(d, n, g.dtype))
-            key_data.append((d, n))
-        ps = _payloads(node, b, _wide_aggs(node, b.sel.shape[0]))
-        gcap = b.sel.shape[0]
-
-        def is_special(a):
-            return a.kind in ("quantile", "mode", "arg_min", "arg_max",
-                              "entropy") \
-                or (a.distinct and a.kind != "count_star")
-
-        plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
-                 if not is_special(a)]
-        group_cols, plain_res, gsel, ng = agg_ops.group_and_aggregate(
-            key_ops, key_data, [p for _, p in plain], b.sel, gcap)
-        results = [None] * len(ps)
-        for (i, _), r in zip(plain, plain_res):
-            results[i] = r
-        for i, (a, p) in enumerate(zip(node.aggs, ps)):
-            if a.kind == "quantile":
-                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
-                results[i] = agg_ops.group_quantile(
-                    key_ops, vops, p, a.quantile, b.sel, gcap,
-                    a.interpolate)
-            elif a.kind == "mode":
-                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
-                results[i] = agg_ops.group_mode(
-                    key_ops, vops, p, b.sel, gcap)
-            elif a.kind == "entropy":
-                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
-                results[i] = agg_ops.group_entropy(
-                    key_ops, vops, p, b.sel, gcap)
-            elif a.kind in ("arg_min", "arg_max"):
-                bd, bn = evaluate(a.arg2, b)
-                bops = sortkey.encode_key(bd, bn, a.arg2.dtype)
-                results[i] = agg_ops.group_argext(
-                    key_ops, bops, bn, p, b.sel, gcap,
-                    a.kind == "arg_max")
-            elif a.distinct and a.kind != "count_star":
-                vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
-                results[i] = agg_ops.group_distinct_aggregate(
-                    key_ops, vops, p, b.sel, gcap)
-        return _agg_output(node, group_cols, results, gsel, ng, gcap)
+        return local_grouped_aggregate(node, b)
 
     return node.schema, _lazy(node, "sort_agg", kern, batch)
+
+
+def local_grouped_aggregate(node: L.Aggregate, b: Batch) -> Batch:
+    """Sort-based grouped aggregation of one batch — pure lax ops, so
+    the distributed executor reuses it inside shard_map after a
+    row-level exchange (special aggregates: DISTINCT/quantile/mode/
+    arg_min/arg_max/entropy need full rows co-located per group)."""
+    key_ops, key_data = [], []
+    for g in node.groups:
+        d, n = evaluate(g, b)
+        key_ops.extend(sortkey.encode_key(d, n, g.dtype))
+        key_data.append((d, n))
+    ps = _payloads(node, b, _wide_aggs(node, b.sel.shape[0]))
+    gcap = b.sel.shape[0]
+
+    def is_special(a):
+        return a.kind in ("quantile", "mode", "arg_min", "arg_max",
+                          "entropy", "approx_count_distinct") \
+            or (a.distinct and a.kind != "count_star")
+
+    plain = [(i, p) for i, (a, p) in enumerate(zip(node.aggs, ps))
+             if not is_special(a)]
+    group_cols, plain_res, gsel, ng = agg_ops.group_and_aggregate(
+        key_ops, key_data, [p for _, p in plain], b.sel, gcap)
+    results = [None] * len(ps)
+    for (i, _), r in zip(plain, plain_res):
+        results[i] = r
+    for i, (a, p) in enumerate(zip(node.aggs, ps)):
+        if a.kind == "quantile":
+            vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+            results[i] = agg_ops.group_quantile(
+                key_ops, vops, p, a.quantile, b.sel, gcap,
+                a.interpolate)
+        elif a.kind == "mode":
+            vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+            results[i] = agg_ops.group_mode(
+                key_ops, vops, p, b.sel, gcap)
+        elif a.kind == "entropy":
+            vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+            results[i] = agg_ops.group_entropy(
+                key_ops, vops, p, b.sel, gcap)
+        elif a.kind in ("arg_min", "arg_max"):
+            bd, bn = evaluate(a.arg2, b)
+            bops = sortkey.encode_key(bd, bn, a.arg2.dtype)
+            results[i] = agg_ops.group_argext(
+                key_ops, bops, bn, p, b.sel, gcap,
+                a.kind == "arg_max")
+        elif a.kind == "approx_count_distinct" \
+                or (a.distinct and a.kind != "count_star"):
+            cp = agg_ops.AggPayload("count", p.data, p.nulls) \
+                if a.kind == "approx_count_distinct" else p
+            vops = sortkey.encode_key(p.data, p.nulls, a.arg.dtype)
+            results[i] = agg_ops.group_distinct_aggregate(
+                key_ops, vops, cp, b.sel, gcap)
+    return _agg_output(node, group_cols, results, gsel, ng, gcap)
 
 
 
@@ -1520,8 +1546,18 @@ def _exec_distinct(node: L.Distinct, ctx):
 
 
 def _exec_window(node: L.Window, ctx):
-    from ..ops import window as win_ops
     schema, batch = _execute(node.child, ctx)
+
+    def kern(b):
+        return local_window(node, b)
+
+    return node.schema, _lazy(node, "window", kern, batch)
+
+
+def local_window(node: L.Window, b: Batch) -> Batch:
+    """Window computation over one batch — pure lax ops, reused by the
+    distributed executor after a partition-key exchange."""
+    from ..ops import window as win_ops
 
     # group fns by (partition, order) signature -> one sort per group
     groups = {}
@@ -1530,7 +1566,7 @@ def _exec_window(node: L.Window, ctx):
                tuple((repr(k.expr), k.desc, k.nulls_last) for k in f.order))
         groups.setdefault(key, []).append((i, f))
 
-    def kern(b):
+    if True:
         results = [None] * len(node.fns)
         for key, fns in groups.items():
             f0 = fns[0][1]
@@ -1601,8 +1637,6 @@ def _exec_window(node: L.Window, ctx):
                 results[i] = Column(d, n)
         cols = list(b.columns) + results
         return Batch(tuple(cols), b.sel, b.count)
-
-    return node.schema, _lazy(node, "window", kern, batch)
 
 
 def _exec_union(node: L.Union, ctx):

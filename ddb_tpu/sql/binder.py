@@ -3049,6 +3049,45 @@ class Binder:
             out = self._bind_tz_cast(c, tgt, try_)
             if out is not None:
                 return out
+        if isinstance(c, ir.Const) and c.value is None:
+            # typed NULL: keep it a constant (VALUES (NULL::INTEGER),
+            # COALESCE folding, reference: BoundConstantExpression)
+            return ir.Const(None, tgt)
+        if isinstance(c, ir.Const) \
+                and c.dtype.id in (TypeId.TINYINT, TypeId.SMALLINT,
+                                   TypeId.INTEGER, TypeId.BIGINT,
+                                   TypeId.DECIMAL, TypeId.FLOAT,
+                                   TypeId.DOUBLE, TypeId.BOOLEAN) \
+                and tgt.id in (TypeId.TINYINT, TypeId.SMALLINT,
+                               TypeId.INTEGER, TypeId.BIGINT,
+                               TypeId.HUGEINT, TypeId.DECIMAL,
+                               TypeId.FLOAT, TypeId.DOUBLE,
+                               TypeId.BOOLEAN):
+            # constant numeric casts fold (VALUES rows stay constant;
+            # reference folds via BoundCastExpression on constants)
+            import decimal as _dec
+            try:
+                v = T.decode_value(c.value, c.dtype)
+                if tgt.is_integer and isinstance(
+                        v, (_dec.Decimal, float)):
+                    v = int(_dec.Decimal(str(v)).to_integral_value(
+                        rounding=_dec.ROUND_HALF_UP))
+                if tgt.id == TypeId.BOOLEAN:
+                    v = bool(v)
+                lim = {TypeId.TINYINT: 127, TypeId.SMALLINT: 32767,
+                       TypeId.INTEGER: 2**31 - 1,
+                       TypeId.BIGINT: 2**63 - 1,
+                       TypeId.HUGEINT: 2**127 - 1}.get(tgt.id)
+                if lim is not None and isinstance(v, int) \
+                        and not -lim - 1 <= v <= lim:
+                    raise OverflowError(v)
+                return ir.Const(T.encode_literal(v, tgt), tgt)
+            except (ValueError, OverflowError,
+                    _dec.InvalidOperation):
+                if try_:
+                    return ir.Const(None, tgt)
+                raise ConversionError(
+                    f"Could not convert {c.value} to {tgt!r}")
         if tgt.id == TypeId.VARCHAR:
             return self._cast_to_varchar(c)
         if c.dtype.id == TypeId.VARCHAR:
@@ -3187,6 +3226,14 @@ class Binder:
                     raise BindError(
                         "grouping() argument must be a GROUP BY column")
             return GroupingRef(tuple(idxs))
+        if name in ("list_first", "list_last") and len(e.args) == 1:
+            # first/last element (reference: core_functions list_first/
+            # list_last rewrite to list_extract)
+            import dataclasses as _dc
+            idx = 1 if name == "list_first" else -1
+            e = _dc.replace(e, name="list_extract",
+                            args=[e.args[0], A.ELit(idx)])
+            name = "list_extract"
         if name in ("string_split", "str_split", "string_to_array",
                     "split"):
             return self._bind_string_split(e, scope, agg_ctx, group_map,
@@ -4047,6 +4094,8 @@ class Binder:
             idx = agg_ctx.add(spec, f"last({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
         if name in ("bit_and", "bit_or", "bit_xor"):
+            if arg.dtype.id == TypeId.NULL:
+                arg = ir.Cast(arg, T.BIGINT)
             if not arg.dtype.is_integer:
                 raise BindError(f"{name} requires an integer argument")
             spec = L.AggSpec(name, arg, arg.dtype, name,
@@ -4175,8 +4224,13 @@ class Binder:
             idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
             return AggRef(idx, T.BOOLEAN)
         if name == "approx_count_distinct":
-            spec = L.AggSpec("count", arg, T.BIGINT, name, distinct=True)
-            idx = agg_ctx.add(spec, f"count({_ekey(arg)},True)")
+            # real HyperLogLog sketch above the exactness threshold
+            # (ops/sketch.py; reference: third_party/hyperloglog behind
+            # approx_count.cpp) — small inputs stay exact like the
+            # reference's sparse representation
+            spec = L.AggSpec("approx_count_distinct", arg, T.BIGINT,
+                             name)
+            idx = agg_ctx.add(spec, f"approx_cd({_ekey(arg)})")
             return AggRef(idx, T.BIGINT)
         raise BindError(f"aggregate {name} not supported yet")
 
@@ -4185,6 +4239,10 @@ class Binder:
         decimal/int inputs for stddev/corr familes)."""
         if arg.dtype.id == TypeId.DOUBLE:
             return arg
+        if arg.dtype.id == TypeId.NULL:
+            # all-NULL input: aggregate yields NULL (reference binds
+            # SQLNULL args through the DOUBLE overload)
+            return ir.Cast(arg, T.DOUBLE)
         if not arg.dtype.is_numeric:
             raise BindError("statistical aggregate requires numeric input")
         return ir.Cast(arg, T.DOUBLE)

@@ -118,7 +118,7 @@ class Parser:
             # DESCRIBE/SUMMARIZE <table> | DESCRIBE/SUMMARIZE SELECT ...
             kind = t.value
             self.next()
-            if self.at_kw("select", "with", "from"):
+            if self.at_kw("select", "with", "from", "values"):
                 return A.DescribeStmt(None, self.select_stmt(),
                                       summarize=(kind == "summarize"))
             if self.accept_kw("table"):
@@ -156,10 +156,10 @@ class Parser:
                 args.append(self.expr_primary())
             return A.PragmaStmt(name, [a.value if isinstance(a, A.ELit)
                                        else str(a) for a in args])
-        if self.at_kw("select", "with", "from"):
+        if self.at_kw("select", "with", "from", "values"):
             return self.select_stmt()
         if self.at("OP", "(") and self.peek(1).kind == "KW" \
-                and self.peek(1).value in ("select", "with", "from"):
+                and self.peek(1).value in ("select", "with", "from", "values"):
             return self.select_stmt()
         if self.at_kw("create"):
             return self.create_stmt()
@@ -911,7 +911,7 @@ class Parser:
     def _set_operand(self) -> A.SelectStmt:
         """A set-operation operand: SELECT core or parenthesized select."""
         if self.at("OP", "(") and self.peek(1).kind == "KW" \
-                and self.peek(1).value in ("select", "with", "from"):
+                and self.peek(1).value in ("select", "with", "from", "values"):
             self.next()
             inner = self.select_stmt()
             self.expect_op(")")
@@ -919,6 +919,33 @@ class Parser:
         return self.select_core()
 
     def select_core(self) -> A.SelectStmt:
+        # bare VALUES clause as a full query core (reference:
+        # transform VALUES lists, transform_select_node.cpp):
+        # 'VALUES (1, 2), (3, 4)' == SELECT * FROM (VALUES ...)
+        if self.at_kw("values"):
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.expr()]
+                while self.accept_op(","):
+                    row.append(self.expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            s = A.SelectStmt()
+            s.from_refs.append(A.RValues(rows, None, None))
+            s.items.append((A.EStar(), None))
+            if self.at_kw("order"):
+                self.next()
+                self.expect_kw("by")
+                s.order_by = self.order_items()
+            if self.accept_kw("limit"):
+                self._parse_limit_clause(s)
+            if self.accept_kw("offset"):
+                self._parse_offset_clause(s)
+            return s
         # FROM-first query: 'FROM t [SELECT items] [WHERE ...] ...'
         # (reference: from_first syntax, transform_select_node.cpp)
         if self.at_kw("from"):
@@ -1317,7 +1344,7 @@ class Parser:
                         return A.RSubquery(sel, alias, cols)
                     except SQLSyntaxError:
                         self.i = save
-            if self.at_kw("select", "with", "from"):
+            if self.at_kw("select", "with", "from", "values"):
                 sel = self.select_stmt()
                 self.expect_op(")")
                 alias = self._table_alias()
@@ -1458,7 +1485,7 @@ class Parser:
                         and self.peek(1).value == "(":
                     q = self.next().value
                     self.expect_op("(")
-                    if self.at_kw("select", "with", "from"):
+                    if self.at_kw("select", "with", "from", "values"):
                         sub = self.select_stmt()
                     else:
                         # ANY over a list expression: x = ANY([..])
@@ -1483,7 +1510,7 @@ class Parser:
                     continue
                 if self.accept_kw("in"):
                     self.expect_op("(")
-                    if self.at_kw("select", "with", "from"):
+                    if self.at_kw("select", "with", "from", "values"):
                         sub = self.select_stmt()
                         self.expect_op(")")
                         e = A.EIn(e, subquery=sub, negated=negated)
@@ -1826,7 +1853,7 @@ class Parser:
                 self.expect_op(")")
                 return A.EFunc(part.lower(), [e])
         if self.accept_op("("):
-            if self.at_kw("select", "with", "from"):
+            if self.at_kw("select", "with", "from", "values"):
                 sub = self.select_stmt()
                 self.expect_op(")")
                 return A.ESub(sub)
@@ -1899,6 +1926,37 @@ class Parser:
                 self.expect_op(")")
                 fn = A.EFunc(name, args, distinct=distinct,
                              order=fnorder)
+                if self.peek().kind == "IDENT" \
+                        and self.peek().value == "within":
+                    # ordered-set aggregates: fn(frac) WITHIN GROUP
+                    # (ORDER BY x) -> quantile-style call (reference:
+                    # transform_function.cpp WITHIN GROUP rewrite)
+                    self.next()
+                    self.expect_kw("group")
+                    self.expect_op("(")
+                    self.expect_kw("order")
+                    self.expect_kw("by")
+                    items = self.order_items()
+                    self.expect_op(")")
+                    if len(items) != 1:
+                        self.error("WITHIN GROUP needs one ORDER BY key")
+                    col = items[0].expr
+                    if items[0].desc:
+                        # fraction p over DESC order == 1-p ascending
+                        args = [A.ELit(1 - a.value)
+                                if isinstance(a, A.ELit) else
+                                A.EBinary("-", A.ELit(1), a)
+                                for a in args]
+                    rewritten = {"percentile_cont": "quantile_cont",
+                                 "percentile_disc": "quantile_disc",
+                                 "mode": "mode",
+                                 "quantile_cont": "quantile_cont",
+                                 "quantile_disc": "quantile_disc"}
+                    if name not in rewritten:
+                        self.error(
+                            f"WITHIN GROUP unsupported for {name}")
+                    fn = A.EFunc(rewritten[name], [col] + args,
+                                 distinct=distinct)
                 if self.at_kw("over"):
                     return self.window_suffix(fn)
                 return fn

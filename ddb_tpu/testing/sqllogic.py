@@ -39,6 +39,21 @@ _IGNORED_PRAGMAS = (
 _RENDER_TZ = ["UTC"]
 
 
+def _coerce_decl(v, decl: str):
+    """Coerce a value to the declared result-column type the way the
+    reference runner does (reference: sqllogic_test_runner.cpp —
+    `query I` renders booleans as 1/0, `query R` renders ints as
+    floats, `query T` stringifies)."""
+    if v is None:
+        return None
+    if decl == "I" and isinstance(v, bool):
+        return 1 if v else 0
+    if decl == "R" and isinstance(v, int) \
+            and not isinstance(v, bool):
+        return float(v)
+    return v
+
+
 def _format_value(v) -> str:
     import datetime
     import decimal
@@ -261,6 +276,7 @@ def run_file(con, path: str, max_statements: Optional[int] = None
 
             # query
             sortmode = "nosort"
+            decl = tok[1] if len(tok) >= 2 else ""
             if len(tok) >= 3:
                 sortmode = tok[2]
             try:
@@ -272,7 +288,10 @@ def run_file(con, path: str, max_statements: Optional[int] = None
                     _RENDER_TZ[0] = "UTC"
                 got = []
                 for r in rows:
-                    got.append([_format_value(v) for v in r])
+                    got.append([
+                        _format_value(_coerce_decl(
+                            v, decl[j] if j < len(decl) else ""))
+                        for j, v in enumerate(r)])
             except Exception as e:
                 res.failures.append(
                     f"line {i}: {type(e).__name__}: {str(e)[:100]} "

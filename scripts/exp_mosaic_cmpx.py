@@ -38,7 +38,7 @@ def main():
         riota = lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         # STAGES compare-exchange stages at cycling row distances
         for t in range(STAGES):
-            d = 1 << (t % 8)           # row distance 1..128
+            d = int(os.environ.get('DMIN', 1)) << (t % 5)  # row distance
             up = pltpu.roll(h, rows - d, 0)
             dn = pltpu.roll(h, d, 0)
             upl = pltpu.roll(l, rows - d, 0)

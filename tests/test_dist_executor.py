@@ -205,3 +205,67 @@ def test_dist_no_gather_for_joins_order(con, ncon, mesh, monkeypatch):
              "SELECT fact.k, v, w FROM fact LEFT JOIN dim "
              "ON fact.k = dim.k ORDER BY v, fact.k, w")
     assert "Join" not in calls and "Order" not in calls
+
+
+def test_dist_distinct_aggregates(con, mesh):
+    """DISTINCT aggregates run distributed via raw-row exchange
+    (reference: distinct_aggregate_data.cpp re-partitioning)."""
+    d, s = run_both(con, mesh,
+                    "SELECT g, count(DISTINCT v), sum(DISTINCT v) "
+                    "FROM fact GROUP BY g")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_median_quantile(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT g, median(v), quantile_disc(v, 0.25) "
+                    "FROM fact GROUP BY g")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_arg_minmax_mode(con, mesh):
+    # unique BY values (v*1000+k) make arg extrema deterministic —
+    # ties are picked arbitrarily on both paths otherwise
+    d, s = run_both(con, mesh,
+                    "SELECT g, arg_max(k, v*1000+k), "
+                    "arg_min(k, v*1000+k), mode(v) "
+                    "FROM fact GROUP BY g")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_mixed_plain_and_distinct(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT g, sum(v), count(DISTINCT k), avg(v) "
+                    "FROM fact GROUP BY g")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_window_partitioned(con, mesh):
+    """Window fns exchange on PARTITION BY keys and run shard-local."""
+    d, s = run_both(con, mesh,
+                    "SELECT k, v, row_number() OVER "
+                    "(PARTITION BY g ORDER BY v, k), "
+                    "sum(v) OVER (PARTITION BY g) FROM fact")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_window_rank_lag(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT g, v, rank() OVER w, lag(v) OVER w "
+                    "FROM fact WINDOW w AS "
+                    "(PARTITION BY g ORDER BY v, k)")
+    assert _norm(d) == _norm(s)
+
+
+def test_dist_topn(con, mesh):
+    """LIMIT over ORDER BY: per-shard local top-k, tiny gather-merge."""
+    d, s = run_both(con, mesh,
+                    "SELECT k, v FROM fact ORDER BY v DESC, k LIMIT 7")
+    assert d == s      # ordered comparison
+
+
+def test_dist_topn_offset(con, mesh):
+    d, s = run_both(con, mesh,
+                    "SELECT k, v FROM fact ORDER BY v, k "
+                    "LIMIT 5 OFFSET 3")
+    assert d == s

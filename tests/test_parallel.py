@@ -95,3 +95,51 @@ def test_dist_join_groupby(mesh):
     for k, v in zip(lk, lv):
         want[int(k)] += int(v) * rmap[int(k)]
     assert got == dict(want)
+
+
+def test_two_level_exchange(eight_devices):
+    """Hierarchical (hosts x chips) shuffle: ICI within host, DCN
+    across hosts (SURVEY section 7 step 8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ddb_tpu.parallel.mesh import shard_map
+    from ddb_tpu.parallel.exchange import all_to_all_exchange_2level
+
+    n_hosts, n_chips = 2, 4
+    devs = np.array(jax.devices()[:8]).reshape(n_hosts, n_chips)
+    mesh = Mesh(devs, ("h", "d"))
+    n_global = 8 * 64
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(0, 1000, n_global)
+                       .astype(np.int64))
+    pids = jnp.asarray(rng.integers(0, 8, n_global).astype(np.int32))
+    ones = jnp.asarray(np.ones(n_global, dtype=bool))
+    sh = NamedSharding(mesh, P(("h", "d")))
+    vals, pids, ones = (jax.device_put(x, sh)
+                        for x in (vals, pids, ones))
+
+    cap = 64
+
+    def kern(v, p, ok):
+        out, valid, ovf = all_to_all_exchange_2level(
+            [v, p.astype(jnp.int64)], ok, p, n_hosts, n_chips, cap)
+        # every received row's pid must equal MY global shard id
+        me = (jax.lax.axis_index("h") * n_chips
+              + jax.lax.axis_index("d")).astype(jnp.int64)
+        good = jnp.where(valid, (out[1] == me).astype(jnp.int32),
+                         1).all()
+        s = jnp.where(valid, out[0], 0).sum()
+        c = valid.astype(jnp.int32).sum()
+        return (s[None], c[None], good[None], ovf[None])
+
+    fn = shard_map(kern, mesh=mesh,
+                   in_specs=(P(("h", "d")), P(("h", "d")),
+                             P(("h", "d"))),
+                   out_specs=P(("h", "d")))
+    s, c, good, ovf = jax.jit(fn)(vals, pids, ones)
+    assert int(jnp.sum(ovf)) == 0
+    assert bool(jnp.all(good))
+    assert int(jnp.sum(c)) == n_global           # every row arrived
+    assert int(jnp.sum(s)) == int(np.sum(np.asarray(vals)))
