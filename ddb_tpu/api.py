@@ -104,6 +104,17 @@ class QueryResult:
             elif t.id == TypeId.TIMESTAMP:
                 arrays[f.name] = pa.array(d.astype("datetime64[us]"),
                                           mask=mask)
+            elif t.id == TypeId.TIMESTAMPTZ:
+                arrays[f.name] = pa.array(
+                    d.astype("datetime64[us]"), mask=mask).cast(
+                        pa.timestamp("us", tz="UTC"))
+            elif t.id == TypeId.TIME:
+                arrays[f.name] = pa.array(
+                    d.astype(np.int64) % 86_400_000_000,
+                    mask=mask).cast(pa.time64("us"))
+            elif t.id == TypeId.INTERVAL:
+                arrays[f.name] = pa.array(
+                    d.astype("timedelta64[us]"), mask=mask)
             elif t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
                           TypeId.BLOB):
                 vals = [None if (mask is not None and mask[i])
@@ -949,6 +960,10 @@ class Connection:
             return None
         if isinstance(stmt, A.AlterStmt):
             return self._execute_alter(stmt)
+        if isinstance(stmt, A.ExportStmt):
+            return self._execute_export(stmt)
+        if isinstance(stmt, A.ImportStmt):
+            return self._execute_import(stmt)
         if isinstance(stmt, A.AttachStmt):
             import os as _os
             from .storage.persist import load_database
@@ -1107,6 +1122,115 @@ class Connection:
                 return c
         raise CatalogException(f"column {name} does not exist")
 
+    def _execute_export(self, stmt):
+        """EXPORT DATABASE 'dir' (FORMAT csv|parquet, DELIMITER d,
+        HEADER) — schema.sql + load.sql + one data file per table
+        (reference: physical_export.cpp layout, which IMPORT DATABASE
+        replays verbatim)."""
+        import os as _os
+        path = stmt.path
+        fmt = str(stmt.options.get("format", "csv")).lower()
+        delim = stmt.options.get("delimiter", ",")
+        _os.makedirs(path, exist_ok=True)
+        ddl, loads = [], []
+        for tname, _sql in [(k, None) for k in
+                            sorted(self.catalog.enums)]:
+            vals = ", ".join("'" + str(v).replace("'", "''") + "'"
+                             for v in self.catalog.enums[tname])
+            ddl.append(f"CREATE TYPE {tname} AS ENUM ({vals});")
+        for sname, seq in sorted(self.catalog.sequences.items()):
+            ddl.append(f"CREATE SEQUENCE {sname} START "
+                       f"{seq['start']} INCREMENT {seq['increment']};")
+        # FK parents must be created before children (reference:
+        # physical_export.cpp orders entries by dependency)
+        ordered, seen = [], set()
+
+        def visit(tn):
+            if tn in seen or tn not in self.catalog.tables:
+                return
+            seen.add(tn)
+            for _c, parent, _pc in getattr(
+                    self.catalog.tables[tn], "foreign_keys", ()):
+                visit(parent.lower())
+            ordered.append(tn)
+
+        for tn in sorted(self.catalog.tables):
+            visit(tn)
+        for tname in ordered:
+            td = self.catalog.tables[tname]
+            cols = []
+            nn = getattr(td, "not_null", set())
+            for c in td.columns:
+                enum_dom = getattr(td, "enum_domains", {}).get(c.name)
+                tdecl = enum_dom[0] if enum_dom else repr(c.dtype)
+                d = f"{c.name} {tdecl}"
+                if c.name in nn:
+                    d += " NOT NULL"
+                dflt = getattr(td, "defaults", {}).get(c.name)
+                if dflt:
+                    d += f" DEFAULT {dflt}"
+                cols.append(d)
+            for kind, kcols in getattr(td, "constraints", ()):
+                cols.append(f"{kind.replace('_', ' ').upper()} "
+                            f"({', '.join(kcols)})")
+            for fcols, parent, pcols in getattr(td, "foreign_keys",
+                                                ()):
+                cols.append(
+                    f"FOREIGN KEY ({', '.join(fcols)}) REFERENCES "
+                    f"{parent} ({', '.join(pcols)})")
+            ddl.append(f"CREATE TABLE {tname} ({', '.join(cols)});")
+            fname = f"{tname.replace('.', '_')}.{fmt}"
+            fpath = _os.path.join(path, fname)
+            if fmt == "parquet":
+                self.execute(f"COPY {tname} TO '{fpath}' "
+                             f"(FORMAT PARQUET)")
+                loads.append(f"COPY {tname} FROM '{fpath}' "
+                             f"(FORMAT PARQUET);")
+            else:
+                # portable csv via arrow (honours DELIMITER/HEADER)
+                res = self.execute(f"SELECT * FROM {tname}")
+                at = res.arrow()
+                import pyarrow as pa
+                import pyarrow.csv as pcsv
+                cmap = {}
+                for cn in at.column_names:
+                    col = at.column(cn)
+                    if pa.types.is_dictionary(col.type):
+                        col = col.cast(pa.string())
+                    cmap[cn] = col
+                hv = stmt.options.get("header", True)
+                header = str(hv).lower() not in ("false", "0", "no")
+                pcsv.write_csv(
+                    pa.table(cmap), fpath,
+                    pcsv.WriteOptions(include_header=header,
+                                      delimiter=str(delim)))
+                hdr = "true" if header else "false"
+                loads.append(
+                    f"COPY {tname} FROM '{fpath}' (DELIMITER "
+                    f"'{delim}', HEADER {hdr});")
+        for vname, (vsql, valias) in sorted(self.catalog.views.items()):
+            cols = f" ({', '.join(valias)})" if valias else ""
+            ddl.append(f"CREATE VIEW {vname}{cols} AS {vsql};")
+        with open(_os.path.join(path, "schema.sql"), "w") as f:
+            f.write("\n".join(ddl) + "\n")
+        with open(_os.path.join(path, "load.sql"), "w") as f:
+            f.write("\n".join(loads) + "\n")
+        return None
+
+    def _execute_import(self, stmt):
+        import os as _os
+        for script in ("schema.sql", "load.sql"):
+            p = _os.path.join(stmt.path, script)
+            if not _os.path.exists(p):
+                raise CatalogException(
+                    f"IMPORT DATABASE: {p} does not exist")
+            with open(p) as f:
+                text = f.read()
+            for sql in text.split(";"):
+                if sql.strip():
+                    self.execute(sql)
+        return None
+
     def _execute_copy(self, stmt):
         """COPY table/(query) TO 'file' | COPY table FROM 'file'
         (reference: operator/persistent/physical_copy_to_file.cpp)."""
@@ -1130,7 +1254,14 @@ class Connection:
                     if pa.types.is_dictionary(c.type):
                         c = c.cast(pa.string())
                     cols[name] = c
-                pcsv.write_csv(pa.table(cols), stmt.path)
+                opts = getattr(stmt, "options", {}) or {}
+                hv = opts.get("header", True)
+                pcsv.write_csv(
+                    pa.table(cols), stmt.path,
+                    pcsv.WriteOptions(
+                        include_header=str(hv).lower() not in (
+                            "false", "0", "no"),
+                        delimiter=str(opts.get("delimiter", ","))))
             return None
         # COPY ... FROM: append file contents into the table
         from .storage import dml

@@ -426,6 +426,22 @@ class CopyStmt:
     path: str
     direction: str            # "to" | "from"
     format: str = "csv"
+    # DELIMITER/HEADER/... copy options (reference: copy_info.hpp)
+    options: dict = field(default_factory=dict)
+
+
+@dataclass
+class ExportStmt:
+    """EXPORT DATABASE 'dir' (FORMAT ..., DELIMITER ..., HEADER ...)
+    (reference: physical_export.cpp)."""
+    path: str
+    options: dict
+
+
+@dataclass
+class ImportStmt:
+    """IMPORT DATABASE 'dir' — replays schema.sql + load.sql."""
+    path: str
 
 
 @dataclass

@@ -125,6 +125,24 @@ class Parser:
                 pass
             return A.DescribeStmt(self.ident(), None,
                                   summarize=(kind == "summarize"))
+        if t.kind == "IDENT" and t.value in ("export", "import"):
+            kind = t.value
+            self.next()
+            self.expect_word("database")
+            path = self.next().value       # string literal
+            opts = {}
+            if kind == "export" and self.accept_op("("):
+                while not self.at("OP", ")"):
+                    key = self.next().value.lower()
+                    if not self.at("OP", ",") and not self.at("OP", ")"):
+                        opts[key] = self.next().value
+                    else:
+                        opts[key] = True
+                    self.accept_op(",")
+                self.expect_op(")")
+            if kind == "export":
+                return A.ExportStmt(str(path), opts)
+            return A.ImportStmt(str(path))
         if t.kind == "IDENT" and t.value == "explain":
             self.next()
             analyze = False
@@ -217,15 +235,25 @@ class Parser:
                     self.error("expected TO or FROM")
             path = self.next().value
             fmt = "csv"
+            opts = {}
             if self.accept_op("("):
                 while not self.at("OP", ")"):
-                    word = self.next().value
+                    word = str(self.next().value).lower()
+                    if self.at("OP", ",") or self.at("OP", ")"):
+                        opts[word] = True
+                    else:
+                        v = self.next().value
+                        if isinstance(v, str) and v.lower() in (
+                                "true", "false"):
+                            v = v.lower() == "true"
+                        opts[word] = v
+                    self.accept_op(",")
                     if word == "format":
-                        fmt = self.next().value
+                        fmt = str(opts[word]).lower()
                 self.expect_op(")")
             if path.lower().endswith(".parquet"):
                 fmt = "parquet"
-            return A.CopyStmt(target, path, direction, fmt)
+            return A.CopyStmt(target, path, direction, fmt, opts)
         if self.at_kw("drop"):
             self.next()
             if self.peek().kind == "IDENT" \

@@ -39,19 +39,7 @@ _IGNORED_PRAGMAS = (
 _RENDER_TZ = ["UTC"]
 
 
-def _coerce_decl(v, decl: str):
-    """Coerce a value to the declared result-column type the way the
-    reference runner does (reference: sqllogic_test_runner.cpp —
-    `query I` renders booleans as 1/0, `query R` renders ints as
-    floats, `query T` stringifies)."""
-    if v is None:
-        return None
-    if decl == "I" and isinstance(v, bool):
-        return 1 if v else 0
-    if decl == "R" and isinstance(v, int) \
-            and not isinstance(v, bool):
-        return float(v)
-    return v
+
 
 
 def _format_value(v) -> str:
@@ -164,12 +152,36 @@ def _expand_foreach_token(tok: str, current) -> list:
 
 
 def _values_match(got: str, want: str) -> bool:
+    """Value-aware comparison matching the reference runner
+    (reference: test/sqlite/result_helper.cpp CompareValues):
+    booleans equal their 1/0 forms, numerics compare after parsing,
+    regex expectations match."""
     if got == want:
         return True
-    # numeric-equality fallback (1 vs 1.0 vs 1.00)
+    if want.startswith("<REGEX>:") or want.startswith("<!REGEX>:"):
+        import re
+        neg = want.startswith("<!")
+        pat = want.split(":", 1)[1]
+        try:
+            hit = re.search(pat, got) is not None
+        except re.error:
+            return False
+        return hit != neg
+    # boolean equivalence (either side rendered as 1/0)
+    bools = {"true": 1, "false": 0, "1": 1, "0": 0}
+    if got.lower() in ("true", "false") or want.lower() in ("true",
+                                                            "false"):
+        g2 = bools.get(got.lower())
+        w2 = bools.get(want.lower())
+        if g2 is not None and w2 is not None:
+            return g2 == w2
+    # numeric-equality fallback (1 vs 1.0 vs 1.00; float tolerance)
     try:
         import decimal
-        return decimal.Decimal(got) == decimal.Decimal(want)
+        if decimal.Decimal(got) == decimal.Decimal(want):
+            return True
+        gf, wf = float(got), float(want)
+        return abs(gf - wf) <= 1e-9 * max(abs(gf), abs(wf))
     except Exception:
         pass
     if want == "(empty)" and got == "":
@@ -288,10 +300,7 @@ def run_file(con, path: str, max_statements: Optional[int] = None
                     _RENDER_TZ[0] = "UTC"
                 got = []
                 for r in rows:
-                    got.append([
-                        _format_value(_coerce_decl(
-                            v, decl[j] if j < len(decl) else ""))
-                        for j, v in enumerate(r)])
+                    got.append([_format_value(v) for v in r])
             except Exception as e:
                 res.failures.append(
                     f"line {i}: {type(e).__name__}: {str(e)[:100]} "
