@@ -1203,7 +1203,8 @@ class Connection:
                 pcsv.write_csv(
                     pa.table(cmap), fpath,
                     pcsv.WriteOptions(include_header=header,
-                                      delimiter=str(delim)))
+                                      delimiter=str(delim),
+                                      quoting_style="needed"))
                 hdr = "true" if header else "false"
                 loads.append(
                     f"COPY {tname} FROM '{fpath}' (DELIMITER "
@@ -1261,7 +1262,8 @@ class Connection:
                     pcsv.WriteOptions(
                         include_header=str(hv).lower() not in (
                             "false", "0", "no"),
-                        delimiter=str(opts.get("delimiter", ","))))
+                        delimiter=str(opts.get("delimiter", ",")),
+                        quoting_style="needed"))
             return None
         # COPY ... FROM: append file contents into the table
         from .storage import dml
