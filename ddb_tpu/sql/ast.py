@@ -141,6 +141,14 @@ class EStar(EExpr):
 
 
 @dataclass
+class ELambda(EExpr):
+    """Lambda argument of list functions: x -> body, (x,y) -> body,
+    or lambda x: body (reference: lambda_expression.hpp)."""
+    params: List[str]
+    body: EExpr
+
+
+@dataclass
 class EParam(EExpr):
     """Prepared-statement parameter: ? (positional) or $n."""
     index: Optional[int] = None    # None => next positional

@@ -3310,6 +3310,11 @@ class Binder:
                     "list_extract", "list_element", "array_extract"):
             return self._bind_nested_func(name, e, scope, agg_ctx,
                                           group_map, sub_replacements)
+        if name in ("list_transform", "array_transform", "list_apply",
+                    "array_apply", "apply", "list_filter",
+                    "array_filter", "filter", "list_reduce", "reduce"):
+            return self._bind_list_lambda(name, e, scope, agg_ctx,
+                                          group_map, sub_replacements)
         if name in ("array_length", "list_length", "len", "length",
                     "cardinality", "list_contains", "array_contains",
                     "list_has", "contains", "list_sort", "array_sort",
@@ -4246,6 +4251,75 @@ class Binder:
         if not arg.dtype.is_numeric:
             raise BindError("statistical aggregate requires numeric input")
         return ir.Cast(arg, T.DOUBLE)
+
+    def _bind_list_lambda(self, name, e, scope, agg_ctx, group_map,
+                          sub_replacements):
+        """list_transform / list_filter / list_reduce with a lambda
+        argument (reference: src/core_functions/lambda_functions.cpp).
+        The lambda body evaluates host-side per element
+        (sql/lambda_eval.py) through the pure_callback seam — list
+        payloads are host stores by design."""
+        from ..storage.lists import ListStore
+        from . import lambda_eval as LE
+        if len(e.args) < 2:
+            raise BindError(f"{name} requires (list, lambda)")
+        a = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                           sub_replacements)
+        lam = e.args[1]
+        if not isinstance(lam, A.ELambda):
+            raise BindError(f"{name} requires a lambda argument")
+        if a.dtype.id != TypeId.LIST:
+            raise BindError(f"{name} requires a LIST argument")
+        store = getattr(a, "strdict", None)
+        if store is None:
+            raise BindError(f"{name}: list argument has no store")
+        kind = "transform"
+        if name in ("list_filter", "array_filter", "filter"):
+            kind = "filter"
+        elif name in ("list_reduce", "reduce"):
+            kind = "reduce"
+        nparams = {"transform": 1, "filter": 1, "reduce": 2}[kind]
+        # duckdb lambdas take optional extra index params; we support
+        # (x[, i]) for transform/filter and (acc, x[, i]) for reduce
+        if len(lam.params) < nparams:
+            raise BindError(
+                f"{name} lambda needs {nparams}+ parameters")
+        body = lam.body
+        ps = [p.lower() for p in lam.params]
+
+        # constant list: fold at bind time
+        if isinstance(a, ir.Const):
+            lst = None if a.value is None \
+                else store.decode_one(int(a.value))
+            try:
+                val = _apply_list_lambda(kind, lst, ps, body, LE)
+            except LE.LambdaError as ex:
+                raise BindError(str(ex))
+            if kind in ("transform", "filter"):
+                out = ir.Const(0, a.dtype)
+                out.strdict = ListStore([val])
+                return out
+            return self._bind_literal(val)
+
+        out_store = ListStore()
+
+        def fn(vals, nulls, kind=kind):
+            lst = None if nulls[0] else store.decode_one(int(vals[0]))
+            val = _apply_list_lambda(kind, lst, ps, body, LE)
+            if kind in ("transform", "filter"):
+                return None if val is None else out_store.add(val)
+            return val
+        rt = a.dtype if kind in ("transform", "filter") else \
+            (a.dtype.child or T.BIGINT)
+        if kind == "reduce" and isinstance(body, A.EBinary) \
+                and body.op == "/":
+            rt = T.DOUBLE
+        out = ir.Func("__pyudf__", [a], rt)
+        out.extra = (fn, [None], True)
+        if kind in ("transform", "filter"):
+            out.strdict = out_store
+        self.uncacheable = True
+        return out
 
     def _bind_list_func_dynamic(self, name, a, store, e, scope, agg_ctx,
                                 group_map, sub_replacements):
@@ -5743,6 +5817,39 @@ def _scope_of_plan(plan: L.LogicalNode, base_scope: Scope) -> Scope:
         fs = plan.schema.fields[-extra:]
         sc.add("__sub", Schema(tuple(fs)))
     return sc
+
+
+def _apply_list_lambda(kind, lst, ps, body, LE):
+    """Apply a transform/filter/reduce lambda to one python list."""
+    if lst is None:
+        return None
+    if kind == "transform":
+        out = []
+        for i, x in enumerate(lst):
+            env = {ps[0]: x}
+            if len(ps) > 1:
+                env[ps[1]] = i + 1
+            out.append(LE.evaluate(body, env))
+        return out
+    if kind == "filter":
+        out = []
+        for i, x in enumerate(lst):
+            env = {ps[0]: x}
+            if len(ps) > 1:
+                env[ps[1]] = i + 1
+            if LE.evaluate(body, env) is True:
+                out.append(x)
+        return out
+    # reduce: duckdb seeds with the first element, errors on empty
+    if not lst:
+        raise LE.LambdaError("list_reduce on an empty list")
+    acc = lst[0]
+    for i, x in enumerate(lst[1:], start=2):
+        env = {ps[0]: acc, ps[1]: x}
+        if len(ps) > 2:
+            env[ps[2]] = i
+        acc = LE.evaluate(body, env)
+    return acc
 
 
 def _strftime_raw(raw: int, dtype: DataType, fmt: str) -> str:

@@ -1794,15 +1794,9 @@ class Parser:
             self.expect_op(")")
             return A.EStruct(fields)
         if t.kind == "OP" and t.value == "[":
-            # list literal [e1, e2, ...]
-            self.next()
-            items = []
-            if not self.at("OP", "]"):
-                items.append(self.expr())
-                while self.accept_op(","):
-                    items.append(self.expr())
-            self.expect_op("]")
-            return A.EList(items)
+            # list literal [e1, e2, ...] or comprehension
+            # [expr FOR x IN list [IF cond]]
+            return self.expr_primary_bracket()
         if t.kind == "NUM":
             self.next()
             txt = t.value
@@ -1943,9 +1937,9 @@ class Parser:
                     fn = A.EFunc(name, args)
                     return fn
                 if not self.at("OP", ")"):
-                    args.append(self.expr())
+                    args.append(self._arg_expr())
                     while self.accept_op(","):
-                        args.append(self.expr())
+                        args.append(self._arg_expr())
                 fnorder = None
                 if self.accept_kw("order"):
                     # agg(x ORDER BY k [DESC], ...) ordered aggregate
@@ -2000,6 +1994,11 @@ class Parser:
                                 "localtimestamp":
                                     "current_localtimestamp"}.get(
                                         name, name), [])
+            if name == "array" and self.at("OP", "["):
+                # postgres-style ARRAY[...] constructor (reference:
+                # transform_array_constructor) — re-parse as a list
+                # literal / comprehension
+                return self.expr_primary_bracket()
             parts = [name]
             while self.accept_op("."):
                 if self.at("OP", "*"):
@@ -2008,6 +2007,79 @@ class Parser:
                 parts.append(self.ident())
             return A.EIdent(parts)
         self.error("expected expression")
+
+    def expr_primary_bracket(self):
+        """[...] list literal / comprehension body (shared by bare
+        bracket syntax and ARRAY[...])."""
+        self.expect_op("[")
+        items = []
+        if not self.at("OP", "]"):
+            items.append(self.expr())
+            if self.at_kw("for") or (
+                    self.peek().kind == "IDENT"
+                    and self.peek().value == "for"):
+                self.next()
+                var = self.ident()
+                self.expect_kw("in")
+                src = self.expr()
+                cond = None
+                if self.peek().kind in ("KW", "IDENT") \
+                        and self.peek().value == "if":
+                    self.next()
+                    cond = self.expr()
+                self.expect_op("]")
+                if cond is not None:
+                    src = A.EFunc("list_filter",
+                                  [src, A.ELambda([var], cond)])
+                return A.EFunc("list_transform",
+                               [src, A.ELambda([var], items[0])])
+            while self.accept_op(","):
+                items.append(self.expr())
+        self.expect_op("]")
+        return A.EList(items)
+
+    def _arg_expr(self):
+        """A function-call argument: possibly a lambda
+        `x -> body` / `(x, y) -> body` / `lambda x[, y]: body`
+        (reference: transform_lambda.cpp; lambdas are only legal as
+        arguments, which keeps -> unambiguous with the JSON arrow)."""
+        t = self.peek()
+        # IDENT ->
+        if t.kind == "IDENT" and self.peek(1).kind == "OP" \
+                and self.peek(1).value == "->":
+            p = self.next().value
+            self.next()
+            return A.ELambda([p], self.expr())
+        # lambda x[, y]: body
+        if t.kind == "IDENT" and t.value == "lambda" \
+                and self.peek(1).kind == "IDENT":
+            self.next()
+            ps = [self.ident()]
+            while self.accept_op(","):
+                ps.append(self.ident())
+            self.expect_op(":")
+            return A.ELambda(ps, self.expr())
+        # ( IDENT [, IDENT]* ) ->
+        if t.kind == "OP" and t.value == "(":
+            j = 1
+            ok = self.peek(j).kind == "IDENT"
+            j += 1
+            while ok and self.peek(j).kind == "OP" \
+                    and self.peek(j).value == ",":
+                ok = self.peek(j + 1).kind == "IDENT"
+                j += 2
+            if ok and self.peek(j).kind == "OP" \
+                    and self.peek(j).value == ")" \
+                    and self.peek(j + 1).kind == "OP" \
+                    and self.peek(j + 1).value == "->":
+                self.next()
+                ps = [self.ident()]
+                while self.accept_op(","):
+                    ps.append(self.ident())
+                self.expect_op(")")
+                self.next()        # ->
+                return A.ELambda(ps, self.expr())
+        return self.expr()
 
     def window_suffix(self, fn: A.EFunc) -> A.EWindow:
         self.expect_kw("over")

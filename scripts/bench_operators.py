@@ -205,28 +205,6 @@ def _bench_aggregate(results, n, rng, jax, lax, jnp):
     }
 
 
-if __name__ == "__main__":
-    import argparse
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--op", default=None,
-                    choices=["filter", "sort", "join", "aggregate", "exchange"])
-    ap.add_argument("--all-in-subprocesses", action="store_true",
-                    help="run each op in a fresh process (the axon "
-                         "tunnel session can wedge after several large "
-                         "compiles in one process)")
-    args = ap.parse_args()
-    if args.all_in_subprocesses:
-        import subprocess
-        for op in ("filter", "sort", "join", "aggregate", "exchange"):
-            print(f"=== {op} (subprocess)", file=sys.stderr, flush=True)
-            r = subprocess.run([sys.executable, __file__, "--op", op],
-                               timeout=3600)
-            print(f"=== {op} rc={r.returncode}", file=sys.stderr,
-                  flush=True)
-    else:
-        main(args.op)
-
-
 def bench_single(jfn, args, reps=5):
     """Single-call timing with round-trip subtraction — for graphs whose
     fori_loop variant overwhelms the remote compiler (join/exchange)."""
@@ -310,3 +288,25 @@ def _bench_exchange(results, n, rng, jax, lax, jnp):
         "roofline": HBM_BW / (16 * (int(np.ceil(np.log2(n))) + 2)),
         "config": "8-way pid sort-pack, int64 key+payload, 6.3M rows",
     }
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--op", default=None,
+                    choices=["filter", "sort", "join", "aggregate", "exchange"])
+    ap.add_argument("--all-in-subprocesses", action="store_true",
+                    help="run each op in a fresh process (the axon "
+                         "tunnel session can wedge after several large "
+                         "compiles in one process)")
+    args = ap.parse_args()
+    if args.all_in_subprocesses:
+        import subprocess
+        for op in ("filter", "sort", "join", "aggregate", "exchange"):
+            print(f"=== {op} (subprocess)", file=sys.stderr, flush=True)
+            r = subprocess.run([sys.executable, __file__, "--op", op],
+                               timeout=3600)
+            print(f"=== {op} rc={r.returncode}", file=sys.stderr,
+                  flush=True)
+    else:
+        main(args.op)
