@@ -970,7 +970,11 @@ class Connection:
             name = (stmt.name
                     or _os.path.splitext(_os.path.basename(stmt.path))[0])
             name = name.lower()
-            load_database(self.catalog, stmt.path, prefix=name + ".")
+            if stmt.path not in (":memory:", ""):
+                load_database(self.catalog, stmt.path,
+                              prefix=name + ".")
+            # ':memory:' attaches an empty in-memory namespace
+            # (reference: InMemoryAttach)
             self._attached[name] = stmt.path
             return None
         if isinstance(stmt, A.DetachStmt):
@@ -1106,6 +1110,55 @@ class Connection:
                 raise CatalogException("cannot drop the last column")
             td.columns.remove(col)
             td._device_batch = None
+        elif stmt.action == "set_type":
+            # ALTER COLUMN SET DATA TYPE: re-encode through the host
+            # values (reference: ChangeColumnType in alter path)
+            col = self._find_column(td, stmt.name)
+            dt = resolve_typename(*stmt.coltype)
+            n = td.num_rows
+            vals = [None if (col.nulls is not None and col.nulls[i])
+                    else (col.strdict.decode_one(int(col.data[i]))
+                          if col.strdict is not None
+                          else T.decode_value(col.data[i], col.dtype))
+                    for i in range(n)]
+            from .storage.dml import _encode_values
+            from .storage.strings import StringDictionary
+            newcol = TableColumn(col.name, dt,
+                                 np.zeros(0, dtype=dt.np_dtype))
+            if dt.id == TypeId.VARCHAR:
+                newcol.strdict = StringDictionary(
+                    np.array([], dtype=object).astype(str))
+            phys, nulls, extra = _encode_values(newcol, vals)
+            newcol.data = phys
+            newcol.nulls = nulls if nulls.any() else None
+            if extra is not None:
+                newcol.strdict = extra[0]
+            newcol.compute_stats()
+            idx = td.columns.index(col)
+            td.columns[idx] = newcol
+            td._device_batch = None
+        elif stmt.action == "set_default":
+            self._find_column(td, stmt.name)
+            if not getattr(td, "defaults", None):
+                td.defaults = {}
+            td.defaults[stmt.name.lower()] = stmt.new_name
+        elif stmt.action == "drop_default":
+            self._find_column(td, stmt.name)
+            if getattr(td, "defaults", None):
+                td.defaults.pop(stmt.name.lower(), None)
+        elif stmt.action == "set_not_null":
+            col = self._find_column(td, stmt.name)
+            if col.nulls is not None and col.nulls.any():
+                from .storage.dml import ConstraintException
+                raise ConstraintException(
+                    f"Constraint Error: NOT NULL constraint failed: "
+                    f"{td.name}.{stmt.name} (existing NULLs)")
+            if not isinstance(getattr(td, "not_null", None), set):
+                td.not_null = set(getattr(td, "not_null", ()))
+            td.not_null.add(stmt.name.lower())
+        elif stmt.action == "drop_not_null":
+            if isinstance(getattr(td, "not_null", None), set):
+                td.not_null.discard(stmt.name.lower())
         self.catalog.bump()
         self._wal_log({"op": "alter", "table": stmt.table,
                        "action": stmt.action, "name": stmt.name,

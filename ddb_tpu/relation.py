@@ -147,6 +147,10 @@ class Relation:
         return self._schema().names
 
     @property
+    def column_names(self) -> List[str]:
+        return self._schema().names
+
+    @property
     def types(self) -> List[str]:
         return [repr(t) for t in self._schema().types]
 
@@ -272,8 +276,12 @@ def view_relation(con, name: str) -> Relation:
 
 
 def sql_relation(con, sql: str) -> Relation:
-    """reference: QueryRelation (query_relation.cpp)"""
-    return Relation(con, sql.rstrip().rstrip(";"))
+    """reference: QueryRelation (query_relation.cpp) — binds eagerly so
+    unknown tables/columns raise at creation like the reference, while
+    execution stays lazy."""
+    rel = Relation(con, sql.rstrip().rstrip(";"))
+    rel._schema()      # eager bind: validation only, no execution
+    return rel
 
 
 def table_function_relation(con, name: str, *args) -> Relation:

@@ -478,7 +478,53 @@ class Parser:
                 self.next()
             return A.AlterStmt(table, "drop_column", name=self.ident(),
                                if_exists=if_exists)
-        self.error("expected RENAME, ADD or DROP")
+        if w.kind in ("IDENT", "KW") and w.value == "alter":
+            # ALTER COLUMN col SET DATA TYPE t | {SET|DROP} DEFAULT |
+            # {SET|DROP} NOT NULL (reference:
+            # src/parser/statement/alter_statement.cpp)
+            self.next()
+            if self.peek().kind in ("IDENT", "KW") \
+                    and self.peek().value == "column":
+                self.next()
+            col = self.ident()
+            act = self.next().value.lower()     # set | drop | type
+            if act == "type" or (act == "set" and self.peek().value
+                                 in ("data", "type")):
+                if act == "set":
+                    if self.next().value.lower() == "data":
+                        self.expect_word("type")
+                tn, wd, sc = self.typename()
+                # optional USING expr (parsed, conversion is implicit)
+                if self.peek().kind in ("KW", "IDENT") \
+                        and self.peek().value == "using":
+                    self.next()
+                    self.expr()
+                return A.AlterStmt(table, "set_type", name=col,
+                                   coltype=(tn, wd, sc),
+                                   if_exists=if_exists)
+            if act == "set" and self.peek().kind in ("KW", "IDENT") \
+                    and self.peek().value == "default":
+                self.next()
+                dstart = self.peek().pos
+                self.expr()
+                dtext = self.text[dstart:self.peek().pos].strip()
+                return A.AlterStmt(table, "set_default", name=col,
+                                   new_name=dtext, if_exists=if_exists)
+            if act == "drop" and self.peek().kind in ("KW", "IDENT") \
+                    and self.peek().value == "default":
+                self.next()
+                return A.AlterStmt(table, "drop_default", name=col,
+                                   if_exists=if_exists)
+            if act == "set" and self.accept_kw("not"):
+                self.expect_kw("null")
+                return A.AlterStmt(table, "set_not_null", name=col,
+                                   if_exists=if_exists)
+            if act == "drop" and self.accept_kw("not"):
+                self.expect_kw("null")
+                return A.AlterStmt(table, "drop_not_null", name=col,
+                                   if_exists=if_exists)
+            self.error("unsupported ALTER COLUMN action")
+        self.error("expected RENAME, ADD, DROP or ALTER")
 
     def create_stmt(self):
         start = self.peek().pos
@@ -487,6 +533,15 @@ class Parser:
         if self.accept_kw("or"):
             self.expect_kw("replace")
             or_replace = True
+        if self.peek().kind in ("IDENT", "KW") \
+                and self.peek().value in ("temp", "temporary") \
+                and self.peek(1).kind in ("IDENT", "KW") \
+                and self.peek(1).value in ("table", "view", "macro",
+                                           "function", "sequence"):
+            # CREATE TEMP[ORARY] TABLE/VIEW/... — session lifetime ==
+            # our in-memory default, so the qualifier is advisory
+            # (reference: OnCreateConflict temporary catalog)
+            self.next()
         if self.peek().kind == "IDENT" \
                 and self.peek().value in ("secret", "persistent",
                                           "temporary"):
@@ -718,6 +773,12 @@ class Parser:
                     not_null = pk = uq = False
                     default = None
                     refs = None
+                    if self.peek().kind in ("KW", "IDENT") \
+                            and self.peek().value == "collate":
+                        # column-level collation parsed; comparisons
+                        # apply collations at bind time (expr COLLATE)
+                        self.next()
+                        self.next()
                     while True:
                         if self.accept_kw("not"):
                             self.expect_kw("null")

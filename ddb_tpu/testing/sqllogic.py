@@ -199,10 +199,26 @@ def run_file(con, path: str, max_statements: Optional[int] = None
     loops: List[tuple] = []    # (var, values, start_line)
     env = {}
     skipping = False
+    test_dir = [None]
 
     def subst(text: str) -> str:
         for k, v in env.items():
             text = text.replace(f"${{{k}}}", str(v))
+        if "__TEST_DIR__" in text:
+            # scratch dir the reference runner provides per test
+            # (reference: sqllogic_test_runner.cpp ReplaceKeywords)
+            if test_dir[0] is None:
+                import tempfile
+                test_dir[0] = tempfile.mkdtemp(prefix="sqllogic_")
+            text = text.replace("__TEST_DIR__", test_dir[0])
+        if "__WORKING_DIRECTORY__" in text:
+            text = text.replace("__WORKING_DIRECTORY__",
+                                "/root/reference")
+        # data files resolve against the reference checkout root (the
+        # reference runner executes from its repo root)
+        for q in ("'data/", "'test/"):
+            if q in text:
+                text = text.replace(q, "'/root/reference/" + q[1:])
         return text
 
     while i < len(lines):
