@@ -954,7 +954,8 @@ def group_mode(key_ops, value_ops, payload: AggPayload, sel,
 
 
 def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
-                 num_groups_cap: int, is_max: bool):
+                 num_groups_cap: int, is_max: bool,
+                 keep_null_payload: bool = False):
     """arg_min/arg_max: payload value at the row where the BY key is
     extremal, per group (reference: arg_min_max.cpp; ours is one sort —
     BY-extremal rows sort first within each group).  Rows where either
@@ -964,12 +965,17 @@ def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
     cap = sel.shape[0]
     excl = (~sel).astype(jnp.int32)
     live = sel if by_nulls is None else (sel & ~by_nulls)
-    if payload.nulls is not None:
+    pnull = payload.nulls if payload.nulls is not None \
+        else jnp.zeros(cap, dtype=bool)
+    if payload.nulls is not None and not keep_null_payload:
+        # arg_min/arg_max skip NULL payloads; the _null variants keep
+        # them (reference: arg_min_max.cpp ArgMinMaxNull)
         live = live & ~payload.nulls
     inv_live = (~live).astype(jnp.int32)
     ops = [~o for o in by_ops] if is_max else list(by_ops)
     operands = [excl, *key_ops, inv_live, *ops]
-    sorted_ops = lax.sort(operands + [payload.data],
+    sorted_ops = lax.sort(operands + [payload.data,
+                                      pnull.astype(jnp.int8)],
                           num_keys=len(operands), is_stable=False)
     excl_s = sorted_ops[0]
     keys_s = sorted_ops[1:1 + len(key_ops)]
@@ -989,25 +995,34 @@ def group_argext(key_ops, by_ops, by_nulls, payload: AggPayload, sel,
     starts = starts[:num_groups_cap]
     gsel = lax.broadcasted_iota(jnp.int32, (num_groups_cap,), 0) \
         < ngroups
+    pnull_s = sorted_ops[len(operands) + 1]
     sidx = jnp.clip(starts, 0, cap - 1)
     out = data_s[sidx]
     isnull = ~gsel | ~live_s[sidx]
+    if keep_null_payload:
+        isnull = isnull | (pnull_s[sidx] != 0)
     return out, isnull
 
 
 def ungrouped_argext(by_ops, by_nulls, payload: AggPayload, sel,
-                     is_max: bool):
+                     is_max: bool, keep_null_payload: bool = False):
     cap = sel.shape[0]
     live = sel if by_nulls is None else (sel & ~by_nulls)
-    if payload.nulls is not None:
+    pnull = payload.nulls if payload.nulls is not None \
+        else jnp.zeros(cap, dtype=bool)
+    if payload.nulls is not None and not keep_null_payload:
         live = live & ~payload.nulls
     inv = (~live).astype(jnp.int32)
     ops = [~o for o in by_ops] if is_max else list(by_ops)
-    sorted_ops = lax.sort([inv, *ops, payload.data],
+    sorted_ops = lax.sort([inv, *ops, payload.data,
+                           pnull.astype(jnp.int8)],
                           num_keys=1 + len(ops), is_stable=False)
     live0 = sorted_ops[0][0] == 0
     v = sorted_ops[1 + len(ops)][0]
-    return v, ~live0
+    isn = ~live0
+    if keep_null_payload:
+        isn = isn | (sorted_ops[2 + len(ops)][0] != 0)
+    return v, isn
 
 
 def ungrouped_mode(value_ops, payload: AggPayload, sel):

@@ -490,7 +490,9 @@ def _exec_aggregate(node: L.Aggregate, ctx):
                     bd, bn = evaluate(spec.arg2, b)
                     bops = sortkey.encode_key(bd, bn, spec.arg2.dtype)
                     res.append(agg_ops.ungrouped_argext(
-                        bops, bn, p, b.sel, spec.kind == "arg_max"))
+                        bops, bn, p, b.sel, spec.kind == "arg_max",
+                        keep_null_payload=(getattr(spec, "extra", None)
+                                           == "keep_null_payload")))
                 elif spec.kind == "approx_count_distinct":
                     vops = sortkey.encode_key(p.data, p.nulls,
                                               spec.arg.dtype)
@@ -632,7 +634,9 @@ def local_grouped_aggregate(node: L.Aggregate, b: Batch) -> Batch:
             bops = sortkey.encode_key(bd, bn, a.arg2.dtype)
             results[i] = agg_ops.group_argext(
                 key_ops, bops, bn, p, b.sel, gcap,
-                a.kind == "arg_max")
+                a.kind == "arg_max",
+                keep_null_payload=(getattr(a, "extra", None)
+                                   == "keep_null_payload"))
         elif a.kind == "approx_count_distinct" \
                 or (a.distinct and a.kind != "count_star"):
             cp = agg_ops.AggPayload("count", p.data, p.nulls) \

@@ -53,6 +53,7 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "quantile_disc", "corr", "covar_pop", "covar_samp",
              "bool_and", "bool_or", "approx_count_distinct", "mode",
              "arg_min", "arg_max", "argmin", "argmax", "min_by",
+             "arg_min_null", "arg_max_null",
              "max_by", "histogram", "histogram_exact", "approx_top_k",
              "product", "list", "array_agg", "string_agg",
              "group_concat", "bit_and", "bit_or", "bit_xor", "entropy",
@@ -4080,15 +4081,22 @@ class Binder:
             idx = agg_ctx.add(spec, f"mode({_ekey(arg)})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
         if name in ("arg_min", "arg_max", "argmin", "argmax", "min_by",
-                    "max_by"):
+                    "max_by", "arg_min_null", "arg_max_null"):
             if len(e.args) != 2:
                 raise BindError(f"{name} requires (arg, val)")
             by = self.bind_expr(e.args[1], scope, None, None,
                                 sub_replacements)
-            kind = "arg_max" if name in ("arg_max", "argmax", "max_by") \
+            kind = "arg_max" if name in ("arg_max", "argmax", "max_by",
+                                         "arg_max_null") \
                 else "arg_min"
             spec = L.AggSpec(kind, arg, arg.dtype, kind, arg2=by)
-            idx = agg_ctx.add(spec, f"{kind}({_ekey(arg)},{_ekey(by)})")
+            if name.endswith("_null"):
+                # _null variants keep NULL payloads (reference:
+                # ArgMinMaxNull in arg_min_max.cpp)
+                spec.extra = "keep_null_payload"
+            idx = agg_ctx.add(spec,
+                              f"{kind}({_ekey(arg)},{_ekey(by)},"
+                              f"{name.endswith('_null')})")
             return AggRef(idx, arg.dtype, getattr(arg, "strdict", None))
         if name in ("any_value", "first"):
             spec = L.AggSpec("any_value", arg, arg.dtype, "any_value")
@@ -4383,6 +4391,45 @@ class Binder:
                       else (a.dtype.child or T.BIGINT))
             out = ir.Func("__pyudf__", [a], rt)
             out.extra = (fn, [None], True)
+            return out
+        if name in ("list_sort", "array_sort", "list_reverse_sort",
+                    "list_reverse", "array_reverse", "list_distinct",
+                    "list_unique", "flatten"):
+            from ..storage.lists import ListStore
+            out_store = ListStore()
+
+            def fn(vals, nulls, name=name):
+                lst = lst_of(vals, nulls)
+                if lst is None:
+                    return None
+                live = [x for x in lst if x is not None]
+                if name in ("list_sort", "array_sort"):
+                    out = sorted(live) + [None] * (len(lst) - len(live))
+                elif name == "list_reverse_sort":
+                    out = sorted(live, reverse=True) \
+                        + [None] * (len(lst) - len(live))
+                elif name in ("list_reverse", "array_reverse"):
+                    out = list(reversed(lst))
+                elif name in ("list_distinct", "list_unique"):
+                    seen, out = set(), []
+                    for x in live:
+                        if x not in seen:
+                            seen.add(x)
+                            out.append(x)
+                    if name == "list_unique":
+                        return len(out)
+                else:       # flatten
+                    out = []
+                    for x in lst:
+                        if x is not None:
+                            out.extend(x)
+                return out_store.add(out)
+            rt = T.BIGINT if name == "list_unique" else a.dtype
+            out = ir.Func("__pyudf__", [a], rt)
+            out.extra = (fn, [None], True)
+            if name != "list_unique":
+                out.strdict = out_store
+            self.uncacheable = True
             return out
         raise BindError(f"{name} over runtime-built lists not "
                         "supported yet")
@@ -4840,10 +4887,11 @@ class Binder:
         store = getattr(a, "strdict", None)
         if store is None:
             raise BindError(f"{name}: list argument has no store")
-        if isinstance(a, ir.Func):
-            # runtime-built list (literal over columns): the store fills
-            # during execution, so consult it through a callback instead
-            # of a bind-time table
+        if not isinstance(a, (ir.Const, ir.ColRef)):
+            # runtime-built list (literal over columns, aggregate
+            # results like approx_top_k/collect, window outputs): the
+            # store fills during execution, so consult it through a
+            # callback instead of a bind-time table
             return self._bind_list_func_dynamic(
                 name, a, store, e, scope, agg_ctx, group_map,
                 sub_replacements)

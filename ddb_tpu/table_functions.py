@@ -32,7 +32,10 @@ def fn_duckdb_tables(ctx, args) -> TableData:
         ncols.append(len(td.columns))
         nrows.append(td.num_rows)
     return TableData("duckdb_tables", [
+        _strcol("database_name", ["memory"] * len(names)),
+        _strcol("schema_name", ["main"] * len(names)),
         _strcol("table_name", names),
+        _strcol("comment", [""] * len(names)),
         _intcol("column_count", ncols),
         _intcol("estimated_size", nrows)])
 
