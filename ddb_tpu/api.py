@@ -540,8 +540,7 @@ class Connection:
         execute eagerly (reference: duckdb.sql / Connection::sql)."""
         from .relation import sql_relation
         low = query.lstrip().lower()
-        if low.startswith(("select", "with", "from", "values",
-                           "describe", "summarize", "pivot", "(")):
+        if low.startswith(("select", "with", "from", "values", "(")):
             return sql_relation(self, query)
         return self.execute(query)
 
@@ -1398,6 +1397,22 @@ class Connection:
                 s2, b2 = physical.execute(p2)
                 diff("re-parsed", QueryResult(s2, b2).fetchall())
 
+        # PARALLELISM: run distributed over a virtual mesh and diff
+        # (reference: PRAGMA verify_parallelism forces multi-threaded
+        # pipelines; ours re-executes over every visible device)
+        if self.config.get("verify_parallelism"):
+            import jax as _jax
+            if len(_jax.devices()) >= 2:
+                from .parallel.executor import execute_distributed
+                from .parallel.mesh import make_mesh
+                try:
+                    sd, bd = execute_distributed(
+                        self._optimize(unopt_plan),
+                        make_mesh(len(_jax.devices())))
+                    diff("distributed", QueryResult(sd, bd).fetchall())
+                except NotImplementedError:
+                    pass
+
         # EXTERNAL: force the out-of-core tiled paths (reference:
         # pragma verify_external — forced spill execution)
         from .plan import tiled
@@ -1548,6 +1563,25 @@ class Connection:
             return None
         if name == "disable_profiling":
             self.config.set("enable_profiling", False)
+            return None
+        if name in ("enable_verification", "verify_external",
+                    "verify_parallelism"):
+            # statement-verifier modes (reference: PRAGMA
+            # enable_verification / verify_external / verify_parallelism
+            # run every query through independent execution variants)
+            self.config.set("enable_verification", True)
+            if name != "enable_verification":
+                self.config.set(name, True)
+            return None
+        if name in ("disable_verification", "disable_verify_external",
+                    "disable_verify_parallelism"):
+            base = name[len("disable_"):]
+            if base == "verification":
+                self.config.set("enable_verification", False)
+                self.config.set("verify_external", False)
+                self.config.set("verify_parallelism", False)
+            else:
+                self.config.set(base, False)
             return None
         if name == "show_tables":
             return self.execute(

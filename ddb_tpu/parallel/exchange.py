@@ -66,11 +66,21 @@ def all_to_all_exchange(arrays: Sequence[jax.Array], valid: jax.Array,
                               jnp.cumsum(counts)[:-1]])
     overflow = jnp.maximum(counts - cap, 0).sum()
     slot = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
-    idx = jnp.clip(starts[:, None] + slot, 0, n - 1)        # [ns, cap]
     send_valid = slot < jnp.minimum(counts, cap)[:, None]
 
-    out_arrays = [a_s[idx.reshape(-1)].reshape(n_shards, cap)
-                  for a_s in sorted_arrays]
+    # slice each partition's contiguous run out of the sorted arrays
+    # with per-shard dynamic slices: contiguous HBM reads instead of a
+    # 2n-element gather (measured: the gather ran at ~20M rows/s, two
+    # orders below the sort itself; dynamic slices are plain streams).
+    # A cap-sized sentinel pad keeps every start in bounds.
+    def pack(a_s):
+        padded = jnp.concatenate(
+            [a_s, jnp.zeros(cap, dtype=a_s.dtype)])
+        return jnp.stack([
+            lax.dynamic_slice(padded, (starts[p],), (cap,))
+            for p in range(n_shards)])
+
+    out_arrays = [pack(a_s) for a_s in sorted_arrays]
 
     # the exchange: block j of the send buffer goes to shard j
     recv = [lax.all_to_all(a, axis, split_axis=0, concat_axis=0,

@@ -843,6 +843,32 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
                     # MAP<value, count>, keys ascending (reference:
                     # core_functions/aggregate/holistic/histogram.cpp)
                     from collections import Counter
+                    extra = getattr(a, "extra", None)
+                    if isinstance(extra, tuple) and extra[0] in (
+                            "bins", "exact"):
+                        mode_, bounds = extra
+                        if mode_ == "exact":
+                            c = Counter(v for v in vals
+                                        if v in set(bounds))
+                            res.append([(b, c.get(b, 0))
+                                        for b in bounds])
+                        else:
+                            sb = sorted(bounds)
+                            counts = {b: 0 for b in sb}
+                            over = 0
+                            for v in vals:
+                                for b in sb:
+                                    if v <= b:
+                                        counts[b] += 1
+                                        break
+                                else:
+                                    over += 1
+                            items = [(b, counts[b]) for b in sb]
+                            if over:
+                                items.append((2**63 - 1, over))
+                            res.append(items)
+                        rn.append(False)
+                        continue
                     c = Counter(vals)
                     res.append(sorted(c.items()))
                     rn.append(len(c) == 0)

@@ -151,6 +151,10 @@ class Relation:
         return self._schema().names
 
     @property
+    def column_types(self) -> list:
+        return self._schema().types
+
+    @property
     def types(self) -> List[str]:
         return [repr(t) for t in self._schema().types]
 

@@ -1961,7 +1961,19 @@ class Binder:
             if isinstance(m, A.EIn):
                 if len(sub.items) != 1:
                     raise BindError("IN subquery must return one column")
-                item = sb.bind_expr(sub.items[0][0], iscope)
+                it0 = sub.items[0][0]
+                if isinstance(it0, A.EStar):
+                    # SELECT * subquery (e.g. IN (VALUES ...)): the
+                    # star must expand to exactly one inner column
+                    flat = [(se.alias, f.name)
+                            for se in iscope.entries
+                            for fi, f in enumerate(se.schema.fields)
+                            if fi not in se.hidden]
+                    if len(flat) != 1:
+                        raise BindError(
+                            "IN subquery must return one column")
+                    it0 = A.EIdent([flat[0][0], flat[0][1]])
+                item = sb.bind_expr(it0, iscope)
                 o0 = self.bind_expr(m.child, scope)
                 o2, i2 = self._align_join_keys(o0, item)
                 keys.append(i2)
@@ -4151,7 +4163,24 @@ class Binder:
             rt = T.MAP(arg.dtype, T.BIGINT)
             spec = L.AggSpec("histogram", arg, rt, "histogram",
                              store=store)
-            idx = agg_ctx.add(spec, f"histogram({_ekey(arg)})")
+            key = f"histogram({_ekey(arg)})"
+            if len(e.args) == 2:
+                # histogram(x, bin_boundaries) buckets into <= ranges
+                # with an int64-max overflow bin; histogram_exact(x,
+                # values) counts exact matches only (reference:
+                # aggregate/holistic/histogram.cpp two-arg overloads)
+                bins = self.bind_expr(e.args[1], scope, None, None,
+                                      sub_replacements)
+                bs = getattr(bins, "strdict", None)
+                if not isinstance(bins, ir.Const) or bs is None:
+                    raise BindError(
+                        f"{name} bin boundaries must be a constant "
+                        "list")
+                blist = bs.decode_one(int(bins.value))
+                spec.extra = ("exact" if name == "histogram_exact"
+                              else "bins", list(blist))
+                key = f"{name}({_ekey(arg)},{blist!r})"
+            idx = agg_ctx.add(spec, key)
             return AggRef(idx, rt, store)
         if name == "approx_top_k":
             from ..storage.lists import ListStore

@@ -27,9 +27,11 @@ class RunResult:
         return not self.failures and self.skipped_reason is None
 
 
+# enable_verification / verify_external now EXECUTE (the engine's
+# statement verifiers run each query through independent variants,
+# api._verify_statement); only modes without an analog stay inert
 _IGNORED_PRAGMAS = (
-    "verify_external", "verify_parallelism", "verify_serializer",
-    "enable_verification", "disable_verification", "verify_fetch_row",
+    "verify_serializer", "verify_fetch_row", "verify_parallelism",
     "debug_", "force_", "threads",
 )
 

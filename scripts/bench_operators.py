@@ -149,7 +149,7 @@ def _bench_sort(results, n, rng, jax, lax, jnp):
         return out[1][0].astype(jnp.int64)
 
     print("bench: sort...", file=sys.stderr, flush=True)
-    t = bench_loop(sort_step, 5, k, rid)
+    t = bench_loop(sort_step, 12, k, rid)
     # sort roofline: log2(n) passes over (8+4)B/row (merge-network model)
     passes = int(np.ceil(np.log2(n)))
     results["sort"] = {
@@ -197,7 +197,7 @@ def _bench_aggregate(results, n, rng, jax, lax, jnp):
         return P.q1_fused_aggregate(*args, 10471 - (i % 2), n_rows=n).sum()
 
     print("bench: aggregate...", file=sys.stderr, flush=True)
-    t = bench_loop(agg_step, 10, qty, ext, dc, tx, sd, gid)
+    t = bench_loop(agg_step, 200, qty, ext, dc, tx, sd, gid)
     results["aggregate"] = {
         "rows_per_sec": n / t,
         "roofline": HBM_BW / 24,          # 6 int32 columns

@@ -53,7 +53,9 @@ def test_sql_timezone_function():
     rows = con.execute(
         "SELECT timezone('America/New_York', "
         "TIMESTAMP '2024-01-15 12:00:00')").fetchall()
-    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0, 0),)]
+    # r4: TIMESTAMP AT TIME ZONE returns TIMESTAMPTZ (aware instant)
+    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0, 0,
+                                       tzinfo=UTC),)]
     # summer: +4h
     rows = con.execute(
         "SELECT TIMESTAMP '2024-07-15 12:00:00' "
@@ -74,8 +76,10 @@ def test_sql_timezone_column():
     rows = con.execute(
         "SELECT timezone('America/New_York', t) FROM e ORDER BY t"
     ).fetchall()
-    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0),),
-                    (datetime.datetime(2024, 7, 15, 16, 0),),
+    assert rows == [(datetime.datetime(2024, 1, 15, 17, 0,
+                                       tzinfo=UTC),),
+                    (datetime.datetime(2024, 7, 15, 16, 0,
+                                       tzinfo=UTC),),
                     (None,)]
 
 
@@ -91,8 +95,10 @@ def test_current_date_and_timestamp():
     (d, ts, lts) = con.execute(
         "SELECT current_date, current_timestamp, "
         "current_localtimestamp").fetchall()[0]
-    now = datetime.datetime.now(UTC).replace(tzinfo=None)
+    # r4: current_timestamp is TIMESTAMP WITH TIME ZONE (aware)
+    now = datetime.datetime.now(UTC)
     assert abs((ts - now).total_seconds()) < 60
+    now = now.replace(tzinfo=None)
     assert d in (now.date(), (now - datetime.timedelta(days=1)).date(),
                  (now + datetime.timedelta(days=1)).date())
     con.execute("SET timezone = 'America/New_York'")
