@@ -1113,13 +1113,53 @@ class Connection:
             # ALTER COLUMN SET DATA TYPE: re-encode through the host
             # values (reference: ChangeColumnType in alter path)
             col = self._find_column(td, stmt.name)
+            low = stmt.name.lower()
+            for ix in getattr(td, "indexes", {}).values():
+                if not ix.name.startswith("__")                         and low in [c.lower() for c in ix.columns]:
+                    raise CatalogException(
+                        "Catalog Error: Cannot change the type of "
+                        "this column: an index depends on it!")
             dt = resolve_typename(*stmt.coltype)
             n = td.num_rows
-            vals = [None if (col.nulls is not None and col.nulls[i])
-                    else (col.strdict.decode_one(int(col.data[i]))
-                          if col.strdict is not None
-                          else T.decode_value(col.data[i], col.dtype))
-                    for i in range(n)]
+            using = getattr(stmt, "new_name", None)
+            if using:
+                # ALTER ... SET TYPE t USING expr: evaluate the
+                # expression over the table (reference: bound USING
+                # cast expression) — binds in table scope, so bad
+                # expressions error here
+                from .expr.compile import evaluate as _ev
+                from .sql import parser as sqlparser
+                from .sql.binder import Binder, Scope
+                b2 = Binder(self.catalog, context=self)
+                sc2 = Scope()
+                sc2.add(td.name, td.schema)
+                bound = b2.bind_expr(
+                    sqlparser.parse_expression(using), sc2)
+                d2, n2 = _ev(bound, td.device_batch())
+                sdv = getattr(bound, "strdict", None)
+                vals = []
+                for i in range(n):
+                    if n2 is not None and bool(np.asarray(n2)[i]):
+                        vals.append(None)
+                    elif sdv is not None:
+                        vals.append(sdv.decode_one(
+                            int(np.asarray(d2)[i])))
+                    else:
+                        vals.append(T.decode_value(
+                            np.asarray(d2)[i], bound.dtype))
+            else:
+                try:
+                    vals = [None if (col.nulls is not None
+                                     and col.nulls[i])
+                            else (col.strdict.decode_one(
+                                int(col.data[i]))
+                                if col.strdict is not None
+                                else T.decode_value(col.data[i],
+                                                    col.dtype))
+                            for i in range(n)]
+                except (ValueError, TypeError, OverflowError) as ex:
+                    from .sql.binder import ConversionError
+                    raise ConversionError(str(ex))
             from .storage.dml import _encode_values
             from .storage.strings import StringDictionary
             newcol = TableColumn(col.name, dt,
@@ -1127,7 +1167,13 @@ class Connection:
             if dt.id == TypeId.VARCHAR:
                 newcol.strdict = StringDictionary(
                     np.array([], dtype=object).astype(str))
-            phys, nulls, extra = _encode_values(newcol, vals)
+            try:
+                phys, nulls, extra = _encode_values(newcol, vals)
+            except (ValueError, TypeError, OverflowError) as ex:
+                from .sql.binder import ConversionError
+                raise ConversionError(
+                    f"Conversion Error: could not convert column "
+                    f"{col.name} to {dt!r}: {ex}")
             newcol.data = phys
             newcol.nulls = nulls if nulls.any() else None
             if extra is not None:
@@ -1138,9 +1184,16 @@ class Connection:
             td._device_batch = None
         elif stmt.action == "set_default":
             self._find_column(td, stmt.name)
+            low = stmt.name.lower()
+            for ix in getattr(td, "indexes", {}).values():
+                if not ix.name.startswith("__")                         and low in [c.lower() for c in ix.columns]:
+                    raise CatalogException(
+                        "Catalog Error: Cannot change the default "
+                        "value of this column: an index depends on "
+                        "it!")
             if not getattr(td, "defaults", None):
                 td.defaults = {}
-            td.defaults[stmt.name.lower()] = stmt.new_name
+            td.defaults[low] = stmt.new_name
         elif stmt.action == "drop_default":
             self._find_column(td, stmt.name)
             if getattr(td, "defaults", None):

@@ -312,6 +312,73 @@ def _pred_selectivity(get: "L.Get", p: ir.Expr) -> float:
     return 0.25
 
 
+def _trace_to_get(node, idx):
+    """Follow a column through Filter/Project chains to its base Get;
+    returns (get, base_col_idx) or (None, None) — the spine of the
+    statistics propagation (reference:
+    optimizer/statistics_propagator.cpp walks operators the same way,
+    carrying min/max/ndv)."""
+    while True:
+        if isinstance(node, L.Filter):
+            node = node.child
+            continue
+        if isinstance(node, L.Project):
+            e2 = node.exprs[idx]
+            c2 = _cols_of(e2)
+            if len(c2) != 1:
+                return None, None
+            idx = c2[0]
+            node = node.child
+            continue
+        break
+    if isinstance(node, L.Get):
+        return node, idx
+    return None, None
+
+
+def _deep_selectivity(child, pred) -> float:
+    """Stats-based selectivity of a predicate that was NOT pushed into
+    a scan: trace its columns through Projects to the base table and
+    reuse the scan-filter estimator against rewritten column refs."""
+    cols = _cols_of(pred)
+    if len(cols) != 1:
+        return 0.25
+    get, base_idx = _trace_to_get(child, cols[0])
+    if get is None:
+        return 0.25
+    import copy as _copy
+
+    def remap(e):
+        if isinstance(e, ir.ColRef):
+            if base_idx >= len(get.column_indices):
+                return None
+            return ir.ColRef(base_idx, e.dtype, e.name, e.strdict)
+        c = _copy.copy(e)
+        for attr in ("child", "left", "right"):
+            if hasattr(e, attr) and getattr(e, attr) is not None:
+                r = remap(getattr(e, attr))
+                if r is None:
+                    return None
+                setattr(c, attr, r)
+        if hasattr(e, "args"):
+            rs = []
+            for a in e.args:
+                r = remap(a)
+                if r is None:
+                    return None
+                rs.append(r)
+            c.args = tuple(rs)
+        return c
+
+    p2 = remap(pred)
+    if p2 is None:
+        return 0.25
+    try:
+        return _pred_selectivity(get, p2)
+    except Exception:
+        return 0.25
+
+
 def _estimate_rows(node: L.LogicalNode) -> float:
     if isinstance(node, L.Get):
         n = float(max(node.table.num_rows, 1))
@@ -319,13 +386,52 @@ def _estimate_rows(node: L.LogicalNode) -> float:
             n *= _pred_selectivity(node, f)
         return max(n, 1.0)
     if isinstance(node, L.Filter):
-        return _estimate_rows(node.child) * 0.25
+        sel = 1.0
+        for p in ir.conjuncts(node.predicate):
+            sel *= _deep_selectivity(node.child, p)
+        return max(_estimate_rows(node.child) * max(sel, 1e-4), 1.0)
     if isinstance(node, L.Aggregate):
-        return max(_estimate_rows(node.child) * 0.1, 1)
+        child_rows = _estimate_rows(node.child)
+        if not node.groups:
+            return 1.0
+        # output cardinality = product of group-key distinct counts,
+        # clamped by input rows (reference: statistics propagation
+        # feeding RadixHT sizing)
+        ndv = 1.0
+        for g in node.groups:
+            ndv *= max(_ndv(node.child, g), 1.0)
+            if ndv >= child_rows:
+                break
+        return max(min(ndv, child_rows), 1.0)
     if isinstance(node, L.Join):
+        lr = _estimate_rows(node.left)
+        rr = _estimate_rows(node.right)
         if node.join_type in ("semi", "anti"):
-            return _estimate_rows(node.left) * 0.5
-        return max(_estimate_rows(node.left), _estimate_rows(node.right))
+            return max(lr * 0.5, 1.0)
+        if node.join_type == "mark":
+            return lr
+        if node.conds:
+            # |L||R| / max ndv over the equi keys (classic estimator;
+            # reference: cardinality_estimator.cpp denominators)
+            denom = 1.0
+            for jc in node.conds:
+                denom = max(denom,
+                            min(_ndv(node.left, jc.left),
+                                _ndv(node.right, jc.right)))
+            est = lr * rr / max(denom, 1.0)
+            if node.join_type in ("left", "full"):
+                est = max(est, lr)
+            if node.join_type in ("right", "full"):
+                est = max(est, rr)
+            return max(est, 1.0)
+        return max(lr, rr)
+    if isinstance(node, L.Limit):
+        base = _estimate_rows(node.child)
+        if node.limit is not None:
+            return max(min(float(node.limit), base), 1.0)
+        return base
+    if isinstance(node, L.Distinct):
+        return max(_estimate_rows(node.child) * 0.5, 1.0)
     if isinstance(node, L.Project):
         return _estimate_rows(node.child)
     kids = node.children()

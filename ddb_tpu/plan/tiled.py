@@ -580,6 +580,13 @@ def execute_tiled_sort(plan: L.LogicalNode, config) -> Optional[
                 out_nulls[i].append(masks[i])
     tp.final_cell.batch = None
     from ..batch import Column
+    if out_data is None:
+        # zero result rows: no tile ever ran the final projection
+        cols_out = tuple(
+            Column(np.zeros(0, dtype=f.dtype.np_dtype), None)
+            for f in fschema.fields)
+        return fschema, Batch(cols_out,
+                              np.zeros(0, dtype=bool), 0)
     cols_out = []
     for ds, ms in zip(out_data, out_nulls):
         d = np.concatenate(ds)

@@ -494,13 +494,16 @@ class Parser:
                     if self.next().value.lower() == "data":
                         self.expect_word("type")
                 tn, wd, sc = self.typename()
-                # optional USING expr (parsed, conversion is implicit)
+                using = None
                 if self.peek().kind in ("KW", "IDENT") \
                         and self.peek().value == "using":
                     self.next()
+                    ustart = self.peek().pos
                     self.expr()
+                    using = self.text[ustart:self.peek().pos].strip()
                 return A.AlterStmt(table, "set_type", name=col,
                                    coltype=(tn, wd, sc),
+                                   new_name=using,
                                    if_exists=if_exists)
             if act == "set" and self.peek().kind in ("KW", "IDENT") \
                     and self.peek().value == "default":
