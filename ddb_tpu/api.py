@@ -1133,6 +1133,9 @@ class Connection:
                 b2 = Binder(self.catalog, context=self)
                 sc2 = Scope()
                 sc2.add(td.name, td.schema)
+                # zone-map bounds let USING casts to VARCHAR stringify
+                b2._plan_for_bounds = L.Get(
+                    td, list(range(len(td.columns))))
                 bound = b2.bind_expr(
                     sqlparser.parse_expression(using), sc2)
                 d2, n2 = _ev(bound, td.device_batch())

@@ -276,9 +276,12 @@ def _bench_exchange(results, n, rng, jax, lax, jnp):
                             for q in range(n_shards)])
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1]])
-        slot = lax.broadcasted_iota(jnp.int32, (n_shards, cap), 1)
-        idx = jnp.clip(starts[:, None] + slot, 0, n - 1)
-        send = sk[idx.reshape(-1)]
+        # production pack (parallel/exchange.py): per-shard contiguous
+        # dynamic slices over a sentinel-padded array
+        padded = jnp.concatenate([sk, jnp.zeros(cap, dtype=sk.dtype)])
+        send = jnp.stack([
+            lax.dynamic_slice(padded, (starts[p],), (cap,))
+            for p in range(n_shards)])
         return send.astype(jnp.int64).sum()
 
     print("bench: exchange-pack...", file=sys.stderr, flush=True)

@@ -60,7 +60,8 @@ def test_sql_timezone_function():
     rows = con.execute(
         "SELECT TIMESTAMP '2024-07-15 12:00:00' "
         "AT TIME ZONE 'America/New_York'").fetchall()
-    assert rows == [(datetime.datetime(2024, 7, 15, 16, 0, 0),)]
+    assert rows == [(datetime.datetime(2024, 7, 15, 16, 0, 0,
+                                       tzinfo=UTC),)]
     # inverse direction
     rows = con.execute(
         "SELECT from_utc_timestamp(TIMESTAMP '2024-01-15 17:00:00', "
