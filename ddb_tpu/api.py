@@ -1214,6 +1214,29 @@ class Connection:
         elif stmt.action == "drop_not_null":
             if isinstance(getattr(td, "not_null", None), set):
                 td.not_null.discard(stmt.name.lower())
+        elif stmt.action == "add_pk":
+            # validate existing rows, then install the constraint
+            from .storage import dml
+            cols = [c.strip().lower() for c in stmt.name.split(",")]
+            for c in cols:
+                self._find_column(td, c)
+            if any(k == "primary_key"
+                   for k, _ in getattr(td, "constraints", ())):
+                raise CatalogException(
+                    "table already has a PRIMARY KEY")
+            td.constraints = list(getattr(td, "constraints", ())) \
+                + [("primary_key", cols)]
+            if not isinstance(getattr(td, "not_null", None), set):
+                td.not_null = set(getattr(td, "not_null", ()))
+            td.not_null.update(cols)
+            try:
+                dml.check_constraints(td)
+            except dml.ConstraintException:
+                td.constraints = [
+                    (k, cs) for k, cs in td.constraints
+                    if not (k == "primary_key" and cs == cols)]
+                td.not_null.difference_update(cols)
+                raise
         self.catalog.bump()
         self._wal_log({"op": "alter", "table": stmt.table,
                        "action": stmt.action, "name": stmt.name,

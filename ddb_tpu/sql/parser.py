@@ -464,6 +464,21 @@ class Parser:
                                new_name=self.ident(), if_exists=if_exists)
         if w.kind == "IDENT" and w.value == "add":
             self.next()
+            if self.at_kw("primary") or (
+                    self.peek().kind == "IDENT"
+                    and self.peek().value == "primary"):
+                # ALTER TABLE ADD PRIMARY KEY (cols) (reference:
+                # alter_table_info.hpp AddConstraint)
+                self.next()
+                self.expect_kw("key")
+                self.expect_op("(")
+                cols = [self.ident()]
+                while self.accept_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+                return A.AlterStmt(table, "add_pk",
+                                   name=",".join(cols),
+                                   if_exists=if_exists)
             if self.peek().kind == "IDENT" \
                     and self.peek().value == "column":
                 self.next()
