@@ -99,11 +99,14 @@ class Parser:
         if t.kind == "IDENT":
             return self.next().value
         # allow non-reserved keywords as identifiers where unambiguous
-        if t.kind == "KW" and t.value in ("date", "time", "timestamp",
-                                          "values", "first", "last",
-                                          "range", "row", "rows", "key",
-                                          "set", "over", "partition",
-                                          "grouping"):
+        if t.kind == "KW" and t.value in (
+                "date", "time", "timestamp", "values", "first", "last",
+                "range", "row", "rows", "key", "set", "over",
+                "partition", "grouping", "nulls", "current", "sample",
+                "percent", "cube", "rollup", "repeatable", "view",
+                "replace", "interval", "preceding", "following",
+                "unbounded", "positional", "recursive", "asof",
+                "semi", "anti"):
             return self.next().value
         self.error("expected identifier")
 

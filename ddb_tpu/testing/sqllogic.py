@@ -202,6 +202,27 @@ def run_file(con, path: str, max_statements: Optional[int] = None
     env = {}
     skipping = False
     test_dir = [None]
+    cons = {"": con}
+
+    _SORTMODES = ("nosort", "sort", "rowsort", "valuesort")
+
+    def con_for(toks) -> object:
+        """Named-connection suffix (statement ok con1 / query I tran2):
+        each name is a duplicate() of the base connection sharing the
+        database — the reference runner's multi-connection transaction
+        tests (sqllogic_command.cpp connection_name)."""
+        import re as _re
+        for t2 in toks:
+            if t2 in _SORTMODES or t2.startswith("label="):
+                continue
+            # connection names are short word+digit tokens (con1,
+            # tran2); longer tokens are hash-compare labels
+            if not _re.fullmatch(r"[a-z]{1,8}\d{1,3}", t2):
+                continue
+            if t2 not in cons:
+                cons[t2] = con.duplicate()
+            return cons[t2]
+        return con
 
     def subst(text: str) -> str:
         for k, v in env.items():
@@ -283,16 +304,21 @@ def run_file(con, path: str, max_statements: Optional[int] = None
 
             if d == "statement":
                 want_error = tok[1] == "error"
+                maybe = tok[1] == "maybe"   # either outcome accepted
+                cx = con_for(tok[2:])
                 low = sql.lower().strip()
                 if low.startswith("pragma") and any(
                         p in low for p in _IGNORED_PRAGMAS):
                     res.passed += 1
                     continue
                 try:
-                    con.execute(sql)
+                    cx.execute(sql)
                     err = None
                 except Exception as e:
                     err = e
+                if maybe:
+                    res.passed += 1
+                    continue
                 if want_error and err is None:
                     res.failures.append(
                         f"line {i}: expected error: {sql[:80]}")
@@ -309,11 +335,12 @@ def run_file(con, path: str, max_statements: Optional[int] = None
             decl = tok[1] if len(tok) >= 2 else ""
             if len(tok) >= 3:
                 sortmode = tok[2]
+            cx = con_for(tok[2:])
             try:
-                rows = con.execute(sql).fetchall()
+                rows = cx.execute(sql).fetchall()
                 try:
                     _RENDER_TZ[0] = str(
-                        con.config.get("timezone") or "UTC")
+                        cx.config.get("timezone") or "UTC")
                 except Exception:
                     _RENDER_TZ[0] = "UTC"
                 got = []
