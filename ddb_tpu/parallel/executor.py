@@ -179,25 +179,13 @@ def _exec_limit(node: L.Limit, ctx: DistContext):
     small = Batch(tuple(cols), sel, sel.astype(jnp.int32).sum())
 
     # final: tiny single-device Order + Limit over n_shards*kcap rows
-    class _Const(L.LogicalNode):
-        def __init__(self, schema_, batch_):
-            self.schema = schema_
-            self.batch = batch_
-
-        def children(self):
-            return []
-
-    src = _Const(child.child.schema, small)
+    src = physical.ConstBatch(child.child.schema, small)
     import copy
     order2 = copy.copy(child)
     order2.child = src
     lim2 = copy.copy(node)
     lim2.child = order2
-    physical._EXEC[_Const] = lambda n, c: (n.schema, n.batch)
-    try:
-        return physical.execute(lim2)
-    finally:
-        physical._EXEC.pop(_Const, None)
+    return physical.execute(lim2)
 
 
 def _exec_window(node: L.Window, ctx: DistContext):
@@ -299,34 +287,16 @@ def _exec_gathered(node: L.LogicalNode, ctx: DistContext):
         kb = Batch(cols, jnp.asarray(np.asarray(kb.sel)), kb.count)
         gathered.append((k, kb))
 
-    class _Const(L.LogicalNode):
-        def __init__(self, schema, batch):
-            self.schema = schema
-            self.batch = batch
-
-        def children(self):
-            return []
-
-    # monkey-node: wrap gathered batches as constant sources
+    # wrap gathered batches as constant sources
     new = copy.copy(node)
-    consts = []
     for attr in ("child", "left", "right"):
         if hasattr(new, attr):
             old = getattr(node, attr)
             for k, kb in gathered:
                 if k is old:
-                    cn = _Const(k.schema, kb)
-                    consts.append(cn)
-                    setattr(new, attr, cn)
-
-    def exec_const(n, c):
-        return n.schema, n.batch
-
-    physical._EXEC[_Const] = exec_const
-    try:
-        return physical.execute(new)
-    finally:
-        physical._EXEC.pop(_Const, None)
+                    setattr(new, attr,
+                            physical.ConstBatch(k.schema, kb))
+    return physical.execute(new)
 
 
 def _exec_get(node: L.Get, ctx: DistContext):

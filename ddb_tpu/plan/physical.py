@@ -1863,7 +1863,21 @@ def _exec_materialize(node: "L.Materialize", ctx):
     return hit
 
 
+class ConstBatch(L.LogicalNode):
+    """Pre-materialized batch as a leaf plan node — used by the
+    distributed executor to splice gathered results into a local
+    sub-plan without mutating the dispatch table per call."""
+
+    def __init__(self, schema, batch):
+        self.schema = schema
+        self.batch = batch
+
+    def children(self):
+        return []
+
+
 _EXEC = {
+    ConstBatch: lambda n, c: (n.schema, n.batch),
     L.Get: _exec_get,
     L.Materialize: _exec_materialize,
     L.Filter: _exec_filter,

@@ -365,6 +365,11 @@ class ScopeEntry:
 class Scope:
     entries: List[ScopeEntry] = dfield(default_factory=list)
     parent: Optional["Scope"] = None
+    # unqualified-name overrides from USING/NATURAL joins whose visible
+    # value is NOT the left column: right ColRef for RIGHT joins,
+    # COALESCE(l, r) for FULL joins (reference: SetPrimaryBinding in
+    # src/planner/binder/tableref/bind_joinref.cpp)
+    using_map: dict = dfield(default_factory=dict)
 
     @property
     def width(self):
@@ -386,6 +391,8 @@ class Scope:
                     return ir.ColRef(e.start + i, f.dtype, col, f.strdict)
             raise BindError(f"unknown table alias {tbl}")
         col = parts[-1].lower()
+        if len(parts) == 1 and col in self.using_map:
+            return self.using_map[col]
         hits = []
         for e in self.entries:
             for i, f in enumerate(e.schema.fields):
@@ -567,7 +574,14 @@ class Binder:
                     for fi, f in enumerate(se.schema.fields):
                         if fi in se.hidden:
                             continue
-                        items.append((A.EIdent([se.alias, f.name]), f.name))
+                        if e.prefix is None \
+                                and f.name.lower() in scope.using_map:
+                            # USING column: unqualified resolution picks
+                            # the per-join-type visible value
+                            items.append((A.EIdent([f.name]), f.name))
+                        else:
+                            items.append((A.EIdent([se.alias, f.name]),
+                                          f.name))
             else:
                 items.append((e, alias))
 
@@ -1256,8 +1270,14 @@ class Binder:
         combined = Scope()
         for e in lscope.entries:
             combined.add(e.alias, e.schema)
+            combined.entries[-1].hidden = e.hidden
+        combined.using_map.update(lscope.using_map)
         for e in rscope.entries:
             combined.add(e.alias, e.schema)
+            combined.entries[-1].hidden = e.hidden
+        for nm, ex in rscope.using_map.items():
+            shift = {i: i + lwidth for i in ir.referenced_columns(ex)}
+            combined.using_map[nm] = ir.remap_columns(ex, shift)
         if ref.join_type == "positional":
             # row-i-pairs-with-row-i join, shorter side NULL-padded
             # (reference: physical_positional_join.cpp)
@@ -1290,6 +1310,18 @@ class Binder:
                 re_ = rscope.resolve([col])
                 le2, re2 = self._align_join_keys(le, re_)
                 conds.append(L.JoinCond(le2, re2))
+                # unqualified visible value per join type (reference:
+                # SetPrimaryBinding, bind_joinref.cpp): RIGHT joins show
+                # the right column, FULL joins COALESCE both sides
+                if ref.join_type in ("right", "full"):
+                    shift = {i: i + lwidth
+                             for i in ir.referenced_columns(re2)}
+                    rc = ir.remap_columns(re2, shift)
+                    if ref.join_type == "right":
+                        combined.using_map[col.lower()] = rc
+                    else:
+                        combined.using_map[col.lower()] = ir.Func(
+                            "coalesce", [le2, rc], le2.dtype)
             # the right-hand duplicates disappear from * expansion
             # (reference: USING column coalescing, bind_joinref.cpp)
             for col in using:
@@ -1440,7 +1472,12 @@ class Binder:
                     for fi, f in enumerate(se.schema.fields):
                         if fi in se.hidden:
                             continue
-                        items.append((A.EIdent([se.alias, f.name]), f.name))
+                        if e.prefix is None \
+                                and f.name.lower() in iscope.using_map:
+                            items.append((A.EIdent([f.name]), f.name))
+                        else:
+                            items.append((A.EIdent([se.alias, f.name]),
+                                          f.name))
             else:
                 items.append((e, alias))
         names = []
@@ -2626,6 +2663,22 @@ class Binder:
                             T.TIMESTAMP)
         if e.typename == "time":
             return ir.Const(T.encode_literal(e.text, T.TIME), T.TIME)
+        if e.typename == "timestamptz":
+            # naive strings interpret in the session TimeZone; explicit
+            # offsets win (reference: ICU timestamptz cast semantics)
+            sp = T.temporal_special(e.text, T.TIMESTAMPTZ)
+            if sp is None:
+                from .. import tz as tzmod
+                zone = str(self.context.config.get("timezone") or "UTC")
+                sp = tzmod.parse_timestamptz(e.text, zone)
+            return ir.Const(sp, T.TIMESTAMPTZ)
+        if e.typename == "timetz":
+            # TIMETZ still aliases TIME: parse, normalize the offset out
+            import datetime as _dt
+            tm = _dt.time.fromisoformat(e.text.strip())
+            us = ((tm.hour * 60 + tm.minute) * 60 + tm.second) \
+                * 1_000_000 + tm.microsecond
+            return ir.Const(us, T.TIME)
         if e.typename == "interval":
             txt = e.text.strip()
             unit = e.qualifier
@@ -4577,8 +4630,8 @@ class Binder:
         for i, v in enumerate(sd.values):
             try:
                 dt = _dt.datetime.strptime(str(v), fmt)
-                table[i] = int(dt.replace(
-                    tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+                table[i] = T.td_micros(
+                    dt.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
             except ValueError:
                 bad[i] = True
                 if first_bad is None and str(v) != "":
@@ -6007,7 +6060,7 @@ def _parse_text(text: str, tgt: DataType):
             return sp
         dt = datetime.datetime.fromisoformat(text)
         epoch = datetime.datetime(1970, 1, 1)
-        return int((dt - epoch).total_seconds() * 1e6)
+        return T.td_micros(dt - epoch)
     if tgt.id == TypeId.TIMESTAMPTZ:
         sp = T.temporal_special(text, tgt)
         if sp is not None:

@@ -1895,6 +1895,18 @@ class Parser:
                     and self.peek(1).kind == "STR":
                 self.next()
                 return A.ETyped(t.value, self.next().value)
+            if t.value in ("timestamp", "time") \
+                    and self.peek(1).value in ("with", "without") \
+                    and self.peek(2).value == "time" \
+                    and self.peek(3).value == "zone" \
+                    and self.peek(4).kind == "STR":
+                # TIMESTAMP/TIME WITH TIME ZONE '...' literals
+                # (reference: LogicalType::TIMESTAMP_TZ typed literals)
+                withtz = self.peek(1).value == "with"
+                for _ in range(4):
+                    self.next()
+                name = t.value + ("tz" if withtz else "")
+                return A.ETyped(name, self.next().value)
             if t.value == "interval":
                 self.next()
                 if self.peek().kind == "STR":
@@ -1986,6 +1998,13 @@ class Parser:
                     args.append(self.expr())
             self.expect_op(")")
             return A.EFunc(name, args)
+        if t.kind == "IDENT" \
+                and t.value in ("timestamptz", "timetz", "datetime") \
+                and self.peek(1).kind == "STR":
+            # TIMESTAMPTZ '...' / TIMETZ '...' typed literals
+            self.next()
+            name = "timestamp" if t.value == "datetime" else t.value
+            return A.ETyped(name, self.next().value)
         if t.kind == "IDENT" and t.value == "try_cast" \
                 and self.peek(1).kind == "OP" and self.peek(1).value == "(":
             self.next()

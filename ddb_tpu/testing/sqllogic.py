@@ -31,7 +31,7 @@ class RunResult:
 # statement verifiers run each query through independent variants,
 # api._verify_statement); only modes without an analog stay inert
 _IGNORED_PRAGMAS = (
-    "verify_serializer", "verify_fetch_row", "verify_parallelism",
+    "verify_serializer", "verify_fetch_row",
     "debug_", "force_", "threads",
 )
 

@@ -209,6 +209,13 @@ def DECIMAL(width: int, scale: int) -> DataType:
 
 _EPOCH = datetime.date(1970, 1, 1)
 
+
+def td_micros(delta: "datetime.timedelta") -> int:
+    """Exact integer micros of a timedelta (float total_seconds()
+    loses precision past ~2^53 us ≈ year 2255)."""
+    return (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+            + delta.microseconds)
+
 # Order used for implicit-cast promotion between numeric types
 # (reference: src/function/cast_rules.cpp implicit cast cost matrix).
 _NUMERIC_ORDER = [TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER,
@@ -287,10 +294,13 @@ def encode_literal(v, t: DataType):
         if v.replace(tzinfo=None) == datetime.datetime.min:
             return TS_NINF
         if v.tzinfo is not None:
-            # aware -> UTC instant
-            return int(v.timestamp() * 1_000_000)
-        epoch = datetime.datetime(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000)
+            # aware -> UTC instant (exact integer micros; float
+            # total_seconds() loses precision past ~2^53 us)
+            d = v - datetime.datetime(1970, 1, 1,
+                                      tzinfo=datetime.timezone.utc)
+        else:
+            d = v - datetime.datetime(1970, 1, 1)
+        return td_micros(d)
     if t.id == TypeId.TIME:
         if isinstance(v, str):
             v = datetime.time.fromisoformat(v.strip())
@@ -342,7 +352,8 @@ def decode_value(raw, t: DataType, strdict=None):
             return datetime.datetime.max
         if int(raw) <= TS_NINF:
             return datetime.datetime.min
-        return datetime.datetime.utcfromtimestamp(int(raw) / 1_000_000)
+        return datetime.datetime(1970, 1, 1) \
+            + datetime.timedelta(microseconds=int(raw))
     if t.id == TypeId.TIMESTAMPTZ:
         # aware datetime in UTC; renderers shift to the session TimeZone
         # (reference: timestamp_tz rendered via ICU in the set zone)
@@ -350,8 +361,9 @@ def decode_value(raw, t: DataType, strdict=None):
             return datetime.datetime.max
         if int(raw) <= TS_NINF:
             return datetime.datetime.min
-        return datetime.datetime.fromtimestamp(
-            int(raw) / 1_000_000, tz=datetime.timezone.utc)
+        return datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc) \
+            + datetime.timedelta(microseconds=int(raw))
     if t.id == TypeId.TIME:
         us = int(raw) % 86_400_000_000
         s, us = divmod(us, 1_000_000)

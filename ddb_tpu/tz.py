@@ -25,6 +25,11 @@ ZONEINFO_DIR = "/usr/share/zoneinfo"
 _US = 1_000_000
 
 
+def _td_micros(delta) -> int:
+    return (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+            + delta.microseconds)
+
+
 class UnknownTimeZone(Exception):
     pass
 
@@ -137,10 +142,11 @@ def parse_timestamptz(text: str, name: str) -> int:
     for VARCHAR -> TIMESTAMPTZ casts under a session TimeZone)."""
     import datetime
     dt = datetime.datetime.fromisoformat(text.strip())
-    if dt.tzinfo is not None:
-        return int(dt.timestamp() * _US)
     epoch = datetime.datetime(1970, 1, 1)
-    wall_us = int((dt - epoch).total_seconds() * _US)
+    if dt.tzinfo is not None:
+        return _td_micros(dt - epoch.replace(
+            tzinfo=datetime.timezone.utc))
+    wall_us = _td_micros(dt - epoch)
     return int(wall_to_utc_np(np.asarray([wall_us], np.int64), name)[0])
 
 

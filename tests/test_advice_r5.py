@@ -1,0 +1,81 @@
+"""Round-5 advisor regression tests.
+
+Reference semantics verified against the oracle CLI:
+- USING/NATURAL join visible column per join type (reference:
+  src/planner/binder/tableref/bind_joinref.cpp SetPrimaryBinding):
+  RIGHT joins show the right-side key, FULL joins COALESCE(l, r).
+- TIMESTAMP encode/decode is exact integer micros (reference stores
+  int64 micros over the full range, src/common/types/timestamp.cpp).
+"""
+
+import datetime
+
+import pytest
+
+import ddb_tpu
+
+
+@pytest.fixture()
+def con():
+    c = ddb_tpu.connect()
+    c.execute("create table l(k int, a int)")
+    c.execute("insert into l values (1,10),(2,20)")
+    c.execute("create table r(k int, b int)")
+    c.execute("insert into r values (2,200),(3,300)")
+    return c
+
+
+def test_using_right_join_key(con):
+    assert con.execute(
+        "select k from l right join r using(k) order by 1").fetchall() \
+        == [(2,), (3,)]
+    assert con.execute(
+        "select * from l right join r using(k) order by 1").fetchall() \
+        == [(2, 20, 200), (3, None, 300)]
+
+
+def test_using_full_join_coalesce(con):
+    assert con.execute(
+        "select k from l full join r using(k) order by 1").fetchall() \
+        == [(1,), (2,), (3,)]
+    assert con.execute(
+        "select * from l full join r using(k) order by 1").fetchall() \
+        == [(1, 10, None), (2, 20, 200), (3, None, 300)]
+    # qualified refs still reach each side
+    assert con.execute(
+        "select l.k, r.k from l full join r using(k) order by 1"
+    ).fetchall() == [(1, None), (2, 2), (None, 3)]
+
+
+def test_natural_right_join(con):
+    con.execute("create table a2(k int, x int)")
+    con.execute("insert into a2 values (1,1),(2,2)")
+    con.execute("create table b2(k int, y int)")
+    con.execute("insert into b2 values (2,22),(3,33)")
+    assert con.execute(
+        "select * from a2 natural right join b2 order by 1").fetchall() \
+        == [(2, 2, 22), (3, None, 33)]
+
+
+def test_nested_using_join_star_dedup(con):
+    con.execute("create table c3(k int, z int)")
+    con.execute("insert into c3 values (2,222)")
+    res = con.execute(
+        "select * from l join r using(k) join c3 using(k)")
+    assert res.fetchall() == [(2, 20, 200, 222)]
+    # the hidden duplicate survives subquery star expansion too
+    assert con.execute(
+        "select k from (select * from l full join r using(k)) "
+        "order by 1").fetchall() == [(1,), (2,), (3,)]
+
+
+def test_timestamp_exact_micros(con):
+    # a micros count that float seconds cannot represent exactly
+    ts = "2255-06-05 23:59:59.999999"
+    out = con.execute(f"select timestamp '{ts}'").fetchall()[0][0]
+    assert out == datetime.datetime(2255, 6, 5, 23, 59, 59, 999999)
+    out2 = con.execute(
+        "select timestamptz '2255-06-05 23:59:59.999999+00'"
+    ).fetchall()[0][0]
+    assert out2.replace(tzinfo=None) == \
+        datetime.datetime(2255, 6, 5, 23, 59, 59, 999999)
