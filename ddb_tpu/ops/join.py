@@ -31,20 +31,6 @@ import numpy as np
 _KEY_SENTINEL = np.int64(2**63 - 1)   # invalid rows sort last, never match
 
 
-def _forward_fill(is_src, vals):
-    """For each position, the value-tuple of the latest position with
-    is_src=True at or before it (undefined before the first source)."""
-    def op(a, b):
-        sa = a[0]
-        sb = b[0]
-        out = [sa | sb]
-        for va, vb in zip(a[1:], b[1:]):
-            out.append(jnp.where(sb, vb, va))
-        return tuple(out)
-    res = lax.associative_scan(op, (is_src, *vals))
-    return res[1:]
-
-
 class BuildTable(NamedTuple):
     skey: jax.Array       # [bcap] int64 keys, sorted, invalid = sentinel
     srow: jax.Array       # [bcap] int32 original row per sorted slot
@@ -78,7 +64,15 @@ def build(key: jax.Array, key_null, sel: jax.Array) -> BuildTable:
 
 def probe_ranges(bt: BuildTable, pkey: jax.Array, pkey_null,
                  psel: jax.Array):
-    """Per probe row: (lo, count) of matching sorted build slots."""
+    """Per probe row: (lo, count) of matching sorted build slots.
+
+    Scan structure: in the merged (key, tag) order every build run's
+    carried (rstart, rend) is MONOTONE nondecreasing over build rows
+    (build keys ascend, run starts ascend with them), so forward-fill
+    is a plain masked cummax — no custom-combine associative_scan.
+    That keeps the XLA graph small enough to compile through the
+    remote tunnel (a generic tuple-scan version took >60 min) and is
+    faster at runtime (one fused max-scan per carried value)."""
     live = psel if pkey_null is None else (psel & ~pkey_null)
     nb = bt.skey.shape[0]
     npr = pkey.shape[0]
@@ -89,22 +83,29 @@ def probe_ranges(bt: BuildTable, pkey: jax.Array, pkey_null,
     tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
                            jnp.ones(npr, jnp.int32)])
     idx = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
-    # carried per build row: its key, run start, run end
-    ckey = jnp.concatenate([bt.skey, jnp.full(npr, _KEY_SENTINEL)])
+    # carried per build row: run start, run end (rows of one key run all
+    # carry the same pair, so equal-key reordering is harmless)
     cstart = jnp.concatenate([bt.rstart, jnp.zeros(npr, jnp.int32)])
     cend = jnp.concatenate([bt.rend, jnp.zeros(npr, jnp.int32)])
 
-    mkeys, mtag, midx, mkey2, mstart, mend = lax.sort(
-        [keys, tag, idx, ckey, cstart, cend], num_keys=2, is_stable=False)
+    mkeys, mtag, midx, mstart, mend = lax.sort(
+        [keys, tag, idx, cstart, cend], num_keys=2, is_stable=False)
 
     is_build = mtag == 0
-    fkey, fstart, fend = _forward_fill(
-        is_build, (mkey2, mstart, mend))
+    n = nb + npr
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # key-run starts; a probe row matches iff a build row exists in its
+    # own key run (builds sort before probes at equal keys)
+    is_start = jnp.concatenate([jnp.ones(1, dtype=bool),
+                                mkeys[1:] != mkeys[:-1]])
+    run_start_pos = lax.cummax(jnp.where(is_start, pos, 0))
+    last_build_pos = lax.cummax(jnp.where(is_build, pos, -1))
+    match = last_build_pos >= run_start_pos
+    fstart = lax.cummax(jnp.where(is_build, mstart, -1))
+    fend = lax.cummax(jnp.where(is_build, mend, -1))
 
-    # for probe rows: does the nearest preceding build run match my key?
-    match = is_build | (fkey == mkeys)   # is_build rows unused
     cnt_m = jnp.where(match, fend - fstart + 1, 0)
-    lo_m = jnp.where(match, fstart, 0)
+    lo_m = jnp.where(match, jnp.maximum(fstart, 0), 0)
 
     # inverse permutation: restore original order by sorting on idx
     _, lo_all, cnt_all = lax.sort([midx, lo_m, cnt_m], num_keys=1,
@@ -137,20 +138,28 @@ def range_probe(bt: BuildTable, pkey: jax.Array, pkey_null,
     tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
                            jnp.ones(npr, jnp.int32)])
     idx = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
-    ckey = jnp.concatenate([bt.skey, jnp.full(npr, _KEY_SENTINEL)])
     cstart = jnp.concatenate([bt.rstart, jnp.zeros(npr, jnp.int32)])
     cend = jnp.concatenate([bt.rend, jnp.zeros(npr, jnp.int32)])
 
-    mkeys, mtag, midx, mkey2, mstart, mend = lax.sort(
-        [keys, tag, idx, ckey, cstart, cend], num_keys=2, is_stable=False)
+    mkeys, mtag, midx, mstart, mend = lax.sort(
+        [keys, tag, idx, cstart, cend], num_keys=2, is_stable=False)
 
     is_build = mtag == 0
-    fkey, fstart, fend = _forward_fill(is_build, (mkey2, mstart, mend))
+    n = nb + npr
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # monotone carried values -> masked-cummax forward fill (see
+    # probe_ranges)
+    is_start = jnp.concatenate([jnp.ones(1, dtype=bool),
+                                mkeys[1:] != mkeys[:-1]])
+    run_start_pos = lax.cummax(jnp.where(is_start, pos, 0))
+    last_build_pos = lax.cummax(jnp.where(is_build, pos, -1))
+    in_run = last_build_pos >= run_start_pos
+    fstart = lax.cummax(jnp.where(is_build, mstart, -1))
+    fend = lax.cummax(jnp.where(is_build, mend, -1))
 
-    pos = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
     probe_rank = jnp.cumsum(mtag)                 # probes at-or-before, incl
     count_le = pos + 1 - probe_rank               # build rows with key <= v
-    eq = jnp.where(fkey == mkeys, fend - fstart + 1, 0)
+    eq = jnp.where(in_run, fend - fstart + 1, 0)
     count_lt = count_le - eq
 
     _, le_all, lt_all = lax.sort(
@@ -206,12 +215,13 @@ def asof_probe(rk: jax.Array, rt: jax.Array, r_live: jax.Array,
         tag = jnp.concatenate([jnp.zeros(nb, jnp.int32),
                                jnp.ones(npr, jnp.int32)])
     idx = lax.broadcasted_iota(jnp.int32, (nb + npr,), 0)
-    kcarry = jnp.concatenate([bkey, jnp.full(npr, _KEY_SENTINEL)])
 
-    mk, mt, mtag, midx, mkc = lax.sort([keys1, keys2, tag, idx, kcarry],
-                                       num_keys=3, is_stable=True)
+    mk, mt, mtag, midx = lax.sort([keys1, keys2, tag, idx],
+                                  num_keys=3, is_stable=True)
     is_build = midx < nb
-    (fk,) = _forward_fill(is_build, (mkc,))
+    # build keys ascend in merged order -> masked-cummax forward fill
+    # of the latest build key at-or-before each row
+    fk = lax.cummax(jnp.where(is_build, mk, jnp.int64(-2**63)))
     nbuilds = jnp.cumsum(is_build.astype(jnp.int32))   # at-or-before, incl
     lo_m = jnp.maximum(nbuilds - 1, 0)
     found_m = (fk == mk) & (mk != _KEY_SENTINEL)
@@ -249,26 +259,30 @@ def expand(lo, count, out_cap: int):
     tag = jnp.concatenate([jnp.zeros(n, jnp.int32),
                            jnp.ones(out_cap, jnp.int32)])
     idx = lax.broadcasted_iota(jnp.int32, (n + out_cap,), 0)
-    pidx = jnp.concatenate([
-        lax.broadcasted_iota(jnp.int32, (n,), 0),
-        jnp.zeros(out_cap, jnp.int32)])
-    cexcl = jnp.concatenate([excl, jnp.zeros(out_cap, jnp.int64)])
-    clo = jnp.concatenate([lo.astype(jnp.int32),
-                           jnp.zeros(out_cap, jnp.int32)])
-    ccnt = jnp.concatenate([count.astype(jnp.int64),
-                            jnp.zeros(out_cap, jnp.int64)])
+    # sources in merged order keep ascending probe index (stable sort,
+    # nondecreasing excl), so (pid << 32 | lo) and excl are monotone
+    # over live sources -> masked-cummax forward fill (empty ranges are
+    # masked out up front and never own outputs)
+    src_live = count.astype(jnp.int64) > 0
+    pid32 = lax.broadcasted_iota(jnp.int64, (n,), 0)
+    packed_src = jnp.where(src_live,
+                           (pid32 << 32) | lo.astype(jnp.int64),
+                           jnp.int64(-1))
+    cpack = jnp.concatenate([packed_src, jnp.full(out_cap, -1,
+                                                  jnp.int64)])
+    cexcl = jnp.concatenate([jnp.where(src_live, excl, jnp.int64(-1)),
+                             jnp.full(out_cap, -1, jnp.int64)])
 
-    mk, mtag, midx, mpid, mexcl, mlo, mcnt = lax.sort(
-        [keys, tag, idx, pidx, cexcl, clo, ccnt], num_keys=2,
-        is_stable=True)
-    is_src = (mtag == 0) & (mcnt > 0)   # empty ranges never own outputs
-    fpid, fexcl, flo = _forward_fill(is_src, (mpid, mexcl, mlo))
+    mk, mtag, midx, mpack, mexcl = lax.sort(
+        [keys, tag, idx, cpack, cexcl], num_keys=2, is_stable=True)
+    fpack = lax.cummax(mpack)
+    fexcl = lax.cummax(mexcl)
 
-    _, opid, oexcl, olo = lax.sort([midx, fpid, fexcl, flo], num_keys=1,
-                                   is_stable=False)
-    pi = opid[n:]
+    _, opack, oexcl = lax.sort([midx, fpack, fexcl], num_keys=1,
+                               is_stable=False)
+    pi = (opack[n:] >> 32).astype(jnp.int32)
     off = (j - oexcl[n:]).astype(jnp.int32)
-    bpos = olo[n:] + off
+    bpos = (opack[n:] & 0x7FFFFFFF).astype(jnp.int32) + off
     valid = j < total
     return (jnp.where(valid, pi, 0),
             jnp.clip(jnp.where(valid, bpos, 0), 0, None), valid)
