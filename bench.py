@@ -113,10 +113,15 @@ def _bench_pallas(n, lo_reps, hi_reps):
 
 def _q6_filter_bench(n, d, lo_reps, hi_reps):
     """TPC-H Q6: selective filter + sum(ext*disc) over 4 int32 columns
-    (BASELINE config 2's filter shape); XLA-fused, VPU path."""
+    (BASELINE config 2's filter shape).  Measures BOTH the Pallas
+    single-pass kernel (ops/pallas_agg.py q6_fused_filter_sum, same
+    limb/spill structure as the Q1 flagship) and the XLA-fused VPU
+    path; reports the best plus both rates."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
+
+    from ddb_tpu.ops import pallas_agg as P
 
     qty = jnp.asarray(d["l_quantity"].astype(np.int32))
     ext = jnp.asarray(d["l_extendedprice"].astype(np.int32))
@@ -130,31 +135,53 @@ def _q6_filter_bench(n, d, lo_reps, hi_reps):
         e_lo = (ext & 0xFFFF) * dc * m
         return (e_hi.astype(jnp.int64).sum() << 16)             + e_lo.astype(jnp.int64).sum()
 
-    def make_loop(reps):
-        def loop(*a):
-            def body(i, acc):
-                return acc + q6_once(jnp.int32(8766) + (i % 2), *a)
-            return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
-        return jax.jit(loop)
+    def measure(step_fn):
+        def make_loop(reps):
+            def loop(*a):
+                def body(i, acc):
+                    return acc + step_fn(jnp.int32(8766) + (i % 7), *a)
+                return lax.fori_loop(0, reps, body,
+                                     jnp.zeros((), jnp.int64))
+            return jax.jit(loop)
 
-    try:
         jlo, jhi = make_loop(lo_reps), make_loop(hi_reps)
         _ = np.asarray(jlo(qty, ext, dc, sd))
         _ = np.asarray(jhi(qty, ext, dc, sd))
         t_lo = _median_of(lambda: np.asarray(jlo(qty, ext, dc, sd)))
         t_hi = _median_of(lambda: np.asarray(jhi(qty, ext, dc, sd)))
         per = max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
-        rate = n / per
-        roofline = _HBM_BYTES_PER_S / 16    # 4 int32 columns
-        return {"q6_filter_rows_per_sec": round(rate, 1),
-                "q6_filter_roofline_frac": round(rate / roofline, 4)}
+        return n / per
+
+    roofline = _HBM_BYTES_PER_S / 16    # 4 int32 columns
+    out = {}
+    rates = {}
+    try:
+        rates["pallas"] = measure(
+            lambda cut, q, e, dcc, s: P.q6_fused_filter_sum(
+                q, e, dcc, s, cut, n_rows=n))
+        out["q6_filter_pallas_rows_per_sec"] = round(rates["pallas"], 1)
     except Exception:
+        pass
+    try:
+        rates["xla"] = measure(q6_once)
+        out["q6_filter_xla_rows_per_sec"] = round(rates["xla"], 1)
+    except Exception:
+        pass
+    if not rates:
         return {}
+    best = max(rates.values())
+    out["q6_filter_rows_per_sec"] = round(best, 1)
+    out["q6_filter_roofline_frac"] = round(best / roofline, 4)
+    return out
 
 
 def _operator_bench_extras():
     """Fold the committed per-operator rooflines into the bench line
-    (docs/OPERATOR_BENCH.json, produced by scripts/bench_operators.py)."""
+    (docs/OPERATOR_BENCH.json, produced by scripts/bench_operators.py).
+
+    Every folded row is LABELED with its provenance (the committed
+    file's measured_at stamp) so the driver line never passes off a
+    stale committed number as a live measurement (r4 verdict item)."""
     import json as _json
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "docs", "OPERATOR_BENCH.json")
@@ -162,8 +189,13 @@ def _operator_bench_extras():
     try:
         data = _json.load(open(path))
         for op, r in data.get("results", {}).items():
-            out[f"{op}_rows_per_sec"] = r.get("rows_per_sec")
-            out[f"{op}_roofline_frac"] = r.get("roofline_frac")
+            key = op.lstrip("_")
+            out[f"{key}_rows_per_sec"] = r.get("rows_per_sec")
+            out[f"{key}_roofline_frac"] = r.get("roofline_frac")
+            out[f"{key}_source"] = ("committed OPERATOR_BENCH.json, "
+                                    "measured_at "
+                                    + str(r.get("measured_at",
+                                                "unknown (pre-r5)")))
     except Exception:
         pass
     return out

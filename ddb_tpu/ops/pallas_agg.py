@@ -508,3 +508,118 @@ def q1_fused_aggregate_v7(qty, ext, disc, tax, ship, gid, cutoff, *,
                                  n_rows=n_rows, interpret=interpret,
                                  tile_sublanes=tile_sublanes,
                                  vreg_reduce=True)
+
+
+# ---------------------------------------------------------------------------
+# Q6: selective filter + sum(ext * disc) — the BASELINE config-2 shape.
+# One group, two narrow limb streams (sA = (ext>>16)*disc <= ~2^19,
+# sB = (ext&0xFFFF)*disc <= ~2^20), same spill-cadence accumulator
+# structure as the Q1 v4/v7 kernel.  Contract: 0 <= ext < 2^31,
+# 0 <= disc <= 100, qty/ship int32.
+# Reference counterpart: the fused scan+filter+ungrouped aggregate
+# pipeline (src/execution/physical_operator.cpp pipeline fusion).
+# ---------------------------------------------------------------------------
+
+_Q6_STREAMS = 2
+_WORST_Q6 = 65535 * 100
+
+
+def _kernel_q6(qty_ref, ext_ref, disc_ref, ship_ref, cut_ref, out_ref,
+               acc32, lo, hi, *, ts, spill_every):
+    from jax.experimental import pallas as pl
+
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc32[...] = jnp.zeros_like(acc32)
+        lo[...] = jnp.zeros_like(lo)
+        hi[...] = jnp.zeros_like(hi)
+
+    qty = qty_ref[...]
+    ext = ext_ref[...]
+    disc = disc_ref[...]
+    ship = ship_ref[...]
+    cut = cut_ref[0]
+
+    m = ((ship >= cut) & (ship < cut + 365)
+         & (disc >= 5) & (disc <= 7) & (qty < 24)).astype(jnp.int32)
+    sA = (ext >> 16) * disc
+    sB = (ext & 0xFFFF) * disc
+    s = jnp.stack((sA, sB)) * m[None]
+
+    chunk = ts // 8
+    # whole-vreg reduction over the outer sublane-block axis (v7 order)
+    part = s.reshape(_Q6_STREAMS, chunk, 8, 128).sum(axis=1)
+    acc32[...] = acc32[...] + part
+
+    spill = ((step + 1) % spill_every == 0) | (step == nsteps - 1)
+
+    @pl.when(spill)
+    def _spill():
+        a = acc32[...]
+        lo[...] = lo[...] + (a & 0xFFFF)
+        hi[...] = hi[...] + (a >> 16)
+        acc32[...] = jnp.zeros_like(a)
+
+    @pl.when(step == nsteps - 1)
+    def _flush():
+        out_ref[0] = lo[...]
+        out_ref[1] = hi[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_rows", "interpret",
+                                    "tile_sublanes"))
+def q6_fused_filter_sum(qty, ext, disc, ship, cut, *, n_rows,
+                        interpret=False, tile_sublanes=None):
+    """Single-pass Q6: revenue = sum(ext * disc) over the selective
+    predicate, returned as one exact int64 scalar."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert n_rows % 1024 == 0
+    sublanes = n_rows // 128
+    ts = tile_sublanes or _TS4
+    while sublanes % ts:
+        ts //= 2
+    steps = sublanes // ts
+    chunk = ts // 8
+    spill_every = max(1, int((2 ** 31 - 1) // (_WORST_Q6 * chunk)))
+
+    def rs(x):
+        return x.reshape(sublanes, 128)
+
+    block = pl.BlockSpec((ts, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    ashape = (_Q6_STREAMS, 8, 128)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_kernel_q6, ts=ts,
+                              spill_every=spill_every),
+            grid=(steps,),
+            in_specs=[block] * 4 + [
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(
+                (2,) + ashape, lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2,) + ashape, jnp.int32),
+            scratch_shapes=[pltpu.VMEM(ashape, jnp.int32),
+                            pltpu.VMEM(ashape, jnp.int32),
+                            pltpu.VMEM(ashape, jnp.int32)],
+            interpret=interpret,
+        )(rs(qty), rs(ext), rs(disc), rs(ship),
+          jnp.asarray([cut], dtype=jnp.int32))
+
+    lo = out[0].astype(jnp.int64).sum(axis=(-1, -2))
+    hi = out[1].astype(jnp.int64).sum(axis=(-1, -2))
+    s = hi * (1 << 16) + lo                       # [streams]
+    return (s[0] << 16) + s[1]
+
+
+def q6_reference(qty, ext, disc, ship, cut):
+    """Exact numpy oracle for q6_fused_filter_sum."""
+    m = ((ship >= cut) & (ship < cut + 365)
+         & (disc >= 5) & (disc <= 7) & (qty < 24))
+    return int((ext.astype(np.int64) * disc)[m].sum())

@@ -112,3 +112,30 @@ def test_q1_fused_aggregate_v7_interpret():
         interpret=True))
     want = P.reference_sums(*args, 10471)
     assert np.array_equal(got, want)
+
+
+def test_q6_fused_filter_sum_interpret():
+    n = 64 * 1024
+    rng = np.random.default_rng(9)
+    qty = rng.integers(1, 51, n).astype(np.int32)
+    ext = rng.integers(90000, 520000000, n).astype(np.int32)
+    dc = rng.integers(0, 11, n).astype(np.int32)
+    sd = rng.integers(8000, 10600, n).astype(np.int32)
+    got = int(P.q6_fused_filter_sum(
+        jnp.asarray(qty), jnp.asarray(ext), jnp.asarray(dc),
+        jnp.asarray(sd), 8766, n_rows=n, interpret=True))
+    assert got == P.q6_reference(qty, ext, dc, sd, 8766)
+
+
+def test_q6_spill_cadence_exact():
+    # enough steps to force multiple limb spills at max-magnitude rows
+    n = 256 * 1024
+    qty = np.zeros(n, np.int32)               # always < 24
+    ext = np.full(n, (1 << 31) - 1, np.int32)
+    dc = np.full(n, 7, np.int32)
+    sd = np.full(n, 8800, np.int32)
+    got = int(P.q6_fused_filter_sum(
+        jnp.asarray(qty), jnp.asarray(ext), jnp.asarray(dc),
+        jnp.asarray(sd), 8766, n_rows=n, interpret=True,
+        tile_sublanes=64))
+    assert got == P.q6_reference(qty, ext, dc, sd, 8766)
