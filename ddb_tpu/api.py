@@ -665,6 +665,9 @@ class Connection:
                     if tiled_res is None:
                         tiled_res = tiled.execute_tiled_sort(
                             plan, self.config)
+                    if tiled_res is None:
+                        tiled_res = tiled.execute_external_join(
+                            plan, self.config)
                 if tiled_res is not None:
                     schema, batch = tiled_res
                 else:
@@ -686,7 +689,12 @@ class Connection:
             self.config.set(stmt.name, stmt.value)
             if stmt.name.lower() == "memory_limit":
                 from .storage.buffer import MANAGER, parse_memory_limit
-                MANAGER.set_limit(parse_memory_limit(stmt.value))
+                from .storage import tempmem
+                limit = parse_memory_limit(stmt.value)
+                MANAGER.set_limit(limit)
+                # blocking-operator working sets arbitrate against the
+                # same budget (reference: TemporaryMemoryManager)
+                tempmem.MEMORY.set_budget(limit)
             return None
         if isinstance(stmt, A.PragmaStmt):
             return self._execute_pragma(stmt)
@@ -1513,6 +1521,9 @@ class Connection:
             ext = tiled.execute_tiled_topn(fresh, _Cfg(self.config))
         if ext is None:
             ext = tiled.execute_tiled_sort(fresh, _Cfg(self.config))
+        if ext is None:
+            # forced Grace-partitioned external join
+            ext = tiled.execute_external_join(fresh, _Cfg(self.config))
         if ext is not None:
             diff("external", QueryResult(*ext).fetchall())
 

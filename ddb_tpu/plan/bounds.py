@@ -183,3 +183,61 @@ def sum_fits_int64(bound: Bound, capacity: int) -> bool:
         return False
     m = max(abs(bound[0]), abs(bound[1]))
     return m * float(capacity) < _NARROW_LIMIT
+
+
+def pred_maybe_true(e: ir.Expr, cols: List[Bound],
+                    nullable: Optional[List[Optional[bool]]] = None) -> bool:
+    """Can this boolean filter be TRUE for ANY row whose column values
+    fall inside `cols` (per-column (lo, hi) bounds, None = unknown)?
+
+    Used for per-row-group zone-map scan skipping (reference: the
+    segment-level CheckZonemap in
+    src/storage/table/column_segment.cpp / table filters) — must only
+    return False when the predicate is provably never TRUE over the
+    group (never-true includes NULL results: SQL filters drop them).
+    `nullable[i]` = does column i contain NULLs here (None = unknown).
+    """
+    if isinstance(e, ir.BoolOp):
+        if e.op == "and":
+            return all(pred_maybe_true(a, cols, nullable) for a in e.args)
+        return any(pred_maybe_true(a, cols, nullable) for a in e.args)
+    if isinstance(e, ir.Cmp):
+        lb = expr_bounds(e.left, cols)
+        rb = expr_bounds(e.right, cols)
+        if lb is None or rb is None:
+            return True
+        (a, b), (c, d) = lb, rb
+        if e.op == "==":
+            return b >= c and a <= d
+        if e.op == "!=":
+            return not (a == b == c == d)
+        if e.op == "<":
+            return a < d
+        if e.op == "<=":
+            return a <= d
+        if e.op == ">":
+            return b > c
+        if e.op == ">=":
+            return b >= c
+        return True
+    if isinstance(e, ir.InList):
+        if e.negated:
+            return True
+        cb = expr_bounds(e.child, cols)
+        if cb is None:
+            return True
+        lo, hi = cb
+        try:
+            return any(lo <= float(v) <= hi for v in e.values)
+        except (TypeError, ValueError):
+            return True
+    if isinstance(e, ir.IsNull) and isinstance(e.child, ir.ColRef) \
+            and nullable is not None and e.child.index < len(nullable):
+        n = nullable[e.child.index]
+        if n is None or e.negated:
+            # IS NOT NULL: we track has-nulls, not all-nulls -> can't prune
+            return True
+        return bool(n)
+    if isinstance(e, ir.Const):
+        return bool(e.value)
+    return True

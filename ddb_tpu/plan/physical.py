@@ -327,6 +327,52 @@ def _index_scan_rows(node: L.Get):
     return None
 
 
+def _zone_map_groups(node: L.Get):
+    """Row-group zone-map pruning for a filtered scan (reference:
+    per-segment CheckZonemap, src/storage/table/column_segment.cpp +
+    row_group.hpp:70).  Returns the list of surviving group ids when at
+    least one group is provably filter-free, else None (whole-table
+    scan).  Exactness is preserved because the residual filter mask
+    still applies to the surviving rows."""
+    from ..storage import table as table_mod
+    from . import bounds as PB
+
+    if not node.filters:
+        return None
+    tbl = node.table
+    n = tbl.num_rows
+    if n <= table_mod.ROW_GROUP_SIZE:
+        return None
+    try:
+        stats = tbl.row_group_stats()
+        pred = ir.make_and(node.filters)
+        keep = []
+        for g, row in enumerate(stats):
+            cols = []
+            nullable = []
+            for i in (node.column_indices
+                      if node.column_indices is not None
+                      else range(len(tbl.columns))):
+                mn, mx, hn = row[i]
+                if mn is None:
+                    cols.append(None)
+                else:
+                    try:
+                        cols.append((float(mn), float(mx)))
+                    except (TypeError, ValueError):
+                        cols.append(None)
+                nullable.append(hn)
+            if PB.pred_maybe_true(pred, cols, nullable):
+                keep.append(g)
+        table_mod.SCAN_STATS["groups_total"] += len(stats)
+        table_mod.SCAN_STATS["groups_skipped"] += len(stats) - len(keep)
+        if len(keep) == len(stats):
+            return None
+        return keep
+    except Exception:
+        return None
+
+
 def _exec_get(node: L.Get, ctx):
     rows = _index_scan_rows(node)
     if rows is not None:
@@ -334,7 +380,13 @@ def _exec_get(node: L.Get, ctx):
         # mask keeps exactness (other conjuncts, boundary semantics)
         batch = node.table.device_batch_rows(node.column_indices, rows)
     else:
-        batch = node.table.device_batch(node.column_indices)
+        batch = None
+        gids = _zone_map_groups(node)
+        if gids is not None:
+            batch = node.table.device_batch_groups(node.column_indices,
+                                                   gids)
+        if batch is None:
+            batch = node.table.device_batch(node.column_indices)
     if node.filters:
         pred = ir.make_and(node.filters)
 

@@ -599,3 +599,202 @@ def execute_tiled_sort(plan: L.LogicalNode, config) -> Optional[
     sel = np.ones(len(cols_out[0].data) if cols_out else 0, dtype=bool)
     return fschema, Batch(tuple(cols_out), sel,
                           len(cols_out[0].data) if cols_out else 0)
+
+
+# ---------------------------------------------------------------------------
+# external (Grace-partitioned) equi-join: when the build side exceeds the
+# TemporaryMemoryManager grant (or the external row threshold), both sides
+# hash-partition to spill files and partition PAIRS join independently
+# through the normal in-memory kernels.
+# (reference: JoinHashTable external mode,
+# src/execution/join_hashtable.cpp:609-735 radix partitioning +
+# temporary_memory_manager.hpp:70 reservation arbitration)
+# ---------------------------------------------------------------------------
+
+_EXT_JOIN_TYPES = ("inner", "left", "right", "full", "semi", "anti")
+# rough per-row working-set estimate for the build side (key + run index
+# + payload slot ids), matching ops/join.py's sorted-build layout
+_BUILD_BYTES_PER_ROW = 24
+
+EXTERNAL_JOIN_STATS = {"joins": 0, "partitions": 0}
+
+
+def _ext_join_eligible(node: L.LogicalNode) -> bool:
+    return (isinstance(node, L.Join) and bool(node.conds)
+            and node.range_cond is None and not node.asof
+            and node.join_type in _EXT_JOIN_TYPES)
+
+
+def _find_external_join(node: L.LogicalNode, threshold: int):
+    """First eligible Join (top-down) whose build (right) side exceeds
+    the external row threshold OR the TemporaryMemoryManager budget."""
+    from ..storage import tempmem
+
+    if isinstance(node, L.Materialize):
+        return None
+    if _ext_join_eligible(node):
+        rows_r = _max_get_rows(node.right)
+        budget = tempmem.MEMORY.budget_bytes
+        over_budget = (budget is not None
+                       and rows_r * _BUILD_BYTES_PER_ROW > budget
+                       * tempmem.TemporaryMemoryManager
+                       .MAXIMUM_FREE_MEMORY_RATIO)
+        if rows_r > threshold or over_budget:
+            return node
+    for attr in ("child", "left", "right", "base", "recursive"):
+        ch = getattr(node, attr, None)
+        if isinstance(ch, L.LogicalNode):
+            hit = _find_external_join(ch, threshold)
+            if hit is not None:
+                return hit
+    return None
+
+
+def _partition_ids(schema, batch, conds, side: str, nparts: int):
+    """Host partition ids per capacity slot (-1 = dead row)."""
+    import jax.numpy as jnp
+
+    from ..ops import hashing
+    from .physical import _key_arrays
+
+    ds, ns = _key_arrays(conds, batch, side)
+    h = jnp.zeros(batch.sel.shape[0], dtype=jnp.uint64)
+    for d, nm in zip(ds, ns):
+        k = d.astype(jnp.int64)
+        if nm is not None:
+            k = jnp.where(nm, jnp.int64(-1), k)
+        h = hashing.hash_combine(h, k)
+    pid = (h >> jnp.uint64(33)).astype(jnp.int32) % nparts
+    pid = jnp.where(batch.sel, pid, -1)
+    return np.asarray(pid)
+
+
+def execute_external_join(plan: L.LogicalNode, config):
+    """If the plan contains an oversized equi-join, execute that join as
+    a Grace-partitioned external join (partitions spilled via
+    TemporaryFileManager) and run the remaining plan over the spliced
+    result.  Returns (schema, batch) or None if nothing qualifies."""
+    try:
+        threshold = int(config.get("external_threshold_rows"))
+    except Exception:
+        return None
+    if threshold is None or threshold <= 0:
+        return None
+    node = _find_external_join(plan, threshold)
+    if node is None:
+        return None
+
+    from ..storage import tempmem
+
+    rows_r = _max_get_rows(node.right)
+    est = rows_r * _BUILD_BYTES_PER_ROW
+    grant = tempmem.MEMORY.reserve(est)
+    try:
+        if grant >= est and rows_r <= threshold:
+            return None
+        if grant > 0:
+            nparts = int(np.ceil(est / grant))
+        else:
+            nparts = 8
+        nparts = int(min(max(2, 1 << int(np.ceil(np.log2(
+            max(nparts, 2))))), 64))
+
+        lschema, lb = physical.execute(node.left)
+        rschema, rb = physical.execute(node.right)
+        pid_l = _partition_ids(lschema, lb, node.conds, "left", nparts)
+        pid_r = _partition_ids(rschema, rb, node.conds, "right", nparts)
+
+        def host_cols(batch):
+            data = [np.asarray(c.data) for c in batch.columns]
+            nulls = [np.asarray(c.nulls) if c.nulls is not None else None
+                     for c in batch.columns]
+            return data, nulls
+
+        ldata, lnulls = host_cols(lb)
+        rdata, rnulls = host_cols(rb)
+
+        # spill every partition of both sides, then release the inputs
+        tokens = []
+        for p in range(nparts):
+            li = np.nonzero(pid_l == p)[0]
+            ri = np.nonzero(pid_r == p)[0]
+            larrs = [d[li] for d in ldata] + \
+                [(m[li] if m is not None else None) for m in lnulls]
+            rarrs = [d[ri] for d in rdata] + \
+                [(m[ri] if m is not None else None) for m in rnulls]
+            tokens.append((tempmem.FILES.write(larrs), len(ldata),
+                           tempmem.FILES.write(rarrs), len(rdata)))
+        del ldata, lnulls, rdata, rnulls, lb, rb
+
+        EXTERNAL_JOIN_STATS["joins"] += 1
+        EXTERNAL_JOIN_STATS["partitions"] += nparts
+
+        out_data = None
+        out_nulls = None
+        for ltok, lw, rtok, rw in tokens:
+            lraw = tempmem.FILES.read(ltok)
+            rraw = tempmem.FILES.read(rtok)
+            tempmem.FILES.delete(ltok)
+            tempmem.FILES.delete(rtok)
+            nl = len(lraw[0]) if lraw[0] is not None else 0
+            nr = len(rraw[0]) if rraw[0] is not None else 0
+            if nl == 0 and nr == 0:
+                continue
+            if nl == 0 and node.join_type in ("inner", "left", "semi",
+                                              "anti"):
+                continue
+            if nr == 0 and node.join_type in ("inner", "semi"):
+                continue
+            lbp = make_batch(lraw[:lw], lraw[lw:], nl)
+            rbp = make_batch(rraw[:rw], rraw[rw:], nr)
+            import copy as _copy
+            sub = _copy.copy(node)
+            sub.left = physical.ConstBatch(lschema, lbp)
+            sub.right = physical.ConstBatch(rschema, rbp)
+            s2, b2 = physical.execute(sub)
+            data, nulls = _to_host(b2)
+            if out_data is None:
+                out_data = [[d] for d in data]
+                out_nulls = [[m] for m in nulls]
+            else:
+                for i, d in enumerate(data):
+                    out_data[i].append(d)
+                    out_nulls[i].append(nulls[i])
+        if out_data is None:
+            # all partitions empty: typed empty result
+            zl = [np.zeros(0, f.dtype.np_dtype)
+                  for f in node.schema.fields]
+            final = make_batch(zl, [None] * len(zl), 0)
+        else:
+            merged = []
+            mnulls = []
+            for i, parts in enumerate(out_data):
+                merged.append(np.concatenate(parts))
+                nn = [m if m is not None
+                      else np.zeros(len(parts[j]), bool)
+                      for j, m in enumerate(out_nulls[i])]
+                cat = np.concatenate(nn)
+                mnulls.append(cat if cat.any() else None)
+            final = make_batch(merged, mnulls, len(merged[0]))
+
+        spliced = _replace_node(plan, node,
+                                physical.ConstBatch(node.schema, final))
+        return physical.execute(spliced)
+    finally:
+        tempmem.MEMORY.release(grant)
+
+
+def _replace_node(plan: L.LogicalNode, target: L.LogicalNode,
+                  replacement: L.LogicalNode) -> L.LogicalNode:
+    if plan is target:
+        return replacement
+    new = copy.copy(plan)
+    changed = False
+    for attr in ("child", "left", "right", "base", "recursive"):
+        ch = getattr(plan, attr, None)
+        if isinstance(ch, L.LogicalNode):
+            sub = _replace_node(ch, target, replacement)
+            if sub is not ch:
+                setattr(new, attr, sub)
+                changed = True
+    return new if changed else plan

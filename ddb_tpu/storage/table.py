@@ -20,6 +20,14 @@ from .. import types as T
 from ..types import DataType, TypeId
 
 
+# reference: STANDARD_ROW_GROUPS_SIZE, src/include/duckdb/storage/
+# storage_info.hpp:20
+ROW_GROUP_SIZE = 122_880
+
+# scan-skipping counters (EXPLAIN ANALYZE / tests read these)
+SCAN_STATS = {"groups_total": 0, "groups_skipped": 0}
+
+
 @dataclass
 class ColumnStats:
     min: Any = None
@@ -125,8 +133,67 @@ class TableData:
 
     def invalidate_cache(self):
         self._device_batch = None
+        self._rg_stats = None
         from .buffer import MANAGER
         MANAGER.drop(self)
+
+    # ---- row groups (reference: src/storage/table/row_group.hpp:70 —
+    # RowGroupCollection -> RowGroup(122880 rows) -> ColumnSegment with
+    # per-segment zone maps driving scan skipping) -----------------------
+
+    def row_group_stats(self, group_size: int = ROW_GROUP_SIZE):
+        """Per-row-group per-column (min, max, has_nulls) zone maps,
+        cached against the mutation stamp.  Entries are None where the
+        column type has no meaningful order (nested stores)."""
+        cached = getattr(self, "_rg_stats", None)
+        if cached is not None and cached[0] == (self.version, group_size):
+            return cached[1]
+        n = self.num_rows
+        ngroups = max((n + group_size - 1) // group_size, 1)
+        stats = []
+        for g in range(ngroups):
+            lo, hi = g * group_size, min((g + 1) * group_size, n)
+            row = []
+            for c in self.columns:
+                chunk = c.data[lo:hi]
+                nn = c.nulls[lo:hi] if c.nulls is not None else None
+                has_nulls = bool(nn.any()) if nn is not None else False
+                ordered = c.dtype.is_integer or c.dtype.id in (
+                    TypeId.DECIMAL, TypeId.DATE, TypeId.TIME,
+                    TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ, TypeId.BOOLEAN,
+                    TypeId.FLOAT, TypeId.DOUBLE) \
+                    or (c.dtype.id == TypeId.VARCHAR
+                        and c.strdict is not None)
+                if not ordered:
+                    row.append((None, None, has_nulls))
+                    continue
+                live = chunk if nn is None else chunk[~nn]
+                if len(live) == 0:
+                    row.append((None, None, has_nulls))
+                else:
+                    row.append((live.min(), live.max(), has_nulls))
+            stats.append(row)
+        self._rg_stats = ((self.version, group_size), stats)
+        return stats
+
+    def device_batch_groups(self, column_indices, group_ids,
+                            group_size: int = ROW_GROUP_SIZE) -> Batch:
+        """Batch of only the given row groups' rows (zone-map scan
+        skipping).  Host-side slice concatenation feeds the device; the
+        result is exact-shape like device_batch."""
+        n = self.num_rows
+        cols = self.columns if column_indices is None else \
+            [self.columns[i] for i in column_indices]
+        slices = [(g * group_size, min((g + 1) * group_size, n))
+                  for g in group_ids]
+        arrays = [np.concatenate([c.data[lo:hi] for lo, hi in slices])
+                  if slices else c.data[:0] for c in cols]
+        nulls = [np.concatenate([c.nulls[lo:hi] for lo, hi in slices])
+                 if (c.nulls is not None and slices)
+                 else (None if c.nulls is None else c.nulls[:0])
+                 for c in cols]
+        nrows = sum(hi - lo for lo, hi in slices)
+        return make_batch(arrays, nulls, nrows)
 
 
 # ---------------------------------------------------------------------------

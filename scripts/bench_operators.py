@@ -17,51 +17,55 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def bench_carried(loop_fn, reps, *args):
-    """Like bench_loop but the caller provides the whole fori_loop with
-    a loop-carried dependency baked in."""
+def _med(fn, k=5):
+    ts = []
+    for _ in range(k):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[k // 2]
+
+
+def bench_carried(loop_fn, lo_reps, hi_reps, *args):
+    """Two-point slope timing: per-iteration time is
+    (t_hi - t_lo) / (hi - lo), which cancels the ~24 ms tunnel round
+    trip and any constant dispatch cost EXACTLY (a min-minus-roundtrip
+    estimate floors to garbage whenever the whole loop is shorter than
+    the round-trip noise, which is how the r4 filter row overshot the
+    roofline).  The caller provides loop_fn(reps, *args)."""
     import jax
-    import jax.numpy as jnp
     import functools
 
-    jl = jax.jit(functools.partial(loop_fn, reps))
-    base = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int64) + 1)
-    _ = np.asarray(jl(*args))
-    _ = np.asarray(base(args[0]))
-    t0 = time.perf_counter()
-    _ = np.asarray(base(args[0]))
-    rt = time.perf_counter() - t0
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(jl(*args))
-        times.append(time.perf_counter() - t0)
-    return max((min(times) - rt) / reps, 1e-9)
+    jlo = jax.jit(functools.partial(loop_fn, lo_reps))
+    jhi = jax.jit(functools.partial(loop_fn, hi_reps))
+    _ = np.asarray(jlo(*args))
+    _ = np.asarray(jhi(*args))
+    t_lo = _med(lambda: np.asarray(jlo(*args)))
+    t_hi = _med(lambda: np.asarray(jhi(*args)))
+    return max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
 
 
-def bench_loop(make_step, reps, *args):
+def bench_loop(make_step, lo_reps, hi_reps, *args):
+    """Slope timing over fori_loop repeat counts (see bench_carried)."""
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
 
-    def loop(*a):
-        def body(i, acc):
-            return acc + make_step(i, *a)
-        return lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
+    def make(reps):
+        def loop(*a):
+            def body(i, acc):
+                return acc + make_step(i, *a)
+            return lax.fori_loop(0, reps, body,
+                                 jnp.zeros((), jnp.int64))
+        return jax.jit(loop)
 
-    jl = jax.jit(loop)
-    base = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int64) + 1)
-    _ = np.asarray(jl(*args))
-    _ = np.asarray(base(args[0]))
-    t0 = time.perf_counter()
-    _ = np.asarray(base(args[0]))
-    rt = time.perf_counter() - t0
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(jl(*args))
-        times.append(time.perf_counter() - t0)
-    return max((min(times) - rt) / reps, 1e-9)
+    jlo, jhi = make(lo_reps), make(hi_reps)
+    _ = np.asarray(jlo(*args))
+    _ = np.asarray(jhi(*args))
+    t_lo = _med(lambda: np.asarray(jlo(*args)))
+    t_hi = _med(lambda: np.asarray(jhi(*args)))
+    return max((t_hi - t_lo) / (hi_reps - lo_reps), 1e-9)
 
 
 HBM_BW = 819e9   # v5e nominal spec
@@ -141,14 +145,15 @@ def _bench_hbm_probe(results, n, rng, jax, lax, jnp):
         # XLA hoisted BOTH parity variants out of the loop)
         def body(i, acc):
             t = (acc % 1021).astype(jnp.int32)
-            return acc + (a > t).astype(jnp.int32).sum() \
-                + (b > t).astype(jnp.int32).sum() \
-                + (c > t).astype(jnp.int32).sum()
+            # single fused reduction over all three columns: three
+            # separate sums cost ~3% extra tree overhead and made the
+            # filter row read 1.03 of this basis
+            return acc + ((a ^ b ^ c) > t).astype(jnp.int32).sum()
         import jax.lax as _lax
         return _lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
 
     print("bench: hbm probe...", file=sys.stderr, flush=True)
-    t = bench_carried(loop_probe, 40, a, b, c)
+    t = bench_carried(loop_probe, 100, 1000, a, b, c)
     results["_hbm_probe"] = _stamp({
         "rows_per_sec": n / t,
         "bytes_per_sec": 12 * n / t,
@@ -184,7 +189,7 @@ def _bench_filter(results, n, rng, jax, lax, jnp):
         return _lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
 
     print("bench: filter...", file=sys.stderr, flush=True)
-    t = bench_carried(loop_filter, 20, a, b, c)
+    t = bench_carried(loop_filter, 100, 1000, a, b, c)
     results["filter"] = _stamp({
         "rows_per_sec": n / t,
         "roofline": _probe_bw(results) / 12,   # 3 int32 reads
@@ -204,7 +209,7 @@ def _bench_sort(results, n, rng, jax, lax, jnp):
         return out[1][0].astype(jnp.int64)
 
     print("bench: sort...", file=sys.stderr, flush=True)
-    t = bench_loop(sort_step, 12, k, rid)
+    t = bench_loop(sort_step, 3, 12, k, rid)
     # realizable bound: flat lax.sort IS the speed-of-light sort on
     # this memory system (round-4 closure study, docs/PERF_NOTES.md:
     # batched sorts win 8.5x but every merge phase loses it back;
@@ -259,7 +264,7 @@ def _bench_aggregate(results, n, rng, jax, lax, jnp):
         return P.q1_fused_aggregate(*args, 10471 - (i % 2), n_rows=n).sum()
 
     print("bench: aggregate...", file=sys.stderr, flush=True)
-    t = bench_loop(agg_step, 200, qty, ext, dc, tx, sd, gid)
+    t = bench_loop(agg_step, 60, 660, qty, ext, dc, tx, sd, gid)
     results["aggregate"] = _stamp({
         "rows_per_sec": n / t,
         "roofline": _probe_bw(results) / 24,   # 6 int32 columns
@@ -268,30 +273,24 @@ def _bench_aggregate(results, n, rng, jax, lax, jnp):
     })
 
 
-def bench_single(jfn, args, reps=5):
-    """Single-call timing with round-trip subtraction — for graphs whose
-    fori_loop variant overwhelms the remote compiler (join/exchange)."""
-    import jax
-    import jax.numpy as jnp
+def bench_single(jfn, args, k_lo=2, k_hi=8):
+    """Chained-dispatch slope timing for graphs whose fori_loop variant
+    overwhelms the remote compiler (join/exchange): dispatch k identical
+    calls back-to-back (async), force only the last, and take the slope
+    over two chain lengths — per-execution time with the round trip and
+    dispatch overhead cancelled."""
     import numpy as _np
 
-    base = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.int64) + 1)
-    _ = _np.asarray(jfn(*args))
-    _ = _np.asarray(base(args[0]))
-    rts = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        _ = _np.asarray(base(args[0]))
-        rts.append(time.perf_counter() - t0)
-    rts.sort()
-    rt = rts[len(rts) // 2]
-    ts = []
-    for _i in range(reps):
-        t0 = time.perf_counter()
-        _ = _np.asarray(jfn(*args))
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return max(ts[len(ts) // 2] - rt, 1e-9)
+    def run(k):
+        r = None
+        for _i in range(k):
+            r = jfn(*args)
+        return _np.asarray(r)
+
+    _ = run(2)          # compile + warm
+    t_lo = _med(lambda: run(k_lo))
+    t_hi = _med(lambda: run(k_hi))
+    return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
 
 
 def _bench_join_single(results, n, rng, jax, lax, jnp, join_ops):
