@@ -107,8 +107,76 @@ def _bench_pallas(n, lo_reps, hi_reps):
         "suite": {f"q1_agg_{k}": round(v, 1) for k, v in rates.items()},
     }
     out["suite"].update(_q6_filter_bench(n, d, lo_reps, hi_reps))
+    out["suite"].update(_join_bench())
     out["suite"].update(_operator_bench_extras())
     return out
+
+
+def _join_bench():
+    """LIVE hash-join analog measurement (1M build x 6.3M probe merge
+    probe, ops/join.py) plus its sorts-only realizable bound, both
+    measured in this run — the driver-captured counterpart of the
+    OPERATOR_BENCH join_probe row.  Chained-dispatch slope timing
+    (k calls back-to-back, force the last) cancels the tunnel round
+    trip."""
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from ddb_tpu.ops import join as join_ops
+
+    n = 6 * 1024 * 1024
+    nb = 1 << 20
+    rng = np.random.default_rng(0)
+    bk = jnp.asarray(rng.permutation(nb).astype(np.int64))
+    bsel = jnp.asarray(np.ones(nb, dtype=bool))
+    pk = jnp.asarray(rng.integers(0, nb, n).astype(np.int64))
+    psel = jnp.asarray(np.ones(n, dtype=bool))
+
+    @jax.jit
+    def join_once(bk, bsel, pk, psel):
+        bt = join_ops.build(bk, None, bsel)
+        lo, cnt = join_ops.probe_ranges(bt, pk, None, psel)
+        return cnt.astype(jnp.int64).sum()
+
+    i32 = jnp.asarray(np.zeros(nb + n, np.int32))
+    i32b = jnp.asarray(np.zeros(nb + n, np.int32))
+    i32c = jnp.asarray(np.zeros(nb + n, np.int32))
+    k64 = jnp.asarray(rng.integers(0, 1 << 40, nb + n).astype(np.int64))
+
+    @jax.jit
+    def sorts_once(bk, k64, i32, i32b, i32c):
+        rid = lax.broadcasted_iota(jnp.int32, (nb,), 0)
+        s1 = lax.sort([bk, rid], num_keys=1, is_stable=True)
+        s2 = lax.sort([k64, i32, i32b, i32c,
+                       lax.broadcasted_iota(jnp.int32, (nb + n,), 0)],
+                      num_keys=2, is_stable=False)
+        s3 = lax.sort([s2[4], s2[1], s2[2]], num_keys=1,
+                      is_stable=False)
+        return s1[1][0].astype(jnp.int64) + s3[1][0] + s3[2][1]
+
+    def chain_time(jfn, args, k_lo=2, k_hi=8):
+        def run(k):
+            r = None
+            for _ in range(k):
+                r = jfn(*args)
+            return np.asarray(r)
+
+        _ = run(2)
+        t_lo = _median_of(lambda: run(k_lo), k=5)
+        t_hi = _median_of(lambda: run(k_hi), k=5)
+        return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+
+    try:
+        t = chain_time(join_once, (bk, bsel, pk, psel))
+        t_bound = chain_time(sorts_once, (bk, k64, i32, i32b, i32c))
+        return {
+            "join_probe_live_rows_per_sec": round(n / t, 1),
+            "join_probe_live_roofline_frac":
+                round((n / t) / (n / t_bound), 4),
+        }
+    except Exception:
+        return {}
 
 
 def _q6_filter_bench(n, d, lo_reps, hi_reps):

@@ -248,18 +248,24 @@ def _eval_inlist(e: ir.InList, b: Batch):
 
 def _eval_dictlookup(e: ir.DictLookup, b: Batch):
     d, n = evaluate(e.child, b)
-    table = jnp.asarray(e.table)
+    if callable(e.table):
+        # lazy table: rebuilt at evaluation (trace) time from a
+        # runtime-filled store (aggregate/window output dictionaries)
+        raw_table, raw_nulls = e.table()
+    else:
+        raw_table, raw_nulls = e.table, e.null_table
+    table = jnp.asarray(raw_table)
     if table.shape[0] == 0:      # empty dictionary (e.g. empty table)
         nulls = n
-        if e.null_table is not None:
+        if raw_nulls is not None:
             nulls = jnp.ones(d.shape[0], dtype=bool)
         return jnp.zeros(d.shape[0], dtype=table.dtype), nulls
     if e.base:
         d = d - e.base
     idx = jnp.clip(d.astype(jnp.int32), 0, table.shape[0] - 1)
     nulls = n
-    if e.null_table is not None:
-        nulls = _or_nulls(n, jnp.asarray(e.null_table)[idx])
+    if raw_nulls is not None:
+        nulls = _or_nulls(n, jnp.asarray(raw_nulls)[idx])
     return table[idx], nulls
 
 

@@ -761,6 +761,57 @@ _HOST_AGG_KINDS = ("collect", "string_agg", "histogram",
                    "approx_top_k")
 
 
+def _string_agg_vectorized(a, ds, ns, starts, ends, ngroups, aorder,
+                           nrows):
+    """Vectorized string_agg finalize: decode every value once, build
+    ONE global joined string with separators, then slice per group by
+    cumulative character offsets — host work is bounded to final string
+    slicing, no per-group Python value loop (reference: vectorized
+    nested aggregates, extension/core_functions/aggregate/nested/).
+    Returns (res, rn) or None when the shape needs the generic loop."""
+    if a.kind != "string_agg" or a.distinct or aorder is not None \
+            or nrows == 0:
+        return None
+    sd = getattr(a.arg, "strdict", None)
+    tid = a.arg.dtype.id
+    if sd is not None:
+        vals = np.asarray(sd.values, dtype=object)[ds].astype(str)
+    elif a.arg.dtype.is_integer:
+        vals = ds.astype(np.int64).astype(str)
+    elif tid == TypeId.DATE:
+        vals = ds.astype("datetime64[D]").astype(str)
+    elif tid == TypeId.BOOLEAN:
+        vals = np.where(ds.astype(bool), "True", "False")
+    else:
+        return None        # floats/decimals: repr fidelity via the loop
+    sep = a.extra
+    live = ~ns if ns is not None else np.ones(nrows, dtype=bool)
+    gid = np.zeros(nrows, dtype=np.int64)
+    gid[starts[1:]] = 1
+    gid = np.cumsum(gid)
+    sv = vals[live]
+    g2 = gid[live]
+    res = [""] * ngroups
+    rn = [True] * ngroups
+    if len(sv) == 0:
+        return res, rn
+    is_first = np.ones(len(sv), dtype=bool)
+    is_first[1:] = g2[1:] != g2[:-1]
+    lens = np.char.str_len(sv)
+    parts = np.where(is_first, sv, np.char.add(sep, sv))
+    big = "".join(parts.tolist())
+    plens = lens + np.where(is_first, 0, len(sep))
+    cend = np.cumsum(plens)
+    first_idx = np.nonzero(is_first)[0]
+    cstart = cend[first_idx] - plens[first_idx]
+    last = np.append(first_idx[1:] - 1, len(sv) - 1)
+    gids = g2[first_idx]
+    for j in range(len(first_idx)):
+        res[gids[j]] = big[cstart[j]:cend[last[j]]]
+        rn[gids[j]] = False
+    return res, rn
+
+
 def _decode_host(vals, nulls, dtype, sd):
     out = []
     for i, v in enumerate(vals):
@@ -846,8 +897,13 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
                 seq.append(kn.astype(np.int8) if nl
                            else (~kn).astype(np.int8))
             aorder = seq
-        res, rn = [], []
-        for s, e in zip(starts, ends):
+        fast = _string_agg_vectorized(a, ds, ns, starts, ends,
+                                      ngroups, aorder, nrows)
+        if fast is not None:
+            res, rn = fast
+        else:
+            res, rn = [], []
+        for s, e in (() if fast is not None else zip(starts, ends)):
             if a.kind == "count_star":
                 res.append(e - s)
                 rn.append(False)

@@ -3399,6 +3399,10 @@ class Binder:
                 store = getattr(a, "strdict", None)
                 if store is None:
                     raise BindError("map argument has no store")
+                if getattr(store, "runtime", False):
+                    return ir.DictLookup(
+                        a, lambda: (store.lengths(), None), T.BIGINT,
+                        "map_length")
                 return ir.DictLookup(a, store.lengths(), T.BIGINT,
                                      "map_length")
             # fall through to the string/aliased handlers below
@@ -4202,6 +4206,7 @@ class Binder:
         if name in ("list", "array_agg"):
             from ..storage.lists import ListStore
             store = ListStore()
+            store.runtime = True
             rt = T.LIST(arg.dtype)
             order_b, okey = _agg_order()
             spec = L.AggSpec("collect", arg, rt, "list",
@@ -4209,10 +4214,13 @@ class Binder:
                              order_by=order_b)
             idx = agg_ctx.add(spec,
                               f"list({_ekey(arg)},{e.distinct},{okey})")
-            return AggRef(idx, rt, store)
+            # dedup may return an existing spec — use ITS store so the
+            # expr and the executed spec share one object
+            return AggRef(idx, rt, agg_ctx.specs[idx].store)
         if name in ("histogram", "histogram_exact"):
             from ..storage.nested import MapStore
             store = MapStore()
+            store.runtime = True
             rt = T.MAP(arg.dtype, T.BIGINT)
             spec = L.AggSpec("histogram", arg, rt, "histogram",
                              store=store)
@@ -4234,7 +4242,7 @@ class Binder:
                               else "bins", list(blist))
                 key = f"{name}({_ekey(arg)},{blist!r})"
             idx = agg_ctx.add(spec, key)
-            return AggRef(idx, rt, store)
+            return AggRef(idx, rt, agg_ctx.specs[idx].store)
         if name == "approx_top_k":
             from ..storage.lists import ListStore
             if len(e.args) != 2:
@@ -4243,12 +4251,13 @@ class Binder:
             if not isinstance(k, ir.Const):
                 raise BindError("approx_top_k k must be constant")
             store = ListStore()
+            store.runtime = True
             rt = T.LIST(arg.dtype)
             spec = L.AggSpec("approx_top_k", arg, rt, "approx_top_k",
                              store=store, extra=int(k.value))
             idx = agg_ctx.add(spec,
                               f"approx_top_k({_ekey(arg)},{k.value})")
-            return AggRef(idx, rt, store)
+            return AggRef(idx, rt, agg_ctx.specs[idx].store)
         if name in ("string_agg", "group_concat"):
             sep = ","
             if len(e.args) > 1:
@@ -4260,6 +4269,7 @@ class Binder:
                 sep = sd2.decode_one(s2.value) if sd2 is not None \
                     else str(s2.value)
             store = StringDictionary(np.array([], dtype=object))
+            store.runtime = True
             order_b, okey = _agg_order()
             spec = L.AggSpec("string_agg", arg, T.VARCHAR, "string_agg",
                              distinct=e.distinct, store=store, extra=sep,
@@ -4267,7 +4277,7 @@ class Binder:
             idx = agg_ctx.add(
                 spec,
                 f"string_agg({_ekey(arg)},{sep},{e.distinct},{okey})")
-            return AggRef(idx, T.VARCHAR, store)
+            return AggRef(idx, T.VARCHAR, agg_ctx.specs[idx].store)
         if name == "product":
             arg = self._agg_numeric(arg)
             spec = L.AggSpec("product", arg, T.DOUBLE, "product",
@@ -4392,6 +4402,7 @@ class Binder:
             return self._bind_literal(val)
 
         out_store = ListStore()
+        out_store.runtime = True
 
         def fn(vals, nulls, kind=kind):
             lst = None if nulls[0] else store.decode_one(int(vals[0]))
@@ -4479,6 +4490,7 @@ class Binder:
                     "list_unique", "flatten"):
             from ..storage.lists import ListStore
             out_store = ListStore()
+            out_store.runtime = True
 
             def fn(vals, nulls, name=name):
                 lst = lst_of(vals, nulls)
@@ -4546,6 +4558,7 @@ class Binder:
         # the pure_callback seam (reference: list_value builds child
         # vectors; our LIST payloads are host stores by design)
         store = ListStore()
+        store.runtime = True
         dts = [c.dtype for c in bound]
         sds = [getattr(c, "strdict", None) for c in bound]
 
@@ -4969,7 +4982,8 @@ class Binder:
         store = getattr(a, "strdict", None)
         if store is None:
             raise BindError(f"{name}: list argument has no store")
-        if not isinstance(a, (ir.Const, ir.ColRef)):
+        if not isinstance(a, (ir.Const, ir.ColRef)) \
+                or getattr(store, "runtime", False):
             # runtime-built list (literal over columns, aggregate
             # results like approx_top_k/collect, window outputs): the
             # store fills during execution, so consult it through a
@@ -5102,25 +5116,77 @@ class Binder:
                 v = a.strdict.decode_one(v)
             const_args.append(v)
         fn = _STR_FUNCS[name]
+
         # the whole dictionary is evaluated at bind time, including the
         # '' placeholder of NULL rows — a partial function (hamming,
         # unhex, ...) must not fail the bind for codes no live row uses;
         # errors surface as NULL for that code instead
-        raw = []
-        errs = 0
-        first_err = None
-        for v in sd.values:
-            try:
-                raw.append(fn(str(v), *const_args))
-            except BindError as ex:
-                raw.append(None)
-                errs += 1
-                if first_err is None:
-                    first_err = ex
-            except (ValueError, TypeError, KeyError, IndexError,
-                    OverflowError):
-                raw.append(None)
-                errs += 1
+        def compute_raw():
+            raw = []
+            errs = 0
+            first_err = None
+            for v in sd.values:
+                try:
+                    raw.append(fn(str(v), *const_args))
+                except BindError as ex:
+                    raw.append(None)
+                    errs += 1
+                    if first_err is None:
+                        first_err = ex
+                except (ValueError, TypeError, KeyError, IndexError,
+                        OverflowError):
+                    raw.append(None)
+                    errs += 1
+            return raw, errs, first_err
+
+        if getattr(sd, "runtime", False):
+            # runtime-filled dictionary (aggregate/window output): the
+            # per-code table must be rebuilt at evaluation time, when
+            # the store has its real contents (lazy DictLookup)
+            if name in _STR_INT_FUNCS:
+                def tbl_int():
+                    raw, _, _ = compute_raw()
+                    nt = np.array([r is None for r in raw], dtype=bool)
+                    return (np.array(
+                        [0 if r is None else int(r) for r in raw],
+                        dtype=np.int64), nt if nt.any() else None)
+                return ir.DictLookup(col, tbl_int, T.BIGINT, name)
+            if name in _STR_BOOL_FUNCS:
+                def tbl_bool():
+                    raw, _, _ = compute_raw()
+                    nt = np.array([r is None for r in raw], dtype=bool)
+                    return (np.array([bool(r) for r in raw], dtype=bool),
+                            nt if nt.any() else None)
+                return ir.DictLookup(col, tbl_bool, T.BOOLEAN, name)
+            if name in _STR_FLOAT_FUNCS:
+                def tbl_float():
+                    raw, _, _ = compute_raw()
+                    nt = np.array([r is None for r in raw], dtype=bool)
+                    return (np.array(
+                        [np.nan if r is None else r for r in raw],
+                        dtype=np.float64), nt if nt.any() else None)
+                return ir.DictLookup(col, tbl_float, T.DOUBLE, name)
+            out_sd = StringDictionary(np.array([], dtype=object))
+            out_sd.runtime = True
+
+            def tbl_str():
+                raw, _, _ = compute_raw()
+                live = [o for o in raw if o is not None]
+                out_sd.values = (
+                    np.unique(np.asarray(live, dtype=object).astype(str))
+                    if live else np.array([], dtype=object))
+                out_sd._lookup = None
+                table = np.array(
+                    [0 if o is None else out_sd.code_of(o)
+                     for o in raw], dtype=np.int32)
+                nt = np.array([o is None for o in raw], dtype=bool)
+                return table, nt if nt.any() else None
+
+            out = ir.DictLookup(col, tbl_str, T.VARCHAR, name)
+            out.strdict = out_sd
+            return out
+
+        raw, errs, first_err = compute_raw()
         if errs == len(raw) and raw and first_err is not None:
             raise first_err
         nulls = np.array([r is None for r in raw], dtype=bool)

@@ -22,12 +22,16 @@ import numpy as np
 class StringDictionary:
     """Immutable sorted dictionary of unique strings for one column."""
 
-    __slots__ = ("values", "_lookup")
+    __slots__ = ("values", "_lookup", "runtime")
 
     def __init__(self, values: np.ndarray):
         # values must be sorted unique unicode/object array
         self.values = values
         self._lookup = None
+        # True for stores filled during execution (aggregate/window
+        # outputs): bind-time per-code tables would be empty, so
+        # dependent DictLookups go lazy (binder._bind_string_func)
+        self.runtime = False
 
     # ---- construction ----------------------------------------------------
     @staticmethod

@@ -369,12 +369,21 @@ def _bench_exchange(results, n, rng, jax, lax, jnp):
         starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(counts)[:-1]])
         # production pack (parallel/exchange.py): per-shard contiguous
-        # dynamic slices over a sentinel-padded array
+        # dynamic slices over a sentinel-padded array.  BOTH sorted
+        # outputs must feed the send buffers — with only sk consumed,
+        # XLA dead-code-eliminates the pay carry from the sort and the
+        # "pack" measures a 2-operand sort against a 3-operand bound
+        # (the r5 first run read an impossible 1.62 of roofline)
         padded = jnp.concatenate([sk, jnp.zeros(cap, dtype=sk.dtype)])
+        paddedp = jnp.concatenate([spay,
+                                   jnp.zeros(cap, dtype=spay.dtype)])
         send = jnp.stack([
             lax.dynamic_slice(padded, (starts[p],), (cap,))
             for p in range(n_shards)])
-        return send.astype(jnp.int64).sum()
+        sendp = jnp.stack([
+            lax.dynamic_slice(paddedp, (starts[p],), (cap,))
+            for p in range(n_shards)])
+        return send.astype(jnp.int64).sum() + sendp.sum()
 
     @jax.jit
     def sort_only(keys, pay, sel):

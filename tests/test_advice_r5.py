@@ -79,3 +79,39 @@ def test_timestamp_exact_micros(con):
     ).fetchall()[0][0]
     assert out2.replace(tzinfo=None) == \
         datetime.datetime(2255, 6, 5, 23, 59, 59, 999999)
+
+
+def test_string_funcs_over_agg_results(con):
+    """Runtime-filled stores (aggregate outputs) feed lazy DictLookup
+    tables; before round 5 length(string_agg(...)) returned 0 because
+    the per-code table was built at bind time over the empty store."""
+    con.execute("create table sa(g int, v int)")
+    con.execute("insert into sa values (1,10),(1,20),(2,30)")
+    assert con.execute(
+        "select g, length(string_agg(v, ',')) from sa group by g "
+        "order by g").fetchall() == [(1, 5), (2, 2)]
+    assert con.execute(
+        "select g, upper(string_agg(v, 'x')) from sa group by g "
+        "order by g").fetchall() == [(1, '10X20'), (2, '30')]
+    assert con.execute(
+        "select max(length(x)) from (select g, string_agg(v, ',') as x "
+        "from sa group by g)").fetchall() == [(5,)]
+    assert con.execute(
+        "select g, len(list(v)) from sa group by g order by g"
+    ).fetchall() == [(1, 2), (2, 1)]
+    assert con.execute(
+        "select cardinality(histogram(v)) from sa").fetchall() == [(3,)]
+
+
+def test_string_agg_vectorized_matches_loop(con):
+    con.execute("create table sv(g int, v varchar)")
+    con.execute("insert into sv values (1,'a'),(1,NULL),(1,'c'),"
+                "(2,'x'),(2,NULL),(3,NULL)")
+    assert con.execute(
+        "select g, string_agg(v, '-') from sv group by g order by g"
+    ).fetchall() == [(1, 'a-c'), (2, 'x'), (3, None)]
+    # ordered + distinct take the generic loop; results must agree
+    assert con.execute(
+        "select g, string_agg(v, '-' order by v desc) from sv "
+        "group by g order by g").fetchall() \
+        == [(1, 'c-a'), (2, 'x'), (3, None)]
