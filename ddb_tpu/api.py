@@ -1403,7 +1403,9 @@ class Connection:
                             "false", "0", "no"),
                         delimiter=str(opts.get("delimiter", ",")),
                         quoting_style="needed"))
-            return None
+            # COPY returns the written row count (reference: COPY TO
+            # result, physical_copy_to_file.cpp finalize)
+            return _count_result(at.num_rows)
         # COPY ... FROM: append file contents into the table
         from .storage import dml
         import pyarrow.csv as pcsv
@@ -1428,7 +1430,7 @@ class Connection:
         dml.append_table(td, src.columns)
         self._enforce_constraints(td, n0)
         self.catalog.bump()
-        return None
+        return _count_result(td.num_rows - n0)
 
     def _enforce_constraints(self, td, n0: int) -> None:
         """Post-append constraint check; rolls the append back on
@@ -1858,6 +1860,16 @@ class Connection:
             # DEFAULT become NULL rather than indexing an empty row.
             ins_cols = (eff_cols + missing) \
                 if (target is not None or missing or arity == 0) else None
+            # offset-less TIMETZ strings attach the session zone's
+            # offset (reference: ICU VARCHAR -> TIMETZ cast semantics)
+            order = [c.lower() for c in (ins_cols or names)]
+            dtypes = {c.name.lower(): c.dtype for c in td.columns}
+            for j, cn in enumerate(order):
+                dt = dtypes.get(cn)
+                if dt is not None and dt.id == T.TypeId.TIMETZ:
+                    for row in rows:
+                        if j < len(row) and isinstance(row[j], str):
+                            row[j] = b._timetz_raw(row[j])
             n0 = td.num_rows
             n = dml.insert_rows(td, rows, ins_cols)
             self._enforce_constraints(td, n0)

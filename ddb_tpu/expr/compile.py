@@ -97,6 +97,19 @@ def _cast_data(data, src, dst):
     if sid == TypeId.DATE and did in (TypeId.TIMESTAMP,
                                       TypeId.TIMESTAMPTZ):
         return data.astype(jnp.int64) * 86_400_000_000
+    # TIMETZ packing: utc_micros * 2^17 + (57599 - offset_sec)
+    # (reference: dtime_tz_t, src/include/duckdb/common/types/time.hpp)
+    if did == TypeId.TIMETZ and sid == TypeId.TIME:
+        return data.astype(jnp.int64) * 131072 + 57599   # offset +00
+    if sid == TypeId.TIMETZ and did == TypeId.TIME:
+        d64 = data.astype(jnp.int64)
+        utc = jnp.floor_divide(d64, 131072)
+        off = 57599 - (d64 - utc * 131072)
+        return jnp.mod(utc + off * 1_000_000, 86_400_000_000)
+    if sid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and did == TypeId.TIMETZ:
+        return jnp.mod(data.astype(jnp.int64),
+                       86_400_000_000) * 131072 + 57599
     # default numeric conversion
     return data.astype(np.dtype(dst.np_dtype))
 

@@ -72,6 +72,49 @@ def dispatch(e: ir.Func, batch, evaluate):
                                method="compare_all") - 1
         off = jnp.asarray(delta)[jnp.clip(idx, 0, len(delta) - 1)]
         return d + off, n
+    if name == "timetz_from_tz":
+        # (session wall micros, utc micros) -> packed TIMETZ carrying
+        # the session zone's offset at that instant
+        w, n1 = evaluate(e.args[0], batch)
+        u, n2 = evaluate(e.args[1], batch)
+        off = jnp.floor_divide(w - u, 1_000_000)
+        tod = jnp.mod(w, 86_400_000_000)
+        packed = (tod - off * 1_000_000) * 131072 + (57599 - off)
+        n = n1 if n2 is None else (n2 if n1 is None else (n1 | n2))
+        return packed, n
+    if name == "__stringify__":
+        # temporal -> VARCHAR on unbounded columns: host callback
+        # formats this batch's values, fills the runtime output
+        # dictionary, and returns per-row codes (one call per
+        # execution — whole-column batches by design)
+        import jax
+        import numpy as np
+        src_dtype, src_sd, out_sd = e.extra
+        d, n = evaluate(e.args[0], batch)
+        cap = batch.sel.shape[0]
+        null_m = n if n is not None else jnp.zeros(cap, dtype=bool)
+
+        def host(live_m, arr, nl):
+            a = np.asarray(arr)
+            lv = np.asarray(live_m) & ~np.asarray(nl)
+            texts = np.empty(cap, dtype=object)
+            texts[:] = ""
+            for i in np.nonzero(lv)[0]:
+                texts[i] = T.stringify_value(a[i], src_dtype, src_sd)
+            uniq = np.unique(texts[lv].astype(str)) if lv.any() \
+                else np.array([], dtype=object)
+            out_sd.values = uniq.astype(object)
+            out_sd._lookup = None
+            codes = np.zeros(cap, dtype=np.int32)
+            if lv.any():
+                codes[lv] = np.searchsorted(
+                    uniq, texts[lv].astype(str)).astype(np.int32)
+            return codes
+
+        codes = jax.pure_callback(
+            host, jax.ShapeDtypeStruct((cap,), np.int32),
+            batch.sel, d, null_m)
+        return codes, n
     if name == "__pyudf__":
         # user-defined scalar function: host row-wise evaluation through
         # jax.pure_callback so it composes with jitted pipelines

@@ -69,6 +69,12 @@ class DistContext:
         return Batch(tuple(cols), sel, batch.count)
 
 
+# skew/overflow observability: each doubling retry of an exchange
+# capacity increments this (BASELINE config 4 skew-aware repartition
+# evidence; scripts/run_h2oai_scale.py reports it)
+STATS = {"exchange_retries": 0, "exchange_overflow_rows": 0}
+
+
 def _pad_to(a, cap):
     if a.shape[0] == cap:
         return a
@@ -256,6 +262,8 @@ def _exec_window(node: L.Window, ctx: DistContext):
         overflow = int(jnp.sum(outs[-1]))
         if overflow == 0:
             break
+        STATS["exchange_retries"] += 1
+        STATS["exchange_overflow_rows"] += overflow
         ex_cap = bucket_capacity(ex_cap * 2)
     else:
         raise RuntimeError("window exchange overflow after retries")
@@ -465,6 +473,8 @@ def _exec_aggregate(node: L.Aggregate, ctx: DistContext):
         overflow = int(jnp.sum(outs[-1]))
         if overflow == 0:
             break
+        STATS["exchange_retries"] += 1
+        STATS["exchange_overflow_rows"] += overflow
         ex_cap = bucket_capacity(ex_cap * 2)
     else:
         raise RuntimeError(
@@ -566,6 +576,8 @@ def _exec_aggregate_rows(node: L.Aggregate, ctx: DistContext, b: Batch):
         overflow = int(jnp.sum(outs[-1]))
         if overflow == 0:
             break
+        STATS["exchange_retries"] += 1
+        STATS["exchange_overflow_rows"] += overflow
         ex_cap = bucket_capacity(ex_cap * 2)
     else:
         raise RuntimeError("aggregate row exchange overflow after "

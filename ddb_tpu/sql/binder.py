@@ -278,7 +278,7 @@ def resolve_typename(typename: str, width: int = 0, scale: int = 0
     if tn in ("decimal", "numeric"):
         return T.DECIMAL(width or 18, scale)
     if tn in ("timestamptz", "timetz"):
-        return T.TIMESTAMPTZ if tn == "timestamptz" else T.TIME
+        return T.TIMESTAMPTZ if tn == "timestamptz" else T.TIMETZ
     if tn.startswith("list<") and tn.endswith(">"):
         inner, iw, isc = tn[5:-1].rsplit(":", 2)
         return T.LIST(resolve_typename(inner, int(iw), int(isc)))
@@ -2673,12 +2673,7 @@ class Binder:
                 sp = tzmod.parse_timestamptz(e.text, zone)
             return ir.Const(sp, T.TIMESTAMPTZ)
         if e.typename == "timetz":
-            # TIMETZ still aliases TIME: parse, normalize the offset out
-            import datetime as _dt
-            tm = _dt.time.fromisoformat(e.text.strip())
-            us = ((tm.hour * 60 + tm.minute) * 60 + tm.second) \
-                * 1_000_000 + tm.microsecond
-            return ir.Const(us, T.TIME)
+            return ir.Const(self._timetz_raw(e.text), T.TIMETZ)
         if e.typename == "interval":
             txt = e.text.strip()
             unit = e.qualifier
@@ -2714,6 +2709,10 @@ class Binder:
                 n = int(bso.value) * (1 if op == "+" else -1)
                 if unit in self._IV_MONTHS:
                     months = n * self._IV_MONTHS[unit]
+                    if tid in (TypeId.TIME, TypeId.TIMETZ):
+                        # month intervals don't move a time-of-day
+                        # (reference: Interval::Add on dtime_t)
+                        return other
                     if isinstance(other, ir.Const) \
                             and tid == TypeId.DATE:
                         return ir.Const(
@@ -2740,8 +2739,17 @@ class Binder:
                     # sub-day interval promotes DATE to TIMESTAMP
                     other = ir.Cast(other, T.TIMESTAMP, src=T.DATE)
                     tid = TypeId.TIMESTAMP
+                if tid == TypeId.TIME:
+                    # TIME arithmetic wraps around midnight
+                    # (reference: Interval::Add on dtime_t)
+                    day = 86_400_000_000
+                    add = ir.Arith("+", other,
+                                   ir.Const(us % day, T.INTERVAL),
+                                   T.TIME)
+                    return ir.Arith("%", add, ir.Const(day, T.BIGINT),
+                                    T.TIME)
                 if tid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ,
-                           TypeId.TIME, TypeId.INTERVAL):
+                           TypeId.INTERVAL):
                     return ir.Arith("+", other,
                                     ir.Const(us, T.INTERVAL),
                                     other.dtype)
@@ -3014,6 +3022,11 @@ class Binder:
                 return self._tz_shift_expr(c, False, T.TIMESTAMPTZ)
             return None
         if sid == TypeId.TIMESTAMPTZ:
+            if tgt.id == TypeId.TIMETZ:
+                # wall clock in the session zone, carrying its offset
+                wall = self._tz_shift_expr(c, True, T.TIMESTAMP)
+                out = ir.Func("timetz_from_tz", [wall, c], T.TIMETZ)
+                return out
             if tgt.id == TypeId.TIMESTAMP:
                 return self._tz_shift_expr(c, True, T.TIMESTAMP)
             if tgt.id in (TypeId.DATE, TypeId.TIME):
@@ -3087,7 +3100,8 @@ class Binder:
         if isinstance(c, ir.Const) and c.dtype.id == TypeId.VARCHAR \
                 and getattr(c, "strdict", None) is not None:
             text = c.strdict.decode_one(c.value)
-            tgt = {"date": T.DATE, "timestamp": T.TIMESTAMP}.get(typename)
+            tgt = {"date": T.DATE, "timestamp": T.TIMESTAMP,
+                   "timetz": T.TIMETZ, "time": T.TIME}.get(typename)
             if typename in ("decimal", "numeric"):
                 tgt = T.DECIMAL(w or 18, s)
             elif typename in ("int", "integer", "bigint", "smallint",
@@ -3098,7 +3112,9 @@ class Binder:
                 tgt = T.DOUBLE
             if tgt is not None:
                 try:
-                    raw = _parse_text(text.strip(), tgt)
+                    raw = self._timetz_raw(text.strip()) \
+                        if tgt.id == TypeId.TIMETZ \
+                        else _parse_text(text.strip(), tgt)
                 except (ValueError, decimal.InvalidOperation,
                         OverflowError):
                     if try_:
@@ -3119,6 +3135,17 @@ class Binder:
             # typed NULL: keep it a constant (VALUES (NULL::INTEGER),
             # COALESCE folding, reference: BoundConstantExpression)
             return ir.Const(None, tgt)
+        if isinstance(c, ir.Const):
+            # constant TIMETZ packing/unpacking folds
+            if c.dtype.id == TypeId.TIME and tgt.id == TypeId.TIMETZ:
+                return ir.Const(T.timetz_pack(int(c.value), 0), tgt)
+            if c.dtype.id == TypeId.TIMETZ and tgt.id == TypeId.TIME:
+                wall, _ = T.timetz_unpack(int(c.value))
+                return ir.Const(wall % 86_400_000_000, tgt)
+            if c.dtype.id == TypeId.TIMESTAMP \
+                    and tgt.id == TypeId.TIMETZ:
+                return ir.Const(T.timetz_pack(
+                    int(c.value) % 86_400_000_000, 0), tgt)
         if isinstance(c, ir.Const) \
                 and c.dtype.id in (TypeId.TINYINT, TypeId.SMALLINT,
                                    TypeId.INTEGER, TypeId.BIGINT,
@@ -3160,6 +3187,30 @@ class Binder:
             return self._cast_from_varchar(c, tgt, try_)
         return ir.Cast(c, tgt)
 
+    def _session_timetz_offset(self) -> int:
+        """UTC offset (seconds) of the session TimeZone at the current
+        instant — offset-less TIMETZ strings attach it (reference: ICU
+        VARCHAR -> TIMETZ cast under SET TimeZone)."""
+        zone = self._session_tz()
+        if zone in (None, "UTC"):
+            return 0
+        try:
+            import time as _time
+            from .. import tz as tzmod
+            return int(tzmod.offset_at(int(_time.time() * 1e6), zone)
+                       // 1_000_000)
+        except Exception:
+            return 0
+
+    def _timetz_raw(self, text: str) -> int:
+        try:
+            wall, off = T.parse_time_text(text)
+        except ValueError:
+            return T.parse_timetz_text(text)   # timestamp-string form
+        if off is None:
+            off = self._session_timetz_offset()
+        return T.timetz_pack(wall, off)
+
     def _cast_from_varchar(self, c: ir.Expr, tgt: DataType,
                            try_: bool) -> ir.Expr:
         """VARCHAR -> typed cast as a bind-time per-code parse table
@@ -3177,7 +3228,8 @@ class Binder:
         for i in range(n):
             text = str(sd.values[i]).strip()
             try:
-                out[i] = _parse_text(text, tgt)
+                out[i] = self._timetz_raw(text) \
+                    if tgt.id == TypeId.TIMETZ else _parse_text(text, tgt)
             except (ValueError, decimal.InvalidOperation, OverflowError):
                 bad[i] = True
                 # '' may be the placeholder for NULL rows; never a strict
@@ -3229,6 +3281,20 @@ class Binder:
                 b = PB.expr_bounds(c, PB.node_bounds(plan))
             except Exception:
                 b = None
+        if b is None and t.id in (TypeId.TIME, TypeId.TIMETZ,
+                                  TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ,
+                                  TypeId.INTERVAL, TypeId.DATE):
+            # unbounded temporal columns stringify at EXECUTION time:
+            # a host callback formats the batch's actual values and
+            # fills a runtime output dictionary (same runtime-store
+            # seam as aggregate outputs)
+            out_sd = StringDictionary(np.array([], dtype=object))
+            out_sd.runtime = True
+            out = ir.Func("__stringify__", [c], T.VARCHAR)
+            out.extra = (t, getattr(c, "strdict", None), out_sd)
+            out.strdict = out_sd
+            self.uncacheable = True
+            return out
         if b is None:
             raise BindError(
                 f"cast {t} to varchar needs a bounded value domain "
@@ -6134,9 +6200,10 @@ def _parse_text(text: str, tgt: DataType):
         from .. import tz as tzmod
         return tzmod.parse_timestamptz(text, "UTC")
     if tgt.id == TypeId.TIME:
-        tm = datetime.time.fromisoformat(text)
-        return ((tm.hour * 60 + tm.minute) * 60 + tm.second) * 1_000_000 \
-            + tm.microsecond
+        wall, _off = T.parse_time_text(text)
+        return wall
+    if tgt.id == TypeId.TIMETZ:
+        return T.parse_timetz_text(text)
     raise ValueError(f"unsupported cast target {tgt}")
 
 
@@ -6147,10 +6214,7 @@ def _parse_text(text: str, tgt: DataType):
 def _host_stringify(raw, dtype: DataType, strdict) -> str:
     """Physical value -> DuckDB cast-to-VARCHAR text (reference:
     src/common/operator/string_cast.cpp)."""
-    if dtype.id == TypeId.BOOLEAN:
-        return "true" if raw else "false"
-    v = T.decode_value(raw, dtype, strdict)
-    return str(v)
+    return T.stringify_value(raw, dtype, strdict)
 
 
 def _host_coerce(d: np.ndarray, nulls, f: Field, target: DataType) -> list:

@@ -939,6 +939,8 @@ class Parser:
                 rows.append(row)
                 if not self.accept_op(","):
                     break
+                if not self.at("OP", "("):
+                    break       # trailing comma after the last row
             return A.InsertStmt(name, cols, values=rows)
         return A.InsertStmt(name, cols, select=self.select_stmt())
 
@@ -1110,7 +1112,13 @@ class Parser:
                     and self.peek().value not in _NON_ALIAS:
                 alias = self.next().value
             s.items.append((e, alias))
-            if not self.accept_op(","):
+            if self.accept_op(","):
+                if self.at_kw("from") or self.peek().kind == "EOF" \
+                        or (self.peek().kind == "OP"
+                            and self.peek().value in (")", ";")):
+                    break   # trailing comma before FROM / end
+                continue
+            if True:
                 break
         if self.accept_kw("from"):
             s.from_refs.append(self.table_ref())
@@ -1483,6 +1491,27 @@ class Parser:
             ref = self.table_ref()
             self.expect_op(")")
             return ref
+        if self.peek().kind == "STR":
+            # FROM 'file.csv' / 'file.parquet' / 'file.json': the path
+            # dispatches to the matching reader (reference: replacement
+            # scans, src/main/extension/extension_helper.cpp +
+            # read_csv replacement scan)
+            path = self.next().value
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.ident()
+            elif self.peek().kind == "IDENT" \
+                    and self.peek().value not in _NON_ALIAS:
+                alias = self.next().value
+            low = path.lower()
+            if low.endswith(".parquet") or low.endswith(".pq"):
+                fn = "read_parquet"
+            elif low.endswith(".json") or low.endswith(".ndjson") \
+                    or low.endswith(".jsonl"):
+                fn = "read_json_auto"
+            else:
+                fn = "read_csv_auto"
+            return A.RFunction(fn, [path], alias)
         name = self.ident()
         # qualified name: db.table (ATTACHed databases / main catalog)
         while self.at("OP", ".") and self.peek(1).kind in ("IDENT", "KW"):
@@ -1787,15 +1816,13 @@ class Parser:
             self.expect_op(")")
             return f"map<{kt}:{kw_}:{ks},{vt}:{vw}:{vs}>", 0, 0
         if name in ("time", "timestamp") and self.at_kw("with"):
-            # WITH TIME ZONE (reference: LogicalType::TIMESTAMP_TZ,
-            # src/include/duckdb/common/types.hpp).  TIMESTAMPTZ is a
-            # real logical type (UTC-instant micros on device); TIMETZ
-            # still aliases TIME.
+            # WITH TIME ZONE (reference: LogicalType::TIMESTAMP_TZ and
+            # TIME_TZ, src/include/duckdb/common/types.hpp) — both are
+            # real logical types here
             self.next()
             self.expect_word("time")
             self.expect_word("zone")
-            if name == "timestamp":
-                name = "timestamptz"
+            name = "timestamptz" if name == "timestamp" else "timetz"
         w = s = 0
         if self.accept_op("("):
             w = int(self.next().value)
@@ -1911,6 +1938,11 @@ class Parser:
                 self.next()
                 if self.peek().kind == "STR":
                     txt = self.next().value
+                elif self.at("OP", "("):
+                    # INTERVAL (expr) unit — parenthesized quantity
+                    self.next()
+                    txt = self.next().value
+                    self.expect_op(")")
                 else:
                     txt = self.next().value   # INTERVAL 3 MONTH
                 unit = None

@@ -35,6 +35,17 @@ _IGNORED_PRAGMAS = (
     "debug_", "force_", "threads",
 )
 
+# `require X` features this engine provides (the rest skip):
+# parquet/json read+write, ICU collations + timezones, tpch/tpcds data
+# generators vendored, autocomplete, 64-bit build, linux host, and the
+# storage/verification modes that are no-ops for a single-binary engine
+_SATISFIED_REQUIRES = {
+    "parquet", "json", "icu", "autocomplete", "64bit", "notwindows",
+    "skip_reload", "noforcestorage", "no_alternative_verify",
+    "no_extension_autoloading", "no_latest_storage",
+    "no_vector_verification", "noalternativeverify",
+}
+
 
 # session TimeZone used when rendering TIMESTAMPTZ values (the runner
 # refreshes this from the connection before formatting each result)
@@ -105,6 +116,24 @@ def _format_value(v) -> str:
             mm, _ss = divmod(rem, 60)
             return f"{base}{sign}{hh:02d}" + (f":{mm:02d}" if mm else "")
         return v.isoformat(sep=" ")
+    if isinstance(v, datetime.time):
+        base = v.replace(tzinfo=None).isoformat()
+        if len(base) == 5:
+            base += ":00"          # duckdb always prints seconds
+        if "." in base:
+            base = base.rstrip("0").rstrip(".")
+        if v.tzinfo is None:
+            return base
+        total = int(v.tzinfo.utcoffset(None).total_seconds())
+        sign = "+" if total >= 0 else "-"
+        hh, rem = divmod(abs(total), 3600)
+        mm, ss = divmod(rem, 60)
+        out = f"{base}{sign}{hh:02d}"
+        if mm or ss:
+            out += f":{mm:02d}"
+        if ss:
+            out += f":{ss:02d}"
+        return out
     if isinstance(v, datetime.date):
         if v == datetime.date.max:
             return "infinity"
@@ -253,8 +282,13 @@ def run_file(con, path: str, max_statements: Optional[int] = None
         d = tok[0].lower()
 
         if d == "require":
-            res.skipped_reason = f"require {tok[1]}"
-            return res
+            # capabilities this engine satisfies run on; anything else
+            # still skips (reference: require extension/flag gating)
+            feat = tok[1].lower()
+            if feat not in _SATISFIED_REQUIRES:
+                res.skipped_reason = f"require {tok[1]}"
+                return res
+            continue
         if d == "mode":
             skipping = tok[1] == "skip"
             continue

@@ -57,6 +57,7 @@ class TypeId(enum.Enum):
     UUID = 20
     UNION = 21
     TIMESTAMPTZ = 22
+    TIMETZ = 23
 
 
 _INT_IDS = (TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
@@ -90,6 +91,8 @@ class DataType:
             return f"MAP({self.child!r}, {self.child2!r})"
         if self.id == TypeId.TIMESTAMPTZ:
             return "TIMESTAMP WITH TIME ZONE"
+        if self.id == TypeId.TIMETZ:
+            return "TIME WITH TIME ZONE"
         return self.id.name
 
     # ---- classification --------------------------------------------------
@@ -109,7 +112,7 @@ class DataType:
     @property
     def is_temporal(self) -> bool:
         return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP,
-                           TypeId.TIMESTAMPTZ)
+                           TypeId.TIMESTAMPTZ, TypeId.TIMETZ)
 
     @property
     def is_wide(self) -> bool:
@@ -143,6 +146,10 @@ _PHYSICAL = {
     TypeId.TIME: np.int64,
     TypeId.TIMESTAMP: np.int64,
     TypeId.TIMESTAMPTZ: np.int64,   # UTC instant, micros since epoch
+    TypeId.TIMETZ: np.int64,   # utc_micros * 2^17 + (57599 - offset_sec):
+                               # raw order = UTC instant, ties broken by
+                               # DESCENDING offset (matches the reference's
+                               # dtime_tz comparison semantics)
     TypeId.INTERVAL: np.int64,   # micros; months handled at bind time
     TypeId.VARCHAR: np.int32,    # dictionary code
     TypeId.NULL: np.int32,
@@ -194,6 +201,136 @@ DATE = DataType(TypeId.DATE)
 TIME = DataType(TypeId.TIME)
 TIMESTAMP = DataType(TypeId.TIMESTAMP)
 TIMESTAMPTZ = DataType(TypeId.TIMESTAMPTZ)
+TIMETZ = DataType(TypeId.TIMETZ)
+
+
+_TIMETZ_MAX_OFF = 57599            # +/- 15:59:59 like the reference
+
+
+class Hour24Time(datetime.time):
+    """The valid DuckDB TIME value 24:00:00, which datetime.time cannot
+    represent — renders as 24:00:00, compares as midnight."""
+
+    def __new__(cls, tzinfo=None):
+        return super().__new__(cls, 0, 0, 0, 0, tzinfo)
+
+    def isoformat(self, *a):
+        return "24:00:00"
+
+    def __str__(self):
+        return "24:00:00"
+
+    def replace(self, *a, **kw):
+        if set(kw) <= {"tzinfo"} and not a:
+            return Hour24Time(kw.get("tzinfo"))
+        return datetime.time(0, 0).replace(*a, **kw)
+
+
+def timetz_pack(wall_us: int, offset_sec: int) -> int:
+    utc = wall_us - offset_sec * 1_000_000
+    return utc * 131072 + (_TIMETZ_MAX_OFF - offset_sec)
+
+
+def timetz_unpack(raw: int):
+    utc, enc = divmod(int(raw), 131072)
+    off = _TIMETZ_MAX_OFF - enc
+    return utc + off * 1_000_000, off
+
+
+import re as _re
+
+_TIME_RE = _re.compile(
+    r"^(\d{1,2}):(\d{0,2})(?::(\d{0,2})(\.\d+)?)?"
+    r"(?:\s*([+-])(\d{2})(?::?(\d{2}))?(?::?(\d{2}))?)?$")
+
+
+def parse_time_text(text: str):
+    """HH:MM[:SS[.ffffff]][±HH[:MM[:SS]]] -> (wall_us, offset_sec|None).
+    Accepts hour 24, empty minutes ('11:'), and compact ±HHMM offsets
+    (reference: Time::TryConvertTime / dtime_tz parsing)."""
+    txt = str(text).strip()
+    m = _TIME_RE.match(txt)
+    if m is None:
+        # date / timestamp strings cast to their time-of-day (reference:
+        # Time::TryConvertTime falls back through timestamp parsing;
+        # date-only strings yield midnight)
+        import datetime as _dt
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%m/%d/%Y",
+                    "%m/%d/%y"):
+            try:
+                dt = _dt.datetime.strptime(txt, fmt)
+                us = ((dt.hour * 60 + dt.minute) * 60 + dt.second) \
+                    * 1_000_000 + dt.microsecond
+                return us, None
+            except ValueError:
+                continue
+        try:
+            dt = _dt.datetime.fromisoformat(txt)
+            us = ((dt.hour * 60 + dt.minute) * 60 + dt.second) \
+                * 1_000_000 + dt.microsecond
+            return us, None
+        except ValueError:
+            pass
+        raise ValueError(f"invalid time '{text}'")
+    h = int(m.group(1))
+    mi = int(m.group(2) or 0)
+    se = int(m.group(3) or 0)
+    frac = m.group(4)
+    # fraction TRUNCATES past micros (reference: Time::TryConvertTime)
+    us = int((frac[1:] + "000000")[:6]) if frac else 0
+    if h > 24 or mi > 59 or se > 59 or (h == 24 and (mi or se or us)):
+        raise ValueError(f"invalid time '{text}'")
+    wall = ((h * 60 + mi) * 60 + se) * 1_000_000 + us
+    off = None
+    if m.group(5):
+        sign = -1 if m.group(5) == "-" else 1
+        oh = int(m.group(6))
+        om = int(m.group(7) or 0)
+        os_ = int(m.group(8) or 0)
+        off = sign * (oh * 3600 + om * 60 + os_)
+        if abs(off) > _TIMETZ_MAX_OFF:
+            raise ValueError(f"time offset out of range '{text}'")
+    return wall, off
+
+
+def parse_timetz_text(text: str) -> int:
+    import datetime
+    txt = str(text).strip()
+    try:
+        wall, off = parse_time_text(txt)
+        return timetz_pack(wall, off or 0)
+    except ValueError:
+        pass
+    # timestamp strings cast by their time-of-day (reference:
+    # CastTimestampToTimeTz)
+    tm = datetime.datetime.fromisoformat(txt).timetz()
+    us = ((tm.hour * 60 + tm.minute) * 60 + tm.second) * 1_000_000 \
+        + tm.microsecond
+    off = 0
+    if tm.tzinfo is not None:
+        off = int(tm.tzinfo.utcoffset(None).total_seconds())
+    return timetz_pack(us, off)
+
+
+def format_timetz(raw: int) -> str:
+    wall, off = timetz_unpack(int(raw))
+    wall %= 86_400_000_000
+    s, us = divmod(wall, 1_000_000)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    t = f"{h:02d}:{m:02d}:{s:02d}"
+    if us:
+        t += f".{us:06d}".rstrip("0")
+    sign = "+" if off >= 0 else "-"
+    ao = abs(off)
+    oh, rem = divmod(ao, 3600)
+    om, os_ = divmod(rem, 60)
+    t += f"{sign}{oh:02d}"
+    if om or os_:
+        t += f":{om:02d}"
+    if os_:
+        t += f":{os_:02d}"
+    return t
 INTERVAL = DataType(TypeId.INTERVAL)
 VARCHAR = DataType(TypeId.VARCHAR)
 SQLNULL = DataType(TypeId.NULL)
@@ -303,10 +440,22 @@ def encode_literal(v, t: DataType):
         return td_micros(d)
     if t.id == TypeId.TIME:
         if isinstance(v, str):
-            v = datetime.time.fromisoformat(v.strip())
+            wall, _off = parse_time_text(v)
+            return wall
         if isinstance(v, datetime.time):
             return ((v.hour * 60 + v.minute) * 60 + v.second) \
                 * 1_000_000 + v.microsecond
+        return int(v)
+    if t.id == TypeId.TIMETZ:
+        if isinstance(v, str):
+            return parse_timetz_text(v)
+        if isinstance(v, datetime.time):
+            us = ((v.hour * 60 + v.minute) * 60 + v.second) \
+                * 1_000_000 + v.microsecond
+            off = 0
+            if v.tzinfo is not None:
+                off = int(v.tzinfo.utcoffset(None).total_seconds())
+            return timetz_pack(us, off)
         return int(v)
     if t.id == TypeId.BOOLEAN:
         return bool(v)
@@ -365,11 +514,23 @@ def decode_value(raw, t: DataType, strdict=None):
             1970, 1, 1, tzinfo=datetime.timezone.utc) \
             + datetime.timedelta(microseconds=int(raw))
     if t.id == TypeId.TIME:
+        if int(raw) == 86_400_000_000:
+            return Hour24Time()
         us = int(raw) % 86_400_000_000
         s, us = divmod(us, 1_000_000)
         h, s = divmod(s, 3600)
         m, s = divmod(s, 60)
         return datetime.time(h, m, s, us)
+    if t.id == TypeId.TIMETZ:
+        wall, off = timetz_unpack(int(raw))
+        tzi = datetime.timezone(datetime.timedelta(seconds=off))
+        if wall == 86_400_000_000:
+            return Hour24Time(tzi)
+        wall %= 86_400_000_000
+        sec, us = divmod(wall, 1_000_000)
+        h, sec = divmod(sec, 3600)
+        m, sec = divmod(sec, 60)
+        return datetime.time(h % 24, m, sec, us, tzinfo=tzi)
     if t.id == TypeId.INTERVAL:
         return datetime.timedelta(microseconds=int(raw))
     if t.id == TypeId.BOOLEAN:
@@ -386,3 +547,32 @@ def decode_value(raw, t: DataType, strdict=None):
             raise ValueError(f"{t.id.name} column requires a store")
         return strdict.decode_one(int(raw))
     return int(raw)
+
+
+def stringify_value(raw, dtype: "DataType", strdict=None) -> str:
+    """Physical value -> DuckDB cast-to-VARCHAR text (reference:
+    src/common/operator/string_cast.cpp).  Fractional seconds print
+    with trailing zeros stripped like the reference."""
+    if dtype.id == TypeId.BOOLEAN:
+        return "true" if raw else "false"
+    if dtype.id == TypeId.TIMETZ:
+        return format_timetz(int(raw))
+    if dtype.id == TypeId.TIME:
+        us = int(raw)
+        s_, usec = divmod(us, 1_000_000)
+        h, s_ = divmod(s_, 3600)
+        m, s_ = divmod(s_, 60)
+        t = f"{h:02d}:{m:02d}:{s_:02d}"
+        if usec:
+            t += f".{usec:06d}".rstrip("0")
+        return t
+    v = decode_value(raw, dtype, strdict)
+    if dtype.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and isinstance(v, datetime.datetime):
+        base = v.replace(tzinfo=None).isoformat(sep=" ")
+        if "." in base:
+            base = base.rstrip("0").rstrip(".")
+        if dtype.id == TypeId.TIMESTAMPTZ:
+            base += "+00"
+        return base
+    return str(v)

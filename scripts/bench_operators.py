@@ -129,11 +129,10 @@ def main(only=None):
 
 
 def _bench_hbm_probe(results, n, rng, jax, lax, jnp):
-    """Measured streaming-read bandwidth: the realizable roofline basis
-    for bandwidth-bound operators (the nominal 819 GB/s spec is not
-    sustained in practice; fractions against it can exceed 1.0 only
-    through measurement bugs, so score against what a pure 3-column
-    reduction actually achieves on this chip)."""
+    """Measured sustained streaming-read bandwidth, recorded as
+    evidence next to the nominal-spec rooflines (the spec is not fully
+    sustained in practice — this probe shows how much of it a pure
+    3-column reduction achieves, ~0.80 on this chip)."""
     a = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     b = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     c = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
@@ -144,11 +143,13 @@ def _bench_hbm_probe(results, n, rng, jax, lax, jnp):
         # results (an (acc & 1) version collapsed to the timing floor —
         # XLA hoisted BOTH parity variants out of the loop)
         def body(i, acc):
+            # t must appear inside EVERY column's use: a fused
+            # ((a^b^c) > t) form let XLA hoist the xor out of the loop
+            # and read 7x the chip's bandwidth
             t = (acc % 1021).astype(jnp.int32)
-            # single fused reduction over all three columns: three
-            # separate sums cost ~3% extra tree overhead and made the
-            # filter row read 1.03 of this basis
-            return acc + ((a ^ b ^ c) > t).astype(jnp.int32).sum()
+            return acc + (a > t).astype(jnp.int32).sum() \
+                + (b > t).astype(jnp.int32).sum() \
+                + (c > t).astype(jnp.int32).sum()
         import jax.lax as _lax
         return _lax.fori_loop(0, reps, body, jnp.zeros((), jnp.int64))
 
@@ -158,7 +159,9 @@ def _bench_hbm_probe(results, n, rng, jax, lax, jnp):
         "rows_per_sec": n / t,
         "bytes_per_sec": 12 * n / t,
         "roofline": HBM_BW / 12,
-        "config": "3x int32 streaming reduction (measured HBM basis)",
+        "config": "3x int32 streaming reduction (sustained-bandwidth "
+                  "evidence; op rooflines score against the nominal "
+                  "spec so no fraction can exceed 1.0 by construction)",
     })
 
 
@@ -192,8 +195,10 @@ def _bench_filter(results, n, rng, jax, lax, jnp):
     t = bench_carried(loop_filter, 100, 1000, a, b, c)
     results["filter"] = _stamp({
         "rows_per_sec": n / t,
-        "roofline": _probe_bw(results) / 12,   # 3 int32 reads
-        "roofline_basis": "measured streaming bandwidth (_hbm_probe)",
+        "roofline": HBM_BW / 12,               # 3 int32 reads
+        "roofline_basis": "nominal v5e HBM spec (819 GB/s); measured "
+                          "sustained bandwidth is ~0.80 of this "
+                          "(_hbm_probe)",
         "config": "3-column conjunctive predicate (all thresholds "
                   "loop-carried), 6.3M rows",
     })
@@ -267,8 +272,8 @@ def _bench_aggregate(results, n, rng, jax, lax, jnp):
     t = bench_loop(agg_step, 60, 660, qty, ext, dc, tx, sd, gid)
     results["aggregate"] = _stamp({
         "rows_per_sec": n / t,
-        "roofline": _probe_bw(results) / 24,   # 6 int32 columns
-        "roofline_basis": "measured streaming bandwidth (_hbm_probe)",
+        "roofline": HBM_BW / 24,               # 6 int32 columns
+        "roofline_basis": "nominal v5e HBM spec (819 GB/s)",
         "config": "Q1 fused filter + 6-group x 8-payload aggregate",
     })
 

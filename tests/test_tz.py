@@ -107,3 +107,58 @@ def test_current_date_and_timestamp():
     off = (lts2 - datetime.datetime.now(UTC).replace(tzinfo=None)
            ).total_seconds()
     assert -6 * 3600 < off < -3 * 3600   # NY is UTC-4/-5
+
+
+def test_timetz_real_type():
+    """TIMETZ as a real logical type (round-5): UTC-instant ordering
+    with descending-offset tiebreak, session-zone attachment for
+    offset-less strings, TIME/TIMESTAMPTZ casts (reference: dtime_tz_t,
+    src/include/duckdb/common/types/time.hpp; oracle-verified)."""
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    assert con.execute(
+        "select timetz '10:00:00+05' < timetz '06:30:00+00'"
+    ).fetchall() == [(True,)]
+    assert con.execute(
+        "select timetz '10:00:00+05' = timetz '05:00:00+00'"
+    ).fetchall() == [(False,)]
+    assert con.execute(
+        "select (timetz '10:00:00+05')::varchar").fetchall() \
+        == [('10:00:00+05',)]
+    assert con.execute(
+        "select ('2023-08-20 16:15:03.123456'::TIMESTAMP::TIMETZ)"
+        "::varchar").fetchall() == [('16:15:03.123456+00',)]
+    # ORDER BY = UTC order, ties broken by larger offset first
+    rows = con.execute(
+        "select t::varchar from (select unnest([timetz '05:00:00+00', "
+        "timetz '10:00:00+05', timetz '00:00:00-05']) as t) "
+        "order by t").fetchall()
+    assert [r[0] for r in rows] == \
+        ['10:00:00+05', '05:00:00+00', '00:00:00-05']
+    # session zone attaches to offset-less strings
+    con.execute("SET TimeZone='Asia/Singapore'")
+    con.execute("create table stz(t timetz)")
+    con.execute("insert into stz values ('12:34:56')")
+    assert con.execute("select t::varchar from stz").fetchall() \
+        == [('12:34:56+08',)]
+    con.execute("SET TimeZone='UTC'")
+
+
+def test_time_parsing_edges():
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    assert con.execute("select try_cast('11' as time)").fetchall() \
+        == [(None,)]
+    assert con.execute(
+        "select try_cast('11:' as time)::varchar").fetchall() \
+        == [('11:00:00',)]
+    assert con.execute(
+        "select '14:42:04.999999999'::TIME::VARCHAR").fetchall() \
+        == [('14:42:04.999999',)]
+    assert con.execute(
+        "select ('2021-08-20'::TIME)::varchar").fetchall() \
+        == [('00:00:00',)]
+    # 24:00:00 is a valid TIME and survives rendering
+    assert str(con.execute(
+        "select try_cast('24:00:00' as time)").fetchall()[0][0]) \
+        == "24:00:00"
