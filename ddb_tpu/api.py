@@ -325,6 +325,8 @@ class Connection:
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
         self._udfs: Dict[str, tuple] = {}     # UDF name -> (fn, dtype)
+        # table-function registry: name -> (producer, [(col, dtype)])
+        self._table_fns: Dict[str, tuple] = {}
         self._db_path: Optional[str] = None   # opened database file
         self._wal = None                      # WriteAheadLog appender
         self._replaying = False               # suppress logging in replay
@@ -468,11 +470,25 @@ class Connection:
             rt = resolve_typename(return_type, 0, 0)
         else:
             rt = return_type
-        if rt.id == TypeId.VARCHAR:
-            raise NotImplementedError(
-                "VARCHAR-returning UDFs are not supported yet "
-                "(device pipelines need a bounded return domain)")
         self._udfs[name.lower()] = (fn, rt)
+        self.catalog.bump()
+        return self
+
+    def create_table_function(self, name: str, fn,
+                              columns) -> "Connection":
+        """Register a Python table function callable from SQL FROM
+        clauses (reference: duckdb_create_table_function,
+        src/include/duckdb.h).  `fn(*args)` returns an iterable of row
+        tuples; `columns` is a list of (name, type) pairs (DataType or
+        SQL type-name strings)."""
+        from . import types as T
+        from .sql.binder import resolve_typename
+        cols = []
+        for cn, ct in columns:
+            if isinstance(ct, str):
+                ct = resolve_typename(ct.lower(), 0, 0)
+            cols.append((str(cn), ct))
+        self._table_fns[name.lower()] = (fn, cols)
         self.catalog.bump()
         return self
 

@@ -137,3 +137,18 @@ def register_scalar(con, name: str, callable_, ret_code: int):
         raise ValueError(f"bad return type code {ret_code}")
     con.create_function(name, callable_, T.DataType(tid))
     return True
+
+
+def register_table(con, name: str, callable_, names, type_codes):
+    """Register a C-trampoline table function (reference:
+    duckdb_create_table_function; the callable returns the full row
+    list per invocation, built by native/capi.c)."""
+    from . import types as T
+    cols = []
+    for cn, code in zip(names, type_codes):
+        tid = _CODE_TO_TYPE.get(int(code))
+        if tid is None:
+            raise ValueError(f"bad column type code {code}")
+        cols.append((str(cn), T.DataType(tid)))
+    con.create_table_function(name, callable_, cols)
+    return True

@@ -262,11 +262,33 @@ def _eval_inlist(e: ir.InList, b: Batch):
 def _eval_dictlookup(e: ir.DictLookup, b: Batch):
     d, n = evaluate(e.child, b)
     if callable(e.table):
-        # lazy table: rebuilt at evaluation (trace) time from a
-        # runtime-filled store (aggregate/window output dictionaries)
-        raw_table, raw_nulls = e.table()
-    else:
-        raw_table, raw_nulls = e.table, e.null_table
+        # lazy table over a runtime-filled store: the lookup itself runs
+        # through pure_callback so the table is built at EXECUTION time,
+        # after whatever fills the store (the data dependency on the
+        # codes orders it after same-kernel producers like __pyudf__)
+        cap = d.shape[0]
+        out_np = np.dtype(e.dtype.np_dtype)
+
+        def host(codes):
+            raw_table, raw_nulls = e.table()
+            c = np.asarray(codes).astype(np.int64)
+            if e.base:
+                c = c - e.base
+            nn = np.zeros(cap, dtype=bool)
+            if len(raw_table) == 0:
+                return (np.zeros(cap, dtype=out_np),
+                        np.ones(cap, dtype=bool))
+            c = np.clip(c, 0, len(raw_table) - 1)
+            out = np.asarray(raw_table)[c].astype(out_np)
+            if raw_nulls is not None:
+                nn = np.asarray(raw_nulls)[c]
+            return out, nn
+
+        out, nn = jax.pure_callback(
+            host, (jax.ShapeDtypeStruct((cap,), out_np),
+                   jax.ShapeDtypeStruct((cap,), np.bool_)), d)
+        return out, _or_nulls(n, nn)
+    raw_table, raw_nulls = e.table, e.null_table
     table = jnp.asarray(raw_table)
     if table.shape[0] == 0:      # empty dictionary (e.g. empty table)
         nulls = n

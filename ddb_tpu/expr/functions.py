@@ -123,6 +123,7 @@ def dispatch(e: ir.Func, batch, evaluate):
         import numpy as np
         fn, arg_dicts = e.extra[0], e.extra[1]
         pass_nulls = len(e.extra) > 2 and e.extra[2]
+        out_sd = e.extra[3] if len(e.extra) > 3 else None
         vals, nulls = [], []
         for a in e.args:
             d, nl = evaluate(a, batch)
@@ -131,6 +132,7 @@ def dispatch(e: ir.Func, batch, evaluate):
         cap = batch.sel.shape[0]
         out_np = np.dtype(e.dtype.np_dtype)
         k = len(vals)
+        stringify = out_sd is not None
         null_args = [nl if nl is not None
                      else jnp.zeros(cap, dtype=bool) for nl in nulls]
 
@@ -156,6 +158,9 @@ def dispatch(e: ir.Func, batch, evaluate):
             ncols = [np.asarray(x) for x in arrs[k:]]
             outv = np.zeros(cap, dtype=out_np)
             outn = np.zeros(cap, dtype=bool)
+            texts = np.empty(cap, dtype=object) if stringify else None
+            if stringify:
+                texts[:] = ""
             for i, row in enumerate(zip(*cols) if cols
                                     else ((),) * cap):
                 if not live_np[i]:
@@ -167,9 +172,21 @@ def dispatch(e: ir.Func, batch, evaluate):
                     v = fn(*row)
                 if v is None:
                     outn[i] = True
-                    outv[i] = out_np.type(0)
+                    if not stringify:
+                        outv[i] = out_np.type(0)
+                elif stringify:
+                    texts[i] = str(v)
                 else:
                     outv[i] = v
+            if stringify:
+                lv = ~outn & live_np
+                uniq = np.unique(texts[lv].astype(str)) if lv.any() \
+                    else np.array([], dtype=object)
+                out_sd.values = uniq.astype(object)
+                out_sd._lookup = None
+                if lv.any():
+                    outv[lv] = np.searchsorted(
+                        uniq, texts[lv].astype(str)).astype(out_np)
             return outv, outn
 
         out, udf_null = jax.pure_callback(

@@ -1206,6 +1206,32 @@ class Binder:
                 sub = A.RSubquery(sel, ref.alias or ref.name,
                                   getattr(ref, "column_aliases", None))
                 return self._bind_ref(sub)
+            # user-registered table functions (reference:
+            # duckdb_create_table_function; Connection
+            # .create_table_function) take priority over built-ins
+            ureg = getattr(self.context, "_table_fns", None) \
+                if self.context is not None else None
+            ufn = (ureg or {}).get(ref.name.lower())
+            if ufn is not None:
+                producer, cols = ufn
+                args = []
+                for a in (ref.args or ()):
+                    if isinstance(a, A.EExpr):
+                        from ..api import _const_python_value
+                        args.append(_const_python_value(
+                            self.bind_expr(a, Scope())))
+                    else:
+                        args.append(a)
+                rows = list(producer(*args))
+                td = _rows_to_table(ref.name, rows, cols)
+                plan = L.Get(td, list(range(len(td.schema))))
+                sc = Scope()
+                schema = plan.schema
+                if getattr(ref, "column_aliases", None):
+                    schema = schema.rename(ref.column_aliases)
+                sc.add((ref.alias or ref.name).lower(), schema)
+                self.uncacheable = True
+                return plan, sc
             from ..table_functions import TABLE_FUNCTIONS
             fn = TABLE_FUNCTIONS.get(ref.name.lower())
             if fn is None:
@@ -4028,8 +4054,17 @@ class Binder:
             bargs = [self.bind_expr(a, scope, agg_ctx, group_map,
                                     sub_replacements) for a in e.args]
             out = ir.Func("__pyudf__", bargs, ret_dtype)
-            out.extra = (fn, [getattr(a, "strdict", None)
-                              for a in bargs])
+            if ret_dtype.id == TypeId.VARCHAR:
+                # string results land in a runtime dictionary the
+                # callback fills (same seam as __stringify__)
+                out_sd = StringDictionary(np.array([], dtype=object))
+                out_sd.runtime = True
+                out.strdict = out_sd
+                out.extra = (fn, [getattr(a, "strdict", None)
+                                  for a in bargs], False, out_sd)
+            else:
+                out.extra = (fn, [getattr(a, "strdict", None)
+                                  for a in bargs])
             self.uncacheable = True
             return out
         raise BindError(f"unknown function {name}")
@@ -6289,3 +6324,27 @@ def _tabledata_from_rows(name: str, tfields, rows):
             cols.append(TableColumn(f.name, f.dtype, data,
                                     nulls if nulls.any() else None))
     return TableData(name, cols)
+
+
+def _rows_to_table(name, rows, cols):
+    """Python row tuples + declared (name, DataType) columns ->
+    TableData (user table functions, C table-function trampolines)."""
+    from ..storage.strings import StringDictionary
+    from ..storage.table import TableColumn, TableData
+
+    out = []
+    for j, (cn, ct) in enumerate(cols):
+        vals = [r[j] if j < len(r) else None for r in rows]
+        nulls = np.array([v is None for v in vals], dtype=bool)
+        if ct.id == TypeId.VARCHAR:
+            sd, codes, n2 = StringDictionary.encode(
+                [None if v is None else str(v) for v in vals])
+            out.append(TableColumn(cn, ct, codes,
+                                   nulls if nulls.any() else None,
+                                   strdict=sd))
+            continue
+        data = np.array([0 if v is None else T.encode_literal(v, ct)
+                         for v in vals], dtype=ct.np_dtype)
+        out.append(TableColumn(cn, ct, data,
+                               nulls if nulls.any() else None))
+    return TableData(f"__tf_{name}", out)

@@ -42,6 +42,10 @@ struct ddb_result_t {
     char **names;
     ddb_type *types;
     ddb_cell **cols;           /* [col][row] */
+    /* lazily-built Arrow-layout export buffers (per column) */
+    void **abuf;
+    uint8_t **avalid;
+    int32_t **aoffs;
 };
 
 struct ddb_prepared_t {
@@ -272,6 +276,16 @@ void ddb_destroy_result(ddb_result *res) {
     free(r->cols);
     free(r->names);
     free(r->types);
+    if (r->abuf) {
+        for (size_t j = 0; j < r->ncols; j++) {
+            free(r->abuf[j]);
+            if (r->avalid) free(r->avalid[j]);
+            if (r->aoffs) free(r->aoffs[j]);
+        }
+        free(r->abuf);
+        free(r->avalid);
+        free(r->aoffs);
+    }
     free(r);
     *res = NULL;
 }
@@ -656,6 +670,219 @@ ddb_state ddb_register_scalar_function(ddb_connection con,
                                       "OsOi", con->con, name, callable,
                                       (int)return_type);
     Py_DECREF(callable);
+    if (!r) {
+        set_py_error(con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}
+
+/* ------------------------------------------------------------------ */
+/* columnar (Arrow-compatible) export: lazily build contiguous typed
+ * buffers + validity bitmaps from the materialized cells (reference:
+ * duckdb_result_get_chunk / arrow export, src/main/capi/arrow-c.cpp). */
+
+ddb_state ddb_result_arrow_column(ddb_result res, size_t col,
+                                  ddb_arrow_column *out) {
+    if (!res || !out || col >= res->ncols) return DDB_ERROR;
+    if (!res->abuf) {
+        res->abuf = calloc(res->ncols, sizeof(void *));
+        res->avalid = calloc(res->ncols, sizeof(uint8_t *));
+        res->aoffs = calloc(res->ncols, sizeof(int32_t *));
+        if (!res->abuf || !res->avalid || !res->aoffs) return DDB_ERROR;
+    }
+    size_t n = res->nrows;
+    if (!res->abuf[col]) {
+        ddb_cell *cells = res->cols[col];
+        ddb_type t = res->types[col];
+        int has_null = 0;
+        for (size_t i = 0; i < n; i++)
+            if (cells[i].is_null) { has_null = 1; break; }
+        if (has_null) {
+            uint8_t *bm = calloc((n + 7) / 8, 1);
+            if (!bm) return DDB_ERROR;
+            for (size_t i = 0; i < n; i++)
+                if (!cells[i].is_null) bm[i >> 3] |= (uint8_t)(1u << (i & 7));
+            res->avalid[col] = bm;
+        }
+        if (t == DDB_TYPE_VARCHAR || t == DDB_TYPE_BLOB) {
+            int32_t *offs = malloc((n + 1) * sizeof(int32_t));
+            if (!offs) return DDB_ERROR;
+            size_t total = 0;
+            offs[0] = 0;
+            for (size_t i = 0; i < n; i++) {
+                size_t l = (!cells[i].is_null && cells[i].s)
+                           ? strlen(cells[i].s) : 0;
+                total += l;
+                offs[i + 1] = (int32_t)total;
+            }
+            char *buf = malloc(total ? total : 1);
+            if (!buf) { free(offs); return DDB_ERROR; }
+            for (size_t i = 0; i < n; i++) {
+                size_t l = (size_t)(offs[i + 1] - offs[i]);
+                if (l) memcpy(buf + offs[i], cells[i].s, l);
+            }
+            res->abuf[col] = buf;
+            res->aoffs[col] = offs;
+        } else if (t == DDB_TYPE_FLOAT || t == DDB_TYPE_DOUBLE) {
+            double *buf = malloc(n ? n * sizeof(double) : 1);
+            if (!buf) return DDB_ERROR;
+            for (size_t i = 0; i < n; i++)
+                buf[i] = cells[i].is_null ? 0.0 : cells[i].d;
+            res->abuf[col] = buf;
+        } else {
+            int64_t *buf = malloc(n ? n * sizeof(int64_t) : 1);
+            if (!buf) return DDB_ERROR;
+            for (size_t i = 0; i < n; i++)
+                buf[i] = cells[i].is_null ? 0 : cells[i].i;
+            res->abuf[col] = buf;
+        }
+    }
+    out->data = res->abuf[col];
+    out->validity = res->avalid[col];
+    out->offsets = res->aoffs[col];
+    out->length = n;
+    return DDB_SUCCESS;
+}
+
+/* ------------------------------------------------------------------ */
+/* table-function registration: a C row producer becomes a Python
+ * callable that materializes the full row list per call; the engine
+ * wraps it via Connection.create_table_function (reference:
+ * duckdb_create_table_function, src/main/capi/table_function-c.cpp). */
+
+struct ddb_table_ctx {
+    ddb_table_fn fn;
+    size_t ncols;
+    void *extra;
+    ddb_type types[32];
+};
+
+static void table_ctx_free(PyObject *capsule) {
+    void *p = PyCapsule_GetPointer(capsule, "ddb_table_ctx");
+    free(p);
+}
+
+static PyObject *table_trampoline(PyObject *self, PyObject *args) {
+    struct ddb_table_ctx *ctx =
+        PyCapsule_GetPointer(self, "ddb_table_ctx");
+    if (!ctx) return NULL;
+    size_t nargs = (size_t)PyTuple_Size(args);
+    if (nargs > 16) {
+        PyErr_SetString(PyExc_TypeError,
+                        "table function supports up to 16 args");
+        return NULL;
+    }
+    ddb_value vals[16];
+    PyObject *strrefs[16] = {0};
+    for (size_t k = 0; k < nargs; k++) {
+        PyObject *a = PyTuple_GetItem(args, k);
+        ddb_value *v = &vals[k];
+        memset(v, 0, sizeof(*v));
+        if (a == Py_None) {
+            v->is_null = 1;
+        } else if (PyBool_Check(a)) {
+            v->i = (a == Py_True);
+            v->d = (double)v->i;
+        } else if (PyLong_Check(a)) {
+            v->i = PyLong_AsLongLong(a);
+            v->d = (double)v->i;
+        } else if (PyFloat_Check(a)) {
+            v->d = PyFloat_AsDouble(a);
+            v->i = (int64_t)v->d;
+        } else if (PyUnicode_Check(a)) {
+            strrefs[k] = PyUnicode_AsUTF8String(a);
+            if (!strrefs[k]) return NULL;
+            v->s = PyBytes_AsString(strrefs[k]);
+        }
+    }
+    PyObject *rows = PyList_New(0);
+    if (!rows) goto fail;
+    for (uint64_t idx = 0;; idx++) {
+        ddb_value row[32];
+        memset(row, 0, sizeof(row));
+        if (!ctx->fn(vals, nargs, idx, row, ctx->ncols, ctx->extra))
+            break;
+        PyObject *tup = PyTuple_New((Py_ssize_t)ctx->ncols);
+        if (!tup) goto fail;
+        for (size_t j = 0; j < ctx->ncols; j++) {
+            PyObject *cell;
+            if (row[j].is_null) {
+                cell = Py_None;
+                Py_INCREF(cell);
+            } else if (ctx->types[j] == DDB_TYPE_FLOAT
+                       || ctx->types[j] == DDB_TYPE_DOUBLE) {
+                cell = PyFloat_FromDouble(row[j].d);
+            } else if (ctx->types[j] == DDB_TYPE_VARCHAR) {
+                cell = PyUnicode_FromString(row[j].s ? row[j].s : "");
+            } else if (ctx->types[j] == DDB_TYPE_BOOLEAN) {
+                cell = PyBool_FromLong(row[j].i != 0);
+            } else {
+                cell = PyLong_FromLongLong(row[j].i);
+            }
+            if (!cell) { Py_DECREF(tup); goto fail; }
+            PyTuple_SET_ITEM(tup, (Py_ssize_t)j, cell);
+        }
+        if (PyList_Append(rows, tup) != 0) { Py_DECREF(tup); goto fail; }
+        Py_DECREF(tup);
+    }
+    for (size_t k = 0; k < nargs; k++) Py_XDECREF(strrefs[k]);
+    return rows;
+fail:
+    for (size_t k = 0; k < nargs; k++) Py_XDECREF(strrefs[k]);
+    Py_XDECREF(rows);
+    return NULL;
+}
+
+static PyMethodDef table_trampoline_def = {
+    "__ddb_table__", table_trampoline, METH_VARARGS, NULL};
+
+ddb_state ddb_register_table_function(ddb_connection con,
+                                      const char *name,
+                                      ddb_table_fn fn,
+                                      const char **col_names,
+                                      const ddb_type *col_types,
+                                      size_t ncols, void *extra) {
+    if (!con || !name || !fn || !col_names || !col_types
+        || ncols == 0 || ncols > 32)
+        return DDB_ERROR;
+    if (ensure_bridge() != 0) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    struct ddb_table_ctx *ctx = calloc(1, sizeof(*ctx));
+    ctx->fn = fn;
+    ctx->ncols = ncols;
+    ctx->extra = extra;
+    for (size_t j = 0; j < ncols; j++) ctx->types[j] = col_types[j];
+    PyObject *capsule = PyCapsule_New(ctx, "ddb_table_ctx",
+                                      table_ctx_free);
+    if (!capsule) {
+        free(ctx);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *callable = PyCFunction_New(&table_trampoline_def, capsule);
+    Py_DECREF(capsule);
+    if (!callable) {
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *names = PyList_New((Py_ssize_t)ncols);
+    PyObject *codes = PyList_New((Py_ssize_t)ncols);
+    for (size_t j = 0; j < ncols; j++) {
+        PyList_SET_ITEM(names, (Py_ssize_t)j,
+                        PyUnicode_FromString(col_names[j]));
+        PyList_SET_ITEM(codes, (Py_ssize_t)j,
+                        PyLong_FromLong((long)col_types[j]));
+    }
+    PyObject *r = PyObject_CallMethod(g_bridge, "register_table",
+                                      "OsOOO", con->con, name, callable,
+                                      names, codes);
+    Py_DECREF(callable);
+    Py_DECREF(names);
+    Py_DECREF(codes);
     if (!r) {
         set_py_error(con);
         PyGILState_Release(st);

@@ -29,6 +29,22 @@ static void half_of(const ddb_value *args, size_t nargs,
     out->d = args[0].d / 2.0;
 }
 
+static int squares_fn(const ddb_value *args, size_t nargs,
+                      uint64_t row_idx, ddb_value *out_row,
+                      size_t ncols, void *extra) {
+    (void)extra;
+    (void)ncols;
+    static char buf[32];
+    int64_t n = nargs ? args[0].i : 0;
+    if ((int64_t)row_idx >= n) return 0;
+    out_row[0].i = (int64_t)row_idx;
+    out_row[1].d = (double)(row_idx * row_idx);
+    snprintf(buf, sizeof(buf), "sq%llu",
+             (unsigned long long)row_idx);
+    out_row[2].s = buf;
+    return 1;
+}
+
 int main(void) {
     ddb_database db;
     ddb_connection con;
@@ -104,6 +120,56 @@ int main(void) {
                     &res));
     assert(ddb_value_is_null(res, 0, 0));
     ddb_destroy_result(&res);
+
+    /* C table-function registration (reference:
+     * duckdb_create_table_function) */
+    {
+        const char *tf_names[3] = {"n", "sq", "tag"};
+        ddb_type tf_types[3] = {DDB_TYPE_BIGINT, DDB_TYPE_DOUBLE,
+                                DDB_TYPE_VARCHAR};
+        CHECK(ddb_register_table_function(con, "squares", squares_fn,
+                                          tf_names, tf_types, 3, NULL));
+        CHECK(ddb_query(con,
+                        "SELECT n, sq, tag FROM squares(4) "
+                        "WHERE n >= 1 ORDER BY n", &res));
+        assert(ddb_row_count(res) == 3);
+        assert(ddb_value_int64(res, 0, 0) == 1);
+        assert(ddb_value_double(res, 1, 2) == 9.0);
+        assert(strcmp(ddb_value_varchar(res, 2, 1), "sq2") == 0);
+        ddb_destroy_result(&res);
+        CHECK(ddb_query(con,
+                        "SELECT sum(sq) FROM squares(10)", &res));
+        assert(ddb_value_double(res, 0, 0) == 285.0);
+        ddb_destroy_result(&res);
+    }
+
+    /* Arrow-layout columnar export */
+    {
+        CHECK(ddb_query(con,
+                        "SELECT id, score, name FROM t ORDER BY id",
+                        &res));
+        ddb_arrow_column cid, cscore, cname;
+        CHECK(ddb_result_arrow_column(res, 0, &cid));
+        CHECK(ddb_result_arrow_column(res, 1, &cscore));
+        CHECK(ddb_result_arrow_column(res, 2, &cname));
+        size_t nr = ddb_row_count(res);
+        assert(cid.length == nr && nr >= 2);
+        const int64_t *ids = (const int64_t *)cid.data;
+        assert(ids[0] == 1 && ids[1] == 2);
+        assert(cid.validity == NULL);          /* no NULL ids */
+        const double *scores = (const double *)cscore.data;
+        assert(scores[0] == 3.5);
+        assert(cscore.validity != NULL);       /* row id=2 is NULL */
+        assert((cscore.validity[0] >> 1 & 1) == 0);   /* row 1 invalid */
+        assert((cscore.validity[0] >> 0 & 1) == 1);
+        assert(cname.offsets != NULL);
+        const char *bytes = (const char *)cname.data;
+        int32_t l0 = cname.offsets[1] - cname.offsets[0];
+        assert(l0 == 5);
+        assert(strncmp(bytes + cname.offsets[0], "alice",
+                       (size_t)l0) == 0);
+        ddb_destroy_result(&res);
+    }
 
     ddb_disconnect(&con);
     ddb_close(&db);

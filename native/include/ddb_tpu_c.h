@@ -133,14 +133,54 @@ typedef void (*ddb_scalar_fn)(const ddb_value *args, size_t nargs,
                               ddb_value *out, void *extra);
 
 /* Register `fn` as SQL function `name` taking nargs arguments.
- * return_type must be a numeric/boolean/temporal type (VARCHAR returns
- * need a bounded domain in this engine and are rejected).  `extra` is
- * passed through to every invocation. */
+ * `extra` is passed through to every invocation.  VARCHAR returns are
+ * supported (out->s must stay valid until the next invocation; the
+ * engine copies it immediately). */
 ddb_state ddb_register_scalar_function(ddb_connection con,
                                        const char *name,
                                        ddb_scalar_fn fn,
                                        ddb_type return_type,
                                        size_t nargs, void *extra);
+
+/* ---- table-function registration (reference:
+ * duckdb_create_table_function, src/include/duckdb.h) --------------- */
+
+/* Row producer: called with the SQL call's arguments and a 0-based
+ * row index; fill out_row[0..ncols) and return 1 to emit the row, or
+ * 0 when exhausted.  Strings written to out_row[i].s are copied before
+ * the next call. */
+typedef int (*ddb_table_fn)(const ddb_value *args, size_t nargs,
+                            uint64_t row_idx, ddb_value *out_row,
+                            size_t ncols, void *extra);
+
+/* Register `fn` as table function `name` with the given output
+ * schema; callable as SELECT * FROM name(...). */
+ddb_state ddb_register_table_function(ddb_connection con,
+                                      const char *name,
+                                      ddb_table_fn fn,
+                                      const char **col_names,
+                                      const ddb_type *col_types,
+                                      size_t ncols, void *extra);
+
+/* ---- columnar (Arrow-compatible) result export (reference:
+ * duckdb_result_get_chunk / duckdb_data_chunk + Arrow export,
+ * src/main/capi/arrow-c.cpp) --------------------------------------- */
+
+typedef struct {
+    /* value buffer: int64_t[] for integer/boolean/temporal columns,
+     * double[] for FLOAT/DOUBLE, UTF-8 bytes for VARCHAR (use offsets) */
+    const void *data;
+    /* Arrow validity bitmap, LSB-first; NULL when all rows are valid */
+    const uint8_t *validity;
+    /* VARCHAR only: Arrow string offsets[length + 1] into data */
+    const int32_t *offsets;
+    size_t length;
+} ddb_arrow_column;
+
+/* Export one result column as contiguous Arrow-layout buffers; the
+ * buffers are owned by the result and freed with it. */
+ddb_state ddb_result_arrow_column(ddb_result res, size_t col,
+                                  ddb_arrow_column *out);
 
 #ifdef __cplusplus
 }

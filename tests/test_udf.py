@@ -53,6 +53,14 @@ def test_udf_listed_and_removable(con):
         con.execute("SELECT myfn(1)")
 
 
-def test_udf_varchar_return_rejected(con):
-    with pytest.raises(NotImplementedError):
-        con.create_function("bad", lambda x: str(x), "VARCHAR")
+def test_udf_varchar_return(con):
+    """VARCHAR-returning UDFs fill a runtime dictionary (round-5;
+    reference: python_udf.cpp string returns)."""
+    con.create_function("tag", lambda x: f"v={x}", "VARCHAR")
+    con.execute("create table uv(x int)")
+    con.execute("insert into uv values (1),(2)")
+    assert con.execute("select tag(x) from uv order by 1").fetchall() \
+        == [("v=1",), ("v=2",)]
+    assert con.execute(
+        "select length(tag(x)) from uv order by 1").fetchall() \
+        == [(3,), (3,)]
