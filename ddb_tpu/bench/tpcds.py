@@ -48,7 +48,9 @@ def load_tpcds(con, directory: str, tables=None):
             continue
         path = os.path.join(directory, f"{name}.csv")
         if not os.path.exists(path):
-            continue
+            path += ".gz"          # vendored data ships gzipped
+            if not os.path.exists(path):
+                continue
         td = con.catalog.tables[name]
         names = [c.name for c in td.columns]
         ct = {c.name: pa_type(c.dtype) for c in td.columns}

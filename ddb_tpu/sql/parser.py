@@ -836,6 +836,13 @@ class Parser:
                 if c.references is not None:
                     foreign_keys.append(
                         ([c.name], c.references[0], c.references[1]))
+            if self.at_kw("on"):
+                # ON COMMIT PRESERVE ROWS — the only mode this engine
+                # (and the reference) supports; parse and discard
+                self.next()
+                self.expect_word("commit")
+                self.expect_word("preserve")
+                self.expect_word("rows")
             return A.CreateTable(name, cols, or_replace, if_not_exists,
                                  constraints, foreign_keys)
         self.error("expected VIEW or TABLE")
