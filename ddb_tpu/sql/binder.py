@@ -2703,13 +2703,13 @@ class Binder:
         if e.typename == "interval":
             txt = e.text.strip()
             unit = e.qualifier
-            if unit is None:
-                parts = txt.split()
-                txt, unit = parts[0], parts[1].rstrip("s")
-            n = int(txt)
-            c = ir.Const(n, T.INTERVAL)
-            c.interval_unit = unit
-            return c
+            if unit is not None:
+                txt = f"{txt} {unit}"
+            try:
+                raw = T.parse_interval_text(txt)
+            except ValueError as ex:
+                raise BindError(str(ex))
+            return ir.Const(raw, T.INTERVAL)
         raise BindError(f"typed literal {e.typename}")
 
     # interval units in months / in micros (reference: interval.cpp)
@@ -2729,34 +2729,37 @@ class Binder:
             if getattr(bso, "dtype", None) == T.INTERVAL \
                     and isinstance(bso, ir.Const) \
                     and not (op == "-" and bso is l):
-                unit = getattr(bso, "interval_unit", "day").lower()
                 other = a
                 tid = other.dtype.id
-                n = int(bso.value) * (1 if op == "+" else -1)
-                if unit in self._IV_MONTHS:
-                    months = n * self._IV_MONTHS[unit]
-                    if tid in (TypeId.TIME, TypeId.TIMETZ):
-                        # month intervals don't move a time-of-day
-                        # (reference: Interval::Add on dtime_t)
-                        return other
+                sign = 1 if op == "+" else -1
+                months, us = T.interval_unpack(int(bso.value))
+                months *= sign
+                us *= sign
+                if months and tid not in (TypeId.TIME, TypeId.TIMETZ):
+                    # apply the calendar-month component first
+                    # (reference: Interval::Add adds months, then
+                    # days/micros)
                     if isinstance(other, ir.Const) \
-                            and tid == TypeId.DATE:
+                            and tid == TypeId.DATE and not us:
                         return ir.Const(
                             add_months_host(other.value, months), T.DATE)
                     if tid == TypeId.DATE:
                         f = ir.Func("add_months_days", [other], T.DATE)
                         f.extra = months
-                        return f
-                    if tid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
+                        other = f
+                    elif tid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
                         f = ir.Func("add_months_us", [other],
                                     other.dtype)
                         f.extra = months
-                        return f
-                    raise BindError(
-                        f"cannot add month interval to {other.dtype}")
-                if unit not in self._IV_US:
-                    raise BindError(f"interval unit {unit}")
-                us = n * self._IV_US[unit]
+                        other = f
+                    else:
+                        raise BindError(
+                            f"cannot add month interval to "
+                            f"{other.dtype}")
+                    if not us:
+                        return other
+                if not us:
+                    return other
                 if tid == TypeId.DATE:
                     if us % 86_400_000_000 == 0:
                         return ir.bind_arith(
@@ -3623,10 +3626,10 @@ class Binder:
                         "second": 1_000_000, "minute": 60_000_000,
                         "hour": 3_600_000_000, "day": 86_400_000_000,
                         "week": 7 * 86_400_000_000}
-            unit = getattr(w, "interval_unit", "day")
-            if unit not in _UNIT_US:
+            _m, _us = T.interval_unpack(int(w.value))
+            if _m:
                 raise BindError("time_bucket month widths not supported")
-            width = int(w.value) * _UNIT_US[unit]
+            width = _us
             if width <= 0:
                 raise BindError("time_bucket width must be positive")
             # reference origins (core_functions/scalar/date/time_bucket):

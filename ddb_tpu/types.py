@@ -457,6 +457,14 @@ def encode_literal(v, t: DataType):
                 off = int(v.tzinfo.utcoffset(None).total_seconds())
             return timetz_pack(us, off)
         return int(v)
+    if t.id == TypeId.INTERVAL:
+        if isinstance(v, str):
+            return parse_interval_text(v)
+        if isinstance(v, datetime.timedelta):
+            return td_micros(v)
+        if isinstance(v, Interval):
+            return interval_pack(v.months, v.micros)
+        return int(v)
     if t.id == TypeId.BOOLEAN:
         return bool(v)
     if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
@@ -532,7 +540,10 @@ def decode_value(raw, t: DataType, strdict=None):
         m, sec = divmod(sec, 60)
         return datetime.time(h % 24, m, sec, us, tzinfo=tzi)
     if t.id == TypeId.INTERVAL:
-        return datetime.timedelta(microseconds=int(raw))
+        months, us = interval_unpack(int(raw))
+        if months == 0:
+            return datetime.timedelta(microseconds=us)
+        return Interval(months, us)
     if t.id == TypeId.BOOLEAN:
         return bool(raw)
     if t.id in (TypeId.FLOAT, TypeId.DOUBLE):
@@ -576,3 +587,120 @@ def stringify_value(raw, dtype: "DataType", strdict=None) -> str:
             base += "+00"
         return base
     return str(v)
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL packing: months ride the high bits of the int64 so calendar
+# intervals round-trip through storage and clients (reference:
+# interval_t {months, days, micros}, src/include/duckdb/common/types/
+# interval.hpp — days fold into micros here; |micros| < 2^51 ≈ 71 years)
+# ---------------------------------------------------------------------------
+
+INTERVAL_MONTH = 1 << 52
+
+
+def interval_pack(months: int, micros: int) -> int:
+    return months * INTERVAL_MONTH + micros
+
+
+def interval_unpack(raw: int):
+    months = (int(raw) + (1 << 51)) // INTERVAL_MONTH
+    return months, int(raw) - months * INTERVAL_MONTH
+
+
+class Interval:
+    """Decoded INTERVAL with a month component (month-free intervals
+    decode as plain datetime.timedelta)."""
+
+    __slots__ = ("months", "micros")
+
+    def __init__(self, months: int, micros: int = 0):
+        self.months = int(months)
+        self.micros = int(micros)
+
+    def __eq__(self, other):
+        if isinstance(other, Interval):
+            return (self.months, self.micros) ==                 (other.months, other.micros)
+        if isinstance(other, datetime.timedelta):
+            return self.months == 0 and self.micros == td_micros(other)
+        return NotImplemented
+
+    def __hash__(self):
+        return hash((self.months, self.micros))
+
+    def __repr__(self):
+        return f"Interval(months={self.months}, micros={self.micros})"
+
+    def __str__(self):
+        # duckdb Interval::ToString: "[N year[s]] [N month[s]] [N day[s]]
+        # [-]HH:MM:SS[.ffffff]"
+        parts = []
+        years, months = divmod(abs(self.months), 12)
+        sign = "-" if self.months < 0 else ""
+        if years:
+            parts.append(f"{sign}{years} year" + ("" if years == 1
+                                                  else "s"))
+        if months:
+            parts.append(f"{sign}{months} month" + ("" if months == 1
+                                                    else "s"))
+        us = self.micros
+        days, rem = divmod(abs(us), 86_400_000_000)
+        dsign = "-" if us < 0 else ""
+        if days:
+            parts.append(f"{dsign}{days} day" + ("" if days == 1
+                                                 else "s"))
+        if rem or not parts:
+            s_, usec = divmod(rem, 1_000_000)
+            h, s_ = divmod(s_, 3600)
+            m, s_ = divmod(s_, 60)
+            t = f"{dsign}{h:02d}:{m:02d}:{s_:02d}"
+            if usec:
+                t += f".{usec:06d}".rstrip("0")
+            parts.append(t)
+        return " ".join(parts)
+
+
+_IV_TEXT_MONTHS = {"month": 1, "mon": 1, "months": 1, "mons": 1,
+                   "year": 12, "years": 12, "quarter": 3, "quarters": 3,
+                   "decade": 120, "decades": 120, "century": 1200,
+                   "centuries": 1200, "millennium": 12000,
+                   "millennia": 12000}
+_IV_TEXT_US = {"microsecond": 1, "microseconds": 1, "us": 1,
+               "millisecond": 1_000, "milliseconds": 1_000, "ms": 1_000,
+               "second": 1_000_000, "seconds": 1_000_000,
+               "minute": 60_000_000, "minutes": 60_000_000,
+               "hour": 3_600_000_000, "hours": 3_600_000_000,
+               "day": 86_400_000_000, "days": 86_400_000_000,
+               "week": 7 * 86_400_000_000, "weeks": 7 * 86_400_000_000}
+
+
+def parse_interval_text(text: str) -> int:
+    """'1 year 2 months 3 days 04:05:06' -> packed raw (reference:
+    Interval::FromCString, src/common/types/interval.cpp)."""
+    toks = str(text).strip().split()
+    months = 0
+    micros = 0
+    i = 0
+    while i < len(toks):
+        tk = toks[i]
+        if ":" in tk:
+            neg = tk.startswith("-")
+            wall, _ = parse_time_text(tk.lstrip("+-"))
+            micros += -wall if neg else wall
+            i += 1
+            continue
+        try:
+            n = int(tk)
+        except ValueError:
+            raise ValueError(f"invalid interval '{text}'")
+        if i + 1 >= len(toks):
+            raise ValueError(f"invalid interval '{text}'")
+        unit = toks[i + 1].lower()
+        if unit in _IV_TEXT_MONTHS:
+            months += n * _IV_TEXT_MONTHS[unit]
+        elif unit in _IV_TEXT_US:
+            micros += n * _IV_TEXT_US[unit]
+        else:
+            raise ValueError(f"invalid interval unit '{unit}'")
+        i += 2
+    return interval_pack(months, micros)
