@@ -269,3 +269,31 @@ def test_dist_topn_offset(con, mesh):
                     "SELECT k, v FROM fact ORDER BY v, k "
                     "LIMIT 5 OFFSET 3")
     assert d == s
+
+
+def test_exchange_overflow_retry_on_skew():
+    """One dominant key overflows a shard's initial exchange capacity;
+    the doubling retry backstop (parallel/executor.py STATS) must fire
+    and the result must stay exact (BASELINE config 4 skew-aware
+    repartition evidence)."""
+    import numpy as np
+
+    import ddb_tpu
+    from ddb_tpu.api import QueryResult
+    from ddb_tpu.parallel import executor as EX
+    from ddb_tpu.parallel.mesh import make_mesh
+    from ddb_tpu.sql import parser as P
+    from ddb_tpu.sql.binder import Binder
+
+    con = ddb_tpu.connect()
+    n = 4096
+    g = np.where(np.arange(n) < n - 64, 7, np.arange(n) % 50)
+    con.register("skew_t", {"g": g, "v": np.arange(n)})
+    before = EX.STATS["exchange_retries"]
+    plan = con._optimize(Binder(con.catalog, context=con).bind_select(
+        P.parse("select g, count(distinct v) from skew_t group by g")[0]))
+    sd, bd = EX.execute_distributed(plan, make_mesh(8))
+    assert EX.STATS["exchange_retries"] > before
+    ref = con.execute(
+        "select g, count(distinct v) from skew_t group by g").fetchall()
+    assert sorted(QueryResult(sd, bd).fetchall()) == sorted(ref)
