@@ -321,6 +321,7 @@ class Connection:
         self.log = LogManager()
         self.mesh = None          # set via use_mesh() for SPMD execution
         self._txn_ops = None             # logical ops buffered in txn
+        self._redo = None                # redo-stream transport (redo.py)
         self._txn_events = None          # CDC events buffered in txn
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
@@ -422,9 +423,25 @@ class Connection:
     @property
     def _wal_active(self) -> bool:
         """Should mutations build logical records?  True with a WAL
-        file OR inside a transaction (ops replay at commit)."""
-        return (self._wal is not None or self._txn_ops is not None) \
-            and not self._replaying
+        file, a redo transport, OR inside a transaction (ops replay at
+        commit)."""
+        return (self._wal is not None or self._txn_ops is not None
+                or self._redo is not None) and not self._replaying
+
+    def attach_redo_transport(self, path: str) -> "Connection":
+        """Stream every logical WAL record to an append-only redo
+        file any Follower can tail (reference: the kafkaredo VFS
+        produces WAL writes to a redo topic,
+        extension/kafkaredo/kafkafs.cpp)."""
+        from .redo import RedoWriter
+        self._redo = RedoWriter(path)
+        return self
+
+    def detach_redo_transport(self) -> "Connection":
+        if self._redo is not None:
+            self._redo.close()
+            self._redo = None
+        return self
 
     def _wal_log(self, rec: dict) -> None:
         if self._replaying:
@@ -432,6 +449,9 @@ class Connection:
         if self._txn_ops is not None:       # buffer until COMMIT
             self._txn_ops.append(rec)
             return
+        if self._redo is not None:
+            self._redo.append(rec)
+            self._redo.flush()
         if self._wal is None:
             return
         self._wal.append(rec)
@@ -703,6 +723,14 @@ class Connection:
             return self._execute_describe(stmt)
         if isinstance(stmt, A.SetStmt):
             self.config.set(stmt.name, stmt.value)
+            if stmt.name.lower() == "redo_transport":
+                v = str(stmt.value or "")
+                if v in ("", "none", "off"):
+                    self.detach_redo_transport()
+                else:
+                    if v.startswith("file://"):
+                        v = v[7:]
+                    self.attach_redo_transport(v)
             if stmt.name.lower() == "memory_limit":
                 from .storage.buffer import MANAGER, parse_memory_limit
                 from .storage import tempmem
@@ -2081,6 +2109,10 @@ class Connection:
                 self._commit_ops(ops)
             finally:
                 self.catalog = self._db.catalog
+            if ops and self._redo is not None:
+                for rec in ops:
+                    self._redo.append(rec)
+                self._redo.flush()
             if ops and self._wal is not None:
                 # append the whole commit, then one flush + at most one
                 # checkpoint (a mid-commit truncate would double-apply)
