@@ -91,19 +91,28 @@ def _load_lib():
         f.restype = ctypes.c_int64
         f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                       ctypes.c_uint64]
-    for fn in ("dtb_xorf_compress", "dtb_xorf_decompress"):
+    for fn in ("dtb_xorf_compress", "dtb_xorf_decompress",
+               "dtb_bitpack_compress", "dtb_bitpack_decompress",
+               "dtb_alp_compress", "dtb_alp_decompress"):
         f = getattr(lib, fn)
         f.restype = ctypes.c_int64
         f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint32,
                       ctypes.c_char_p, ctypes.c_uint64]
+    for fn in ("dtb_roaring_compress", "dtb_roaring_decompress"):
+        f = getattr(lib, fn)
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                      ctypes.c_uint64]
     _LIB = lib
     return lib
 
 
 # blob codecs (native/dtbfile.cpp; reference: src/storage/compression/ —
 # codec ids: 0 raw, 1 byte-RLE, 2 delta-varint, 3 zlib, 4 FSST-style
-# digram, 5 Chimp-class XOR-float)
+# digram, 5 Chimp-class XOR-float, 6 frame-of-reference bitpacking,
+# 7 ALP-class decimal-scaled floats, 8 roaring-class validity)
 _RAW, _RLE, _DELTA, _ZLIB, _FSST, _XORF = 0, 1, 2, 3, 4, 5
+_BITPACK, _ALP, _ROARING = 6, 7, 8
 
 
 def _compress_blob(lib, data: bytes, kind: str, elem: int = 0):
@@ -124,14 +133,23 @@ def _compress_blob(lib, data: bytes, kind: str, elem: int = 0):
         buf = ctypes.create_string_buffer(cap)
         consider(_RLE, lib.dtb_rle_compress(data, len(data), buf, cap),
                  buf)
+        buf = ctypes.create_string_buffer(cap)
+        consider(_ROARING, lib.dtb_roaring_compress(data, len(data),
+                                                    buf, cap), buf)
     elif kind == "ints" and elem in (4, 8):
         buf = ctypes.create_string_buffer(cap)
         consider(_DELTA, lib.dtb_delta_compress(data, len(data), elem,
                                                 buf, cap), buf)
+        buf = ctypes.create_string_buffer(cap)
+        consider(_BITPACK, lib.dtb_bitpack_compress(
+            data, len(data), elem, buf, cap), buf)
     elif kind == "floats" and elem in (4, 8):
         buf = ctypes.create_string_buffer(cap)
         consider(_XORF, lib.dtb_xorf_compress(data, len(data), elem,
                                               buf, cap), buf)
+        buf = ctypes.create_string_buffer(cap)
+        consider(_ALP, lib.dtb_alp_compress(data, len(data), elem,
+                                            buf, cap), buf)
     elif kind == "text":
         buf = ctypes.create_string_buffer(cap)
         consider(_FSST, lib.dtb_fsst_compress(data, len(data), buf,
@@ -157,6 +175,13 @@ def _decompress_blob(lib, codec: int, data: bytes, raw_len: int,
         n = lib.dtb_fsst_decompress(data, len(data), buf, raw_len)
     elif codec == _XORF:
         n = lib.dtb_xorf_decompress(data, len(data), elem, buf, raw_len)
+    elif codec == _BITPACK:
+        n = lib.dtb_bitpack_decompress(data, len(data), elem, buf,
+                                       raw_len)
+    elif codec == _ALP:
+        n = lib.dtb_alp_decompress(data, len(data), elem, buf, raw_len)
+    elif codec == _ROARING:
+        n = lib.dtb_roaring_decompress(data, len(data), buf, raw_len)
     else:
         raise IOError(f"unknown blob codec {codec}")
     if n != raw_len:
@@ -203,7 +228,7 @@ def save_database(catalog, path: str) -> None:
         if codec != _RAW:
             m["codec"] = codec
             m["raw_len"] = raw_len
-            if codec in (_DELTA, _XORF):
+            if codec in (_DELTA, _XORF, _BITPACK, _ALP):
                 m["elem"] = elem
         return m
 

@@ -25,6 +25,7 @@
 #include <cstring>
 #include <string>
 #include <vector>
+#include <cmath>
 
 extern "C" {
 
@@ -396,3 +397,411 @@ int64_t dtb_zlib_decompress(const uint8_t *src, uint64_t len, uint8_t *dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// codec 6: frame-of-reference bitpacking for fixed-width ints
+// (reference: src/storage/compression/bitpacking.cpp — FOR + per-group
+// bit width).  Blocks of 1024 values; per block header: min value
+// (elem bytes LE) + bit width (1 byte), then the LSB-first packed
+// deltas.  elem in {4, 8}.
+// ---------------------------------------------------------------------------
+
+static inline int64_t bp_read_val(const uint8_t *p, uint32_t elem) {
+  if (elem == 4) {
+    int32_t v;
+    memcpy(&v, p, 4);
+    return (int64_t)v;
+  }
+  int64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+static inline void bp_write_val(uint8_t *p, uint32_t elem, int64_t v) {
+  if (elem == 4) {
+    int32_t t = (int32_t)v;
+    memcpy(p, &t, 4);
+  } else {
+    memcpy(p, &v, 8);
+  }
+}
+
+extern "C" int64_t dtb_bitpack_compress(const uint8_t *src, uint64_t len,
+                                        uint32_t elem, uint8_t *dst,
+                                        uint64_t cap) {
+  if (elem != 4 && elem != 8) return -1;
+  if (len % elem) return -1;
+  uint64_t n = len / elem;
+  uint64_t out = 0;
+  const uint64_t BLOCK = 1024;
+  for (uint64_t b = 0; b < n; b += BLOCK) {
+    uint64_t cnt = (n - b < BLOCK) ? (n - b) : BLOCK;
+    int64_t mn = bp_read_val(src + b * elem, elem);
+    int64_t mx = mn;
+    for (uint64_t i = 1; i < cnt; i++) {
+      int64_t v = bp_read_val(src + (b + i) * elem, elem);
+      if (v < mn) mn = v;
+      if (v > mx) mx = v;
+    }
+    uint64_t range = (uint64_t)(mx - mn);
+    uint32_t width = 0;
+    while (width < 64 && (range >> width)) width++;
+    uint64_t bits = cnt * (uint64_t)width;
+    uint64_t bytes = (bits + 7) / 8;
+    if (out + elem + 1 + bytes > cap) return -1;
+    bp_write_val(dst + out, elem, mn);
+    out += elem;
+    dst[out++] = (uint8_t)width;
+    memset(dst + out, 0, bytes);
+    uint64_t bitpos = 0;
+    for (uint64_t i = 0; i < cnt; i++) {
+      uint64_t d = (uint64_t)(bp_read_val(src + (b + i) * elem, elem)
+                              - mn);
+      for (uint32_t k = 0; k < width; k++) {
+        if ((d >> k) & 1)
+          dst[out + (bitpos >> 3)] |= (uint8_t)(1u << (bitpos & 7));
+        bitpos++;
+      }
+    }
+    out += bytes;
+  }
+  return (int64_t)out;
+}
+
+extern "C" int64_t dtb_bitpack_decompress(const uint8_t *src,
+                                          uint64_t len, uint32_t elem,
+                                          uint8_t *dst, uint64_t cap) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t n = cap / elem;
+  uint64_t in = 0;
+  uint64_t outn = 0;
+  const uint64_t BLOCK = 1024;
+  while (outn < n) {
+    uint64_t cnt = (n - outn < BLOCK) ? (n - outn) : BLOCK;
+    if (in + elem + 1 > len) return -1;
+    int64_t mn = bp_read_val(src + in, elem);
+    in += elem;
+    uint32_t width = src[in++];
+    if (width > 64) return -1;
+    uint64_t bytes = (cnt * (uint64_t)width + 7) / 8;
+    if (in + bytes > len) return -1;
+    uint64_t bitpos = 0;
+    for (uint64_t i = 0; i < cnt; i++) {
+      uint64_t d = 0;
+      for (uint32_t k = 0; k < width; k++) {
+        if (src[in + (bitpos >> 3)] >> (bitpos & 7) & 1)
+          d |= (1ull << k);
+        bitpos++;
+      }
+      bp_write_val(dst + (outn + i) * elem, elem, mn + (int64_t)d);
+    }
+    in += bytes;
+    outn += cnt;
+  }
+  return (int64_t)(outn * elem);
+}
+
+// ---------------------------------------------------------------------------
+// codec 7: ALP-class float compression (reference:
+// src/storage/compression/alp/ — adaptive lossless decimal scaling).
+// Per 1024-block: find the smallest decimal exponent e (0..18) whose
+// scaled values round-trip EXACTLY for >= 90% of values; those become
+// FOR-bitpacked int64s; exceptions carry an index + raw value.
+// Header per block: e (1 byte, 0xFF = raw block), exception count (u16),
+// then the bitpacked ints (via the codec-6 layout for one block),
+// then exceptions [(u16 idx, raw elem)].
+// ---------------------------------------------------------------------------
+
+static const double ALP_P10[19] = {
+    1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10, 1e11,
+    1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18};
+
+extern "C" int64_t dtb_alp_compress(const uint8_t *src, uint64_t len,
+                                    uint32_t elem, uint8_t *dst,
+                                    uint64_t cap) {
+  if (elem != 4 && elem != 8) return -1;
+  if (len % elem) return -1;
+  uint64_t n = len / elem;
+  uint64_t out = 0;
+  const uint64_t BLOCK = 1024;
+  std::vector<int64_t> ints(BLOCK);
+  std::vector<uint16_t> exc;
+  for (uint64_t b = 0; b < n; b += BLOCK) {
+    uint64_t cnt = (n - b < BLOCK) ? (n - b) : BLOCK;
+    int best_e = -1;
+    uint64_t best_exc = cnt;
+    for (int e = 0; e <= 18; e++) {
+      uint64_t bad = 0;
+      for (uint64_t i = 0; i < cnt && bad * 10 <= cnt; i++) {
+        double v = (elem == 8)
+                       ? ((const double *)(src))[b + i]
+                       : (double)((const float *)(src))[b + i];
+        double scaled = v * ALP_P10[e];
+        if (scaled != scaled || scaled > 9.2e18 || scaled < -9.2e18) {
+          bad++;
+          continue;
+        }
+        int64_t iv = (int64_t)std::llround(scaled);
+        double back = (double)iv / ALP_P10[e];
+        bool ok = (elem == 8) ? (back == v) : ((float)back == (float)v);
+        if (!ok) bad++;
+      }
+      if (bad * 10 <= cnt) {  // <= 10% exceptions
+        best_e = e;
+        best_exc = bad;
+        break;
+      }
+    }
+    if (best_e < 0) {
+      // raw block
+      if (out + 1 + cnt * elem > cap) return -1;
+      dst[out++] = 0xFF;
+      memcpy(dst + out, src + b * elem, cnt * elem);
+      out += cnt * elem;
+      continue;
+    }
+    exc.clear();
+    for (uint64_t i = 0; i < cnt; i++) {
+      double v = (elem == 8) ? ((const double *)(src))[b + i]
+                             : (double)((const float *)(src))[b + i];
+      double scaled = v * ALP_P10[best_e];
+      int64_t iv = 0;
+      bool ok = false;
+      if (scaled == scaled && scaled <= 9.2e18 && scaled >= -9.2e18) {
+        iv = (int64_t)std::llround(scaled);
+        double back = (double)iv / ALP_P10[best_e];
+        ok = (elem == 8) ? (back == v) : ((float)back == (float)v);
+      }
+      if (!ok) {
+        exc.push_back((uint16_t)i);
+        iv = 0;
+      }
+      ints[i] = iv;
+    }
+    if (out + 3 > cap) return -1;
+    dst[out++] = (uint8_t)best_e;
+    uint16_t ne = (uint16_t)exc.size();
+    memcpy(dst + out, &ne, 2);
+    out += 2;
+    int64_t packed = dtb_bitpack_compress(
+        (const uint8_t *)ints.data(), cnt * 8, 8, dst + out, cap - out);
+    if (packed < 0) return -1;
+    out += (uint64_t)packed;
+    for (uint16_t idx : exc) {
+      if (out + 2 + elem > cap) return -1;
+      memcpy(dst + out, &idx, 2);
+      out += 2;
+      memcpy(dst + out, src + (b + idx) * elem, elem);
+      out += elem;
+    }
+  }
+  return (int64_t)out;
+}
+
+extern "C" int64_t dtb_alp_decompress(const uint8_t *src, uint64_t len,
+                                      uint32_t elem, uint8_t *dst,
+                                      uint64_t cap) {
+  if (elem != 4 && elem != 8) return -1;
+  uint64_t n = cap / elem;
+  uint64_t in = 0;
+  uint64_t outn = 0;
+  const uint64_t BLOCK = 1024;
+  std::vector<int64_t> ints(BLOCK);
+  while (outn < n) {
+    uint64_t cnt = (n - outn < BLOCK) ? (n - outn) : BLOCK;
+    if (in + 1 > len) return -1;
+    uint8_t e = src[in++];
+    if (e == 0xFF) {
+      if (in + cnt * elem > len) return -1;
+      memcpy(dst + outn * elem, src + in, cnt * elem);
+      in += cnt * elem;
+      outn += cnt;
+      continue;
+    }
+    if (e > 18 || in + 2 > len) return -1;
+    uint16_t ne;
+    memcpy(&ne, src + in, 2);
+    in += 2;
+    // bitpacked ints: one codec-6 block of cnt int64s
+    if (in + 9 > len) return -1;
+    int64_t mn;
+    memcpy(&mn, src + in, 8);
+    uint32_t width = src[in + 8];
+    uint64_t bytes = (cnt * (uint64_t)width + 7) / 8;
+    if (width > 64 || in + 9 + bytes > len) return -1;
+    {
+      uint64_t bitpos = 0;
+      const uint8_t *pp = src + in + 9;
+      for (uint64_t i = 0; i < cnt; i++) {
+        uint64_t d = 0;
+        for (uint32_t k = 0; k < width; k++) {
+          if (pp[bitpos >> 3] >> (bitpos & 7) & 1) d |= (1ull << k);
+          bitpos++;
+        }
+        ints[i] = mn + (int64_t)d;
+      }
+    }
+    in += 9 + bytes;
+    for (uint64_t i = 0; i < cnt; i++) {
+      double v = (double)ints[i] / ALP_P10[e];
+      if (elem == 8)
+        ((double *)dst)[outn + i] = v;
+      else
+        ((float *)dst)[outn + i] = (float)v;
+    }
+    for (uint16_t k = 0; k < ne; k++) {
+      if (in + 2 + elem > len) return -1;
+      uint16_t idx;
+      memcpy(&idx, src + in, 2);
+      in += 2;
+      memcpy(dst + (outn + idx) * elem, src + in, elem);
+      in += elem;
+    }
+    outn += cnt;
+  }
+  return (int64_t)(outn * elem);
+}
+
+// ---------------------------------------------------------------------------
+// codec 8: roaring-class validity compression (reference:
+// src/storage/compression/roaring/ — per-64Ki-chunk container choice).
+// Input is a byte-per-bool mask.  Per chunk: mode byte + u16 count,
+// then mode 0 = u16 indexes of SET bytes, mode 1 = u16 indexes of
+// CLEAR bytes, mode 2 = (u16 start, u16 len) runs of SET bytes,
+// mode 3 = raw 8KiB bitmap.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t dtb_roaring_compress(const uint8_t *src, uint64_t len,
+                                        uint8_t *dst, uint64_t cap) {
+  uint64_t out = 0;
+  const uint64_t CHUNK = 65536;
+  std::vector<uint16_t> set_idx, clr_idx, runs;
+  for (uint64_t c = 0; c < len; c += CHUNK) {
+    uint64_t cnt = (len - c < CHUNK) ? (len - c) : CHUNK;
+    set_idx.clear();
+    clr_idx.clear();
+    runs.clear();
+    bool in_run = false;
+    for (uint64_t i = 0; i < cnt; i++) {
+      bool s = src[c + i] != 0;
+      if (s) {
+        set_idx.push_back((uint16_t)i);
+        if (!in_run) {
+          runs.push_back((uint16_t)i);
+          runs.push_back(1);
+          in_run = true;
+        } else {
+          runs[runs.size() - 1]++;
+        }
+      } else {
+        clr_idx.push_back((uint16_t)i);
+        in_run = false;
+      }
+      if (set_idx.size() > 20000 && clr_idx.size() > 20000 &&
+          runs.size() > 20000)
+        break;  // dense + unrunnable: bitmap wins, stop counting
+    }
+    uint64_t bm_bytes = (cnt + 7) / 8;
+    uint64_t best_bytes = bm_bytes;
+    uint8_t mode = 3;
+    if (set_idx.size() * 2 < best_bytes && set_idx.size() <= 0xFFFF) {
+      best_bytes = set_idx.size() * 2;
+      mode = 0;
+    }
+    if (clr_idx.size() * 2 < best_bytes && clr_idx.size() <= 0xFFFF) {
+      best_bytes = clr_idx.size() * 2;
+      mode = 1;
+    }
+    if (runs.size() * 2 < best_bytes && runs.size() / 2 <= 0xFFFF) {
+      best_bytes = runs.size() * 2;
+      mode = 2;
+    }
+    if (out + 3 + best_bytes > cap) return -1;
+    dst[out++] = mode;
+    uint16_t m16;
+    if (mode == 0) {
+      m16 = (uint16_t)set_idx.size();
+      memcpy(dst + out, &m16, 2);
+      out += 2;
+      memcpy(dst + out, set_idx.data(), set_idx.size() * 2);
+      out += set_idx.size() * 2;
+    } else if (mode == 1) {
+      m16 = (uint16_t)clr_idx.size();
+      memcpy(dst + out, &m16, 2);
+      out += 2;
+      memcpy(dst + out, clr_idx.data(), clr_idx.size() * 2);
+      out += clr_idx.size() * 2;
+    } else if (mode == 2) {
+      m16 = (uint16_t)(runs.size() / 2);
+      memcpy(dst + out, &m16, 2);
+      out += 2;
+      memcpy(dst + out, runs.data(), runs.size() * 2);
+      out += runs.size() * 2;
+    } else {
+      m16 = 0;
+      memcpy(dst + out, &m16, 2);
+      out += 2;
+      memset(dst + out, 0, bm_bytes);
+      for (uint64_t i = 0; i < cnt; i++)
+        if (src[c + i]) dst[out + (i >> 3)] |= (uint8_t)(1u << (i & 7));
+      out += bm_bytes;
+    }
+  }
+  return (int64_t)out;
+}
+
+extern "C" int64_t dtb_roaring_decompress(const uint8_t *src,
+                                          uint64_t len, uint8_t *dst,
+                                          uint64_t cap) {
+  uint64_t in = 0;
+  uint64_t outn = 0;
+  const uint64_t CHUNK = 65536;
+  while (outn < cap) {
+    uint64_t cnt = (cap - outn < CHUNK) ? (cap - outn) : CHUNK;
+    if (in + 3 > len) return -1;
+    uint8_t mode = src[in++];
+    uint16_t m16;
+    memcpy(&m16, src + in, 2);
+    in += 2;
+    if (mode == 0) {
+      memset(dst + outn, 0, cnt);
+      if (in + (uint64_t)m16 * 2 > len) return -1;
+      for (uint16_t k = 0; k < m16; k++) {
+        uint16_t idx;
+        memcpy(&idx, src + in + (uint64_t)k * 2, 2);
+        if (idx < cnt) dst[outn + idx] = 1;
+      }
+      in += (uint64_t)m16 * 2;
+    } else if (mode == 1) {
+      memset(dst + outn, 1, cnt);
+      if (in + (uint64_t)m16 * 2 > len) return -1;
+      for (uint16_t k = 0; k < m16; k++) {
+        uint16_t idx;
+        memcpy(&idx, src + in + (uint64_t)k * 2, 2);
+        if (idx < cnt) dst[outn + idx] = 0;
+      }
+      in += (uint64_t)m16 * 2;
+    } else if (mode == 2) {
+      memset(dst + outn, 0, cnt);
+      if (in + (uint64_t)m16 * 4 > len) return -1;
+      for (uint16_t k = 0; k < m16; k++) {
+        uint16_t start, rl;
+        memcpy(&start, src + in + (uint64_t)k * 4, 2);
+        memcpy(&rl, src + in + (uint64_t)k * 4 + 2, 2);
+        for (uint64_t j = 0; j < rl && start + j < cnt; j++)
+          dst[outn + start + j] = 1;
+      }
+      in += (uint64_t)m16 * 4;
+    } else if (mode == 3) {
+      uint64_t bm = (cnt + 7) / 8;
+      if (in + bm > len) return -1;
+      for (uint64_t i = 0; i < cnt; i++)
+        dst[outn + i] = (src[in + (i >> 3)] >> (i & 7)) & 1;
+      in += bm;
+    } else {
+      return -1;
+    }
+    outn += cnt;
+  }
+  return (int64_t)outn;
+}

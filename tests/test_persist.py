@@ -116,3 +116,41 @@ def test_memory_limit_setting_evicts():
     assert con.execute("SELECT sum(a) FROM m0").fetchall() \
         == [(12497500,)]
     MANAGER.set_limit(None)     # don't throttle later tests
+
+
+def test_round5_codecs_roundtrip():
+    """Bitpacking (codec 6), ALP-class floats (7), roaring-class
+    validity (8) — reference: src/storage/compression/
+    {bitpacking,alp,roaring}/.  Smallest-wins selection must pick them
+    on favorable data and every payload must round-trip exactly."""
+    import numpy as np
+
+    from ddb_tpu.storage import persist as P
+
+    lib = P._load_lib()
+    rng = np.random.default_rng(0)
+
+    def roundtrip(data, kind, elem=0):
+        codec, payload = P._compress_blob(lib, data, kind, elem)
+        back = P._decompress_blob(lib, codec, payload, len(data), elem)
+        assert back == data
+        return codec, len(payload)
+
+    ints = rng.integers(1000, 1200, 50_000).astype(np.int64).tobytes()
+    codec, sz = roundtrip(ints, "ints", 8)
+    assert codec == P._BITPACK and sz < len(ints) // 4
+
+    fl = np.round(rng.uniform(0, 1000, 50_000), 2).tobytes()
+    codec, sz = roundtrip(fl, "floats", 8)
+    assert codec == P._ALP and sz < len(fl) // 2
+
+    # irrational floats: ALP must not miscompress (falls back exactly)
+    roundtrip(rng.standard_normal(20_000).tobytes(), "floats", 8)
+
+    m = np.zeros(300_000, np.uint8)
+    m[rng.integers(0, 300_000, 100)] = 1
+    codec, sz = roundtrip(m.tobytes(), "mask")
+    assert codec == P._ROARING and sz < 2000
+
+    roundtrip(rng.integers(0, 2, 200_000).astype(np.uint8).tobytes(),
+              "mask")
