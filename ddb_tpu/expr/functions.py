@@ -199,6 +199,76 @@ def dispatch(e: ir.Func, batch, evaluate):
                 if nl is not None:
                     n = n | nl
         return out, n
+    if name == "floordiv_pow52":
+        d, n = evaluate(e.args[0], batch)
+        return jnp.floor_divide(d.astype(jnp.int64),
+                                jnp.int64(1) << 52), n
+    if name == "bit_count":
+        # popcount via SWAR (reference: bit_count on integers)
+        d, n = evaluate(e.args[0], batch)
+        v = d.astype(jnp.uint64)
+        v = v - ((v >> 1) & jnp.uint64(0x5555555555555555))
+        v = (v & jnp.uint64(0x3333333333333333)) \
+            + ((v >> 2) & jnp.uint64(0x3333333333333333))
+        v = (v + (v >> 4)) & jnp.uint64(0x0F0F0F0F0F0F0F0F)
+        out = (v * jnp.uint64(0x0101010101010101)) >> 56
+        return out.astype(jnp.int64), n
+    if name == "months_between_us":
+        # whole calendar months from b (arg1) to a (arg0), both
+        # timestamp micros: months then clamped so b + months <= a
+        # (reference: Interval::GetAge, src/common/types/interval.cpp)
+        a_us, n1 = evaluate(e.args[0], batch)
+        b_us, n2 = evaluate(e.args[1], batch)
+        us_day = 86_400_000_000
+        ad = jnp.floor_divide(a_us, us_day)
+        bd = jnp.floor_divide(b_us, us_day)
+        ay, am, _dd = _civil_from_days(ad)
+        by, bm, _d2 = _civil_from_days(bd)
+        months0 = (ay.astype(jnp.int64) - by) * 12 + (am - bm)
+
+        def anchor_of(months):
+            t = by.astype(jnp.int64) * 12 + (bm - 1) + months
+            y2 = jnp.floor_divide(t, 12)
+            m2 = t - y2 * 12 + 1
+            ny = jnp.where(m2 == 12, y2 + 1, y2)
+            nm = jnp.where(m2 == 12, jnp.ones_like(m2), m2 + 1)
+            first = _days_from_civil_dev(y2, m2, jnp.ones_like(m2))
+            first_next = _days_from_civil_dev(ny, nm,
+                                              jnp.ones_like(nm))
+            bdd = bd - _days_from_civil_dev(by, bm,
+                                            jnp.ones_like(bm)) + 1
+            dd2 = jnp.minimum(bdd, first_next - first)
+            nd = _days_from_civil_dev(y2, m2, dd2)
+            return nd * us_day + (b_us - bd * us_day)
+
+        sign = jnp.where(a_us >= b_us, 1, -1)
+        # clamp: step months toward b while the anchor overshoots a
+        months = months0
+        for _ in range(2):
+            over = jnp.where(sign > 0, anchor_of(months) > a_us,
+                             anchor_of(months) < a_us)
+            months = months - jnp.where(over, sign, 0)
+        n = n1 if n2 is None else (n2 if n1 is None else (n1 | n2))
+        return months.astype(jnp.int64), n
+    if name == "add_months_dyn_us":
+        # timestamp micros + per-row month count (runtime months)
+        ts, n1 = evaluate(e.args[0], batch)
+        months, n2 = evaluate(e.args[1], batch)
+        us_day = 86_400_000_000
+        days = jnp.floor_divide(ts, us_day)
+        tod = ts - days * us_day
+        y, m, dd = _civil_from_days(days)
+        t = y.astype(jnp.int64) * 12 + (m - 1) + months
+        y2 = jnp.floor_divide(t, 12)
+        m2 = t - y2 * 12 + 1
+        ny = jnp.where(m2 == 12, y2 + 1, y2)
+        nm = jnp.where(m2 == 12, jnp.ones_like(m2), m2 + 1)
+        first = _days_from_civil_dev(y2, m2, jnp.ones_like(m2))
+        first_next = _days_from_civil_dev(ny, nm, jnp.ones_like(nm))
+        dd2 = jnp.minimum(dd.astype(jnp.int64), first_next - first)
+        nd = _days_from_civil_dev(y2, m2, dd2)
+        n = n1 if n2 is None else (n2 if n1 is None else (n1 | n2))
+        return nd * us_day + tod, n
     if name in ("year", "month", "day"):
         d, n = evaluate(e.args[0], batch)
         y, m, dd = _civil_from_days(d)

@@ -2792,6 +2792,39 @@ class Binder:
             return ir.bind_arith("//", ir.promote(l, T.DOUBLE),
                                  ir.promote(r, T.DOUBLE))
         # integer constant folding (IN (2000, 2000+1, ...), LIMIT n*2, ...)
+        # runtime (non-constant) INTERVAL +/- temporal: unpack the
+        # packed months/micros on device (reference: Interval::Add)
+        for a, bso in ((l, r), (r, l)):
+            if getattr(bso, "dtype", None) == T.INTERVAL \
+                    and not isinstance(bso, ir.Const) \
+                    and getattr(a, "dtype", None) is not None \
+                    and a.dtype.id in (TypeId.DATE, TypeId.TIMESTAMP,
+                                       TypeId.TIMESTAMPTZ) \
+                    and op in ("+", "-") \
+                    and not (op == "-" and bso is l):
+                ts = ir.Cast(a, T.TIMESTAMP, src=T.DATE) \
+                    if a.dtype.id == TypeId.DATE else a
+                iv = bso
+                half = ir.Const(1 << 51, T.BIGINT)
+                monthc = ir.Const(T.INTERVAL_MONTH, T.BIGINT)
+                months = ir.Arith(
+                    "//", ir.Arith("+", iv, half, T.BIGINT), monthc,
+                    T.BIGINT)
+                # python-style floor divide matches interval_unpack;
+                # our // truncates toward zero, so adjust negatives
+                biased = ir.Arith("+", iv, half, T.BIGINT)
+                months = ir.Func("floordiv_pow52", [biased], T.BIGINT)
+                us = ir.Arith("-", iv,
+                              ir.Arith("*", months, monthc, T.BIGINT),
+                              T.BIGINT)
+                if op == "-":
+                    z = ir.Const(0, T.BIGINT)
+                    months = ir.Arith("-", z, months, T.BIGINT)
+                    us = ir.Arith("-", z, us, T.BIGINT)
+                shifted = ir.Func("add_months_dyn_us", [ts, months],
+                                  ts.dtype if ts.dtype.id
+                                  != TypeId.DATE else T.TIMESTAMP)
+                return ir.Arith("+", shifted, us, shifted.dtype)
         if op in ("+", "-", "*") and isinstance(l, ir.Const) \
                 and isinstance(r, ir.Const) \
                 and l.value is not None and r.value is not None \
@@ -4050,6 +4083,12 @@ class Binder:
         # user-defined scalar functions (reference: Python client UDFs,
         # tools/pythonpkg create_function; ours run through
         # jax.pure_callback so they compose with the jitted pipeline)
+        # ---- round-5 function-library breadth batch -----------------
+        if name in _R5_BREADTH_FNS:
+            out = self._bind_breadth_func(name, e, scope, agg_ctx,
+                                          group_map, sub_replacements)
+            if out is not None:
+                return out
         udf = getattr(self.context, "_udfs", {}).get(name) \
             if self.context is not None else None
         if udf is not None:
@@ -4071,6 +4110,449 @@ class Binder:
             self.uncacheable = True
             return out
         raise BindError(f"unknown function {name}")
+
+    def _bind_breadth_func(self, name, e, scope, agg_ctx, group_map,
+                           sub_replacements):
+        """Round-5 library-tail functions (reference:
+        extension/core_functions/scalar/{list,map,struct,date}/ +
+        src/function/scalar/).  Returns None to fall through."""
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        if name in ("list_pack", "unpivot_list"):
+            return b(A.EList(list(e.args)))
+        if name in ("get_current_timestamp", "transaction_timestamp"):
+            return b(A.EFunc("now", []))
+        if name == "current_schemas":
+            out = ir.Const(0, T.LIST(T.VARCHAR))
+            from ..storage.lists import ListStore
+            schemas = ["main", "temp"] + sorted(
+                getattr(self.catalog, "schemas", ()))
+            out.strdict = ListStore([list(dict.fromkeys(schemas))])
+            return out
+        if name == "in_search_path":
+            args = [b(a) for a in e.args]
+            sc = args[-1]
+            txt = self._const_text(sc) if isinstance(sc, ir.Const) \
+                else None
+            return ir.Const(txt in ("main", "temp", None), T.BOOLEAN)
+        if name == "bit_count":
+            a = self._agg_numeric(b(e.args[0]))
+            out = ir.Func("bit_count", [ir.promote(a, T.BIGINT)],
+                          T.BIGINT)
+            return out
+        if name in _TO_IV_MONTHS:
+            a = ir.promote(b(e.args[0]), T.BIGINT)
+            return ir.Arith("*", a,
+                            ir.Const(_TO_IV_MONTHS[name]
+                                     * T.INTERVAL_MONTH, T.BIGINT),
+                            T.INTERVAL)
+        if name in _TO_IV_US:
+            a = ir.promote(b(e.args[0]), T.BIGINT)
+            return ir.Arith("*", a, ir.Const(_TO_IV_US[name], T.BIGINT),
+                            T.INTERVAL)
+        if name == "age":
+            args = [b(a) for a in e.args]
+            if len(args) == 1:
+                args = [args[0], b(A.EFunc("now", []))]
+            a2, b2 = (ir.Cast(x, T.TIMESTAMP, src=x.dtype)
+                      if x.dtype.id == TypeId.DATE else x
+                      for x in args)
+            m = ir.Func("months_between_us", [a2, b2], T.BIGINT)
+            anchor = ir.Func("add_months_dyn_us", [b2, m], T.TIMESTAMP)
+            us = ir.Arith("-", a2, anchor, T.BIGINT)
+            packed = ir.Arith(
+                "+", ir.Arith("*", m,
+                              ir.Const(T.INTERVAL_MONTH, T.BIGINT),
+                              T.BIGINT),
+                us, T.INTERVAL)
+            return packed
+        if name in ("date_diff", "date_sub"):
+            if len(e.args) != 3:
+                raise BindError(f"{name} requires (part, start, end)")
+            pc = b(e.args[0])
+            if not isinstance(pc, ir.Const):
+                raise BindError(f"{name} part must be constant")
+            part = str(self._const_text(pc)).lower().rstrip("s")
+            part = {"yr": "year", "mon": "month", "qtr": "quarter"}.get(
+                part, part)
+            a1, a2 = b(e.args[1]), b(e.args[2])
+
+            def as_ts(x):
+                if x.dtype.id == TypeId.DATE:
+                    return ir.Cast(x, T.TIMESTAMP, src=T.DATE)
+                return x
+
+            t1, t2 = as_ts(a1), as_ts(a2)
+            if name == "date_sub":
+                # complete parts between start and end
+                if part in _DD_MONTH_PARTS:
+                    m = ir.Func("months_between_us", [t2, t1], T.BIGINT)
+                    return ir.Arith(
+                        "//", m,
+                        ir.Const(_DD_MONTH_PARTS[part], T.BIGINT),
+                        T.BIGINT)
+                if part not in _DD_US_PARTS:
+                    raise BindError(f"date_sub part {part}")
+                diff = ir.Arith("-", t2, t1, T.BIGINT)
+                return ir.Arith("//", diff,
+                                ir.Const(_DD_US_PARTS[part], T.BIGINT),
+                                T.BIGINT)
+            # date_diff: partition boundaries crossed
+            if part in _DD_MONTH_PARTS:
+                k = _DD_MONTH_PARTS[part]
+
+                def months_of(x):
+                    y = ir.Func("year", [x], T.BIGINT)
+                    mth = ir.Func("month", [x], T.BIGINT)
+                    return ir.Arith(
+                        "+", ir.Arith("*", y, ir.Const(12, T.BIGINT),
+                                      T.BIGINT),
+                        ir.Arith("-", mth, ir.Const(1, T.BIGINT),
+                                 T.BIGINT), T.BIGINT)
+
+                def da(x):
+                    return ir.Func(
+                        "ts_date", [x], T.DATE) \
+                        if x.dtype.id != TypeId.DATE else x
+
+                m1 = ir.Arith("//", months_of(da(t1)),
+                              ir.Const(k, T.BIGINT), T.BIGINT)
+                m2 = ir.Arith("//", months_of(da(t2)),
+                              ir.Const(k, T.BIGINT), T.BIGINT)
+                return ir.Arith("-", m2, m1, T.BIGINT)
+            if part not in _DD_US_PARTS:
+                raise BindError(f"date_diff part {part}")
+            k = _DD_US_PARTS[part]
+
+            def trunc(x):
+                v = ir.Arith("//", x, ir.Const(k, T.BIGINT), T.BIGINT)
+                return v
+
+            return ir.Arith("-", trunc(t2), trunc(t1), T.BIGINT)
+
+        # ---- host row-wise nested-store functions --------------------
+        impl = _breadth_impl()
+        bargs = [b(a) for a in e.args]
+
+        def store_of(x):
+            return getattr(x, "strdict", None)
+
+        def rowfn(fn, ret_dtype, out_store=None):
+            out = ir.Func("__pyudf__", bargs, ret_dtype)
+            out.extra = (fn, [None] * len(bargs), True)
+            if out_store is not None:
+                out.strdict = out_store
+            self.uncacheable = True
+            return out
+
+        from ..storage.lists import ListStore
+        from ..storage.nested import MapStore, StructStore
+
+        def dec(i):
+            st = store_of(bargs[i])
+
+            def get(vals, nulls):
+                if nulls[i]:
+                    return None
+                return st.decode_one(int(vals[i]))
+            return get
+
+        if name == "list_zip":
+            n_l = len(bargs)
+            decs = [dec(i) for i in range(n_l)]
+            out_store = ListStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                lists = [d(vals, nulls) for d in decs]
+                return out_store.add(impl["zip_rows"](lists))
+
+            et = T.STRUCT((f"list_{j + 1}",
+                           bargs[j].dtype.child or T.INTEGER)
+                          for j in range(n_l))
+            return rowfn(fn, T.LIST(et), out_store)
+        if name == "list_select":
+            d0, d1 = dec(0), dec(1)
+            out_store = ListStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                lst, idx = d0(vals, nulls), d1(vals, nulls)
+                if lst is None or idx is None:
+                    return None
+                out = []
+                for i in idx:
+                    if i is None or not 1 <= int(i) <= len(lst):
+                        raise ValueError(
+                            "list_select index out of range")
+                    out.append(lst[int(i) - 1])
+                return out_store.add(out)
+
+            return rowfn(fn, bargs[0].dtype, out_store)
+        if name in ("list_has_all", "list_has_any"):
+            d0, d1 = dec(0), dec(1)
+            want_all = name == "list_has_all"
+
+            def fn(vals, nulls):
+                a, c = d0(vals, nulls), d1(vals, nulls)
+                if a is None or c is None:
+                    return None
+                sa = {x for x in a if x is not None}
+                sc = {x for x in c if x is not None}
+                return sc <= sa if want_all else bool(sa & sc)
+
+            return rowfn(fn, T.BOOLEAN)
+        if name in ("list_distance", "list_cosine_similarity",
+                    "list_cosine_distance", "list_dot_product",
+                    "list_negative_dot_product"):
+            kind = {"list_distance": "dist",
+                    "list_cosine_similarity": "cos",
+                    "list_cosine_distance": "cosd",
+                    "list_dot_product": "dot",
+                    "list_negative_dot_product": "ndot"}[name]
+            d0, d1 = dec(0), dec(1)
+
+            def fn(vals, nulls):
+                return impl["dist"](d0(vals, nulls), d1(vals, nulls),
+                                    kind)
+
+            return rowfn(fn, T.DOUBLE)
+        if name == "list_grade_up":
+            d0 = dec(0)
+            out_store = ListStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                lst = d0(vals, nulls)
+                if lst is None:
+                    return None
+                keyed = sorted(
+                    range(len(lst)),
+                    key=lambda i: (lst[i] is None, lst[i]
+                                   if lst[i] is not None else 0))
+                return out_store.add([i + 1 for i in keyed])
+
+            return rowfn(fn, T.LIST(T.BIGINT), out_store)
+        if name == "list_resize":
+            d0 = dec(0)
+            out_store = ListStore()
+            out_store.runtime = True
+            fill_sd = store_of(bargs[2]) if len(bargs) > 2 else None
+
+            def fn(vals, nulls):
+                lst = d0(vals, nulls)
+                if lst is None or nulls[1]:
+                    return None
+                n2 = int(vals[1])
+                fill = None
+                if len(bargs) > 2 and not nulls[2]:
+                    fill = fill_sd.decode_one(int(vals[2])) \
+                        if fill_sd is not None else vals[2].item() \
+                        if hasattr(vals[2], "item") else vals[2]
+                out = list(lst[:n2]) + [fill] * max(n2 - len(lst), 0)
+                return out_store.add(out)
+
+            return rowfn(fn, bargs[0].dtype, out_store)
+        if name == "list_concat":
+            decs = [dec(i) if bargs[i].dtype.id == TypeId.LIST else None
+                    for i in range(len(bargs))]
+            out_store = ListStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                out = []
+                for i, d in enumerate(decs):
+                    lst = d(vals, nulls) if d is not None else None
+                    if lst:
+                        out.extend(lst)
+                return out_store.add(out)
+
+            lt = next((a.dtype for a in bargs
+                       if a.dtype.id == TypeId.LIST),
+                      T.LIST(T.INTEGER))
+            return rowfn(fn, lt, out_store)
+        if name in ("list_aggregate", "list_aggr"):
+            d0 = dec(0)
+            how = self._const_text(bargs[1]) \
+                if isinstance(bargs[1], ir.Const) else None
+            if how is None:
+                raise BindError("list_aggregate name must be constant")
+            how_l = str(how).lower()
+
+            def fn(vals, nulls):
+                lst = d0(vals, nulls)
+                if lst is None:
+                    return None
+                return impl["aggregate"](lst, how_l)
+
+            rt = {"count": T.BIGINT, "sum": T.DOUBLE, "avg": T.DOUBLE,
+                  "mean": T.DOUBLE, "string_agg": T.VARCHAR}.get(
+                      how_l, T.DOUBLE)
+            if rt.id == TypeId.VARCHAR:
+                out_sd = StringDictionary(np.array([], dtype=object))
+                out_sd.runtime = True
+                out = ir.Func("__pyudf__", bargs, rt)
+                out.extra = (fn, [None] * len(bargs), True, out_sd)
+                out.strdict = out_sd
+                self.uncacheable = True
+                return out
+            return rowfn(fn, rt)
+        if name == "map_entries":
+            d0 = dec(0)
+            out_store = ListStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                m = d0(vals, nulls)
+                if m is None:
+                    return None
+                items = m.items() if isinstance(m, dict) else m
+                return out_store.add(
+                    [{"key": k, "value": v} for k, v in items])
+
+            kt = bargs[0].dtype.child or T.INTEGER
+            vt = bargs[0].dtype.child2 or T.INTEGER
+            return rowfn(fn, T.LIST(T.STRUCT(
+                (("key", kt), ("value", vt)))), out_store)
+        if name == "map_from_entries":
+            d0 = dec(0)
+            out_store = MapStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                lst = d0(vals, nulls)
+                if lst is None:
+                    return None
+                pairs = []
+                for x in lst:
+                    if isinstance(x, dict):
+                        vs = list(x.values())
+                        pairs.append((vs[0], vs[1]))
+                return out_store.add(pairs)
+
+            et = bargs[0].dtype.child
+            kt = vt = T.INTEGER
+            if et is not None and et.children:
+                kt = et.children[0][1]
+                vt = et.children[1][1]
+            return rowfn(fn, T.MAP(kt, vt), out_store)
+        if name == "map_extract_value":
+            d0 = dec(0)
+            key_sd = store_of(bargs[1])
+
+            def fn(vals, nulls):
+                m = d0(vals, nulls)
+                if m is None or nulls[1]:
+                    return None
+                k = key_sd.decode_one(int(vals[1])) \
+                    if key_sd is not None else \
+                    (vals[1].item() if hasattr(vals[1], "item")
+                     else vals[1])
+                items = m.items() if isinstance(m, dict) else m
+                for kk, vv in items:
+                    if kk == k:
+                        return vv
+                return None
+
+            vt = bargs[0].dtype.child2 or T.INTEGER
+            if vt.id == TypeId.VARCHAR:
+                out_sd = StringDictionary(np.array([], dtype=object))
+                out_sd.runtime = True
+                out = ir.Func("__pyudf__", bargs, vt)
+                out.extra = (fn, [None] * len(bargs), True, out_sd)
+                out.strdict = out_sd
+                self.uncacheable = True
+                return out
+            return rowfn(fn, vt)
+        if name == "map_concat":
+            decs = [dec(i) for i in range(len(bargs))]
+            out_store = MapStore()
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                merged = {}
+                for d in decs:
+                    m = d(vals, nulls)
+                    if m:
+                        items = m.items() if isinstance(m, dict) else m
+                        for k, v in items:
+                            merged[k] = v
+                return out_store.add(list(merged.items()))
+
+            return rowfn(fn, bargs[0].dtype, out_store)
+        if name in ("struct_concat", "struct_insert"):
+            decs = [dec(i) for i in range(len(bargs))]
+
+            def names_types(dt):
+                return list(dt.children or ())
+
+            fields = []
+            seen = set()
+            for a in bargs:
+                for fn_, ft in names_types(a.dtype):
+                    if fn_ not in seen:
+                        fields.append((fn_, ft))
+                        seen.add(fn_)
+                    else:
+                        if name == "struct_insert":
+                            raise BindError(
+                                f"duplicate struct field {fn_}")
+                        fields = [(n2, ft if n2 == fn_ else t2)
+                                  for n2, t2 in fields]
+            out_store = StructStore([f for f, _ in fields], [])
+            out_store.runtime = True
+
+            def fn(vals, nulls):
+                merged = {}
+                for d in decs:
+                    st2 = d(vals, nulls)
+                    if st2:
+                        merged.update(st2)
+                return out_store.add(
+                    tuple(merged.get(f) for f, _ in fields))
+
+            return rowfn(fn, T.STRUCT(fields), out_store)
+        if name == "struct_extract_at":
+            sidx = bargs[1]
+            if not isinstance(sidx, ir.Const):
+                raise BindError("struct_extract_at index must be "
+                                "constant")
+            children = list(bargs[0].dtype.children or ())
+            i = int(sidx.value)
+            if not 1 <= i <= len(children):
+                raise BindError("struct_extract_at index out of range")
+            return self._struct_extract(bargs[0], children[i - 1][0])
+        if name == "bar":
+            if len(bargs) < 3:
+                raise BindError("bar requires (x, min, max[, width])")
+
+            def fn(vals, nulls):
+                if nulls[0] or nulls[1] or nulls[2]:
+                    return None
+                x, lo, hi = (float(vals[0]), float(vals[1]),
+                             float(vals[2]))
+                width = float(vals[3]) if len(vals) > 3 \
+                    and not nulls[3] else 80.0
+                frac = 0.0 if hi == lo else (x - lo) / (hi - lo)
+                frac = min(max(frac, 0.0), 1.0)
+                nfull = int(frac * width)
+                return "\u2588" * nfull
+
+            out_sd = StringDictionary(np.array([], dtype=object))
+            out_sd.runtime = True
+            out = ir.Func("__pyudf__", bargs, T.VARCHAR)
+            out.extra = (fn, [None] * len(bargs), True, out_sd)
+            out.strdict = out_sd
+            self.uncacheable = True
+            return out
+        if name == "alias":
+            a = bargs[0]
+            nm = getattr(a, "name", None) or "expr"
+            sd, codes, _ = StringDictionary.encode([str(nm)])
+            out = ir.Const(int(codes[0]), T.VARCHAR)
+            out.strdict = sd
+            return out
+        return None
 
     def _bind_window(self, e: A.EWindow, scope, win_ctx: WinCtx,
                      agg_ctx=None, group_map=None) -> WinRef:
@@ -6351,3 +6833,99 @@ def _rows_to_table(name, rows, cols):
         out.append(TableColumn(cn, ct, data,
                                nulls if nulls.any() else None))
     return TableData(f"__tf_{name}", out)
+
+
+# round-5 breadth batch (reference: extension/core_functions/ function
+# names still missing after r4; see docs/PARITY.md)
+_R5_BREADTH_FNS = {
+    "list_pack", "unpivot_list", "get_current_timestamp",
+    "transaction_timestamp", "bit_count", "age", "date_diff",
+    "date_sub", "current_schemas", "in_search_path",
+    "to_years", "to_months", "to_quarters", "to_decades",
+    "to_centuries", "to_millennia", "to_days", "to_weeks", "to_hours",
+    "to_minutes", "to_seconds", "to_milliseconds", "to_microseconds",
+    "list_zip", "list_select", "list_has_all", "list_has_any",
+    "list_distance", "list_cosine_similarity", "list_cosine_distance",
+    "list_dot_product", "list_negative_dot_product", "list_grade_up",
+    "list_resize", "list_concat", "list_aggregate", "list_aggr",
+    "map_entries", "map_from_entries", "map_extract_value",
+    "map_concat", "struct_concat", "struct_extract_at",
+    "struct_insert", "bar", "alias",
+}
+
+_TO_IV_MONTHS = {"to_years": 12, "to_months": 1, "to_quarters": 3,
+                 "to_decades": 120, "to_centuries": 1200,
+                 "to_millennia": 12000}
+_TO_IV_US = {"to_days": 86_400_000_000, "to_weeks": 7 * 86_400_000_000,
+             "to_hours": 3_600_000_000, "to_minutes": 60_000_000,
+             "to_seconds": 1_000_000, "to_milliseconds": 1_000,
+             "to_microseconds": 1}
+
+# date_diff parts -> truncation-boundary counters
+_DD_MONTH_PARTS = {"year": 12, "quarter": 3, "month": 1,
+                   "decade": 120, "century": 1200, "millennium": 12000}
+_DD_US_PARTS = {"day": 86_400_000_000, "week": 7 * 86_400_000_000,
+                "hour": 3_600_000_000, "minute": 60_000_000,
+                "second": 1_000_000, "millisecond": 1_000,
+                "microsecond": 1}
+
+
+def _breadth_impl():
+    """Late-bound host implementations for the multi-list/map/struct
+    functions (row-wise over the nested stores)."""
+    import math
+
+    def zip_rows(lists):
+        mx = max((len(x) for x in lists if x is not None), default=0)
+        out = []
+        for i in range(mx):
+            out.append({f"list_{j + 1}":
+                        (lst[i] if lst is not None and i < len(lst)
+                         else None)
+                        for j, lst in enumerate(lists)})
+        return out
+
+    def dist(a, b, kind):
+        if a is None or b is None:
+            return None
+        if len(a) != len(b):
+            raise ValueError("list dimensions must match")
+        va = [0.0 if x is None else float(x) for x in a]
+        vb = [0.0 if x is None else float(x) for x in b]
+        dot = sum(x * y for x, y in zip(va, vb))
+        if kind == "dot":
+            return dot
+        if kind == "ndot":
+            return -dot
+        if kind == "dist":
+            return math.sqrt(sum((x - y) ** 2
+                                 for x, y in zip(va, vb)))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        cos = dot / (na * nb) if na and nb else float("nan")
+        return cos if kind == "cos" else 1.0 - cos
+
+    def aggregate(lst, how):
+        vals = [x for x in lst if x is not None]
+        how = how.lower()
+        if how == "count":
+            return len(vals)
+        if not vals:
+            return None
+        if how in ("sum",):
+            return sum(vals)
+        if how in ("min",):
+            return min(vals)
+        if how in ("max",):
+            return max(vals)
+        if how in ("avg", "mean"):
+            return sum(float(v) for v in vals) / len(vals)
+        if how in ("first", "any_value"):
+            return vals[0]
+        if how == "last":
+            return vals[-1]
+        if how == "string_agg":
+            return ",".join(str(v) for v in vals)
+        raise ValueError(f"list_aggregate: unsupported {how}")
+
+    return {"zip_rows": zip_rows, "dist": dist, "aggregate": aggregate}

@@ -1909,6 +1909,22 @@ class Parser:
                         break
             self.expect_op(")")
             return A.EStruct(fields)
+        if t.kind == "IDENT" and t.value.lower() == "struct_insert" \
+                and self.peek(1).kind == "OP" \
+                and self.peek(1).value == "(":
+            # struct_insert(s, a := e, ...) -> EFunc(s, EStruct(fields))
+            self.next()
+            self.next()
+            base = self.expr()
+            fields = []
+            while self.accept_op(","):
+                fname = self.next().value
+                if not self.accept_op(":="):
+                    self.expect_op(":")
+                    self.expect_op("=")
+                fields.append((fname, self.expr()))
+            self.expect_op(")")
+            return A.EFunc("struct_insert", [base, A.EStruct(fields)])
         if t.kind == "OP" and t.value == "[":
             # list literal [e1, e2, ...] or comprehension
             # [expr FOR x IN list [IF cond]]

@@ -248,6 +248,7 @@ def _function_registry():
         if m is not None:
             scalars |= _harvest_dispatch_names(m)
     scalars |= set(B.FUNC_ALIASES)
+    scalars |= set(getattr(B, "_BUILTIN_MACROS", ()))
     scalars |= set(getattr(B, "AGG_MACROS", ()))
     scalars |= set(getattr(B, "_STR_FUNCS", ()))
     scalars -= set(B.AGG_FUNCS)
