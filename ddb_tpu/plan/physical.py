@@ -758,7 +758,7 @@ def _exec_unnest(node: "L.Unnest", ctx):
 # ---- host aggregation for var-size results (list / string_agg) -------------
 
 _HOST_AGG_KINDS = ("collect", "string_agg", "histogram",
-                   "approx_top_k")
+                   "approx_top_k", "mad")
 
 
 def _string_agg_vectorized(a, ds, ns, starts, ends, ngroups, aorder,
@@ -1017,6 +1017,12 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
                 res.append(dd.max())
             elif a.kind == "any_value":
                 res.append(dd[0])
+            elif a.kind == "mad":
+                # median absolute deviation (reference:
+                # core_functions/aggregate/holistic/mad.cpp)
+                med = np.median(dd.astype(np.float64))
+                res.append(float(np.median(
+                    np.abs(dd.astype(np.float64) - med))))
             else:
                 raise NotImplementedError(
                     f"{a.kind} cannot combine with list aggregates yet")

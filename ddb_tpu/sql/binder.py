@@ -55,7 +55,7 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "arg_min", "arg_max", "argmin", "argmax", "min_by",
              "arg_min_null", "arg_max_null",
              "max_by", "histogram", "histogram_exact", "approx_top_k",
-             "product", "list", "array_agg", "string_agg",
+             "product", "list", "array_agg", "string_agg", "mad",
              "group_concat", "bit_and", "bit_or", "bit_xor", "entropy",
              "last"}
 
@@ -4914,6 +4914,19 @@ class Binder:
                              arg, T.BOOLEAN, name)
             idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
             return AggRef(idx, T.BOOLEAN)
+        if name == "mad":
+            # median absolute deviation (reference:
+            # core_functions/aggregate/holistic/mad.cpp); temporal
+            # arguments yield an interval of micros
+            arg2 = arg
+            rt = T.DOUBLE
+            if arg.dtype.is_temporal:
+                rt = T.INTERVAL
+            elif arg.dtype.id != TypeId.DOUBLE:
+                arg2 = ir.promote(arg, T.DOUBLE)
+            spec = L.AggSpec("mad", arg2, rt, name)
+            idx = agg_ctx.add(spec, f"mad({_ekey(arg2)})")
+            return AggRef(idx, rt)
         if name == "approx_count_distinct":
             # real HyperLogLog sketch above the exactness threshold
             # (ops/sketch.py; reference: third_party/hyperloglog behind
