@@ -494,6 +494,20 @@ class Connection:
         self.catalog.bump()
         return self
 
+    def register_filesystem(self, scheme: str, fs) -> "Connection":
+        """Register an fsspec-style filesystem for scheme:// paths in
+        read_csv/read_parquet (reference: caching_file_system.cpp +
+        pythonpkg register_filesystem); reads cache locally with
+        version revalidation."""
+        from .storage.cachefs import register_filesystem
+        register_filesystem(scheme, fs)
+        return self
+
+    def unregister_filesystem(self, scheme: str) -> "Connection":
+        from .storage.cachefs import unregister_filesystem
+        unregister_filesystem(scheme)
+        return self
+
     def create_table_function(self, name: str, fn,
                               columns) -> "Connection":
         """Register a Python table function callable from SQL FROM

@@ -1259,6 +1259,11 @@ class Binder:
                     kwargs={k: rv(v) for k, v in
                             (getattr(ref, "kwargs", None) or {}).items()})
             import inspect
+            if any(isinstance(a, str) and "://" in a
+                   for a in (ref.args or ())):
+                # remote paths revalidate through the caching
+                # filesystem on every execution — never plan-cache
+                self.uncacheable = True
             if len(inspect.signature(fn).parameters) >= 3:
                 td = fn(self.context, ref.args,
                         getattr(ref, "kwargs", None) or {})

@@ -497,7 +497,9 @@ def fn_read_csv(ctx, args, kwargs=None) -> TableData:
         else kw.get("types") if isinstance(kw.get("types"), dict) else None
     if types and names is None and kw.get("columns"):
         names = list(types.keys())
-    at = read_csv_auto(str(args[0]), delim=delim, header=header,
+    from .storage.cachefs import resolve as _fs_resolve
+    at = read_csv_auto(_fs_resolve(str(args[0])), delim=delim,
+                       header=header,
                        names=names, types=types)
     return from_arrow("read_csv", at)
 
@@ -534,7 +536,9 @@ def fn_sniff_csv(ctx, args) -> TableData:
 def fn_read_parquet(ctx, args) -> TableData:
     from .storage.table import from_arrow
     import pyarrow.parquet as pq
-    return from_arrow("read_parquet", pq.read_table(str(args[0])))
+    from .storage.cachefs import resolve as _fs_resolve
+    return from_arrow("read_parquet",
+                      pq.read_table(_fs_resolve(str(args[0]))))
 
 
 TABLE_FUNCTIONS.update({
