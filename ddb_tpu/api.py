@@ -328,6 +328,8 @@ class Connection:
         self._udfs: Dict[str, tuple] = {}     # UDF name -> (fn, dtype)
         # table-function registry: name -> (producer, [(col, dtype)])
         self._table_fns: Dict[str, tuple] = {}
+        # SET VARIABLE store: name -> (python value, DataType)
+        self._variables: Dict[str, tuple] = {}
         self._db_path: Optional[str] = None   # opened database file
         self._wal = None                      # WriteAheadLog appender
         self._replaying = False               # suppress logging in replay
@@ -735,6 +737,13 @@ class Connection:
             return self._execute_explain(stmt)
         if isinstance(stmt, A.DescribeStmt):
             return self._execute_describe(stmt)
+        if isinstance(stmt, A.SetVariableStmt):
+            from .sql.binder import Binder, Scope
+            b = Binder(self.catalog, context=self)
+            c = b.bind_expr(stmt.value, Scope())
+            v = _const_python_value(c)
+            self._variables[stmt.name.lower()] = (v, c.dtype)
+            return None
         if isinstance(stmt, A.SetStmt):
             self.config.set(stmt.name, stmt.value)
             if stmt.name.lower() == "redo_transport":

@@ -423,6 +423,12 @@ class SetStmt:
 
 
 @dataclass
+class SetVariableStmt:
+    name: str
+    value: object          # expression AST
+
+
+@dataclass
 class PragmaStmt:
     name: str
     args: List = field(default_factory=list)

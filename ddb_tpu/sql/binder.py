@@ -4123,6 +4123,58 @@ class Binder:
         src/function/scalar/).  Returns None to fall through."""
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
                                      sub_replacements)
+        if name in ("encode", "decode"):
+            a0 = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                                sub_replacements)
+            sd = getattr(a0, "strdict", None)
+            if sd is None:
+                raise BindError(f"{name} requires a dictionary-backed "
+                                "argument")
+            from ..storage.nested import BlobStore
+            if name == "encode":        # VARCHAR -> BLOB (utf8 bytes)
+                out_store = BlobStore()
+                out_store.runtime = True
+
+                def fn(vals, nulls):
+                    if nulls[0]:
+                        return None
+                    return out_store.add(
+                        str(sd.decode_one(int(vals[0]))).encode("utf-8"))
+
+                out = ir.Func("__pyudf__", [a0], T.BLOB)
+                out.extra = (fn, [None], True)
+                out.strdict = out_store
+                self.uncacheable = True
+                return out
+            # decode: BLOB -> VARCHAR (errors on invalid utf8 like the
+            # reference)
+            out_sd = StringDictionary(np.array([], dtype=object))
+            out_sd.runtime = True
+
+            def fn(vals, nulls):
+                if nulls[0]:
+                    return None
+                return sd.decode_one(int(vals[0])).decode("utf-8")
+
+            out = ir.Func("__pyudf__", [a0], T.VARCHAR)
+            out.extra = (fn, [None], True, out_sd)
+            out.strdict = out_sd
+            self.uncacheable = True
+            return out
+        if name == "getvariable":
+            a0 = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
+                                sub_replacements)
+            nm = str(self._const_text(a0)).lower() \
+                if isinstance(a0, ir.Const) else None
+            if nm is None:
+                raise BindError("getvariable name must be constant")
+            store = getattr(self.context, "_variables", {})
+            if nm not in store:
+                return ir.Const(None, T.VARCHAR)
+            v, dt = store[nm]
+            self.uncacheable = True
+            return self._bind_literal(v) if dt.id == TypeId.VARCHAR \
+                else ir.Const(T.encode_literal(v, dt), dt)
         if name in ("list_pack", "unpivot_list"):
             return b(A.EList(list(e.args)))
         if name in ("get_current_timestamp", "transaction_timestamp"):
@@ -6856,7 +6908,7 @@ def _rows_to_table(name, rows, cols):
 # round-5 breadth batch (reference: extension/core_functions/ function
 # names still missing after r4; see docs/PARITY.md)
 _R5_BREADTH_FNS = {
-    "list_pack", "unpivot_list", "get_current_timestamp",
+    "encode", "decode", "getvariable", "list_pack", "unpivot_list", "get_current_timestamp",
     "transaction_timestamp", "bit_count", "age", "date_diff",
     "date_sub", "current_schemas", "in_search_path",
     "to_years", "to_months", "to_quarters", "to_decades",

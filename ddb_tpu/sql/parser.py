@@ -157,6 +157,15 @@ class Parser:
         if t.kind == "KW" and t.value == "set" or \
                 (t.kind == "IDENT" and t.value == "set"):
             self.next()
+            if self.peek().kind == "IDENT" \
+                    and self.peek().value.lower() == "variable":
+                # SET VARIABLE name = expr (reference: SET VARIABLE,
+                # consumed by getvariable())
+                self.next()
+                name = self.ident()
+                if not self.accept_op("="):
+                    self.expect_kw("to")
+                return A.SetVariableStmt(name, self.expr())
             name = self.ident()
             if not self.accept_op("="):
                 self.expect_kw("to") if self.at_kw("to") else None
