@@ -3191,6 +3191,31 @@ class Binder:
                 return ir.Const(raw, tgt)
         if typename in ("decimal", "numeric"):
             tgt = T.DECIMAL(w or 18, s)
+        elif self.catalog is not None \
+                and typename.lower() in getattr(self.catalog, "enums",
+                                                {}):
+            # cast to a user ENUM type: VARCHAR physical + domain
+            # check, tagged so enum_*() can recover the type
+            values = self.catalog.enums[typename.lower()]
+            if isinstance(c, ir.Const):
+                if c.value is None:
+                    out = ir.Const(None, T.VARCHAR)
+                else:
+                    txt = self._const_text(c)
+                    if txt not in values:
+                        raise ConversionError(
+                            f"Could not convert string '{txt}' to "
+                            f"{typename}")
+                    sd2, codes2, _ = StringDictionary.encode([txt])
+                    out = ir.Const(int(codes2[0]), T.VARCHAR)
+                    out.strdict = sd2
+                out.enum_type = typename.lower()
+                return out
+            out = c
+            if c.dtype.id != TypeId.VARCHAR:
+                out = self._cast_to_varchar(c)
+            out.enum_type = typename.lower()
+            return out
         else:
             tgt = resolve_typename(typename, w, s)
         if tgt.id == TypeId.TIMESTAMPTZ \
@@ -4123,6 +4148,75 @@ class Binder:
         src/function/scalar/).  Returns None to fall through."""
         b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
                                      sub_replacements)
+        if name in ("enum_code", "enum_first", "enum_last",
+                    "enum_range", "enum_range_boundary"):
+            bargs0 = [self.bind_expr(a, scope, agg_ctx, group_map,
+                                     sub_replacements) for a in e.args]
+            etype = next((getattr(a, "enum_type", None)
+                          for a in bargs0
+                          if getattr(a, "enum_type", None)), None)
+            if etype is None:
+                # column over an enum-domained table column
+                for a in bargs0:
+                    if isinstance(a, ir.ColRef) \
+                            and a.dtype.id == TypeId.VARCHAR:
+                        for td in getattr(self.catalog, "tables",
+                                          {}).values():
+                            dom = getattr(td, "enum_domains",
+                                          {}).get(a.name)
+                            if dom is not None:
+                                etype = dom[0].lower()
+                                break
+                    if etype is not None:
+                        break
+            if etype is None or etype not in getattr(
+                    self.catalog, "enums", {}):
+                raise BindError(f"{name} requires an ENUM-typed "
+                                "argument")
+            values = list(self.catalog.enums[etype])
+            from ..storage.lists import ListStore
+            if name == "enum_first":
+                return self._bind_literal(values[0])
+            if name == "enum_last":
+                return self._bind_literal(values[-1])
+            if name == "enum_range":
+                out = ir.Const(0, T.LIST(T.VARCHAR))
+                out.strdict = ListStore([values])
+                return out
+            if name == "enum_range_boundary":
+                lo_c, hi_c = bargs0[0], bargs0[1]
+
+                def bound(cst, default):
+                    if isinstance(cst, ir.Const) and cst.value is None:
+                        return default
+                    txt = self._const_text(cst)
+                    return values.index(txt)
+
+                lo_i = bound(lo_c, 0)
+                hi_i = bound(hi_c, len(values) - 1)
+                out = ir.Const(0, T.LIST(T.VARCHAR))
+                out.strdict = ListStore([values[lo_i:hi_i + 1]])
+                return out
+            # enum_code: ordinal within the enum declaration
+            a0 = bargs0[0]
+            sd = getattr(a0, "strdict", None)
+            order = {v: i for i, v in enumerate(values)}
+            if isinstance(a0, ir.Const):
+                if a0.value is None:
+                    return ir.Const(None, T.BIGINT)
+                return ir.Const(order.get(self._const_text(a0), 0),
+                                T.BIGINT)
+            if sd is None:
+                raise BindError("enum_code requires a dictionary")
+            if getattr(sd, "runtime", False):
+                def tbl():
+                    t2 = np.array([order.get(str(v), 0)
+                                   for v in sd.values], dtype=np.int64)
+                    return t2, None
+                return ir.DictLookup(a0, tbl, T.BIGINT, "enum_code")
+            table = np.array([order.get(str(v), 0) for v in sd.values],
+                             dtype=np.int64)
+            return ir.DictLookup(a0, table, T.BIGINT, "enum_code")
         if name in ("encode", "decode"):
             a0 = self.bind_expr(e.args[0], scope, agg_ctx, group_map,
                                 sub_replacements)
@@ -6908,7 +7002,8 @@ def _rows_to_table(name, rows, cols):
 # round-5 breadth batch (reference: extension/core_functions/ function
 # names still missing after r4; see docs/PARITY.md)
 _R5_BREADTH_FNS = {
-    "encode", "decode", "getvariable", "list_pack", "unpivot_list", "get_current_timestamp",
+    "enum_code", "enum_first", "enum_last", "enum_range",
+    "enum_range_boundary", "encode", "decode", "getvariable", "list_pack", "unpivot_list", "get_current_timestamp",
     "transaction_timestamp", "bit_count", "age", "date_diff",
     "date_sub", "current_schemas", "in_search_path",
     "to_years", "to_months", "to_quarters", "to_decades",
