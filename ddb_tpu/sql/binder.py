@@ -63,6 +63,7 @@ AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
 # src/function/function_list.cpp / extension/core_functions)
 FUNC_ALIASES = {
     "ceiling": "ceil", "mean": "avg", "arbitrary": "first",
+    "fmod": "mod", "fdiv": "divide", "pow": "power",
     "listagg": "string_agg", "favg": "avg", "fsum": "sum",
     "sumkahan": "sum", "kahan_sum": "sum",
     "countif": "count_if", "datediff": "date_diff",

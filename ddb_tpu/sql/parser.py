@@ -1750,6 +1750,12 @@ class Parser:
             if self.accept_op("::"):
                 tn, w, s = self.typename()
                 e = A.ECast(e, tn, w, s)
+            elif self.at("OP", "!") \
+                    and not (self.peek(1).kind == "OP"
+                             and self.peek(1).value == "="):
+                # postfix factorial (reference: operator !)
+                self.next()
+                e = A.EFunc("factorial", [e])
             elif self.accept_op("->"):
                 e = A.EFunc("json_extract", [e, self.expr_primary()])
             elif self.accept_op("->>"):
