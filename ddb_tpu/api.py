@@ -113,8 +113,27 @@ class QueryResult:
                     d.astype(np.int64) % 86_400_000_000,
                     mask=mask).cast(pa.time64("us"))
             elif t.id == TypeId.INTERVAL:
-                arrays[f.name] = pa.array(
-                    d.astype("timedelta64[us]"), mask=mask)
+                # months ride the high bits of the packed int64
+                # (types.py interval_pack); month-free columns export as
+                # plain durations, calendar intervals as
+                # month_day_nano like the reference's Arrow bridge
+                months = np.array([T.interval_unpack(int(v))[0]
+                                   for v in d], dtype=np.int64)
+                if months.any():
+                    vals = []
+                    for i, v in enumerate(d):
+                        if mask is not None and mask[i]:
+                            vals.append(None)
+                            continue
+                        mo, us = T.interval_unpack(int(v))
+                        days, rem = divmod(us, 86_400_000_000)
+                        vals.append((mo, int(days), int(rem) * 1000))
+                    arrays[f.name] = pa.array(
+                        vals, pa.month_day_nano_interval())
+                else:
+                    arrays[f.name] = pa.array(
+                        (d - months * T.INTERVAL_MONTH)
+                        .astype("timedelta64[us]"), mask=mask)
             elif t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
                           TypeId.BLOB):
                 vals = [None if (mask is not None and mask[i])
@@ -1507,6 +1526,7 @@ class Connection:
         if not getattr(td, "constraints", None) \
                 and not getattr(td, "not_null", None) \
                 and not getattr(td, "enum_domains", None) \
+                and not getattr(td, "bit_columns", None) \
                 and not getattr(td, "foreign_keys", None):
             return
         try:
@@ -1779,9 +1799,18 @@ class Connection:
         from .sql.binder import BindError
         fields = []
         enum_domains = {}
+        bit_columns = set()
         for c in stmt.columns:
             cname = c.name.lower()
             tn = c.typename.lower()
+            if tn in ("bit", "bitstring"):
+                # BIT column: VARCHAR storage holding canonical '0'/'1'
+                # text, validated at constraint-check time (reference:
+                # LogicalType::BIT packs a padded blob, common/types/
+                # bit.cpp; dictionary text is the TPU-native form)
+                fields.append((cname, T.VARCHAR))
+                bit_columns.add(cname)
+                continue
             if tn in self.catalog.enums:
                 # ENUM column: VARCHAR storage restricted to the enum's
                 # value domain (reference: LogicalType::ENUM is a
@@ -1798,6 +1827,8 @@ class Connection:
         td = dml.empty_table(stmt.name.lower(), fields)
         if enum_domains:
             td.enum_domains = enum_domains
+        if bit_columns:
+            td.bit_columns = bit_columns
         defaults = {c.name.lower(): c.default for c in stmt.columns
                     if c.default is not None}
         if defaults:
@@ -1867,7 +1898,8 @@ class Connection:
                        "not_null": sorted(td.not_null),
                        "defaults": defaults,
                        "enum_domains": {k: [v[0], sorted(v[1])]
-                                        for k, v in enum_domains.items()}})
+                                        for k, v in enum_domains.items()},
+                       "bit_columns": sorted(bit_columns)})
         return None
 
     def _emit_cdc(self, table, op, rows, old_rows=None):
@@ -2055,7 +2087,8 @@ class Connection:
         backup = None
         if getattr(td, "constraints", None) or getattr(td, "not_null",
                                                        None) \
-                or getattr(td, "enum_domains", None) or fk_relevant:
+                or getattr(td, "enum_domains", None) \
+                or getattr(td, "bit_columns", None) or fk_relevant:
             backup = {c.name: (c.data, c.nulls, c.strdict)
                       for c in td.columns if c.name in updates}
         dml.update_rows(td, mask, updates)

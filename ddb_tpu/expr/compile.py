@@ -163,6 +163,22 @@ def _eval_arith(e: ir.Arith, b: Batch):
             tq = q + ((rfl != 0) & ((ld < 0) != (safe < 0)))
             out = ld - tq * safe
         nulls = _or_nulls(nulls, rd == 0)
+    elif op == "&":
+        out = ld & rd
+    elif op == "|":
+        out = ld | rd
+    elif op == "xor":
+        out = ld ^ rd
+    elif op == "<<":
+        # shifts >= bit width are 0 in the reference; XLA leaves them
+        # undefined, so mask explicitly
+        width = jnp.iinfo(ld.dtype).bits
+        out = jnp.where((rd >= width) | (rd < 0), 0,
+                        jnp.left_shift(ld, jnp.clip(rd, 0, width - 1)))
+    elif op == ">>":
+        width = jnp.iinfo(ld.dtype).bits
+        out = jnp.where((rd >= width) | (rd < 0), 0,
+                        jnp.right_shift(ld, jnp.clip(rd, 0, width - 1)))
     else:
         raise ValueError(op)
     want = np.dtype(e.dtype.np_dtype)
@@ -313,6 +329,8 @@ def _eval_dictlookup2(e: ir.DictLookup2, b: Batch):
         return jnp.zeros(ld.shape[0], dtype=table.dtype), nulls
     idx = ld.astype(jnp.int32) * e.right_card + rd.astype(jnp.int32)
     idx = jnp.clip(idx, 0, table.shape[0] - 1)
+    if e.null_table is not None:
+        nulls = _or_nulls(nulls, jnp.asarray(e.null_table)[idx])
     return table[idx], nulls
 
 

@@ -173,6 +173,7 @@ class DictLookup2(Expr):
     right_card: int
     dtype: DataType
     label: str = "dict_lookup2"
+    null_table: Any = None     # optional np.bool_ array, same length
 
     def children(self):
         return [self.left, self.right]
@@ -263,6 +264,14 @@ def bind_arith(op: str, left: Expr, right: Expr) -> Expr:
     if lt.id == TypeId.INTERVAL and rt.id == TypeId.INTERVAL \
             and op in ("+", "-"):
         return Arith(op, left, right, T.INTERVAL)
+    if op in ("&", "|", "<<", ">>", "xor"):
+        # integer bitwise (reference: core_functions/scalar/operators/
+        # bitwise.cpp; BIT-typed operands are handled at the binder seam)
+        ct = common_type(lt, rt)
+        if not ct.is_integer:
+            raise ValueError(
+                f"bitwise {op} requires integer operands, got {lt}/{rt}")
+        return Arith(op, promote(left, ct), promote(right, ct), ct)
     if op == "/":
         return Arith("/", promote(left, T.DOUBLE), promote(right, T.DOUBLE),
                      T.DOUBLE)

@@ -47,6 +47,11 @@ class InvalidInputError(BindError):
     InvalidInputException)."""
 
 
+class OutOfRangeError(BindError):
+    """Value outside the valid domain (reference: OutOfRangeException,
+    e.g. get_bit/set_bit index checks)."""
+
+
 AGG_FUNCS = {"sum", "count", "avg", "min", "max", "any_value", "first",
              "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
              "variance", "median", "quantile", "quantile_cont",
@@ -556,8 +561,18 @@ class Binder:
 
         # WHERE (with subquery flattening)
         if stmt.where is not None:
-            plan, pred = self._bind_where(stmt.where, plan, scope,
-                                          outer_scope)
+            try:
+                plan, pred = self._bind_where(stmt.where, plan, scope,
+                                              outer_scope)
+            except BindError:
+                # select-item aliases are legal in WHERE (reference:
+                # bind_select_node.cpp alias binding; columns win)
+                sub = self._lateral_alias_subst(
+                    stmt.where, [it for it in stmt.items if it[1]])
+                if sub is None:
+                    raise
+                plan, pred = self._bind_where(sub, plan, scope,
+                                              outer_scope)
             if pred is not None:
                 plan = L.Filter(plan, pred)
 
@@ -655,8 +670,20 @@ class Binder:
                     plan = L.Filter(plan, _resolve_winrefs(qexpr, base))
         elif has_windows:
             win_ctx = WinCtx()
-            bound_items = [self.bind_expr(e, scope, win_ctx=win_ctx)
-                           for e, _ in items]
+            bound_items = []
+            for i2, (e, _) in enumerate(items):
+                try:
+                    bound_items.append(
+                        self.bind_expr(e, scope, win_ctx=win_ctx))
+                except BindError:
+                    # lateral alias reference: SELECT 1 AS a, a+1
+                    # (reference: bind_select_node.cpp alias binding —
+                    # real columns take precedence, tried first above)
+                    sub = self._lateral_alias_subst(e, items[:i2])
+                    if sub is None:
+                        raise
+                    bound_items.append(
+                        self.bind_expr(sub, scope, win_ctx=win_ctx))
             qexpr = None
             if stmt.qualify is not None:
                 qexpr = self.bind_expr(
@@ -671,7 +698,7 @@ class Binder:
             self._plan_for_bounds = plan
             try:
                 bound_items = []
-                for e, _ in items:
+                for i2, (e, _) in enumerate(items):
                     if _contains_mark_sub(e):
                         # EXISTS/IN-subquery inside a select item: MARK
                         # join columns feed the projection
@@ -686,7 +713,17 @@ class Binder:
                             be, plan = self._flatten_scalar_subs(
                                 e, plan, scope)
                     else:
-                        be = self.bind_expr(e, scope)
+                        try:
+                            be = self.bind_expr(e, scope)
+                        except BindError:
+                            # lateral alias reference: SELECT 1 AS a,
+                            # a+1 (reference: bind_select_node.cpp —
+                            # real columns win, so tried first above)
+                            sub = self._lateral_alias_subst(
+                                e, items[:i2])
+                            if sub is None:
+                                raise
+                            be = self.bind_expr(sub, scope)
                     bound_items.append(be)
             finally:
                 self._plan_for_bounds = None
@@ -2562,6 +2599,13 @@ class Binder:
         if isinstance(e, A.EUnary):
             if e.op == "not":
                 return ir.Not(b(e.child))
+            if e.op == "~":
+                c = b(e.child)
+                if self._is_bit(c):
+                    return self._bit_not(c)
+                # two's complement: ~x == -1 - x (reference: operator ~,
+                # core_functions/scalar/operators/bitwise.cpp)
+                return ir.bind_arith("-", ir.Const(-1, T.INTEGER), c)
             c = b(e.child)
             if isinstance(c, ir.Const) and c.value is not None:
                 return ir.Const(-c.value, c.dtype)
@@ -2727,6 +2771,21 @@ class Binder:
               "week": 7 * 86_400_000_000}
 
     def _bind_arith(self, op: str, l: ir.Expr, r: ir.Expr) -> ir.Expr:
+        if op in ("&", "|", "<<", ">>"):
+            # BIT operands get bitstring semantics, integers bitwise
+            # (reference: core_functions/scalar/operators/bitwise.cpp +
+            # common/types/bit.cpp)
+            if self._is_bit(l) or self._is_bit(r):
+                if op in ("<<", ">>"):
+                    return self._bit_shift(op, l, r)
+                return self._bit_binop(op, l, r)
+            return ir.bind_arith(op, l, r)
+        if op in ("+", "-") and l.dtype.id == TypeId.INTERVAL \
+                and r.dtype.id == TypeId.INTERVAL:
+            # interval +/- interval: the month/micros packing
+            # (types.py interval_pack) is linear, so raw int64
+            # addition is exact even for calendar intervals
+            return ir.bind_arith(op, l, r)
         # temporal +/- interval (reference: Interval::Add,
         # src/common/types/interval.cpp).  Month-units run through the
         # device add_months kernel (calendar math with end-of-month
@@ -3190,6 +3249,12 @@ class Binder:
                     raise ConversionError(
                         f"Could not convert string '{text}' to {tgt}")
                 return ir.Const(raw, tgt)
+        if typename in ("bit", "bitstring"):
+            if w or s:
+                raise BindError(
+                    "Parser Error: Type BIT does not support any "
+                    "modifiers!")
+            return self._bind_bit_cast(c, try_)
         if typename in ("decimal", "numeric"):
             tgt = T.DECIMAL(w or 18, s)
         elif self.catalog is not None \
@@ -3219,6 +3284,8 @@ class Binder:
             return out
         else:
             tgt = resolve_typename(typename, w, s)
+        if tgt.id == TypeId.BLOB and c.dtype.id == TypeId.VARCHAR:
+            return self._bind_blob_from_text(c)
         if tgt.id == TypeId.TIMESTAMPTZ \
                 or c.dtype.id == TypeId.TIMESTAMPTZ:
             out = self._bind_tz_cast(c, tgt, try_)
@@ -3451,6 +3518,17 @@ class Binder:
                     raise BindError(
                         "grouping() argument must be a GROUP BY column")
             return GroupingRef(tuple(idxs))
+        if name == "xor" and len(e.args) == 2:
+            a0, a1 = b(e.args[0]), b(e.args[1])
+            if self._is_bit(a0) or self._is_bit(a1):
+                return self._bit_binop("xor", a0, a1)
+            return ir.bind_arith("xor", a0, a1)
+        if name in ("get_bit", "set_bit", "bit_position", "bitstring") \
+                or (name in ("bit_count", "bit_length", "octet_length")
+                    and e.args
+                    and self._is_bit(b(e.args[0]))):
+            return self._bind_bit_func(name, e, scope, agg_ctx,
+                                       group_map, sub_replacements)
         if name in ("list_first", "list_last") and len(e.args) == 1:
             # first/last element (reference: core_functions list_first/
             # list_last rewrite to list_extract)
@@ -5848,6 +5926,343 @@ class Binder:
         table = np.array([needle in lst for lst in store.items],
                          dtype=bool)
         return ir.DictLookup(a, table, T.BOOLEAN, "list_contains")
+
+    # ---- BIT (bitstring) ------------------------------------------------
+    # Dictionary-encoded like VARCHAR: canonical '0'/'1' text in the
+    # dictionary, per-code tables for every operator (reference packs a
+    # padded blob, src/common/types/bit.cpp; here text IS the storage
+    # form so device work stays int32 gathers).
+
+    def _is_bit(self, x) -> bool:
+        if getattr(x, "bit_type", False):
+            return True
+        if isinstance(x, ir.ColRef) and x.dtype.id == TypeId.VARCHAR:
+            for td in getattr(self.catalog, "tables", {}).values():
+                if x.name in getattr(td, "bit_columns", ()):
+                    return True
+        return False
+
+    def _bit_text_of(self, c: ir.Const) -> str:
+        from ..expr import bits as B
+        sd = getattr(c, "strdict", None)
+        if c.dtype.id == TypeId.BLOB and sd is not None:
+            return B.from_blob(sd.decode_one(int(c.value)))
+        if c.dtype.is_integer:
+            # numeric -> BIT: the two's-complement bit pattern at the
+            # type's width (reference: NumericToBit casts, bit.cpp)
+            w = {TypeId.TINYINT: 8, TypeId.SMALLINT: 16,
+                 TypeId.INTEGER: 32}.get(c.dtype.id, 64)
+            return format(int(c.value) & ((1 << w) - 1), f"0{w}b")
+        return B.validate(self._const_text(c))
+
+    def _bit_table(self, col: ir.Expr, fn, label: str) -> ir.Expr:
+        """Per-code table applying fn(text)->text|None over col's
+        dictionary; BitErrors become NULL codes."""
+        from ..expr import bits as B
+        sd = col.strdict
+        outs = []
+        for v in sd.values:
+            try:
+                outs.append(fn(str(v)))
+            except B.BitError:
+                outs.append(None)
+        out = self._string_table(col, outs, label)
+        out.bit_type = True
+        return out
+
+    def _bit_not(self, c: ir.Expr) -> ir.Expr:
+        from ..expr import bits as B
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                out = ir.Const(None, T.VARCHAR)
+            else:
+                out = self._bind_literal(B.bit_not(self._bit_text_of(c)))
+            out.bit_type = True
+            return out
+        return self._bit_table(c, lambda s: B.bit_not(B.validate(s)),
+                               "bit_not")
+
+    def _bit_shift(self, op: str, l: ir.Expr, r: ir.Expr) -> ir.Expr:
+        from ..expr import bits as B
+        sh = B.shift_left if op == "<<" else B.shift_right
+        if not isinstance(r, ir.Const):
+            raise BindError("BIT shift amount must be constant")
+        if r.value is None:
+            out = ir.Const(None, T.VARCHAR)
+            out.bit_type = True
+            return out
+        n = int(r.value)
+        if isinstance(l, ir.Const):
+            if l.value is None:
+                out = ir.Const(None, T.VARCHAR)
+            else:
+                try:
+                    out = self._bind_literal(
+                        sh(self._bit_text_of(l), n))
+                except B.BitError as ex:
+                    raise self._bit_raise(ex)
+            out.bit_type = True
+            return out
+        return self._bit_table(l, lambda s: sh(B.validate(s), n),
+                               f"bit{op}")
+
+    def _bit_binop(self, op: str, l: ir.Expr, r: ir.Expr) -> ir.Expr:
+        from ..expr import bits as B
+        fn2 = {"&": B.bit_and, "|": B.bit_or, "xor": B.bit_xor}[op]
+        if isinstance(l, ir.Const) and isinstance(r, ir.Const):
+            if l.value is None or r.value is None:
+                out = ir.Const(None, T.VARCHAR)
+            else:
+                try:
+                    out = self._bind_literal(
+                        fn2(self._bit_text_of(l), self._bit_text_of(r)))
+                except B.BitError as ex:
+                    raise InvalidInputError(
+                        f"Invalid Input Error: {ex}")
+            out.bit_type = True
+            return out
+        if isinstance(r, ir.Const) or isinstance(l, ir.Const):
+            cst, col = (l, r) if isinstance(l, ir.Const) else (r, l)
+            if cst.value is None:
+                out = ir.Const(None, T.VARCHAR)
+                out.bit_type = True
+                return out
+            ctext = self._bit_text_of(cst)
+            return self._bit_table(
+                col, lambda s: fn2(B.validate(s), ctext), f"bit{op}")
+        # column (x) column: pair table like _concat2
+        lv = [str(v) for v in l.strdict.values]
+        rv = [str(v) for v in r.strdict.values]
+        if len(lv) * len(rv) > self._CONCAT_CAP:
+            raise BindError("BIT operator: combined dictionary too large")
+        outs = []
+        for x in lv:
+            for y in rv:
+                try:
+                    outs.append(fn2(B.validate(x), B.validate(y)))
+                except B.BitError:
+                    outs.append(None)
+        live = [o for o in outs if o is not None]
+        nd = StringDictionary(
+            np.unique(np.asarray(live, dtype=object).astype(str))
+            if live else np.array([], dtype=object))
+        table = np.array([0 if o is None else nd.code_of(o)
+                          for o in outs], dtype=np.int32)
+        nulls = np.array([o is None for o in outs], dtype=bool)
+        out = ir.DictLookup2(l, r, table, max(len(rv), 1), T.VARCHAR,
+                             f"bit{op}",
+                             null_table=nulls if nulls.any() else None)
+        out.strdict = nd
+        out.bit_type = True
+        return out
+
+    def _bit_raise(self, ex) -> Exception:
+        """Map a BitError to the reference's exception family."""
+        m = str(ex)
+        if m.startswith("bit index") or "shift by negative" in m:
+            return OutOfRangeError(f"Out of Range Error: {m}")
+        if "must be 1 or 0" in m or "Length must be" in m \
+                or "different sizes" in m:
+            return InvalidInputError(f"Invalid Input Error: {m}")
+        return ConversionError(f"Conversion Error: {m}")
+
+    def _bind_bit_func(self, name, e: A.EFunc, scope, agg_ctx,
+                       group_map, sub_replacements) -> ir.Expr:
+        from ..expr import bits as B
+        b = lambda x: self.bind_expr(x, scope, agg_ctx, group_map,
+                                     sub_replacements)
+        args = [b(a) for a in e.args]
+
+        def const_int(c, what):
+            if not isinstance(c, ir.Const):
+                raise BindError(f"{name}: {what} must be constant")
+            return None if c.value is None else int(c.value)
+
+        str_out = name in ("set_bit", "bitstring")
+        if name == "bit_position":
+            if len(args) != 2:
+                raise BindError(
+                    f"Binder Error: No function matches {name}")
+            sub = args[0]
+            if not isinstance(sub, ir.Const):
+                raise BindError("bit_position needle must be constant")
+            driving = args[1]
+            stext = None if sub.value is None \
+                else self._bit_text_of(sub)
+            fn = lambda s: B.bit_position(stext, B.validate(s))
+        elif name == "get_bit":
+            if len(args) != 2:
+                raise BindError(
+                    f"Binder Error: No function matches {name}")
+            driving = args[0]
+            i = const_int(args[1], "index")
+            fn = lambda s: B.get_bit(B.validate(s), i)
+        elif name == "set_bit":
+            if len(args) != 3:
+                raise BindError(
+                    f"Binder Error: No function matches {name}")
+            driving = args[0]
+            i = const_int(args[1], "index")
+            nb = const_int(args[2], "new bit")
+            fn = lambda s: B.set_bit(B.validate(s), i, nb)
+        elif name == "bitstring":
+            if len(args) != 2:
+                raise BindError(
+                    f"Binder Error: No function matches {name} with a "
+                    "single argument")
+            driving = args[0]
+            n = const_int(args[1], "length")
+            fn = lambda s: B.bitstring(B.validate(s), n)
+        elif name == "bit_count":
+            driving = args[0]
+            fn = lambda s: B.bit_count(B.validate(s))
+        elif name == "bit_length":
+            driving = args[0]
+            fn = lambda s: len(B.validate(s))
+        else:   # octet_length on BIT
+            driving = args[0]
+            fn = lambda s: (len(B.validate(s)) + 7) // 8
+        if isinstance(driving, ir.Const):
+            if driving.value is None:
+                out = ir.Const(None,
+                               T.VARCHAR if str_out else T.BIGINT)
+                if str_out:
+                    out.bit_type = True
+                return out
+            try:
+                r = fn(self._bit_text_of(driving))
+            except B.BitError as ex:
+                raise self._bit_raise(ex)
+            out = self._bind_literal(str(r) if str_out else int(r))
+            if str_out:
+                out.bit_type = True
+            return out
+        sd = getattr(driving, "strdict", None)
+        if sd is None or driving.dtype.id not in (TypeId.VARCHAR,):
+            raise BindError(f"{name} requires a BIT argument")
+        if str_out:
+            return self._bit_table(driving, fn, name)
+        raw = []
+        for v in sd.values:
+            try:
+                raw.append(fn(str(v)))
+            except B.BitError:
+                raw.append(None)
+        nulls = np.array([r is None for r in raw], dtype=bool)
+        table = np.array([0 if r is None else int(r) for r in raw],
+                         dtype=np.int64)
+        return ir.DictLookup(driving, table, T.BIGINT, name,
+                             null_table=nulls if nulls.any() else None)
+
+    def _bind_bit_cast(self, c: ir.Expr, try_: bool) -> ir.Expr:
+        from ..expr import bits as B
+        if getattr(c, "bit_type", False):
+            return c
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                out = ir.Const(None, T.VARCHAR)
+                out.bit_type = True
+                return out
+            try:
+                out = self._bind_literal(self._bit_text_of(c))
+            except B.BitError as ex:
+                if try_:
+                    out = ir.Const(None, T.VARCHAR)
+                    out.bit_type = True
+                    return out
+                raise ConversionError(f"Conversion Error: {ex}")
+            out.bit_type = True
+            return out
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("cast to BIT requires a string or blob")
+        if c.dtype.id == TypeId.BLOB:
+            return self._blob_bit(c)
+        # VARCHAR column: strict CAST errors on any bad non-'' entry
+        outs = []
+        first_bad = None
+        for v in sd.values:
+            try:
+                outs.append(B.validate(str(v)))
+            except B.BitError:
+                outs.append(None)
+                if first_bad is None and str(v) != "":
+                    first_bad = str(v)
+        if first_bad is not None and not try_:
+            raise ConversionError(
+                "Conversion Error: Invalid character encountered in "
+                f"string -> bit conversion: '{first_bad}'")
+        out = self._string_table(c, outs, "str_to_bit")
+        out.bit_type = True
+        return out
+
+    def _blob_bit(self, c: ir.Expr) -> ir.Expr:
+        from ..expr import bits as B
+        store = c.strdict
+        outs = []
+        for item in store.items:
+            try:
+                outs.append(B.from_blob(item))
+            except B.BitError:
+                outs.append(None)
+        out = self._string_table(c, outs, "blob_to_bit")
+        out.bit_type = True
+        return out
+
+    def _bind_blob_from_text(self, c: ir.Expr) -> ir.Expr:
+        """VARCHAR/BIT -> BLOB: bitstrings pack 8 bits/byte, plain
+        strings keep their utf8 bytes (reference: Bit::BitToBlob /
+        CastToBlob)."""
+        from ..expr import bits as B
+        from ..storage.nested import BlobStore
+        is_bit = self._is_bit(c)
+        conv = (lambda s: B.to_blob(B.validate(s))) if is_bit \
+            else (lambda s: s.encode("utf-8"))
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return ir.Const(None, T.BLOB)
+            try:
+                data = conv(self._const_text(c))
+            except B.BitError as ex:
+                raise ConversionError(f"Conversion Error: {ex}")
+            out = ir.Const(0, T.BLOB)
+            out.strdict = BlobStore([data])
+            return out
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("cast to BLOB requires a dictionary")
+        items = []
+        table = np.zeros(len(sd.values), dtype=np.int32)
+        nulls = np.zeros(len(sd.values), dtype=bool)
+        for i, v in enumerate(sd.values):
+            try:
+                items.append(conv(str(v)))
+                table[i] = len(items) - 1
+            except B.BitError:
+                nulls[i] = True
+        out = ir.DictLookup(c, table, T.BLOB, "to_blob",
+                            null_table=nulls if nulls.any() else None)
+        out.strdict = BlobStore(items)
+        return out
+
+    def _lateral_alias_subst(self, e, prior_items):
+        """Deep-copied alias substitution for lateral references; None
+        if no prior alias occurs in e (caller re-raises the original
+        bind error)."""
+        import copy as _copy
+        if not prior_items:
+            return None
+        sub = _subst_item_aliases(_copy.deepcopy(e), prior_items)
+        if _ast_equal(sub, e):
+            return None
+        # chained aliases (SELECT 2 a, a*a b, b+a) resolve to a
+        # fixpoint; bounded in case of self-reference
+        for _ in range(8):
+            nxt = _subst_item_aliases(_copy.deepcopy(sub), prior_items)
+            if _ast_equal(nxt, sub):
+                break
+            sub = nxt
+        return sub
 
     def _bind_string_func(self, name, e: A.EFunc, scope, agg_ctx,
                           group_map, sub_replacements):

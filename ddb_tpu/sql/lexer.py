@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<qid>"(?:[^"]|"")*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
   | (?P<param>\?|\$\d+)
-  | (?P<op>->>|->|<=|>=|<>|!=|::|:=|\|\||//|\*\*|[-+*/%(),.<>=;:!\[\]{}])
+  | (?P<op>->>|->|<<|>>|<=|>=|<>|!=|::|:=|\|\||//|\*\*|[-+*/%(),.<>=;:!\[\]{}&|~^])
 """, re.X | re.S)
 
 

@@ -40,6 +40,17 @@ def parse_expression(text: str):
 _NON_ALIAS = {"qualify", "window", "lateral", "natural",
               "tablesample", "positional"}
 
+# words accepted as the unit of an INTERVAL literal (singular + plural;
+# reference: Interval::FromCString unit table, common/types/interval.cpp)
+_IV_UNITS = set()
+for _u in ("year", "month", "day", "hour", "minute", "second",
+           "microsecond", "millisecond", "week", "quarter", "decade",
+           "century", "millennium"):
+    _IV_UNITS.add(_u)
+    _IV_UNITS.add(_u + "s")
+_IV_UNITS |= {"centuries", "millennia", "mon", "mons", "min", "mins",
+              "sec", "secs", "us", "ms", "hr", "hrs"}
+
 
 class Parser:
     def __init__(self, tokens: List[Token], text: str = ""):
@@ -1089,7 +1100,8 @@ class Parser:
                     e = self.expr()
                     alias = None
                     if self.accept_kw("as"):
-                        alias = self.ident()
+                        alias = self.next().value \
+                            if self.peek().kind == "STR" else self.ident()
                     elif self.peek().kind == "IDENT" \
                             and self.peek().value not in _NON_ALIAS:
                         alias = self.next().value
@@ -1123,7 +1135,8 @@ class Parser:
             e = self.expr()
             alias = None
             if self.accept_kw("as"):
-                alias = self.ident()
+                alias = self.next().value \
+                    if self.peek().kind == "STR" else self.ident()
             elif self.peek().kind == "IDENT" \
                     and self.peek().value not in _NON_ALIAS:
                 alias = self.next().value
@@ -1625,7 +1638,7 @@ class Parser:
         return self.expr_cmp()
 
     def expr_cmp(self):
-        e = self.expr_add()
+        e = self.expr_bit()
         while True:
             t = self.peek()
             if t.kind == "OP" and t.value in ("=", "<>", "!=", "<", "<=",
@@ -1650,7 +1663,7 @@ class Parser:
                     self.expect_op(")")
                     e = self._quantified(op, e, sub, q == "all")
                     continue
-                e = A.EBinary(op, e, self.expr_add())
+                e = A.EBinary(op, e, self.expr_bit())
                 continue
             if t.kind == "KW":
                 negated = False
@@ -1689,6 +1702,19 @@ class Parser:
             break
         return e
 
+    def expr_bit(self):
+        # bitwise/other-operator level: below comparison, above +/-
+        # (Postgres gives all "other" operators one left-assoc level;
+        # reference: &, |, <<, >> on integers and BIT)
+        e = self.expr_add()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("&", "|", "<<", ">>"):
+                self.next()
+                e = A.EBinary(t.value, e, self.expr_add())
+            else:
+                return e
+
     def expr_add(self):
         e = self.expr_mul()
         while True:
@@ -1719,7 +1745,7 @@ class Parser:
                 e = A.EBinary("/", e, self.expr_unary())
             elif self.accept_op("//"):
                 e = A.EBinary("//", e, self.expr_unary())
-            elif self.accept_op("**"):
+            elif self.accept_op("**") or self.accept_op("^"):
                 e = A.EFunc("pow", [e, self.expr_unary()])
             elif self.at("OP", "%"):
                 if getattr(self, "_limit_pct", False):
@@ -1740,6 +1766,8 @@ class Parser:
     def expr_unary(self):
         if self.accept_op("-"):
             return A.EUnary("-", self.expr_unary())
+        if self.accept_op("~"):
+            return A.EUnary("~", self.expr_unary())
         if self.accept_op("+"):
             return self.expr_unary()
         return self.expr_postfix()
@@ -1984,8 +2012,13 @@ class Parser:
                 else:
                     txt = self.next().value   # INTERVAL 3 MONTH
                 unit = None
-                if self.peek().kind in ("IDENT", "KW"):
+                if self.peek().kind in ("IDENT", "KW") \
+                        and self.peek().value.lower() in _IV_UNITS:
                     unit = self.next().value.rstrip("s")
+                    if unit == "centurie":
+                        unit = "century"
+                    elif unit == "millennia":
+                        unit = "millennium"
                 return A.ETyped("interval", txt, unit)
             if t.value in ("true", "false"):
                 self.next()

@@ -54,6 +54,17 @@ def check_constraints(td: TableData) -> None:
             raise ConstraintException(
                 f"Conversion Error: value '{sorted(bad)[0]}' is not a "
                 f"member of ENUM {tname}")
+    for cname in getattr(td, "bit_columns", ()):
+        c = byname.get(cname)
+        if c is None or c.strdict is None or not len(c.data):
+            continue
+        from ..expr import bits as B
+        codes = c.data if c.nulls is None else c.data[~c.nulls]
+        for k in np.unique(codes):
+            try:
+                B.validate(str(c.strdict.decode_one(int(k))))
+            except B.BitError as ex:
+                raise ConstraintException(f"Conversion Error: {ex}")
     for kind, colnames in getattr(td, "constraints", ()):
         cols = [byname[n] for n in colnames if n in byname]
         if not cols or td.num_rows < 2:

@@ -245,6 +245,8 @@ def save_database(catalog, path: str) -> None:
         if getattr(td, "enum_domains", None):
             tmeta["enum_domains"] = {k: [v[0], sorted(v[1])]
                                      for k, v in td.enum_domains.items()}
+        if getattr(td, "bit_columns", None):
+            tmeta["bit_columns"] = sorted(td.bit_columns)
         if getattr(td, "defaults", None):
             tmeta["defaults"] = dict(td.defaults)
         user_ix = [ix for ix in getattr(td, "indexes", {}).values()
@@ -359,6 +361,8 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
         if tmeta.get("enum_domains"):
             td.enum_domains = {k: (v[0], frozenset(v[1]))
                                for k, v in tmeta["enum_domains"].items()}
+        if tmeta.get("bit_columns"):
+            td.bit_columns = set(tmeta["bit_columns"])
         if tmeta.get("defaults"):
             td.defaults = dict(tmeta["defaults"])
         if tmeta.get("indexes"):

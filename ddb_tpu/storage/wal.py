@@ -153,6 +153,8 @@ def apply_record(con, rec: dict) -> None:
         if rec.get("enum_domains"):
             td.enum_domains = {k: (v[0], frozenset(v[1]))
                                for k, v in rec["enum_domains"].items()}
+        if rec.get("bit_columns"):
+            td.bit_columns = set(rec["bit_columns"])
         if rec.get("defaults"):
             td.defaults = dict(rec["defaults"])
         cat.add_table(td, or_replace=True)

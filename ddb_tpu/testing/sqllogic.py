@@ -140,6 +140,10 @@ def _format_value(v) -> str:
         if v == datetime.date.min:
             return "-infinity"
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        # duckdb Blob::ToString: printable ASCII raw, else \xHH
+        return "".join(chr(byt) if 32 <= byt <= 126 and byt != 92
+                       else "\\x%02X" % byt for byt in v)
     if isinstance(v, list):
         # duckdb renders nested NULLs as NULL, not Python None
         return "[" + ", ".join(_format_value(x) for x in v) + "]"
