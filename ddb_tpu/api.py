@@ -345,6 +345,8 @@ class Connection:
         self._prepared: Dict[str, str] = {}   # PREPARE name -> sql text
         self._attached: Dict[str, str] = {}   # ATTACH name -> path
         self._udfs: Dict[str, tuple] = {}     # UDF name -> (fn, dtype)
+        self._agg_udfs: Dict[str, tuple] = {}  # name -> (init, update,
+        #                                         finalize, dtype)
         # table-function registry: name -> (producer, [(col, dtype)])
         self._table_fns: Dict[str, tuple] = {}
         # SET VARIABLE store: name -> (python value, DataType)
@@ -515,6 +517,28 @@ class Connection:
         self.catalog.bump()
         return self
 
+    def create_aggregate(self, name: str, init, update, finalize,
+                         return_type=None) -> "Connection":
+        """Register a user aggregate (reference:
+        duckdb_create_aggregate_function, src/include/duckdb.h;
+        src/main/capi/aggregate_function-c.cpp).  `init()` returns a
+        fresh state, `update(state, value)` folds one non-NULL value,
+        `finalize(state)` returns the result (None => NULL).  Runs on
+        the host holistic-aggregate path; distributed plans gather."""
+        from . import types as T
+        from .sql.binder import resolve_typename
+        if return_type is None:
+            rt = T.BIGINT
+        elif isinstance(return_type, str):
+            rt = resolve_typename(return_type, 0, 0)
+        else:
+            rt = return_type
+        if not hasattr(self, "_agg_udfs"):
+            self._agg_udfs = {}
+        self._agg_udfs[name.lower()] = (init, update, finalize, rt)
+        self.catalog.bump()
+        return self
+
     def register_filesystem(self, scheme: str, fs) -> "Connection":
         """Register an fsspec-style filesystem for scheme:// paths in
         read_csv/read_parquet (reference: caching_file_system.cpp +
@@ -549,6 +573,7 @@ class Connection:
 
     def remove_function(self, name: str) -> "Connection":
         self._udfs.pop(name.lower(), None)
+        self._agg_udfs.pop(name.lower(), None)
         self.catalog.bump()
         return self
 

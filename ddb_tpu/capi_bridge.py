@@ -50,9 +50,12 @@ _TYPE_CODES = {
 }
 
 
-def open_database(path: Optional[str]):
-    """Returns an opaque database handle (the connect factory args)."""
-    return {"path": path if path not in (None, "", ":memory:") else None}
+def open_database(path: Optional[str], config=None):
+    """Returns an opaque database handle (the connect factory args).
+    `config`: [(name, value), ...] applied to every connection
+    (reference: duckdb_open_ext + duckdb_config)."""
+    return {"path": path if path not in (None, "", ":memory:") else None,
+            "config": list(config or [])}
 
 
 def connect(db) -> object:
@@ -60,25 +63,36 @@ def connect(db) -> object:
     con = Connection()
     if db["path"]:
         con.open_database(db["path"])   # creates WAL-backed DB if absent
+    for k, v in db.get("config") or []:
+        con.execute(f"SET {k} = '{v}'")
     return con
 
 
+def config_settings():
+    """[(name, description)] of every recognized setting (reference:
+    duckdb_config_count / duckdb_get_config_flag)."""
+    from .config import SETTINGS
+    return [(s.name, s.description) for s in SETTINGS]
+
+
 def query(con, sql: str):
-    """Execute sql; returns (names, type_codes, columns) where columns is
-    a list of per-column value lists (None for NULL, values lowered to
-    int/float/bytes/bool)."""
+    """Execute sql; returns (names, type_codes, columns, meta) where
+    columns is a list of per-column value lists (None for NULL, values
+    lowered to int/float/bytes/bool) and meta is per-column
+    (width, scale) for DECIMAL fidelity at the C boundary."""
     res = con.execute(sql)
     if res is None:
-        return ([], [], [])
+        return ([], [], [], [])
     rows = res.fetchall()
     names = [str(n) for n in res.column_names]
     codes = [_TYPE_CODES.get(t.id, 0) for t in res.column_types]
+    meta = [(int(t.width), int(t.scale)) for t in res.column_types]
     ncols = len(names)
     columns: List[list] = [[] for _ in range(ncols)]
     for r in rows:
         for j in range(ncols):
             columns[j].append(_lower(r[j]))
-    return (names, codes, columns)
+    return (names, codes, columns, meta)
 
 
 def _lower(v):
@@ -99,16 +113,17 @@ def execute_params(con, sql: str, params: list):
 def query_with(con, sql: str, params: list):
     res = con.execute(sql, params if params else None)
     if res is None:
-        return ([], [], [])
+        return ([], [], [], [])
     rows = res.fetchall()
     names = [str(n) for n in res.column_names]
     codes = [_TYPE_CODES.get(t.id, 0) for t in res.column_types]
+    meta = [(int(t.width), int(t.scale)) for t in res.column_types]
     ncols = len(names)
     columns: List[list] = [[] for _ in range(ncols)]
     for r in rows:
         for j in range(ncols):
             columns[j].append(_lower(r[j]))
-    return (names, codes, columns)
+    return (names, codes, columns, meta)
 
 
 def appender_create(con, table: str):
@@ -136,6 +151,21 @@ def register_scalar(con, name: str, callable_, ret_code: int):
     if tid is None:
         raise ValueError(f"bad return type code {ret_code}")
     con.create_function(name, callable_, T.DataType(tid))
+    return True
+
+
+def register_aggregate(con, name: str, init, update, finalize,
+                       ret_code: int):
+    """Register a C-trampoline aggregate (reference:
+    duckdb_create_aggregate_function; the callables are PyCFunctions
+    built by native/capi.c around the user's state callbacks)."""
+    from . import types as T
+    tid = _CODE_TO_TYPE.get(int(ret_code))
+    if tid is None:
+        raise ValueError(f"bad return type code {ret_code}")
+    con.create_aggregate(name, init,
+                         lambda st, v: update(st, v),
+                         finalize, T.DataType(tid))
     return True
 
 

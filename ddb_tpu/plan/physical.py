@@ -758,7 +758,7 @@ def _exec_unnest(node: "L.Unnest", ctx):
 # ---- host aggregation for var-size results (list / string_agg) -------------
 
 _HOST_AGG_KINDS = ("collect", "string_agg", "histogram",
-                   "approx_top_k", "mad")
+                   "approx_top_k", "mad", "udaf")
 
 
 def _string_agg_vectorized(a, ds, ns, starts, ends, ngroups, aorder,
@@ -1002,6 +1002,28 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
                     res.append(a.extra.join(str(v) for v in vals))
                     rn.append(len(vals) == 0)
                 continue
+            if a.kind == "udaf":
+                # user aggregate: row-wise init/update/finalize
+                # callbacks over decoded Python values (reference:
+                # duckdb_create_aggregate_function,
+                # src/main/capi/aggregate_function-c.cpp)
+                init, update, finalize = a.extra
+                sd2 = getattr(a.arg, "strdict", None)
+                vals = _decode_host(dd, None, a.arg.dtype, sd2)
+                if a.distinct:
+                    seen, uniq = set(), []
+                    for v in vals:
+                        if v not in seen:
+                            seen.add(v)
+                            uniq.append(v)
+                    vals = uniq
+                st = init()
+                for v in vals:
+                    update(st, v)
+                r = finalize(st)
+                res.append(r)
+                rn.append(r is None)
+                continue
             if len(dd) == 0:
                 res.append(0)
                 rn.append(True)
@@ -1042,6 +1064,24 @@ def _exec_aggregate_host(node: L.Aggregate, ctx):
             a.store.values = newd.values
             a.store._lookup = None
             arrays.append(codes)
+            nulls_out.append(np.array(rn) if any(rn) else None)
+        elif a.kind == "udaf":
+            if a.dtype.id == TypeId.VARCHAR:
+                newd, codes, _ = StringDictionary.encode(
+                    ["" if isnull else str(r)
+                     for r, isnull in zip(res, rn)])
+                a.store.values = newd.values
+                a.store._lookup = None
+                arrays.append(codes)
+            else:
+                want = np.dtype(a.dtype.np_dtype)
+                vals2 = [0 if isnull else r
+                         for r, isnull in zip(res, rn)]
+                if a.dtype.id == TypeId.DECIMAL:
+                    vals2 = [int(round(float(v)
+                                       * 10 ** a.dtype.scale))
+                             for v in vals2]
+                arrays.append(np.array(vals2).astype(want))
             nulls_out.append(np.array(rn) if any(rn) else None)
         elif a.kind == "avg":
             arrays.append(np.array(res, dtype=np.float64))

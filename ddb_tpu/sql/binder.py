@@ -2228,7 +2228,9 @@ class Binder:
     def _contains_agg(self, e: A.EExpr) -> bool:
         if isinstance(e, A.EFunc):
             nm = FUNC_ALIASES.get(e.name, e.name)
-            if nm in AGG_FUNCS or nm in AGG_MACROS:
+            if nm in AGG_FUNCS or nm in AGG_MACROS \
+                    or nm in (getattr(self.context, "_agg_udfs", None)
+                              or {}):
                 return True
         for ch in _ast_children(e):
             if self._contains_agg(ch):
@@ -2413,6 +2415,8 @@ class Binder:
         if isinstance(e, A.EFunc) and (
                 FUNC_ALIASES.get(e.name, e.name) in AGG_FUNCS
                 or FUNC_ALIASES.get(e.name, e.name) in AGG_MACROS
+                or FUNC_ALIASES.get(e.name, e.name) in
+                (getattr(self.context, "_agg_udfs", None) or {})
                 or e.star):
             return
         if isinstance(e, (A.EWindow, A.ESub, A.EExists)):
@@ -3494,7 +3498,9 @@ class Binder:
             # session wall clock, then reuse the naive kernels
             raw_b = b
             b = lambda x: self._tz_wall(raw_b(x))
-        if name in AGG_FUNCS or (name == "count" and e.star):
+        if name in AGG_FUNCS or (name == "count" and e.star) \
+                or name in (getattr(self.context, "_agg_udfs", None)
+                            or {}):
             if agg_ctx is None:
                 raise BindError(f"aggregate {name} not allowed here")
             return self._bind_agg_func(e, scope, agg_ctx, group_map,
@@ -5166,6 +5172,22 @@ class Binder:
                              name)
             idx = agg_ctx.add(spec, f"approx_cd({_ekey(arg)})")
             return AggRef(idx, T.BIGINT)
+        udafs = getattr(self.context, "_agg_udfs", None) or {}
+        if name in udafs:
+            # user-defined aggregate: host init/update/finalize over
+            # decoded group values (reference:
+            # duckdb_create_aggregate_function, src/include/duckdb.h)
+            init, update, finalize, rt = udafs[name]
+            store = None
+            if rt.id == TypeId.VARCHAR:
+                store = StringDictionary(np.array([], dtype=object))
+                store.runtime = True
+            spec = L.AggSpec("udaf", arg, rt, name,
+                             distinct=e.distinct, store=store,
+                             extra=(init, update, finalize))
+            self.uncacheable = True
+            idx = agg_ctx.add(spec, f"{name}({_ekey(arg)})")
+            return AggRef(idx, rt, store)
         raise BindError(f"aggregate {name} not supported yet")
 
     def _agg_numeric(self, arg: ir.Expr) -> ir.Expr:

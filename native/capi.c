@@ -41,11 +41,24 @@ struct ddb_result_t {
     size_t ncols, nrows;
     char **names;
     ddb_type *types;
+    uint8_t *widths, *scales;  /* DECIMAL metadata per column */
     ddb_cell **cols;           /* [col][row] */
     /* lazily-built Arrow-layout export buffers (per column) */
     void **abuf;
     uint8_t **avalid;
     int32_t **aoffs;
+};
+
+struct ddb_config_t {
+    char **names;
+    char **values;
+    size_t n, cap;
+};
+
+struct ddb_logical_type_t {
+    ddb_type id;
+    uint8_t width, scale;
+    struct ddb_logical_type_t *child;   /* LIST element */
 };
 
 struct ddb_prepared_t {
@@ -205,7 +218,25 @@ static struct ddb_result_t *materialize(PyObject *triple,
     r->nrows = nrows;
     r->names = calloc(ncols ? ncols : 1, sizeof(char *));
     r->types = calloc(ncols ? ncols : 1, sizeof(ddb_type));
+    r->widths = calloc(ncols ? ncols : 1, 1);
+    r->scales = calloc(ncols ? ncols : 1, 1);
     r->cols = calloc(ncols ? ncols : 1, sizeof(ddb_cell *));
+    /* optional 4th element: per-column (width, scale) DECIMAL meta */
+    PyObject *meta = PyTuple_Size(triple) > 3
+                         ? PyTuple_GetItem(triple, 3) : NULL;
+    if (meta && PyList_Check(meta)) {
+        for (size_t j = 0; j < ncols
+                           && j < (size_t)PyList_Size(meta); j++) {
+            PyObject *ws = PyList_GetItem(meta, j);
+            if (ws && PyTuple_Check(ws) && PyTuple_Size(ws) == 2) {
+                r->widths[j] =
+                    (uint8_t)PyLong_AsLong(PyTuple_GetItem(ws, 0));
+                r->scales[j] =
+                    (uint8_t)PyLong_AsLong(PyTuple_GetItem(ws, 1));
+            }
+        }
+        if (PyErr_Occurred()) PyErr_Clear();
+    }
     for (size_t j = 0; j < ncols; j++) {
         const char *nm = PyUnicode_AsUTF8(PyList_GetItem(names, j));
         r->names[j] = strdup(nm ? nm : "");
@@ -276,6 +307,8 @@ void ddb_destroy_result(ddb_result *res) {
     free(r->cols);
     free(r->names);
     free(r->types);
+    free(r->widths);
+    free(r->scales);
     if (r->abuf) {
         for (size_t j = 0; j < r->ncols; j++) {
             free(r->abuf[j]);
@@ -727,7 +760,11 @@ ddb_state ddb_result_arrow_column(ddb_result res, size_t col,
             }
             res->abuf[col] = buf;
             res->aoffs[col] = offs;
-        } else if (t == DDB_TYPE_FLOAT || t == DDB_TYPE_DOUBLE) {
+        } else if (t == DDB_TYPE_FLOAT || t == DDB_TYPE_DOUBLE
+                   || t == DDB_TYPE_DECIMAL) {
+            /* DECIMAL cells are lowered to double at the bridge; the
+             * declared width/scale stay readable via
+             * ddb_column_logical_type */
             double *buf = malloc(n ? n * sizeof(double) : 1);
             if (!buf) return DDB_ERROR;
             for (size_t i = 0; i < n; i++)
@@ -883,6 +920,355 @@ ddb_state ddb_register_table_function(ddb_connection con,
     Py_DECREF(callable);
     Py_DECREF(names);
     Py_DECREF(codes);
+    if (!r) {
+        set_py_error(con);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return DDB_SUCCESS;
+}
+
+/* ------------------------------------------------------------------ */
+/* configuration (reference: duckdb_create_config / duckdb_set_config /
+ * duckdb_open_ext, src/main/capi/config-c.cpp) */
+
+ddb_state ddb_create_config(ddb_config *out_config) {
+    if (!out_config) return DDB_ERROR;
+    struct ddb_config_t *c = calloc(1, sizeof(*c));
+    if (!c) return DDB_ERROR;
+    *out_config = c;
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_set_config(ddb_config config, const char *name,
+                         const char *option) {
+    if (!config || !name || !option) return DDB_ERROR;
+    if (config->n == config->cap) {
+        size_t nc = config->cap ? config->cap * 2 : 8;
+        char **nn = realloc(config->names, nc * sizeof(char *));
+        char **nv = realloc(config->values, nc * sizeof(char *));
+        if (!nn || !nv) return DDB_ERROR;
+        config->names = nn;
+        config->values = nv;
+        config->cap = nc;
+    }
+    config->names[config->n] = strdup(name);
+    config->values[config->n] = strdup(option);
+    config->n++;
+    return DDB_SUCCESS;
+}
+
+void ddb_destroy_config(ddb_config *config) {
+    if (!config || !*config) return;
+    struct ddb_config_t *c = *config;
+    for (size_t i = 0; i < c->n; i++) {
+        free(c->names[i]);
+        free(c->values[i]);
+    }
+    free(c->names);
+    free(c->values);
+    free(c);
+    *config = NULL;
+}
+
+/* settings registry mirror, loaded once from the engine */
+static char **g_setting_names = NULL;
+static char **g_setting_descs = NULL;
+static size_t g_setting_count = 0;
+
+static void load_settings(void) {
+    if (g_setting_names || ensure_bridge() != 0) return;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *lst = PyObject_CallMethod(g_bridge, "config_settings",
+                                        NULL);
+    if (lst && PyList_Check(lst)) {
+        size_t n = (size_t)PyList_Size(lst);
+        g_setting_names = calloc(n ? n : 1, sizeof(char *));
+        g_setting_descs = calloc(n ? n : 1, sizeof(char *));
+        for (size_t i = 0; i < n; i++) {
+            PyObject *pair = PyList_GetItem(lst, i);
+            const char *nm =
+                PyUnicode_AsUTF8(PyTuple_GetItem(pair, 0));
+            const char *de =
+                PyUnicode_AsUTF8(PyTuple_GetItem(pair, 1));
+            g_setting_names[i] = strdup(nm ? nm : "");
+            g_setting_descs[i] = strdup(de ? de : "");
+        }
+        g_setting_count = n;
+    }
+    if (PyErr_Occurred()) PyErr_Clear();
+    Py_XDECREF(lst);
+    PyGILState_Release(st);
+}
+
+size_t ddb_config_count(void) {
+    load_settings();
+    return g_setting_count;
+}
+
+ddb_state ddb_get_config_flag(size_t index, const char **out_name,
+                              const char **out_description) {
+    load_settings();
+    if (index >= g_setting_count) return DDB_ERROR;
+    if (out_name) *out_name = g_setting_names[index];
+    if (out_description) *out_description = g_setting_descs[index];
+    return DDB_SUCCESS;
+}
+
+ddb_state ddb_open_ext(const char *path, ddb_database *out_db,
+                       ddb_config config, char **out_error) {
+    if (out_error) *out_error = NULL;
+    if (!out_db) return DDB_ERROR;
+    *out_db = NULL;
+    if (ensure_bridge() != 0) {
+        if (out_error) *out_error = strdup("engine init failed");
+        return DDB_ERROR;
+    }
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *pairs = PyList_New(0);
+    for (size_t i = 0; config && i < config->n; i++) {
+        PyObject *t = Py_BuildValue("(ss)", config->names[i],
+                                    config->values[i]);
+        PyList_Append(pairs, t);
+        Py_DECREF(t);
+    }
+    PyObject *h = PyObject_CallMethod(g_bridge, "open_database", "zO",
+                                      path, pairs);
+    Py_DECREF(pairs);
+    if (!h) {
+        if (out_error) {
+            PyObject *type, *value, *tb;
+            PyErr_Fetch(&type, &value, &tb);
+            PyObject *s = value ? PyObject_Str(value) : NULL;
+            const char *msg = s ? PyUnicode_AsUTF8(s) : NULL;
+            *out_error = strdup(msg ? msg : "open failed");
+            Py_XDECREF(s);
+            Py_XDECREF(type);
+            Py_XDECREF(value);
+            Py_XDECREF(tb);
+        } else {
+            PyErr_Clear();
+        }
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    struct ddb_database_t *db = calloc(1, sizeof(*db));
+    db->handle = h;
+    PyGILState_Release(st);
+    *out_db = db;
+    return DDB_SUCCESS;
+}
+
+/* ------------------------------------------------------------------ */
+/* logical types (reference: duckdb_create_logical_type family,
+ * src/main/capi/logical_types-c.cpp) */
+
+ddb_logical_type ddb_create_logical_type(ddb_type type) {
+    struct ddb_logical_type_t *t = calloc(1, sizeof(*t));
+    if (t) t->id = type;
+    return t;
+}
+
+ddb_logical_type ddb_create_decimal_type(uint8_t width, uint8_t scale) {
+    struct ddb_logical_type_t *t = calloc(1, sizeof(*t));
+    if (t) {
+        t->id = DDB_TYPE_DECIMAL;
+        t->width = width;
+        t->scale = scale;
+    }
+    return t;
+}
+
+ddb_logical_type ddb_create_list_type(ddb_logical_type child) {
+    struct ddb_logical_type_t *t = calloc(1, sizeof(*t));
+    if (t) {
+        t->id = DDB_TYPE_LIST;
+        t->child = child;
+    }
+    return t;
+}
+
+ddb_type ddb_get_type_id(ddb_logical_type type) {
+    return type ? type->id : DDB_TYPE_INVALID;
+}
+
+uint8_t ddb_decimal_width(ddb_logical_type type) {
+    return type ? type->width : 0;
+}
+
+uint8_t ddb_decimal_scale(ddb_logical_type type) {
+    return type ? type->scale : 0;
+}
+
+ddb_logical_type ddb_list_type_child_type(ddb_logical_type type) {
+    return type ? type->child : NULL;
+}
+
+void ddb_destroy_logical_type(ddb_logical_type *type) {
+    if (!type || !*type) return;
+    if ((*type)->child) ddb_destroy_logical_type(&(*type)->child);
+    free(*type);
+    *type = NULL;
+}
+
+ddb_logical_type ddb_column_logical_type(ddb_result res, size_t col) {
+    if (!res || col >= res->ncols) return NULL;
+    struct ddb_logical_type_t *t = calloc(1, sizeof(*t));
+    if (!t) return NULL;
+    t->id = res->types[col];
+    t->width = res->widths ? res->widths[col] : 0;
+    t->scale = res->scales ? res->scales[col] : 0;
+    return t;
+}
+
+/* ------------------------------------------------------------------ */
+/* aggregate-function registration: three C callbacks wrapped as
+ * PyCFunctions; group state travels as a PyLong-encoded pointer
+ * (reference: duckdb_create_aggregate_function,
+ * src/main/capi/aggregate_function-c.cpp) */
+
+struct ddb_agg_ctx {
+    ddb_agg_init_fn init;
+    ddb_agg_update_fn update;
+    ddb_agg_finalize_fn finalize;
+    void *extra;
+    ddb_type ret;
+};
+
+static void agg_ctx_free(PyObject *capsule) {
+    free(PyCapsule_GetPointer(capsule, "ddb_agg_ctx"));
+}
+
+static PyObject *agg_init_trampoline(PyObject *self, PyObject *args) {
+    struct ddb_agg_ctx *ctx = PyCapsule_GetPointer(self, "ddb_agg_ctx");
+    if (!ctx) return NULL;
+    void *state = ctx->init(ctx->extra);
+    return PyLong_FromVoidPtr(state);
+}
+
+static int py_to_ddb_value(PyObject *a, ddb_value *v,
+                           PyObject **strref) {
+    memset(v, 0, sizeof(*v));
+    *strref = NULL;
+    if (a == Py_None) {
+        v->is_null = 1;
+    } else if (PyBool_Check(a)) {
+        v->i = (a == Py_True);
+        v->d = (double)v->i;
+    } else if (PyLong_Check(a)) {
+        v->i = PyLong_AsLongLong(a);
+        v->d = (double)v->i;
+    } else if (PyFloat_Check(a)) {
+        v->d = PyFloat_AsDouble(a);
+        v->i = (int64_t)v->d;
+    } else if (PyUnicode_Check(a)) {
+        *strref = PyUnicode_AsUTF8String(a);
+        if (!*strref) return -1;
+        v->s = PyBytes_AsString(*strref);
+    } else if (PyIndex_Check(a)) {
+        PyObject *li = PyNumber_Index(a);
+        if (!li) return -1;
+        v->i = PyLong_AsLongLong(li);
+        v->d = (double)v->i;
+        Py_DECREF(li);
+    } else {
+        double dv = PyFloat_AsDouble(a);
+        if (dv == -1.0 && PyErr_Occurred()) {
+            PyErr_Clear();
+            v->is_null = 1;
+        } else {
+            v->d = dv;
+            v->i = (int64_t)dv;
+        }
+    }
+    return 0;
+}
+
+static PyObject *agg_update_trampoline(PyObject *self, PyObject *args) {
+    struct ddb_agg_ctx *ctx = PyCapsule_GetPointer(self, "ddb_agg_ctx");
+    if (!ctx) return NULL;
+    PyObject *st_obj, *val;
+    if (!PyArg_ParseTuple(args, "OO", &st_obj, &val)) return NULL;
+    void *state = PyLong_AsVoidPtr(st_obj);
+    ddb_value v;
+    PyObject *strref = NULL;
+    if (py_to_ddb_value(val, &v, &strref) != 0) return NULL;
+    ctx->update(state, &v, ctx->extra);
+    Py_XDECREF(strref);
+    Py_RETURN_NONE;
+}
+
+static PyObject *agg_finalize_trampoline(PyObject *self,
+                                         PyObject *args) {
+    struct ddb_agg_ctx *ctx = PyCapsule_GetPointer(self, "ddb_agg_ctx");
+    if (!ctx) return NULL;
+    PyObject *st_obj;
+    if (!PyArg_ParseTuple(args, "O", &st_obj)) return NULL;
+    void *state = PyLong_AsVoidPtr(st_obj);
+    ddb_value out;
+    memset(&out, 0, sizeof(out));
+    ctx->finalize(state, &out, ctx->extra);
+    if (out.is_null) Py_RETURN_NONE;
+    if (ctx->ret == DDB_TYPE_VARCHAR)
+        return PyUnicode_FromString(out.s ? out.s : "");
+    if (ctx->ret == DDB_TYPE_FLOAT || ctx->ret == DDB_TYPE_DOUBLE)
+        return PyFloat_FromDouble(out.d);
+    if (ctx->ret == DDB_TYPE_BOOLEAN)
+        return PyBool_FromLong(out.i != 0);
+    return PyLong_FromLongLong(out.i);
+}
+
+static PyMethodDef agg_init_def = {
+    "__ddb_agg_init__", agg_init_trampoline, METH_NOARGS, NULL};
+static PyMethodDef agg_update_def = {
+    "__ddb_agg_update__", agg_update_trampoline, METH_VARARGS, NULL};
+static PyMethodDef agg_finalize_def = {
+    "__ddb_agg_finalize__", agg_finalize_trampoline, METH_VARARGS,
+    NULL};
+
+ddb_state ddb_register_aggregate_function(ddb_connection con,
+                                          const char *name,
+                                          ddb_agg_init_fn init,
+                                          ddb_agg_update_fn update,
+                                          ddb_agg_finalize_fn finalize,
+                                          ddb_type return_type,
+                                          void *extra) {
+    if (!con || !name || !init || !update || !finalize)
+        return DDB_ERROR;
+    if (ensure_bridge() != 0) return DDB_ERROR;
+    PyGILState_STATE st = PyGILState_Ensure();
+    struct ddb_agg_ctx *ctx = calloc(1, sizeof(*ctx));
+    ctx->init = init;
+    ctx->update = update;
+    ctx->finalize = finalize;
+    ctx->extra = extra;
+    ctx->ret = return_type;
+    PyObject *capsule = PyCapsule_New(ctx, "ddb_agg_ctx",
+                                      agg_ctx_free);
+    if (!capsule) {
+        free(ctx);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *f_init = PyCFunction_New(&agg_init_def, capsule);
+    PyObject *f_update = PyCFunction_New(&agg_update_def, capsule);
+    PyObject *f_fin = PyCFunction_New(&agg_finalize_def, capsule);
+    Py_DECREF(capsule);  /* the callables hold references */
+    if (!f_init || !f_update || !f_fin) {
+        Py_XDECREF(f_init);
+        Py_XDECREF(f_update);
+        Py_XDECREF(f_fin);
+        PyGILState_Release(st);
+        return DDB_ERROR;
+    }
+    PyObject *r = PyObject_CallMethod(
+        g_bridge, "register_aggregate", "OsOOOi", con->con, name,
+        f_init, f_update, f_fin, (int)return_type);
+    Py_DECREF(f_init);
+    Py_DECREF(f_update);
+    Py_DECREF(f_fin);
     if (!r) {
         set_py_error(con);
         PyGILState_Release(st);

@@ -3,6 +3,7 @@
  * C API examples (reference: examples in src/include/duckdb.h docs). */
 #include <assert.h>
 #include <stdio.h>
+#include <stdlib.h>
 #include <string.h>
 
 #include "include/ddb_tpu_c.h"
@@ -27,6 +28,25 @@ static void half_of(const ddb_value *args, size_t nargs,
     (void)nargs; (void)extra;
     if (args[0].is_null) { out->is_null = 1; return; }
     out->d = args[0].d / 2.0;
+}
+
+static void *sumsq_init(void *extra) {
+    (void)extra;
+    double *st = malloc(sizeof(double));
+    *st = 0.0;
+    return st;
+}
+
+static void sumsq_update(void *state, const ddb_value *arg,
+                         void *extra) {
+    (void)extra;
+    if (!arg->is_null) *(double *)state += arg->d * arg->d;
+}
+
+static void sumsq_finalize(void *state, ddb_value *out, void *extra) {
+    (void)extra;
+    out->d = *(double *)state;
+    free(state);
 }
 
 static int squares_fn(const ddb_value *args, size_t nargs,
@@ -168,6 +188,71 @@ int main(void) {
         assert(l0 == 5);
         assert(strncmp(bytes + cname.offsets[0], "alice",
                        (size_t)l0) == 0);
+        ddb_destroy_result(&res);
+    }
+
+    /* config surface: settings registry + open_ext */
+    {
+        size_t nset = ddb_config_count();
+        assert(nset > 10);
+        const char *nm = NULL, *de = NULL;
+        CHECK(ddb_get_config_flag(0, &nm, &de));
+        assert(nm && de && nm[0]);
+        ddb_config cfg;
+        CHECK(ddb_create_config(&cfg));
+        CHECK(ddb_set_config(cfg, "default_null_order", "nulls_first"));
+        ddb_database db2;
+        char *err = NULL;
+        CHECK(ddb_open_ext(NULL, &db2, cfg, &err));
+        assert(err == NULL);
+        ddb_connection con2;
+        CHECK(ddb_connect(db2, &con2));
+        ddb_result r2;
+        CHECK(ddb_query(con2,
+                        "SELECT current_setting('default_null_order')",
+                        &r2));
+        assert(strcmp(ddb_value_varchar(r2, 0, 0), "nulls_first")
+               == 0);
+        ddb_destroy_result(&r2);
+        ddb_disconnect(&con2);
+        ddb_close(&db2);
+        ddb_destroy_config(&cfg);
+    }
+
+    /* logical types: constructors + result decimal metadata */
+    {
+        ddb_logical_type lt = ddb_create_decimal_type(12, 3);
+        assert(ddb_get_type_id(lt) == DDB_TYPE_DECIMAL);
+        assert(ddb_decimal_width(lt) == 12 && ddb_decimal_scale(lt)
+               == 3);
+        ddb_logical_type ll = ddb_create_list_type(lt);
+        assert(ddb_get_type_id(ll) == DDB_TYPE_LIST);
+        assert(ddb_get_type_id(ddb_list_type_child_type(ll))
+               == DDB_TYPE_DECIMAL);
+        ddb_destroy_logical_type(&ll);    /* frees the child too */
+        CHECK(ddb_query(con, "SELECT 1.25::DECIMAL(9,2)", &res));
+        ddb_logical_type ct = ddb_column_logical_type(res, 0);
+        assert(ddb_get_type_id(ct) == DDB_TYPE_DECIMAL);
+        assert(ddb_decimal_width(ct) == 9 && ddb_decimal_scale(ct)
+               == 2);
+        ddb_destroy_logical_type(&ct);
+        ddb_destroy_result(&res);
+    }
+
+    /* aggregate-function registration */
+    {
+        CHECK(ddb_register_aggregate_function(
+            con, "c_sumsq", sumsq_init, sumsq_update, sumsq_finalize,
+            DDB_TYPE_DOUBLE, NULL));
+        CHECK(ddb_query(con,
+                        "SELECT id % 2 AS g, c_sumsq(score) FROM t "
+                        "GROUP BY g ORDER BY g",
+                        &res));
+        assert(ddb_row_count(res) == 2);
+        /* g=0: ids 2 (NULL), 4, 6 -> 6^2 + 9^2; g=1: ids 1, 3, 5 ->
+         * 3.5^2 + 4.5^2 + 7.5^2 */
+        assert(ddb_value_double(res, 1, 0) == 117.0);
+        assert(ddb_value_double(res, 1, 1) == 88.75);
         ddb_destroy_result(&res);
     }
 

@@ -52,6 +52,43 @@ typedef struct ddb_connection_t *ddb_connection;
 typedef struct ddb_result_t *ddb_result;
 typedef struct ddb_prepared_t *ddb_prepared;
 typedef struct ddb_appender_t *ddb_appender;
+typedef struct ddb_config_t *ddb_config;
+typedef struct ddb_logical_type_t *ddb_logical_type;
+
+/* ------------------------------------------------------------------ *
+ * configuration (reference: duckdb_create_config / duckdb_set_config /
+ * duckdb_config_count / duckdb_get_config_flag :duckdb.h)             *
+ * ------------------------------------------------------------------ */
+
+ddb_state ddb_create_config(ddb_config *out_config);
+ddb_state ddb_set_config(ddb_config config, const char *name,
+                         const char *option);
+void ddb_destroy_config(ddb_config *config);
+
+/* number of settings the engine recognizes; get_config_flag yields the
+ * name/description of setting `index` (strings owned by the library) */
+size_t ddb_config_count(void);
+ddb_state ddb_get_config_flag(size_t index, const char **out_name,
+                              const char **out_description);
+
+/* open with options applied to every connection of this database */
+ddb_state ddb_open_ext(const char *path, ddb_database *out_db,
+                       ddb_config config, char **out_error);
+
+/* ------------------------------------------------------------------ *
+ * logical types (reference: duckdb_create_logical_type /
+ * duckdb_get_type_id / duckdb_decimal_width :duckdb.h)                *
+ * ------------------------------------------------------------------ */
+
+ddb_logical_type ddb_create_logical_type(ddb_type type);
+ddb_logical_type ddb_create_decimal_type(uint8_t width, uint8_t scale);
+ddb_logical_type ddb_create_list_type(ddb_logical_type child);
+ddb_type ddb_get_type_id(ddb_logical_type type);
+uint8_t ddb_decimal_width(ddb_logical_type type);
+uint8_t ddb_decimal_scale(ddb_logical_type type);
+/* LIST element type (borrowed; owned by the parent) */
+ddb_logical_type ddb_list_type_child_type(ddb_logical_type type);
+void ddb_destroy_logical_type(ddb_logical_type *type);
 
 /* ------------------------------------------------------------------ *
  * database / connection lifecycle (reference: duckdb_open :duckdb.h)  *
@@ -81,6 +118,8 @@ size_t ddb_column_count(ddb_result res);
 size_t ddb_row_count(ddb_result res);
 const char *ddb_column_name(ddb_result res, size_t col);
 ddb_type ddb_column_type(ddb_result res, size_t col);
+/* full logical type incl. decimal width/scale; caller destroys */
+ddb_logical_type ddb_column_logical_type(ddb_result res, size_t col);
 
 bool ddb_value_is_null(ddb_result res, size_t col, size_t row);
 bool ddb_value_boolean(ddb_result res, size_t col, size_t row);
@@ -141,6 +180,28 @@ ddb_state ddb_register_scalar_function(ddb_connection con,
                                        ddb_scalar_fn fn,
                                        ddb_type return_type,
                                        size_t nargs, void *extra);
+
+/* ---- aggregate-function registration (reference:
+ * duckdb_create_aggregate_function family, src/include/duckdb.h;
+ * ours is a row-wise state ABI — the engine's host holistic-aggregate
+ * path folds decoded group values through the callbacks) ------------ */
+
+/* allocate and return a fresh per-group state */
+typedef void *(*ddb_agg_init_fn)(void *extra);
+/* fold one non-NULL value into the state */
+typedef void (*ddb_agg_update_fn)(void *state, const ddb_value *arg,
+                                  void *extra);
+/* produce the result and FREE the state */
+typedef void (*ddb_agg_finalize_fn)(void *state, ddb_value *out,
+                                    void *extra);
+
+ddb_state ddb_register_aggregate_function(ddb_connection con,
+                                          const char *name,
+                                          ddb_agg_init_fn init,
+                                          ddb_agg_update_fn update,
+                                          ddb_agg_finalize_fn finalize,
+                                          ddb_type return_type,
+                                          void *extra);
 
 /* ---- table-function registration (reference:
  * duckdb_create_table_function, src/include/duckdb.h) --------------- */

@@ -64,3 +64,46 @@ def test_udf_varchar_return(con):
     assert con.execute(
         "select length(tag(x)) from uv order by 1").fetchall() \
         == [(3,), (3,)]
+
+
+def test_aggregate_udf():
+    # user aggregates: host init/update/finalize over group values
+    # (reference: duckdb_create_aggregate_function, src/include/duckdb.h)
+    import math
+
+    import ddb_tpu
+    con = ddb_tpu.connect()
+    con.create_aggregate(
+        "geomean",
+        lambda: [0.0, 0],
+        lambda st, v: (st.__setitem__(0, st[0] + math.log(v)),
+                       st.__setitem__(1, st[1] + 1)),
+        lambda st: math.exp(st[0] / st[1]) if st[1] else None,
+        "DOUBLE")
+    con.execute("CREATE TABLE t (g varchar, v double)")
+    con.execute("INSERT INTO t VALUES ('a', 2.0), ('a', 8.0), "
+                "('b', 5.0), ('b', NULL)")
+    assert con.execute(
+        "SELECT g, geomean(v) FROM t GROUP BY g ORDER BY g"
+    ).fetchall() == [("a", 4.0), ("b", 4.999999999999999)]
+    # ungrouped + all-NULL group -> finalize sees no values
+    assert con.execute(
+        "SELECT geomean(v) FROM t WHERE v IS NULL").fetchall() \
+        == [(None,)]
+    # VARCHAR-returning aggregate uses a runtime dictionary
+    con.create_aggregate(
+        "firstlast", lambda: [],
+        lambda st, v: st.append(str(v)),
+        lambda st: (st[0] + ".." + st[-1]) if st else None, "VARCHAR")
+    assert con.execute(
+        "SELECT g, firstlast(v) FROM t GROUP BY g ORDER BY g"
+    ).fetchall() == [("a", "2.0..8.0"), ("b", "5.0..5.0")]
+    # mixes with built-in aggregates on the host path
+    assert con.execute(
+        "SELECT g, geomean(v), count(*), sum(v) FROM t "
+        "GROUP BY g ORDER BY g").fetchall() \
+        == [("a", 4.0, 2, 10.0), ("b", 4.999999999999999, 2, 5.0)]
+    con.remove_function("geomean")
+    import pytest
+    with pytest.raises(Exception):
+        con.execute("SELECT geomean(v) FROM t")
