@@ -1504,6 +1504,29 @@ class Connection:
                     c = at.column(name)
                     if pa.types.is_dictionary(c.type):
                         c = c.cast(pa.string())
+                    elif pa.types.is_list(c.type) \
+                            or pa.types.is_struct(c.type) \
+                            or pa.types.is_map(c.type):
+                        # nested columns write as duckdb text
+                        # (reference: CSV writer casts nested to
+                        # VARCHAR, sink_csv.cpp)
+                        from .expr.nestedtext import render_value
+                        from .storage.nested import StructValue
+                        is_s = pa.types.is_struct(c.type)
+                        is_m = pa.types.is_map(c.type)
+                        vals = []
+                        for v in c.to_pylist():
+                            if v is None:
+                                vals.append(None)
+                            elif is_s:
+                                vals.append(render_value(
+                                    StructValue(v)))
+                            elif is_m:
+                                vals.append(render_value(dict(v)))
+                            else:
+                                vals.append(render_value(v))
+                        c = pa.chunked_array([pa.array(
+                            vals, type=pa.string())])
                     cols[name] = c
                 opts = getattr(stmt, "options", {}) or {}
                 hv = opts.get("header", True)
@@ -1530,13 +1553,49 @@ class Connection:
             # table's declared column types
             from .storage.csv_sniffer import read_csv_auto
             names = [c.name for c in td.columns]
-            types = {c.name: repr(c.dtype) for c in td.columns}
+            nested = {c.name: c.dtype for c in td.columns
+                      if c.dtype.id in (TypeId.LIST, TypeId.STRUCT,
+                                        TypeId.MAP)}
+            types = {c.name: ("VARCHAR" if c.name in nested
+                              else repr(c.dtype)) for c in td.columns}
             opts = getattr(stmt, "options", None) or {}
             at = read_csv_auto(stmt.path,
                                delim=opts.get("delimiter"),
                                header=opts.get("header"),
                                names=names, types=types)
         src = storage_mod.from_arrow("__copy", at)
+        if stmt.format != "parquet":
+            # nested target columns: parse the duckdb text back into
+            # host stores (reference: CSV reader casts VARCHAR ->
+            # nested on ingest)
+            for col in src.columns:
+                tgt = (nested.get(col.name)
+                       if stmt.format != "parquet" else None)
+                if tgt is None or col.strdict is None:
+                    continue
+                from .sql.binder import text_to_nested
+                from .storage.lists import ListStore
+                from .storage.nested import MapStore, StructStore
+                if tgt.id == TypeId.LIST:
+                    store = ListStore()
+                elif tgt.id == TypeId.STRUCT:
+                    store = StructStore(
+                        [n for n, _t in (tgt.children or ())])
+                else:
+                    store = MapStore()
+                import numpy as np
+                codes = np.zeros(len(col.data), dtype=np.int32)
+                for i, code in enumerate(col.data):
+                    if col.nulls is not None and col.nulls[i]:
+                        continue
+                    text = col.strdict.decode_one(int(code))
+                    v = text_to_nested((str(text), False), tgt)
+                    if tgt.id == TypeId.STRUCT:
+                        v = tuple(v[n] for n, _t in tgt.children)
+                    codes[i] = store.add(v)
+                col.data = codes
+                col.strdict = store
+                col.dtype = tgt
         n0 = td.num_rows
         dml.append_table(td, src.columns)
         self._enforce_constraints(td, n0)

@@ -110,6 +110,10 @@ def _cast_data(data, src, dst):
             and did == TypeId.TIMETZ:
         return jnp.mod(data.astype(jnp.int64),
                        86_400_000_000) * 131072 + 57599
+    if sid in (TypeId.FLOAT, TypeId.DOUBLE) and dst.is_integer:
+        # float -> integer ROUNDS half-to-even (reference:
+        # std::nearbyint in NumericTryCast, cast_operators.hpp)
+        return jnp.rint(data).astype(np.dtype(dst.np_dtype))
     # default numeric conversion
     return data.astype(np.dtype(dst.np_dtype))
 

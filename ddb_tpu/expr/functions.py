@@ -204,9 +204,15 @@ def dispatch(e: ir.Func, batch, evaluate):
         return jnp.floor_divide(d.astype(jnp.int64),
                                 jnp.int64(1) << 52), n
     if name == "bit_count":
-        # popcount via SWAR (reference: bit_count on integers)
+        # popcount via SWAR (reference: bit_count on integers) of the
+        # two's-complement pattern at the DECLARED width (narrow ints
+        # ride wider lanes here; the reference's overloads are per-type)
         d, n = evaluate(e.args[0], batch)
+        w = {T.TypeId.TINYINT: 8, T.TypeId.SMALLINT: 16,
+             T.TypeId.INTEGER: 32}.get(e.args[0].dtype.id, 64)
         v = d.astype(jnp.uint64)
+        if w < 64:
+            v = v & jnp.uint64((1 << w) - 1)
         v = v - ((v >> 1) & jnp.uint64(0x5555555555555555))
         v = (v & jnp.uint64(0x3333333333333333)) \
             + ((v >> 2) & jnp.uint64(0x3333333333333333))

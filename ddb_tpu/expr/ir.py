@@ -210,6 +210,12 @@ def common_type(a: DataType, b: DataType) -> DataType:
         return a
     if a.is_numeric and b.is_numeric:
         return T.max_numeric(a, b)
+    # BOOLEAN compares/combines with numerics as 0/1 (reference:
+    # implicit BOOLEAN -> integer cast, src/function/cast_rules.cpp)
+    if a.id == TypeId.BOOLEAN and b.is_numeric:
+        return b
+    if b.id == TypeId.BOOLEAN and a.is_numeric:
+        return a
     if a.id == TypeId.DATE and b.id == TypeId.TIMESTAMP:
         return T.TIMESTAMP
     if b.id == TypeId.DATE and a.id == TypeId.TIMESTAMP:

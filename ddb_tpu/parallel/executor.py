@@ -141,6 +141,35 @@ def _exec_limit(node: L.Limit, ctx: DistContext):
     k = None
     if node.limit is not None and node.percent is None:
         k = int(node.limit) + int(node.offset or 0)
+    if not isinstance(child, L.Order) and node.percent is None \
+            and (node.limit is not None or node.offset):
+        # plain LIMIT/OFFSET (no ORDER BY): rows stay sharded — each
+        # shard keeps rows whose global selected-row index falls in
+        # [offset, offset+limit), computed from an all_gather of the
+        # per-shard counts (reference: PhysicalLimit shares a global
+        # row counter across threads, physical_limit.cpp)
+        schema, b = _exec(child, ctx)
+        off = int(node.offset or 0)
+        lim = int(node.limit) if node.limit is not None else None
+
+        def kern(sel):
+            s = sel.reshape(-1)
+            local = jnp.cumsum(s.astype(jnp.int64))
+            totals = lax.all_gather(local[-1], AXIS)
+            rank = lax.axis_index(AXIS)
+            base = jnp.sum(jnp.where(jnp.arange(ctx.n) < rank,
+                                     totals, 0))
+            gidx = base + local - 1
+            keep = s & (gidx >= off)
+            if lim is not None:
+                keep = keep & (gidx < off + lim)
+            return keep[None]
+
+        fn = shard_map(kern, mesh=ctx.mesh, in_specs=P(AXIS),
+                       out_specs=P(AXIS))
+        sel2 = jax.jit(fn)(b.sel).reshape(-1)
+        return node.schema, Batch(b.columns, sel2,
+                                  sel2.astype(jnp.int32).sum())
     if not isinstance(child, L.Order) or k is None or k > 1 << 16:
         return _exec_gathered(node, ctx)
     schema, b = _exec(child.child, ctx)

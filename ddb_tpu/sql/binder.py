@@ -280,30 +280,33 @@ def _split_top(s: str, sep: str):
 
 def resolve_typename(typename: str, width: int = 0, scale: int = 0
                      ) -> DataType:
+    # dispatch on the lowered name but slice member NAMES from the
+    # original string: struct keys are case-insensitive but
+    # case-PRESERVING (reference: StructType::GetChildName)
     tn = typename.lower()
     if tn in ("decimal", "numeric"):
         return T.DECIMAL(width or 18, scale)
     if tn in ("timestamptz", "timetz"):
         return T.TIMESTAMPTZ if tn == "timestamptz" else T.TIMETZ
     if tn.startswith("list<") and tn.endswith(">"):
-        inner, iw, isc = tn[5:-1].rsplit(":", 2)
+        inner, iw, isc = typename[5:-1].rsplit(":", 2)
         return T.LIST(resolve_typename(inner, int(iw), int(isc)))
     if tn.startswith("struct<") and tn.endswith(">"):
         members = []
-        for part in _split_top(tn[7:-1], ","):
+        for part in _split_top(typename[7:-1], ","):
             mn, rest = part.split(":", 1)
             mt, mw, ms = rest.rsplit(":", 2)
             members.append((mn, resolve_typename(mt, int(mw), int(ms))))
         return T.STRUCT(members)
     if tn.startswith("map<") and tn.endswith(">"):
-        kp, vp = _split_top(tn[4:-1], ",")
+        kp, vp = _split_top(typename[4:-1], ",")
         kt, kw_, ks = kp.rsplit(":", 2)
         vt, vw, vs = vp.rsplit(":", 2)
         return T.MAP(resolve_typename(kt, int(kw_), int(ks)),
                      resolve_typename(vt, int(vw), int(vs)))
     if tn.startswith("union<") and tn.endswith(">"):
         members = []
-        for part in tn[6:-1].split(","):
+        for part in typename[6:-1].split(","):
             mn, mt, mw, ms = part.split(":")
             members.append((mn, resolve_typename(mt, int(mw), int(ms))))
         return T.UNION(members)
@@ -3327,8 +3330,15 @@ class Binder:
                 v = T.decode_value(c.value, c.dtype)
                 if tgt.is_integer and isinstance(
                         v, (_dec.Decimal, float)):
+                    # floats round half-to-even (std::nearbyint),
+                    # decimals half away from zero (reference:
+                    # NumericTryCast vs decimal casts)
+                    mode = _dec.ROUND_HALF_EVEN \
+                        if c.dtype.id in (TypeId.FLOAT,
+                                          TypeId.DOUBLE) \
+                        else _dec.ROUND_HALF_UP
                     v = int(_dec.Decimal(str(v)).to_integral_value(
-                        rounding=_dec.ROUND_HALF_UP))
+                        rounding=mode))
                 if tgt.id == TypeId.BOOLEAN:
                     v = bool(v)
                 lim = {TypeId.TINYINT: 127, TypeId.SMALLINT: 32767,
@@ -3348,6 +3358,8 @@ class Binder:
         if tgt.id == TypeId.VARCHAR:
             return self._cast_to_varchar(c)
         if c.dtype.id == TypeId.VARCHAR:
+            if tgt.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+                return self._cast_text_nested(c, tgt, try_)
             return self._cast_from_varchar(c, tgt, try_)
         return ir.Cast(c, tgt)
 
@@ -3429,6 +3441,14 @@ class Binder:
             out = ir.Const(int(codes[0]), T.VARCHAR)
             out.strdict = sd
             return out
+        if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP) \
+                and getattr(c, "strdict", None) is not None:
+            # nested -> VARCHAR: per-store-id render table (reference:
+            # Vector::ToString over nested vectors)
+            store = c.strdict
+            outs = [T.stringify_value(i, t, store)
+                    for i in range(len(store))]
+            return self._string_table(c, outs, "nested_str")
         if t.id == TypeId.BOOLEAN:
             tab = np.array([0, 1], dtype=np.int32)
             dl = ir.DictLookup(ir.Cast(c, T.INTEGER), tab, T.VARCHAR,
@@ -3667,6 +3687,15 @@ class Binder:
         if name in ("abs",):
             a = b(e.args[0])
             return ir.Func(name, [a], a.dtype)
+        if name == "bit_count":
+            # integer popcount on the two's-complement pattern
+            # (reference: bit_count scalar, core_functions/scalar/
+            # operators/bitwise.cpp; BIT inputs dispatch earlier)
+            a = b(e.args[0])
+            if not a.dtype.is_integer:
+                raise BindError("bit_count requires an integer or BIT "
+                                "argument")
+            return ir.Func("bit_count", [a], T.BIGINT)
         if name in ("floor", "ceil", "sqrt"):
             a = b(e.args[0])
             a = ir.promote(a, T.DOUBLE)
@@ -4371,11 +4400,6 @@ class Binder:
             txt = self._const_text(sc) if isinstance(sc, ir.Const) \
                 else None
             return ir.Const(txt in ("main", "temp", None), T.BOOLEAN)
-        if name == "bit_count":
-            a = self._agg_numeric(b(e.args[0]))
-            out = ir.Func("bit_count", [ir.promote(a, T.BIGINT)],
-                          T.BIGINT)
-            return out
         if name in _TO_IV_MONTHS:
             a = ir.promote(b(e.args[0]), T.BIGINT)
             return ir.Arith("*", a,
@@ -6231,6 +6255,84 @@ class Binder:
         out.bit_type = True
         return out
 
+    def _text_nested_value(self, atom, tgt: DataType,
+                           try_: bool = False):
+        return text_to_nested(atom, tgt, try_=try_,
+                              timetz_raw=self._timetz_raw)
+
+    def _cast_text_nested(self, c: ir.Expr, tgt: DataType,
+                          try_: bool) -> ir.Expr:
+        """VARCHAR -> LIST/STRUCT/MAP: bind-time per-code parse into a
+        host-side store (reference: string -> nested casts,
+        src/common/types/vector/ string-cast paths)."""
+        import decimal as _dec
+
+        from ..expr import nestedtext as NT
+        from ..storage.lists import ListStore
+        from ..storage.nested import MapStore, StructStore
+
+        def make_store():
+            if tgt.id == TypeId.LIST:
+                return ListStore()
+            if tgt.id == TypeId.STRUCT:
+                return StructStore([n for n, _t in
+                                    (tgt.children or ())])
+            return MapStore()
+
+        def conv(text):
+            v = self._text_nested_value((text, False), tgt,
+                                        try_=try_)
+            if v is not None and tgt.id == TypeId.STRUCT:
+                # top-level store keeps member order as a tuple
+                return tuple(v[n] for n, _t in (tgt.children or ()))
+            return v
+
+        store = make_store()
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return ir.Const(None, tgt)
+            text = self._const_text(c)
+            try:
+                v = conv(text)
+            except (NT.NestedTextError, ValueError, OverflowError,
+                    _dec.InvalidOperation):
+                v = None
+            if v is None:
+                if try_:
+                    return ir.Const(None, tgt)
+                raise ConversionError(
+                    f"Could not convert string '{text}' to {tgt!r}")
+            out = ir.Const(int(store.add(v)), tgt)
+            out.strdict = store
+            return out
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("cast from varchar requires a dictionary")
+        n = len(sd.values)
+        table = np.zeros(n, dtype=np.int32)
+        bad = np.zeros(n, dtype=bool)
+        first_bad = None
+        for i in range(n):
+            text = str(sd.values[i]).strip()
+            try:
+                v = conv(text)
+            except (NT.NestedTextError, ValueError, OverflowError,
+                    _dec.InvalidOperation):
+                v = None
+            if v is None:
+                bad[i] = True
+                if first_bad is None and text != "":
+                    first_bad = text
+            else:
+                table[i] = store.add(v)
+        if first_bad is not None and not try_:
+            raise ConversionError(
+                f"Could not convert string '{first_bad}' to {tgt!r}")
+        out = ir.DictLookup(c, table, tgt, "str_cast",
+                            null_table=bad if bad.any() else None)
+        out.strdict = store
+        return out
+
     def _bind_blob_from_text(self, c: ir.Expr) -> ir.Expr:
         """VARCHAR/BIT -> BLOB: bitstrings pack 8 bits/byte, plain
         strings keep their utf8 bytes (reference: Bit::BitToBlob /
@@ -7277,6 +7379,72 @@ def _strftime_raw(raw: int, dtype: DataType, fmt: str) -> str:
     return "".join(out)
 
 
+_INT_LIMITS = {TypeId.TINYINT: 127, TypeId.SMALLINT: 32767,
+               TypeId.INTEGER: 2 ** 31 - 1, TypeId.BIGINT: 2 ** 63 - 1,
+               TypeId.HUGEINT: 2 ** 127 - 1}
+
+
+def text_to_nested(atom, tgt: DataType, try_: bool = False,
+                   timetz_raw=None):
+    """One parsed atom -> python value of type tgt (recursive).
+    TRY_CAST semantics push into ELEMENTS: a bad element becomes NULL
+    while the row survives (reference: VectorStringToList/ToStruct/
+    ToMap element casts with error vectors)."""
+    from ..expr import nestedtext as NT
+    if atom is None:
+        return None
+    if isinstance(atom, tuple):
+        text, _quoted = atom
+    else:
+        text = str(atom)
+    if tgt.id == TypeId.VARCHAR:
+        return text
+    if tgt.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        try:
+            if tgt.id == TypeId.LIST:
+                return [text_to_nested(x, tgt.child, try_, timetz_raw)
+                        for x in NT.split_list(text)]
+            if tgt.id == TypeId.STRUCT:
+                from ..storage.nested import StructValue
+                fields = tgt.children or ()
+                got = {}
+                for (k, _kq), v in NT.split_pairs(text, ":"):
+                    got[k.strip().lower()] = v
+                known = {n.lower() for n, _t in fields}
+                for k in got:
+                    if k not in known:
+                        raise NT.NestedTextError(
+                            f"unknown struct key '{k}'")
+                return StructValue(
+                    (n, text_to_nested(got.get(n.lower()), t, try_,
+                                       timetz_raw))
+                    for n, t in fields)
+            return [(text_to_nested((k, kq), tgt.child, try_,
+                                    timetz_raw),
+                     text_to_nested(v, tgt.child2, try_, timetz_raw))
+                    for (k, kq), v in NT.split_pairs(text, "=")]
+        except NT.NestedTextError:
+            # TRY_CAST: an unparsable NESTED element becomes NULL
+            # while siblings survive (reference: error vectors in
+            # VectorStringToList/ToStruct)
+            if try_:
+                return None
+            raise
+    try:
+        if tgt.id == TypeId.BOOLEAN:
+            return _parse_text(text, tgt)
+        raw = timetz_raw(text) if tgt.id == TypeId.TIMETZ \
+            and timetz_raw is not None else _parse_text(text, tgt)
+        lim = _INT_LIMITS.get(tgt.id)
+        if lim is not None and not -lim - 1 <= raw <= lim:
+            raise OverflowError(raw)
+        return T.decode_value(raw, tgt)
+    except (ValueError, OverflowError, decimal.InvalidOperation):
+        if try_:
+            return None
+        raise
+
+
 def _parse_text(text: str, tgt: DataType):
     """Parse one string to the raw physical value of tgt (reference:
     TryCast string parsers, src/common/operator/cast_operators.cpp).
@@ -7293,6 +7461,11 @@ def _parse_text(text: str, tgt: DataType):
         try:
             return int(text)
         except ValueError:
+            low = text.strip().lower()
+            if low.lstrip("+-").startswith(("0x", "0b")):
+                # hex/binary literals (reference: TryCast radix
+                # prefixes, cast_operators.cpp IntegerCastLoop)
+                return int(low, 0)
             # DuckDB rounds decimal strings half away from zero
             d = decimal.Decimal(text)
             return int(d.to_integral_value(

@@ -17,6 +17,8 @@ class Token:
     kind: str       # KW | IDENT | NUM | STR | OP | EOF
     value: str
     pos: int
+    orig: str = None   # original-case spelling (IDENT only; quoted
+    #                    identifiers keep their case in value itself)
 
 
 KEYWORDS = {
@@ -41,9 +43,9 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dstr>\$(?P<dtag>[A-Za-z_]*)\$.*?\$(?P=dtag)\$)
   | (?P<str>'(?:[^']|'')*')
   | (?P<qid>"(?:[^"]|"")*")
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<ident>[A-Za-z_\U00000080-\U0010ffff][\w$\U00000080-\U0010ffff]*)
   | (?P<param>\?|\$\d+)
-  | (?P<op>->>|->|<<|>>|<=|>=|<>|!=|::|:=|\|\||//|\*\*|[-+*/%(),.<>=;:!\[\]{}&|~^])
+  | (?P<op>->>|->|<<|>>|<=|>=|<>|!=|==|::|:=|=>|\|\||//|\*\*|[-+*/%(),.<>=;:!\[\]{}&|~^])
 """, re.X | re.S)
 
 
@@ -84,8 +86,11 @@ def tokenize(sql: str) -> List[Token]:
             if low in KEYWORDS:
                 out.append(Token("KW", low, m.start()))
             else:
-                out.append(Token("IDENT", low, m.start()))
+                out.append(Token("IDENT", low, m.start(), text))
         else:
-            out.append(Token("OP", text, m.start()))
+            # => is the named-argument arrow, an alias of :=
+            # (reference: named parameters accept both spellings)
+            out.append(Token("OP", ":=" if text == "=>" else text,
+                             m.start()))
     out.append(Token("EOF", "", n))
     return out

@@ -105,6 +105,15 @@ class Parser:
         if not self.accept_op(op):
             self.error(f"expected '{op}'")
 
+    def ident_orig(self) -> str:
+        """Identifier preserving its original case (struct member
+        names; the reference is case-insensitive but case-preserving)."""
+        t = self.peek()
+        if t.kind == "IDENT":
+            self.next()
+            return t.orig if t.orig is not None else t.value
+        return self.ident()
+
     def ident(self) -> str:
         t = self.peek()
         if t.kind == "IDENT":
@@ -942,13 +951,24 @@ class Parser:
         self.expect_kw("into")
         name = self.qident()
         cols = None
-        if self.at("OP", "(") :
-            save = self.i
+        if self.at("OP", "(") \
+                and not (self.peek(1).kind == "KW"
+                         and self.peek(1).value in ("values", "select",
+                                                    "with", "from")):
             self.next()
             cols = [self.ident()]
             while self.accept_op(","):
                 cols.append(self.ident())
             self.expect_op(")")
+        if self.at("OP", "(") and self.peek(1).kind == "KW" \
+                and self.peek(1).value in ("values", "select", "with",
+                                           "from"):
+            # INSERT INTO t (VALUES ...) / (SELECT ...): parenthesized
+            # source query (reference: parenthesized insert source)
+            self.next()
+            sel = self.select_stmt()
+            self.expect_op(")")
+            return A.InsertStmt(name, cols, select=sel)
         if self.at_kw("default") and self.peek(1).kind == "KW" \
                 and self.peek(1).value == "values":
             # INSERT INTO t DEFAULT VALUES (one all-defaults row)
@@ -1641,11 +1661,11 @@ class Parser:
         e = self.expr_bit()
         while True:
             t = self.peek()
-            if t.kind == "OP" and t.value in ("=", "<>", "!=", "<", "<=",
-                                              ">", ">="):
+            if t.kind == "OP" and t.value in ("=", "==", "<>", "!=",
+                                              "<", "<=", ">", ">="):
                 self.next()
-                op = {"=": "==", "<>": "!=", "!=": "!="}.get(t.value,
-                                                             t.value)
+                op = {"=": "==", "==": "==", "<>": "!=",
+                      "!=": "!="}.get(t.value, t.value)
                 if (self.at_kw("any", "all")
                         or (self.peek().kind == "IDENT"
                             and self.peek().value == "some")) \
@@ -1830,7 +1850,7 @@ class Parser:
             self.next()
             parts = []
             while True:
-                mn = self.ident()
+                mn = self.ident_orig()
                 mt, mw, ms = self.typename()
                 parts.append(f"{mn}:{mt}:{mw}:{ms}")
                 if not self.accept_op(","):
@@ -1842,7 +1862,7 @@ class Parser:
             self.next()
             parts = []
             while True:
-                mn = self.ident()
+                mn = self.ident_orig()
                 mt, mw, ms = self.typename()
                 parts.append(f"{mn}:{mt}:{mw}:{ms}")
                 if not self.accept_op(","):
@@ -1940,7 +1960,9 @@ class Parser:
                     if self.peek().kind in ("IDENT", "QID") \
                             and self.peek(1).kind == "OP" \
                             and self.peek(1).value == ":=":
-                        fname = self.next().value
+                        ftok = self.next()
+                        fname = ftok.orig if ftok.orig is not None \
+                            else ftok.value
                         self.next()
                     else:
                         if not is_row:

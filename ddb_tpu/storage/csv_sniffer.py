@@ -198,6 +198,20 @@ def read_csv_auto(path: str, delim: Optional[str] = None,
         sn.delimiter = delim
     if header is not None:
         sn.has_header = header
+    elif names and not sn.has_header:
+        # first row spelling the target column names IS the header
+        # even when type sniffing saw all-VARCHAR (reference:
+        # header_detection.cpp matches declared names)
+        import csv as _csv
+        try:
+            with open(path, newline="") as f:
+                first = next(_csv.reader(f, delimiter=sn.delimiter),
+                             None)
+        except OSError:
+            first = None
+        if first and [c.strip().lower() for c in first] \
+                == [str(n).lower() for n in names]:
+            sn.has_header = True
     if names:
         sn.column_names = list(names)
 

@@ -333,7 +333,10 @@ def append_table(td: TableData, src_cols: List[TableColumn]):
     rows = None
     pyvals = []
     for col, s in zip(td.columns, src_cols):
-        if s.dtype.id == TypeId.VARCHAR:
+        if s.dtype.id == TypeId.VARCHAR or (
+                s.strdict is not None and s.dtype.id in (
+                    TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
+                    TypeId.BLOB, TypeId.UUID, TypeId.UNION)):
             vals = [None if (s.nulls is not None and s.nulls[i])
                     else s.strdict.decode_one(int(s.data[i]))
                     for i in range(len(s.data))]

@@ -14,6 +14,12 @@ from typing import Any, List, Sequence, Tuple
 import numpy as np
 
 
+class StructValue(dict):
+    """STRUCT row decoded to a dict that remembers it is a struct —
+    renderers print {'key': value} for structs vs {k=v} for MAPs
+    (reference: StructVector vs MapVector ToString)."""
+
+
 class StructStore:
     """Append-only store of struct rows; id = index.
 
@@ -29,7 +35,7 @@ class StructStore:
         return len(self.items) - 1
 
     def decode_one(self, i: int):
-        return dict(zip(self.names, self.items[i]))
+        return StructValue(zip(self.names, self.items[i]))
 
     def field_values(self, k: int) -> list:
         """All values of field #k, indexed by store id (the payload side

@@ -144,12 +144,21 @@ def _format_value(v) -> str:
         # duckdb Blob::ToString: printable ASCII raw, else \xHH
         return "".join(chr(byt) if 32 <= byt <= 126 and byt != 92
                        else "\\x%02X" % byt for byt in v)
+    from ddb_tpu.expr.nestedtext import render_element
+    from ddb_tpu.storage.nested import StructValue
     if isinstance(v, list):
-        # duckdb renders nested NULLs as NULL, not Python None
-        return "[" + ", ".join(_format_value(x) for x in v) + "]"
+        # duckdb renders nested NULLs as NULL, not Python None; string
+        # elements quote per Vector::ToString rules
+        return "[" + ", ".join(render_element(x, _format_value)
+                               for x in v) + "]"
+    if isinstance(v, StructValue):
+        return "{" + ", ".join(
+            f"'{k}': {render_element(x, _format_value)}"
+            for k, x in v.items()) + "}"
     if isinstance(v, dict):
         return "{" + ", ".join(
-            f"{_format_value(k)}={_format_value(x)}"
+            f"{render_element(k, _format_value)}="
+            f"{render_element(x, _format_value)}"
             for k, x in v.items()) + "}"
     return str(v)
 

@@ -577,6 +577,9 @@ def stringify_value(raw, dtype: "DataType", strdict=None) -> str:
         if usec:
             t += f".{usec:06d}".rstrip("0")
         return t
+    if dtype.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        from .expr.nestedtext import render_value
+        return render_value(decode_value(raw, dtype, strdict))
     v = decode_value(raw, dtype, strdict)
     if dtype.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
             and isinstance(v, datetime.datetime):

@@ -297,3 +297,21 @@ def test_exchange_overflow_retry_on_skew():
     ref = con.execute(
         "select g, count(distinct v) from skew_t group by g").fetchall()
     assert sorted(QueryResult(sd, bd).fetchall()) == sorted(ref)
+
+
+def test_dist_plain_limit(con, mesh):
+    # LIMIT/OFFSET without ORDER BY stays sharded: global prefix count
+    # via all_gather of per-shard totals (reference: PhysicalLimit's
+    # shared row counter, physical_limit.cpp)
+    d, s = run_both(con, mesh, "SELECT k, v FROM fact LIMIT 37")
+    assert len(d) == len(s) == 37
+    d, s = run_both(con, mesh,
+                    "SELECT k FROM fact WHERE v > 50 LIMIT 100000")
+    assert len(d) == len(s)
+    d, s = run_both(con, mesh, "SELECT k FROM fact LIMIT 10 OFFSET 25")
+    assert len(d) == len(s) == 10
+    # row-set equality needs a deterministic query: count them instead
+    d, s = run_both(con, mesh,
+                    "SELECT count(*) FROM (SELECT k FROM fact "
+                    "LIMIT 4990 OFFSET 5)")
+    assert d == s == [(4990,)]
