@@ -2958,14 +2958,22 @@ class Binder:
     def _bind_string_comparison(self, op, l: ir.Expr, r: ir.Expr):
         ld = getattr(l, "strdict", None)
         rd = getattr(r, "strdict", None)
-        # constant side?
+        # constant side?  a collated column folds the literal into the
+        # same sort-key domain (reference: collation propagates to the
+        # comparison's other side, bound_comparison collation push)
         if isinstance(r, ir.Const) and rd is not None and ld is not None:
             s = rd.decode_one(r.value) if r.value is not None else None
+            fold = getattr(l, "collate_fold", None)
+            if fold is not None and s is not None:
+                s = fold(s)
             return self._string_vs_const(op, l, ld, s)
         if isinstance(l, ir.Const) and ld is not None and rd is not None:
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<=",
                     "==": "==", "!=": "!="}
             s = ld.decode_one(l.value) if l.value is not None else None
+            fold = getattr(r, "collate_fold", None)
+            if fold is not None and s is not None:
+                s = fold(s)
             return self._string_vs_const(flip[op], r, rd, s)
         # column vs column
         if ld is rd:
@@ -3544,6 +3552,39 @@ class Binder:
                     raise BindError(
                         "grouping() argument must be a GROUP BY column")
             return GroupingRef(tuple(idxs))
+        if name == "icu_sort_key" and len(e.args) == 2:
+            # sort key under a named collator (reference:
+            # extension/icu/icu_collate.cpp ICUCollateFunction) — ours
+            # returns the fold used as the collation's sort domain
+            a0 = b(e.args[0])
+            a1 = b(e.args[1])
+            if not isinstance(a1, ir.Const):
+                raise BindError("icu_sort_key collator must be "
+                                "constant")
+            coll = self._const_text(a1).lower()
+            base = coll[4:] if coll.startswith("icu_") else coll
+            if base in _LOCALE_COLLATIONS:
+                fold = _LOCALE_COLLATIONS[base]
+            elif base in ("noaccent", "nocase"):
+                import unicodedata
+                if base == "noaccent":
+                    fold = lambda s: "".join(
+                        ch for ch in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(ch))
+                else:
+                    fold = str.lower
+            else:
+                raise InvalidInputError(
+                    f"Invalid Input Error: unknown collator '{coll}'")
+            if isinstance(a0, ir.Const):
+                if a0.value is None:
+                    return ir.Const(None, T.VARCHAR)
+                return self._bind_literal(fold(self._const_text(a0)))
+            sd0 = getattr(a0, "strdict", None)
+            if sd0 is None:
+                raise BindError("icu_sort_key requires VARCHAR")
+            return self._string_table(
+                a0, [fold(str(v)) for v in sd0.values], "icu_sort_key")
         if name == "xor" and len(e.args) == 2:
             a0, a1 = b(e.args[0]), b(e.args[1])
             if self._is_bit(a0) or self._is_bit(a1):
@@ -5605,12 +5646,18 @@ class Binder:
         (reference: ICU collations, extension/icu/icu_collate.cpp +
         PragmaCollations; ours folds at bind time — dictionary codes
         stay the comparison domain on device)."""
-        parts = [p for p in collation.lower().split(".") if p]
-        bad = [p for p in parts if p not in ("nocase", "noaccent")]
+        parts = [p[4:] if p.startswith("icu_") else p
+                 for p in collation.lower().split(".") if p]
+        if "nfc" in parts or "nfd" in parts:
+            parts = [p for p in parts if p not in ("nfc", "nfd")] \
+                + ["da"]      # canonical-normalization fold
+        bad = [p for p in parts if p not in ("nocase", "noaccent")
+               and p not in _LOCALE_COLLATIONS]
         if bad:
             raise BindError(f"unknown collation {bad[0]}")
         if c.dtype.id != TypeId.VARCHAR:
             raise BindError("COLLATE requires a VARCHAR operand")
+        locales = [p for p in parts if p in _LOCALE_COLLATIONS]
 
         def fold(s: str) -> str:
             if "noaccent" in parts:
@@ -5619,6 +5666,8 @@ class Binder:
                             if not unicodedata.combining(ch))
             if "nocase" in parts:
                 s = s.lower()
+            for loc in locales:
+                s = _LOCALE_COLLATIONS[loc](s)
             return s
 
         sd = getattr(c, "strdict", None)
@@ -5630,6 +5679,7 @@ class Binder:
             sd2, codes, _ = StringDictionary.encode([text])
             out = ir.Const(int(codes[0]), T.VARCHAR)
             out.strdict = sd2
+            out.collate_fold = fold
             return out
         if sd is None:
             raise BindError("COLLATE operand has no dictionary")
@@ -5639,6 +5689,7 @@ class Binder:
         out = ir.DictLookup(c, inv.astype(np.int32), T.VARCHAR,
                             f"collate_{'_'.join(parts)}")
         out.strdict = StringDictionary(uniq)
+        out.collate_fold = fold
         return out
 
     def _const_py(self, c: ir.Const):
@@ -6826,6 +6877,49 @@ def _format_bytes_str(v):
     if i == 0:
         return f"{int(n)} bytes"
     return f"{n:.1f} {units[i]}"
+
+
+
+# locale-tailored collations: primary-strength sort-key folds
+# (reference: ICU tailored collators, extension/icu/icu_collate.cpp;
+# PragmaCollations lists the locales).  'de' ranks umlauts with their
+# base letters (DIN 5007-1) and ss for eszett; 'es' ranks n-tilde as a
+# distinct letter AFTER n (\x7f sorts past 'z').
+def _fold_primary(s: str) -> str:
+    import unicodedata
+    s = s.lower().replace("\u00df", "ss")
+    return "".join(ch for ch in unicodedata.normalize("NFD", s)
+                   if not unicodedata.combining(ch))
+
+
+def _fold_es(s: str) -> str:
+    import unicodedata
+    s = s.lower().replace("\u00f1", "\x00NT\x00")
+    s = "".join(ch for ch in unicodedata.normalize("NFD", s)
+                if not unicodedata.combining(ch))
+    return s.replace("\x00NT\x00", "n\x7f")
+
+
+def _fold_nfc(s: str) -> str:
+    # normalization-only tailoring: compatibility characters (e.g. the
+    # Angstrom sign) equal their canonical letters; order stays binary
+    import unicodedata
+    return unicodedata.normalize("NFC", s.lower())
+
+
+_LOCALE_COLLATIONS = {
+    "de": _fold_primary, "german": _fold_primary,
+    "es": _fold_es, "spanish": _fold_es,
+    # locales whose tailoring coincides with primary-strength folds
+    "en": _fold_primary, "english": _fold_primary,
+    "fr": _fold_primary, "french": _fold_primary,
+    "it": _fold_primary, "pt": _fold_primary, "nl": _fold_primary,
+    # Scandinavian + CJK locales: canonical normalization, binary order
+    "da": _fold_nfc, "sv": _fold_nfc, "nb": _fold_nfc, "fi": _fold_nfc,
+    "ja": _fold_nfc, "ko": _fold_nfc, "zh": _fold_nfc,
+    "ro": _fold_primary, "tr": _fold_primary, "pl": _fold_primary,
+    "cs": _fold_primary, "ru": _fold_nfc, "el": _fold_nfc,
+}
 
 
 _STR_FUNCS = {
