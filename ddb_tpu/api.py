@@ -1884,9 +1884,17 @@ class Connection:
         fields = []
         enum_domains = {}
         bit_columns = set()
+        collate_columns = {}
         for c in stmt.columns:
             cname = c.name.lower()
             tn = c.typename.lower()
+            if getattr(c, "collation", None):
+                # column-level collation: comparisons/sorts on this
+                # column fold through it (reference: column COLLATE,
+                # bound via PushCollation on comparisons)
+                from .sql.binder import validate_collation
+                validate_collation(c.collation)
+                collate_columns[cname] = c.collation.lower()
             if tn in ("bit", "bitstring"):
                 # BIT column: VARCHAR storage holding canonical '0'/'1'
                 # text, validated at constraint-check time (reference:
@@ -1913,6 +1921,8 @@ class Connection:
             td.enum_domains = enum_domains
         if bit_columns:
             td.bit_columns = bit_columns
+        if collate_columns:
+            td.collate_columns = collate_columns
         defaults = {c.name.lower(): c.default for c in stmt.columns
                     if c.default is not None}
         if defaults:

@@ -362,6 +362,7 @@ class ColumnDef:
     default: Optional[str] = None   # DEFAULT expression source text
     # column-level REFERENCES parent(col): (parent_table, [cols] or None)
     references: Optional[tuple] = None
+    collation: Optional[str] = None   # column-level COLLATE name
 
 
 @dataclass

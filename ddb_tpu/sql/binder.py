@@ -2956,6 +2956,22 @@ class Binder:
         return c
 
     def _bind_string_comparison(self, op, l: ir.Expr, r: ir.Expr):
+        if getattr(l, "collate_fold", None) is None \
+                and getattr(r, "collate_fold", None) is None:
+            # column-level collation folds BOTH comparison sides
+            # (reference: PushCollation on bound comparisons); the
+            # default_collation setting applies when no explicit
+            # collation is in play
+            coll = self._column_collation(l) or self._column_collation(r)
+            if not coll and self.context is not None:
+                coll = str(self.context.config.get(
+                    "default_collation") or "") or None
+                if coll is not None:
+                    # setting-dependent bind: never cache the plan
+                    self.uncacheable = True
+            if coll:
+                l = self._bind_collate(l, coll)
+                r = self._bind_collate(r, coll)
         ld = getattr(l, "strdict", None)
         rd = getattr(r, "strdict", None)
         # constant side?  a collated column folds the literal into the
@@ -5640,6 +5656,16 @@ class Binder:
     # vectors src/common/types/vector.cpp; TPU design keeps payloads
     # host-side and compiles field access to per-store-id gather tables)
     # ------------------------------------------------------------------
+    def _column_collation(self, x) -> Optional[str]:
+        """Declared column-level collation of a ColRef, if any."""
+        if isinstance(x, ir.ColRef) and x.dtype.id == TypeId.VARCHAR \
+                and self.catalog is not None:
+            for td in getattr(self.catalog, "tables", {}).values():
+                coll = getattr(td, "collate_columns", {}).get(x.name)
+                if coll:
+                    return coll
+        return None
+
     def _bind_collate(self, c: ir.Expr, collation: str) -> ir.Expr:
         """expr COLLATE name: recode into a collation-folded sorted
         dictionary so equality AND ordering follow the collation
@@ -6885,6 +6911,19 @@ def _format_bytes_str(v):
 # PragmaCollations lists the locales).  'de' ranks umlauts with their
 # base letters (DIN 5007-1) and ss for eszett; 'es' ranks n-tilde as a
 # distinct letter AFTER n (\x7f sorts past 'z').
+def validate_collation(name: str) -> None:
+    """Raise BindError for collation names the engine doesn't know
+    (CREATE TABLE column collations validate eagerly like the
+    reference's binder)."""
+    parts = [p[4:] if p.startswith("icu_") else p
+             for p in str(name).lower().split(".") if p]
+    bad = [p for p in parts
+           if p not in ("nocase", "noaccent", "nfc", "nfd")
+           and p not in _LOCALE_COLLATIONS]
+    if bad:
+        raise BindError(f"unknown collation {bad[0]}")
+
+
 def _fold_primary(s: str) -> str:
     import unicodedata
     s = s.lower().replace("\u00df", "ss")

@@ -823,12 +823,18 @@ class Parser:
                     not_null = pk = uq = False
                     default = None
                     refs = None
+                    collation = None
                     if self.peek().kind in ("KW", "IDENT") \
                             and self.peek().value == "collate":
-                        # column-level collation parsed; comparisons
-                        # apply collations at bind time (expr COLLATE)
+                        # column-level collation: comparisons on this
+                        # column fold through it at bind time
                         self.next()
-                        self.next()
+                        collation = self.ident()
+                        while self.at("OP", ".") \
+                                and self.peek(1).kind in ("IDENT",
+                                                          "KW"):
+                            self.next()
+                            collation += "." + self.ident()
                     while True:
                         if self.accept_kw("not"):
                             self.expect_kw("null")
@@ -853,7 +859,8 @@ class Parser:
                             break
                     cols.append(A.ColumnDef(cname, tn, w, s, not_null,
                                             pk, uq, default=default,
-                                            references=refs))
+                                            references=refs,
+                                            collation=collation))
                 if not self.accept_op(","):
                     break
             self.expect_op(")")

@@ -247,6 +247,8 @@ def save_database(catalog, path: str) -> None:
                                      for k, v in td.enum_domains.items()}
         if getattr(td, "bit_columns", None):
             tmeta["bit_columns"] = sorted(td.bit_columns)
+        if getattr(td, "collate_columns", None):
+            tmeta["collate_columns"] = dict(td.collate_columns)
         if getattr(td, "defaults", None):
             tmeta["defaults"] = dict(td.defaults)
         user_ix = [ix for ix in getattr(td, "indexes", {}).values()
@@ -363,6 +365,8 @@ def load_database(catalog, path: str, prefix: str = "") -> None:
                                for k, v in tmeta["enum_domains"].items()}
         if tmeta.get("bit_columns"):
             td.bit_columns = set(tmeta["bit_columns"])
+        if tmeta.get("collate_columns"):
+            td.collate_columns = dict(tmeta["collate_columns"])
         if tmeta.get("defaults"):
             td.defaults = dict(tmeta["defaults"])
         if tmeta.get("indexes"):
