@@ -6958,6 +6958,8 @@ _LOCALE_COLLATIONS = {
     "ja": _fold_nfc, "ko": _fold_nfc, "zh": _fold_nfc,
     "ro": _fold_primary, "tr": _fold_primary, "pl": _fold_primary,
     "cs": _fold_primary, "ru": _fold_nfc, "el": _fold_nfc,
+    # POSIX/C/binary: codepoint order, no fold
+    "c": lambda s: s, "posix": lambda s: s, "binary": lambda s: s,
 }
 
 

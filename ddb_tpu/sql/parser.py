@@ -204,8 +204,10 @@ class Parser:
                 self.expect_op(")")
             elif self.accept_op("="):
                 args.append(self.expr_primary())
-            return A.PragmaStmt(name, [a.value if isinstance(a, A.ELit)
-                                       else str(a) for a in args])
+            return A.PragmaStmt(name, [
+                a.value if isinstance(a, A.ELit)
+                else ".".join(a.parts) if isinstance(a, A.EIdent)
+                else str(a) for a in args])
         if self.at_kw("select", "with", "from", "values"):
             return self.select_stmt()
         if self.at("OP", "(") and self.peek(1).kind == "KW" \
