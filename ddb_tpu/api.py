@@ -1854,6 +1854,13 @@ class Connection:
                 sum(c.data.nbytes for c in t.columns)
                 for t in self.catalog.tables.values())
             return _text_result("database_size", [f"{total} bytes"])
+        if name == "collations" and not stmt.args:
+            # list known collations (reference: PragmaCollations,
+            # extension/icu + catalog collation entries)
+            from .sql.binder import _LOCALE_COLLATIONS
+            names_ = sorted({"nocase", "noaccent", "nfc"}
+                            | set(_LOCALE_COLLATIONS))
+            return _text_result("collation_name", names_)
         # settings set via PRAGMA name=value
         if stmt.args:
             self.config.set(name, stmt.args[0])

@@ -2463,6 +2463,35 @@ class Binder:
                 nl = self._default_nulls_last()
             if idx is not None:
                 f = out_schema.field(idx)
+                coll = None
+                if f.dtype.id == TypeId.VARCHAR \
+                        and hidden_scope is not None:
+                    # column-level / default collation orders through
+                    # a hidden folded sort key; the projected value
+                    # keeps its original text (reference: PushCollation
+                    # on ORDER BY keys)
+                    coll = self._column_collation(
+                        ir.ColRef(idx, f.dtype, f.name, f.strdict))
+                    if not coll and self.context is not None:
+                        coll = str(self.context.config.get(
+                            "default_collation") or "") or None
+                        if coll:
+                            self.uncacheable = True
+                if coll:
+                    try:
+                        be = self._bind_collate(
+                            self.bind_expr(items[idx][0],
+                                           hidden_scope), coll)
+                        hidx = len(names) + len(hidden)
+                        hidden.append((be, f"__sort{len(hidden)}"))
+                        keys.append(L.OrderKey(
+                            ir.ColRef(hidx, be.dtype,
+                                      f"__sort{len(hidden) - 1}",
+                                      getattr(be, "strdict", None)),
+                            self._desc(it), nl))
+                        continue
+                    except BindError:
+                        pass
                 keys.append(L.OrderKey(
                     ir.ColRef(idx, f.dtype, f.name, f.strdict),
                     self._desc(it), nl))
@@ -2470,7 +2499,14 @@ class Binder:
             if _ekey(e) in prebound:
                 be = prebound[_ekey(e)]
             elif hidden_scope is not None:
-                be = self.bind_expr(e, hidden_scope)
+                try:
+                    be = self.bind_expr(e, hidden_scope)
+                except BindError:
+                    # ORDER BY alias COLLATE x / alias expressions
+                    sub = self._lateral_alias_subst(e, items)
+                    if sub is None:
+                        raise
+                    be = self.bind_expr(sub, hidden_scope)
             else:
                 raise BindError(
                     f"ORDER BY expression must appear in SELECT list: {e}")
@@ -2972,6 +3008,14 @@ class Binder:
             if coll:
                 l = self._bind_collate(l, coll)
                 r = self._bind_collate(r, coll)
+        lf = getattr(l, "collate_fold", None)
+        rf = getattr(r, "collate_fold", None)
+        if lf is not None and rf is None:
+            # one explicitly-collated side folds the other (reference:
+            # collation propagates across the comparison)
+            r = self._collate_with_fold(r, lf)
+        elif rf is not None and lf is None:
+            l = self._collate_with_fold(l, rf)
         ld = getattr(l, "strdict", None)
         rd = getattr(r, "strdict", None)
         # constant side?  a collated column folds the literal into the
@@ -5656,6 +5700,33 @@ class Binder:
     # vectors src/common/types/vector.cpp; TPU design keeps payloads
     # host-side and compiles field access to per-store-id gather tables)
     # ------------------------------------------------------------------
+    def _collate_with_fold(self, c: ir.Expr, fold) -> ir.Expr:
+        """Recode an expression through an existing collation fold
+        (the other comparison side's), keeping outputs VARCHAR."""
+        if c.dtype.id != TypeId.VARCHAR:
+            return c
+        sd = getattr(c, "strdict", None)
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return c
+            text = fold(sd.decode_one(c.value) if sd is not None
+                        else str(c.value))
+            sd2, codes, _ = StringDictionary.encode([text])
+            out = ir.Const(int(codes[0]), T.VARCHAR)
+            out.strdict = sd2
+            out.collate_fold = fold
+            return out
+        if sd is None:
+            return c
+        folded = [fold(str(v)) for v in sd.values]
+        uniq, inv = np.unique(np.asarray(folded, dtype=object)
+                              .astype(str), return_inverse=True)
+        out = ir.DictLookup(c, inv.astype(np.int32), T.VARCHAR,
+                            "collate_fold")
+        out.strdict = StringDictionary(uniq)
+        out.collate_fold = fold
+        return out
+
     def _column_collation(self, x) -> Optional[str]:
         """Declared column-level collation of a ColRef, if any."""
         if isinstance(x, ir.ColRef) and x.dtype.id == TypeId.VARCHAR \
@@ -5674,6 +5745,9 @@ class Binder:
         stay the comparison domain on device)."""
         parts = [p[4:] if p.startswith("icu_") else p
                  for p in collation.lower().split(".") if p]
+        parts = [p.split("_")[0] if "_" in p
+                 and p.split("_")[0] in _LOCALE_COLLATIONS else p
+                 for p in parts]
         if "nfc" in parts or "nfd" in parts:
             parts = [p for p in parts if p not in ("nfc", "nfd")] \
                 + ["da"]      # canonical-normalization fold
@@ -6917,6 +6991,9 @@ def validate_collation(name: str) -> None:
     reference's binder)."""
     parts = [p[4:] if p.startswith("icu_") else p
              for p in str(name).lower().split(".") if p]
+    parts = [p.split("_")[0] if "_" in p
+             and p.split("_")[0] in _LOCALE_COLLATIONS else p
+             for p in parts]
     bad = [p for p in parts
            if p not in ("nocase", "noaccent", "nfc", "nfd")
            and p not in _LOCALE_COLLATIONS]

@@ -190,7 +190,9 @@ class Parser:
             if not self.accept_op("="):
                 self.expect_kw("to") if self.at_kw("to") else None
             v = self.expr_primary()
-            val = v.value if isinstance(v, A.ELit) else str(v)
+            val = v.value if isinstance(v, A.ELit) \
+                else ".".join(v.parts) if isinstance(v, A.EIdent) \
+                else str(v)
             return A.SetStmt(name, val)
         if t.kind == "IDENT" and t.value == "pragma":
             self.next()
