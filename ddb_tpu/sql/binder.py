@@ -3361,6 +3361,9 @@ class Binder:
             tgt = resolve_typename(typename, w, s)
         if tgt.id == TypeId.BLOB and c.dtype.id == TypeId.VARCHAR:
             return self._bind_blob_from_text(c)
+        if (tgt.is_numeric or tgt.id == TypeId.BOOLEAN) \
+                and self._is_bit(c):
+            return self._bit_to_numeric(c, tgt, try_)
         if tgt.id == TypeId.TIMESTAMPTZ \
                 or c.dtype.id == TypeId.TIMESTAMPTZ:
             out = self._bind_tz_cast(c, tgt, try_)
@@ -6350,6 +6353,76 @@ class Binder:
                          dtype=np.int64)
         return ir.DictLookup(driving, table, T.BIGINT, name,
                              null_table=nulls if nulls.any() else None)
+
+    def _bit_to_numeric(self, c: ir.Expr, tgt: DataType,
+                        try_: bool) -> ir.Expr:
+        """BIT -> numeric/boolean: the unsigned value of the bits
+        (reference: CastFromBitToNumeric, common/types/bit.cpp);
+        BOOLEAN is true iff any bit is set."""
+        from ..expr import bits as B
+
+        def val(text):
+            t2 = B.validate(text)
+            if tgt.id == TypeId.BOOLEAN:
+                if len(t2) > 8:
+                    raise B.BitError(
+                        f"bit string of length {len(t2)} does not fit "
+                        "in a BOOLEAN")
+                return "1" in t2
+            v = int(t2, 2)
+            if tgt.id in (TypeId.FLOAT, TypeId.DOUBLE):
+                # bit PATTERN reinterprets as the float's raw bytes
+                # (reference: CastFromBitToNumeric memcpy semantics)
+                import struct
+                if tgt.id == TypeId.FLOAT:
+                    if len(t2) > 32:
+                        raise B.BitError("too many bits for FLOAT")
+                    return struct.unpack(
+                        ">f", (v & 0xFFFFFFFF).to_bytes(4, "big"))[0]
+                if len(t2) > 64:
+                    raise B.BitError("too many bits for DOUBLE")
+                return struct.unpack(
+                    ">d", v.to_bytes(8, "big"))[0]
+            if tgt.id == TypeId.DECIMAL:
+                return v * T.decimal_scale_factor(tgt.scale)
+            lim = min(_INT_LIMITS.get(tgt.id, 2 ** 63 - 1),
+                      2 ** 63 - 1)   # int64 lanes cap HUGEINT here
+            if v > lim:
+                raise B.BitError(
+                    f"bit value {t2} out of range for {tgt!r}")
+            return v
+
+        if isinstance(c, ir.Const):
+            if c.value is None:
+                return ir.Const(None, tgt)
+            try:
+                return ir.Const(val(self._bit_text_of(c)), tgt)
+            except (B.BitError, OverflowError) as ex:
+                if try_:
+                    return ir.Const(None, tgt)
+                raise self._bit_raise(ex) if isinstance(ex, B.BitError) \
+                    else ConversionError(f"Conversion Error: {ex}")
+        sd = getattr(c, "strdict", None)
+        if sd is None:
+            raise BindError("BIT cast requires a dictionary")
+        n = len(sd.values)
+        table = np.zeros(n, dtype=tgt.np_dtype)
+        bad = np.zeros(n, dtype=bool)
+        first_bad = None
+        for i in range(n):
+            text = str(sd.values[i])
+            try:
+                table[i] = val(text)
+            except (B.BitError, OverflowError, ValueError):
+                bad[i] = True
+                if first_bad is None and text != "":
+                    first_bad = text
+        if first_bad is not None and not try_:
+            raise ConversionError(
+                f"Conversion Error: Could not convert BIT "
+                f"'{first_bad}' to {tgt!r}")
+        return ir.DictLookup(c, table, tgt, "bit_cast",
+                             null_table=bad if bad.any() else None)
 
     def _bind_bit_cast(self, c: ir.Expr, try_: bool) -> ir.Expr:
         from ..expr import bits as B
