@@ -4153,6 +4153,11 @@ class Binder:
             return out
         if name == "typeof" and len(e.args) == 1:
             a = b(e.args[0])
+            if self._is_bit(a):
+                return self._bind_literal("BIT")
+            et = getattr(a, "enum_type", None)
+            if et is not None:
+                return self._bind_literal(str(et))
             return self._bind_literal(repr(a.dtype))
         if name in ("current_database", "current_catalog") and not e.args:
             dbname = "memory"
