@@ -97,6 +97,14 @@ def _cast_data(data, src, dst):
     if sid == TypeId.DATE and did in (TypeId.TIMESTAMP,
                                       TypeId.TIMESTAMPTZ):
         return data.astype(jnp.int64) * 86_400_000_000
+    if sid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and did == TypeId.DATE:
+        # floor-divide handles pre-epoch instants correctly
+        return jnp.floor_divide(data.astype(jnp.int64),
+                                86_400_000_000).astype(jnp.int32)
+    if sid in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and did == TypeId.TIME:
+        return jnp.mod(data.astype(jnp.int64), 86_400_000_000)
     # TIMETZ packing: utc_micros * 2^17 + (57599 - offset_sec)
     # (reference: dtime_tz_t, src/include/duckdb/common/types/time.hpp)
     if did == TypeId.TIMETZ and sid == TypeId.TIME:

@@ -2985,7 +2985,12 @@ class Binder:
             if tgt.id in (TypeId.FLOAT, TypeId.DOUBLE):
                 return ir.Const(float(text), tgt)
             if tgt.id == TypeId.BOOLEAN:
-                return ir.Const(text.lower() in ("true", "t", "1"), tgt)
+                low = text.strip().lower()
+                if low in ("true", "t", "yes", "y", "1"):
+                    return ir.Const(True, tgt)
+                if low in ("false", "f", "no", "n", "0"):
+                    return ir.Const(False, tgt)
+                raise ValueError(text)
         except (ValueError, _dec.InvalidOperation):
             raise BindError(
                 f"cannot cast literal {text!r} to {tgt!r}")
@@ -3418,6 +3423,12 @@ class Binder:
                        TypeId.HUGEINT: 2**127 - 1}.get(tgt.id)
                 if lim is not None and isinstance(v, int) \
                         and not -lim - 1 <= v <= lim:
+                    raise OverflowError(v)
+                if tgt.id == TypeId.FLOAT and isinstance(
+                        v, (int, float)) and abs(float(v)) > \
+                        3.4028235677937994e38:
+                    # double -> float out of range errors (reference:
+                    # NumericTryCast double->float)
                     raise OverflowError(v)
                 return ir.Const(T.encode_literal(v, tgt), tgt)
             except (ValueError, OverflowError,
@@ -7698,8 +7709,9 @@ def text_to_nested(atom, tgt: DataType, try_: bool = False,
                 from ..storage.nested import StructValue
                 fields = tgt.children or ()
                 got = {}
-                for (k, _kq), v in NT.split_pairs(text, ":"):
-                    got[k.strip().lower()] = v
+                for (k, kq), v in NT.split_pairs(text, ":"):
+                    # quoted keys keep exact spelling incl. spaces
+                    got[(k if kq else k.strip()).lower()] = v
                 known = {n.lower() for n, _t in fields}
                 for k in got:
                     if k not in known:
@@ -7752,9 +7764,9 @@ def _parse_text(text: str, tgt: DataType):
             return int(text)
         except ValueError:
             low = text.strip().lower()
-            if low.lstrip("+-").startswith(("0x", "0b")):
-                # hex/binary literals (reference: TryCast radix
-                # prefixes, cast_operators.cpp IntegerCastLoop)
+            if low.startswith(("0x", "0b")):
+                # hex/binary literals — unsigned only (reference:
+                # TryCast radix prefixes, cast_operators.cpp)
                 return int(low, 0)
             # DuckDB rounds decimal strings half away from zero
             d = decimal.Decimal(text)
